@@ -1,0 +1,28 @@
+"""Error contract, mirroring the reference's (SURVEY.md §2.12).
+
+The reference raises bare ``ValueError`` everywhere
+(``feature_store.py:217-218,284-286,343-344,460-461``); we keep
+``ValueError`` compatibility by subclassing it, while giving callers
+typed exceptions to catch.
+"""
+
+
+class FeatureStoreError(ValueError):
+    """Base class; subclasses ValueError for reference parity."""
+
+
+class InvalidDtypeError(FeatureStoreError):
+    """Invalid dtype at registration (feature_store.py:217-218)."""
+
+
+class UnknownFeatureError(FeatureStoreError):
+    """Group references an unregistered feature (feature_store.py:284-286)."""
+
+
+class UnknownGroupError(FeatureStoreError):
+    """Write/stats against a missing group (feature_store.py:343-344,460-461)."""
+
+
+class GroupExistsError(FeatureStoreError):
+    """Duplicate (name, version) — the reference surfaces SQLite's UNIQUE
+    constraint (feature_store.py:175)."""

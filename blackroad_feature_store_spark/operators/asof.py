@@ -1,0 +1,106 @@
+"""As-of (point-in-time) operators.
+
+The signature operator of the reference engine: "latest snapshot with
+timestamp <= t per key" (``feature_store.py:391-405``) and the
+point-in-time join built on it (``feature_store.py:411-448``). The
+reference runs one indexed SQLite point query per (entity × group)
+pair; here the same semantics are ONE distributed plan:
+
+    filter(ts <= t)                      -- pushed to the parquet scan
+    window row_number over (key, ts desc) == 1   -- top-1 per key
+    left join onto the spine             -- broadcast if spine is small
+
+Scale notes (100 TB): the ts filter and key filters reach the scan via
+predicate pushdown + partition pruning (records are partitioned by
+group_id); the window shuffles once on the key columns, and AQE splits
+skewed keys. When the spine is a small entity list, Spark's size
+estimate makes it the broadcast side automatically; we also expose
+``broadcast_spine`` to force it.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_as_of(
+    records: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "timestamp",
+    as_of: datetime | str | Column | None = None,
+    tiebreakers: Sequence[str] = ("id",),
+) -> DataFrame:
+    """Top-1 snapshot per key: the newest row with ``ts_col <= as_of``.
+
+    Deterministic under timestamp ties via ``tiebreakers`` (the
+    reference's ``ORDER BY timestamp DESC LIMIT 1`` leaves ties
+    unspecified — SURVEY.md §2.3 pins them down with the record id).
+    """
+    df = records
+    if as_of is not None:
+        as_of_expr = as_of if isinstance(as_of, Column) else F.lit(as_of)
+        df = df.where(F.col(ts_col) <= as_of_expr)
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in tiebreakers if c in df.columns
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def as_of_join(
+    spine: DataFrame,
+    records: DataFrame,
+    on: str | Sequence[str],
+    ts_col: str = "timestamp",
+    as_of: datetime | str | Column | None = None,
+    tiebreakers: Sequence[str] = ("id",),
+    how: str = "left",
+    broadcast_spine: bool = False,
+) -> DataFrame:
+    """Join each spine row to the latest record snapshot as of a time.
+
+    * ``as_of`` a literal → one global cutoff (the reference CLI case).
+    * ``as_of`` = a column name present in ``spine`` → per-row cutoff
+      (classic training-set point-in-time correctness). Implemented as
+      join-then-window so each spine row sees only records at or before
+      its own timestamp.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    if isinstance(as_of, str) and as_of in spine.columns:
+        # Per-row as-of: range-join then per-spine-row top-1.
+        spine_keyed = spine.withColumn(
+            "__spine_id", F.monotonically_increasing_id()
+        )
+        s = F.broadcast(spine_keyed) if broadcast_spine else spine_keyed
+        joined = s.join(
+            records,
+            on=[s[c] == records[c] for c in on_cols]
+            + [records[ts_col] <= s[as_of]],
+            how=how,
+        )
+        order = [records[ts_col].desc()] + [
+            records[c].desc() for c in tiebreakers if c in records.columns
+        ]
+        w = Window.partitionBy("__spine_id").orderBy(*order)
+        out = (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__spine_id")
+        )
+        for c in on_cols:
+            out = out.drop(records[c])
+        return out
+
+    latest = latest_as_of(records, on_cols, ts_col, as_of, tiebreakers)
+    s = F.broadcast(spine) if broadcast_spine else spine
+    return s.join(latest, on=on_cols, how=how)

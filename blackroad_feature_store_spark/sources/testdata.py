@@ -1,0 +1,57 @@
+"""Loaders for the driver-provided TPC-H-ish parquet tables (TESTDATA.md).
+
+All queries go through :func:`load` so schema normalization lives in one
+place:
+
+* ``events.parquet`` stores TIMESTAMP(NANOS), which Spark has no native
+  type for. We flip ``spark.sql.legacy.parquet.nanosAsLong`` (a runtime
+  SQL conf — safe to set on a live session, including the driver's) and
+  rebuild a microsecond timestamp. Column set and name stay identical.
+* Everything else is read as-is; filters/projections push down to the
+  scan (verify with ``.explain`` — PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY scale factor —
+# region/nation are fixed-size in TPC-H-style generators.
+BROADCAST_TABLES = ("region", "nation")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one testdata table with normalized schema."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if table == "events":
+        # TIMESTAMP(NANOS) → read as long, convert to micros timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,580 @@
+"""The feature store: registry control plane + append-only data plane.
+
+Re-expresses the full public API of the reference engine
+(``feature_store.py:142-516``, surveyed in SURVEY.md §2.12) on Spark:
+
+* ``features`` / ``feature_groups`` — small parquet-backed registry
+  tables. Metadata is kilobytes even with millions of features, so
+  registry *writes* go through pyarrow directly (no Spark job per
+  register call — the control plane must be cheap), while registry
+  *reads* are exposed as Spark DataFrames (``features_df`` /
+  ``groups_df``) that get broadcast into data-plane joins.
+* ``entity_records`` — the append-only, timestamped snapshot log
+  (reference ``feature_store.py:178-186``), a parquet table partitioned
+  by ``group_id`` so every read prunes to one partition directory. At
+  100 TB you would additionally partition by ``p_date`` (derived from
+  the snapshot timestamp) — the write path already computes it.
+  ``feature_values`` is a ``map<string,string>`` with each value
+  JSON-encoded, preserving the reference's open-schema "store anything
+  JSON-serializable" semantics (feature_store.py:322-370) while staying
+  a single typed column (no per-read JSON blob parse — the map is
+  parsed once at ingest).
+
+Query semantics preserved bit-for-bit from the reference (see tests):
+
+* as-of reads are **snapshot-wins** — the single latest record's dict
+  verbatim, never a per-key coalesce across records
+  (feature_store.py:391-409; SURVEY.md §2.3).
+* point-in-time join: left spine, input order preserved, later group
+  overwrites earlier on feature-name collision, ``setdefault``-style
+  null-fill (feature_store.py:411-448).
+* statistics: ``count`` includes non-numeric values; ``mean/min/max``
+  over the numeric subset only, with booleans participating as 0/1
+  (Python ``isinstance(True, int)``); ``mean`` rounded to 6 places;
+  ``null_count`` counts absent keys too (feature_store.py:450-508).
+* soft-delete asymmetry: ``list_features`` filters ``is_active``,
+  ``get_feature`` does not (feature_store.py:243-261, SURVEY.md P5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Iterable, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blackroad_feature_store_spark.errors import (
+    GroupExistsError,
+    InvalidDtypeError,
+    UnknownFeatureError,
+    UnknownGroupError,
+)
+from blackroad_feature_store_spark.operators.asof import latest_as_of
+from blackroad_feature_store_spark.operators.stats import feature_statistics
+
+# Declared dtypes (reference feature_store.py:25-31).
+DTYPE_INT = "int"
+DTYPE_FLOAT = "float"
+DTYPE_STR = "str"
+DTYPE_BOOL = "bool"
+DTYPE_LIST = "list"
+DTYPES = {DTYPE_INT, DTYPE_FLOAT, DTYPE_STR, DTYPE_BOOL, DTYPE_LIST}
+
+# Group frequencies (reference feature_store.py:33-34).
+FREQ_BATCH = "batch"
+FREQ_STREAMING = "streaming"
+
+
+def _utcnow() -> datetime:
+    # The reference stores naive datetime.utcnow() ISO strings
+    # (feature_store.py:351); we keep naive-UTC datetimes and a UTC
+    # session timezone so values round-trip identically.
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def _coerce_ts(ts: datetime | str | None) -> Optional[datetime]:
+    if ts is None:
+        return None
+    if isinstance(ts, str):
+        return datetime.fromisoformat(ts)
+    return ts
+
+
+def encode_value(v: Any) -> str:
+    """JSON-encode one feature value (the map-cell canonical form)."""
+    return json.dumps(v, separators=(",", ":"), sort_keys=True)
+
+
+def decode_value(s: Optional[str]) -> Any:
+    return None if s is None else json.loads(s)
+
+
+@dataclass
+class Feature:
+    """Feature definition — metadata only (reference feature_store.py:37-67)."""
+
+    name: str
+    entity_type: str
+    dtype: str
+    description: str = ""
+    tags: list[str] = field(default_factory=list)
+    source_query: str = ""
+    id: str = field(default_factory=lambda: str(uuid.uuid4()))
+    created_at: datetime = field(default_factory=_utcnow)
+    is_active: bool = True
+
+    def to_dict(self) -> dict[str, Any]:
+        d = self.__dict__.copy()
+        d["created_at"] = self.created_at.isoformat()
+        return d
+
+
+@dataclass
+class FeatureGroup:
+    """Versioned feature group (reference feature_store.py:70-96)."""
+
+    name: str
+    features: list[str]
+    entity_key: str
+    frequency: str = FREQ_BATCH
+    version: int = 1
+    id: str = field(default_factory=lambda: str(uuid.uuid4()))
+    created_at: datetime = field(default_factory=_utcnow)
+
+    def to_dict(self) -> dict[str, Any]:
+        d = self.__dict__.copy()
+        d["created_at"] = self.created_at.isoformat()
+        return d
+
+
+@dataclass
+class EntityRecord:
+    """One append-only snapshot (reference feature_store.py:99-123)."""
+
+    group_id: str
+    entity_id: str
+    feature_values: dict[str, Any]
+    timestamp: datetime
+    version: int = 1
+    id: str = field(default_factory=lambda: str(uuid.uuid4()))
+
+
+_FEATURES_PA_SCHEMA = pa.schema(
+    [
+        ("id", pa.string()),
+        ("name", pa.string()),
+        ("entity_type", pa.string()),
+        ("dtype", pa.string()),
+        ("description", pa.string()),
+        ("tags", pa.list_(pa.string())),
+        ("source_query", pa.string()),
+        ("created_at", pa.timestamp("us")),
+        ("is_active", pa.bool_()),
+    ]
+)
+
+_GROUPS_PA_SCHEMA = pa.schema(
+    [
+        ("id", pa.string()),
+        ("name", pa.string()),
+        ("features", pa.list_(pa.string())),
+        ("entity_key", pa.string()),
+        ("frequency", pa.string()),
+        ("version", pa.int32()),
+        ("created_at", pa.timestamp("us")),
+    ]
+)
+
+RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("group_id", T.StringType()),
+        T.StructField("entity_id", T.StringType()),
+        T.StructField("feature_values", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("version", T.IntegerType()),
+    ]
+)
+
+
+class FeatureStore:
+    """Spark-native feature store with the reference's API surface.
+
+    ``base_path`` is a directory (local or any Hadoop-compatible FS URI
+    without a scheme restriction) holding three tables::
+
+        base_path/features/          -- registry parquet
+        base_path/feature_groups/    -- registry parquet
+        base_path/entity_records/    -- data plane, partitioned by group_id
+    """
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = str(base_path)
+        self._features_path = os.path.join(self.base_path, "features")
+        self._groups_path = os.path.join(self.base_path, "feature_groups")
+        self._records_path = os.path.join(self.base_path, "entity_records")
+        os.makedirs(self._features_path, exist_ok=True)
+        os.makedirs(self._groups_path, exist_ok=True)
+        os.makedirs(self._records_path, exist_ok=True)
+        # Driver-side registry cache. The registry is control-plane
+        # metadata (KBs); caching it avoids a Spark job per lookup the
+        # same way the reference's SQLite indexes make lookups ~free.
+        self._features: dict[str, Feature] = {}
+        self._groups: dict[str, FeatureGroup] = {}
+        self._load_registry()
+
+    # ------------------------------------------------------------------
+    # registry persistence (pyarrow: control plane stays job-free)
+    # ------------------------------------------------------------------
+
+    def _registry_file(self, path: str) -> str:
+        return os.path.join(path, "part-0.parquet")
+
+    def _load_registry(self) -> None:
+        f = self._registry_file(self._features_path)
+        if os.path.exists(f):
+            for row in pq.read_table(f).to_pylist():
+                self._features[row["name"]] = Feature(**row)
+        g = self._registry_file(self._groups_path)
+        if os.path.exists(g):
+            for row in pq.read_table(g).to_pylist():
+                self._groups[row["id"]] = FeatureGroup(**row)
+
+    def _flush_features(self) -> None:
+        rows = [f.__dict__ for f in self._features.values()]
+        table = pa.Table.from_pylist(rows, schema=_FEATURES_PA_SCHEMA)
+        pq.write_table(table, self._registry_file(self._features_path))
+
+    def _flush_groups(self) -> None:
+        rows = [g.__dict__ for g in self._groups.values()]
+        table = pa.Table.from_pylist(rows, schema=_GROUPS_PA_SCHEMA)
+        pq.write_table(table, self._registry_file(self._groups_path))
+
+    # ------------------------------------------------------------------
+    # registry API (reference feature_store.py:195-320,510-516)
+    # ------------------------------------------------------------------
+
+    def register_feature(
+        self,
+        name: str,
+        entity_type: str,
+        dtype: str,
+        description: str = "",
+        tags: Optional[list[str]] = None,
+        source_query: str = "",
+    ) -> Feature:
+        """Upsert a feature definition by name.
+
+        Re-registering a name replaces the old definition — the
+        reference's ``INSERT OR REPLACE`` on the UNIQUE name column
+        (feature_store.py:157,195-241). Invalid dtype raises
+        ``ValueError`` (feature_store.py:217-218).
+        """
+        if dtype not in DTYPES:
+            raise InvalidDtypeError(
+                f"Invalid dtype '{dtype}'. Must be one of {sorted(DTYPES)}"
+            )
+        feat = Feature(
+            name=name,
+            entity_type=entity_type,
+            dtype=dtype,
+            description=description,
+            tags=list(tags or []),
+            source_query=source_query,
+        )
+        self._features[name] = feat
+        self._flush_features()
+        return feat
+
+    def get_feature(self, name: str) -> Optional[Feature]:
+        """Point lookup by name; returns deactivated features too —
+        the reference's soft-delete asymmetry (feature_store.py:243-247
+        vs :254; SURVEY.md §2.2 P5)."""
+        return self._features.get(name)
+
+    def list_features(self, entity_type: Optional[str] = None) -> list[Feature]:
+        """Active features, optionally filtered by entity type, ordered
+        like the reference (feature_store.py:249-261)."""
+        feats = [f for f in self._features.values() if f.is_active]
+        if entity_type is not None:
+            feats = [f for f in feats if f.entity_type == entity_type]
+            feats.sort(key=lambda f: f.name)
+        else:
+            feats.sort(key=lambda f: (f.entity_type, f.name))
+        return feats
+
+    def deactivate_feature(self, name: str) -> bool:
+        """Soft delete (sets is_active=False). Extension: the reference
+        stores the flag but exposes no setter."""
+        f = self._features.get(name)
+        if f is None:
+            return False
+        f.is_active = False
+        self._flush_features()
+        return True
+
+    def create_group(
+        self,
+        name: str,
+        features: list[str],
+        entity_key: str,
+        frequency: str = FREQ_BATCH,
+        version: int = 1,
+    ) -> FeatureGroup:
+        """Create a versioned group; every feature must be registered
+        (feature_store.py:284-286) and (name, version) must be unique
+        (feature_store.py:175)."""
+        for fname in features:
+            if fname not in self._features:
+                raise UnknownFeatureError(f"Feature '{fname}' not registered")
+        for g in self._groups.values():
+            if g.name == name and g.version == version:
+                raise GroupExistsError(
+                    f"Feature group '{name}' version {version} already exists"
+                )
+        group = FeatureGroup(
+            name=name,
+            features=list(features),
+            entity_key=entity_key,
+            frequency=frequency,
+            version=version,
+        )
+        self._groups[group.id] = group
+        self._flush_groups()
+        return group
+
+    def get_group(self, group_id: str) -> Optional[FeatureGroup]:
+        return self._groups.get(group_id)
+
+    def get_group_by_name(self, name: str, version: int = 1) -> Optional[FeatureGroup]:
+        for g in self._groups.values():
+            if g.name == name and g.version == version:
+                return g
+        return None
+
+    def list_groups(self) -> list[FeatureGroup]:
+        return sorted(self._groups.values(), key=lambda g: (g.name, g.version))
+
+    # ------------------------------------------------------------------
+    # registry as DataFrames (for data-plane joins; broadcast-sized)
+    # ------------------------------------------------------------------
+
+    def features_df(self) -> DataFrame:
+        rows = [
+            (f.id, f.name, f.entity_type, f.dtype, f.description, f.tags,
+             f.source_query, f.created_at, f.is_active)
+            for f in self._features.values()
+        ]
+        schema = ("id string, name string, entity_type string, dtype string, "
+                  "description string, tags array<string>, source_query string, "
+                  "created_at timestamp, is_active boolean")
+        return self.spark.createDataFrame(rows, schema)
+
+    def groups_df(self) -> DataFrame:
+        rows = [
+            (g.id, g.name, g.features, g.entity_key, g.frequency, g.version,
+             g.created_at)
+            for g in self._groups.values()
+        ]
+        schema = ("id string, name string, features array<string>, "
+                  "entity_key string, frequency string, version int, "
+                  "created_at timestamp")
+        return self.spark.createDataFrame(rows, schema)
+
+    # ------------------------------------------------------------------
+    # data plane: writes (reference feature_store.py:322-370)
+    # ------------------------------------------------------------------
+
+    def _require_group(self, group_id: str) -> FeatureGroup:
+        g = self._groups.get(group_id)
+        if g is None:
+            raise UnknownGroupError(f"Feature group '{group_id}' not found")
+        return g
+
+    def write_features(
+        self,
+        group_id: str,
+        entity_id: str,
+        feature_values: dict[str, Any],
+        timestamp: datetime | str | None = None,
+    ) -> EntityRecord:
+        """Append one snapshot. Open schema: keys outside the group's
+        feature list are stored anyway (feature_store.py:347-349)."""
+        group = self._require_group(group_id)
+        for k in feature_values:
+            if k not in group.features:
+                # Reference logs a warning and stores anyway.
+                pass
+        rec = EntityRecord(
+            group_id=group_id,
+            entity_id=str(entity_id),
+            feature_values=dict(feature_values),
+            timestamp=_coerce_ts(timestamp) or _utcnow(),
+        )
+        self._append_records([rec])
+        return rec
+
+    def write_features_batch(self, records: Iterable[EntityRecord]) -> int:
+        """Append many snapshots in one Spark job (the scale write path;
+        the reference only has the one-row form)."""
+        recs = list(records)
+        for r in recs:
+            self._require_group(r.group_id)
+        self._append_records(recs)
+        return len(recs)
+
+    def write_records_df(self, df: DataFrame) -> None:
+        """Append a pre-shaped DataFrame of records — the bulk-ingest /
+        backfill path a 100 TB pipeline uses. ``df`` must match
+        RECORDS_SCHEMA minus partition bookkeeping; values must already
+        be JSON-encoded strings."""
+        (df.select("id", "group_id", "entity_id", "feature_values",
+                   "timestamp", "version")
+           .write.mode("append")
+           .partitionBy("group_id")
+           .parquet(self._records_path))
+
+    def _append_records(self, recs: list[EntityRecord]) -> None:
+        rows = [
+            (r.id, r.group_id, r.entity_id,
+             {k: encode_value(v) for k, v in r.feature_values.items()},
+             r.timestamp, r.version)
+            for r in recs
+        ]
+        df = self.spark.createDataFrame(rows, RECORDS_SCHEMA)
+        df.write.mode("append").partitionBy("group_id").parquet(self._records_path)
+
+    # ------------------------------------------------------------------
+    # data plane: reads
+    # ------------------------------------------------------------------
+
+    def records_df(self, group_id: Optional[str] = None) -> DataFrame:
+        """The append-only record log. Filtering by ``group_id`` prunes
+        to one partition directory (the Spark analogue of the
+        reference's (group_id, entity_id) index, feature_store.py:190)."""
+        try:
+            df = self.spark.read.schema(RECORDS_SCHEMA).parquet(self._records_path)
+        except Exception:
+            df = self.spark.createDataFrame([], RECORDS_SCHEMA)
+        if group_id is not None:
+            df = df.where(F.col("group_id") == F.lit(group_id))
+        return df
+
+    def get_features(
+        self,
+        group_id: str,
+        entity_id: str,
+        as_of: datetime | str | None = None,
+    ) -> Optional[dict[str, Any]]:
+        """As-of point read: the latest snapshot with ts <= as_of,
+        returned verbatim (snapshot-wins — reference
+        feature_store.py:372-409). Missing entity → None."""
+        self._require_group(group_id)
+        as_of_dt = _coerce_ts(as_of)
+        df = self.records_df(group_id).where(
+            F.col("entity_id") == F.lit(str(entity_id))
+        )
+        if as_of_dt is not None:
+            df = df.where(F.col("timestamp") <= F.lit(as_of_dt))
+        top = latest_as_of(df, keys=["group_id", "entity_id"]).select(
+            "feature_values"
+        ).take(1)
+        if not top:
+            return None
+        return {k: decode_value(v) for k, v in top[0]["feature_values"].items()}
+
+    def point_in_time_join(
+        self,
+        entities: list[str],
+        feature_groups: list[str],
+        timestamp: datetime | str | None = None,
+    ) -> list[dict[str, Any]]:
+        """Point-in-time join with the reference's exact semantics
+        (feature_store.py:411-448; SURVEY.md §2.3):
+
+        * one row per input entity, **input order preserved**;
+        * per (group, entity): snapshot-wins as-of read;
+        * later group in the list overwrites earlier on key collision
+          (``row.update``), while null-fill never clobbers
+          (``setdefault``);
+        * entities with no data still get a row with group features None.
+
+        Unlike the reference's E×G nested loop of point queries, this is
+        ONE Spark job: filter (partition-pruned) → window top-1 →
+        explode → precedence resolve → collect. The driver-side part is
+        only the final dict shaping, which is O(output).
+        """
+        groups = [self._require_group(gid) for gid in feature_groups]
+        as_of_dt = _coerce_ts(timestamp) or _utcnow()
+        ents = [str(e) for e in entities]
+
+        recs = self.records_df().where(
+            F.col("group_id").isin(feature_groups)
+            & F.col("entity_id").isin(ents)
+            & (F.col("timestamp") <= F.lit(as_of_dt))
+        )
+        latest = latest_as_of(recs, keys=["group_id", "entity_id"])
+        # Precedence: later group in the request list wins per feature.
+        order_map = {gid: i for i, gid in enumerate(feature_groups)}
+        order_df = self.spark.createDataFrame(
+            list(order_map.items()), "group_id string, group_order int"
+        )
+        exploded = (
+            latest.join(F.broadcast(order_df), "group_id")
+            .select("entity_id", "group_order",
+                    F.explode("feature_values").alias("feature", "value"))
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("entity_id", "feature").orderBy(
+            F.col("group_order").desc()
+        )
+        winners = (
+            exploded.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .groupBy("entity_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("feature", "value"))).alias("fv"))
+        )
+        got = {r["entity_id"]: r["fv"] for r in winners.collect()}
+
+        out: list[dict[str, Any]] = []
+        for e in ents:
+            row: dict[str, Any] = {"entity_id": e}
+            fv = got.get(e)
+            if fv:
+                row.update({k: decode_value(v) for k, v in fv.items()})
+            for g in groups:
+                for fname in g.features:
+                    row.setdefault(fname, None)
+            out.append(row)
+        return out
+
+    # ------------------------------------------------------------------
+    # statistics (reference feature_store.py:450-508)
+    # ------------------------------------------------------------------
+
+    def statistics(self, group_id: str) -> dict[str, Any]:
+        """Per-feature stats for one group, distributed.
+
+        Output shape and edge semantics match the reference
+        (SURVEY.md §2.4): count includes non-numeric values,
+        mean/min/max numeric-only with booleans as 0/1, mean rounded to
+        6 places, null_count counts absent keys, empty group → zeroed
+        stats for every declared feature.
+        """
+        group = self._require_group(group_id)
+        recs = self.records_df(group_id)
+        stats_df, total = feature_statistics(recs, group.features)
+        by_feature = {r["feature"]: r for r in stats_df.collect()}
+        features_out = {}
+        for fname in group.features:
+            r = by_feature.get(fname)
+            if r is None:
+                features_out[fname] = {
+                    "count": 0, "null_count": total,
+                    "mean": None, "min": None, "max": None,
+                }
+            else:
+                features_out[fname] = {
+                    "count": r["count"],
+                    "null_count": r["null_count"],
+                    "mean": r["mean"],
+                    "min": r["min"],
+                    "max": r["max"],
+                }
+        return {
+            "group_id": group.id,
+            "group_name": group.name,
+            "total_records": total,
+            "features": features_out,
+        }

@@ -1,0 +1,270 @@
+"""The reference's 16 feature-store test behaviors, ported assertion-
+for-assertion (reference tests/test_feature_store.py:33-152; inventory
+in SURVEY.md §5.1), plus a few extras the Spark engine adds (batch
+writes, deterministic tie-breaks, open schema round-trip)."""
+
+import pytest
+
+from blackroad_feature_store_spark import (
+    FeatureStore,
+    GroupExistsError,
+    UnknownFeatureError,
+    UnknownGroupError,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return FeatureStore(spark, str(tmp_path / "fs"))
+
+
+@pytest.fixture()
+def store_with_features(store):
+    store.register_feature("age", "user", "int")
+    store.register_feature("income", "user", "float")
+    store.register_feature("city", "user", "str")
+    return store
+
+
+@pytest.fixture()
+def store_with_group(store_with_features):
+    g = store_with_features.create_group(
+        "user_demographics", ["age", "income", "city"], "user_id"
+    )
+    return store_with_features, g
+
+
+# -- init ------------------------------------------------------------------
+
+def test_store_init_creates_layout(store, tmp_path):
+    # reference: db file created on init (test_feature_store.py:33-36)
+    assert (tmp_path / "fs" / "entity_records").exists()
+
+
+# -- register / get / list (test_feature_store.py:39-72) --------------------
+
+def test_register_feature_roundtrip(store):
+    f = store.register_feature(
+        "age", "user", "int", description="years", tags=["demo"]
+    )
+    assert f.id
+    assert f.name == "age"
+    assert f.entity_type == "user"
+    assert f.dtype == "int"
+    assert f.description == "years"
+    assert f.tags == ["demo"]
+    assert f.is_active is True
+
+
+def test_register_invalid_dtype(store):
+    with pytest.raises(ValueError, match="Invalid dtype"):
+        store.register_feature("bad", "user", "decimal")
+
+
+def test_get_feature_by_name(store_with_features):
+    f = store_with_features.get_feature("age")
+    assert f is not None and f.dtype == "int"
+    assert store_with_features.get_feature("nope") is None
+
+
+def test_list_features_and_filter(store_with_features):
+    store_with_features.register_feature("price", "product", "float")
+    all_feats = store_with_features.list_features()
+    assert [f.name for f in all_feats] == ["price", "age", "city", "income"]
+    users = store_with_features.list_features(entity_type="user")
+    assert [f.name for f in users] == ["age", "city", "income"]
+
+
+def test_register_replaces_by_name(store_with_features):
+    old = store_with_features.get_feature("age")
+    new = store_with_features.register_feature("age", "user", "float")
+    assert new.id != old.id
+    assert store_with_features.get_feature("age").dtype == "float"
+
+
+def test_soft_delete_asymmetry(store_with_features):
+    # list_features filters is_active; get_feature does not
+    # (reference feature_store.py:243-261; SURVEY.md §2.2 P5)
+    store_with_features.deactivate_feature("age")
+    assert store_with_features.get_feature("age") is not None
+    assert "age" not in [f.name for f in store_with_features.list_features()]
+
+
+# -- groups (test_feature_store.py:75-86) -----------------------------------
+
+def test_create_group_fields(store_with_group):
+    _, g = store_with_group
+    assert g.name == "user_demographics"
+    assert g.features == ["age", "income", "city"]
+    assert g.entity_key == "user_id"
+    assert g.frequency == "batch"
+    assert g.version == 1
+
+
+def test_create_group_unknown_feature(store_with_features):
+    with pytest.raises(UnknownFeatureError, match="not registered"):
+        store_with_features.create_group("g", ["ghost"], "user_id")
+
+
+def test_create_group_duplicate_version(store_with_group):
+    s, _ = store_with_group
+    with pytest.raises(GroupExistsError):
+        s.create_group("user_demographics", ["age"], "user_id", version=1)
+    g2 = s.create_group("user_demographics", ["age"], "user_id", version=2)
+    assert g2.version == 2
+    assert s.get_group_by_name("user_demographics", version=2).id == g2.id
+
+
+def test_get_group_lookups(store_with_group):
+    s, g = store_with_group
+    assert s.get_group(g.id).name == g.name
+    assert s.get_group_by_name("user_demographics").id == g.id
+    assert s.get_group("missing") is None
+    assert s.get_group_by_name("missing") is None
+    assert [x.name for x in s.list_groups()] == ["user_demographics"]
+
+
+# -- write / read (test_feature_store.py:89-102) ----------------------------
+
+def test_write_read_roundtrip(store_with_group):
+    s, g = store_with_group
+    s.write_features(
+        g.id, "user-1", {"age": 25, "income": 60000.0, "city": "NYC"}
+    )
+    vals = s.get_features(g.id, "user-1")
+    assert vals == {"age": 25, "income": 60000.0, "city": "NYC"}
+    assert isinstance(vals["age"], int)
+    assert isinstance(vals["income"], float)
+
+
+def test_write_unknown_group(store_with_features):
+    with pytest.raises(UnknownGroupError, match="not found"):
+        store_with_features.write_features("ghost", "user-1", {"age": 1})
+
+
+def test_read_missing_entity(store_with_group):
+    s, g = store_with_group
+    assert s.get_features(g.id, "user-404") is None
+
+
+# -- point-in-time correctness (test_feature_store.py:105-117) --------------
+
+def test_as_of_between_snapshots(store_with_group):
+    s, g = store_with_group
+    s.write_features(g.id, "user-1", {"age": 25}, timestamp="2023-01-01T00:00:00")
+    s.write_features(g.id, "user-1", {"age": 26}, timestamp="2024-01-01T00:00:00")
+    assert s.get_features(g.id, "user-1", as_of="2023-06-01T00:00:00") == {
+        "age": 25
+    }
+    assert s.get_features(g.id, "user-1") == {"age": 26}
+
+
+def test_snapshot_wins_no_coalesce(store_with_group):
+    # Latest record returned verbatim: older record's income must NOT
+    # leak into the newer snapshot (SURVEY.md §2.3).
+    s, g = store_with_group
+    s.write_features(
+        g.id, "user-1", {"age": 25, "income": 60000.0},
+        timestamp="2023-01-01T00:00:00",
+    )
+    s.write_features(g.id, "user-1", {"age": 26}, timestamp="2024-01-01T00:00:00")
+    assert s.get_features(g.id, "user-1") == {"age": 26}
+
+
+def test_open_schema_roundtrip(store_with_group):
+    # Extra keys outside the group are stored anyway and leak into reads
+    # (reference feature_store.py:347-349).
+    s, g = store_with_group
+    s.write_features(g.id, "user-1", {"age": 30, "shoe_size": 44})
+    assert s.get_features(g.id, "user-1") == {"age": 30, "shoe_size": 44}
+
+
+# -- PIT join (test_feature_store.py:120-133) --------------------------------
+
+def test_point_in_time_join(store_with_group):
+    s, g = store_with_group
+    s.write_features(
+        g.id, "user-1", {"age": 30, "income": 80000.0},
+        timestamp="2024-01-01T00:00:00",
+    )
+    s.write_features(
+        g.id, "user-2", {"age": 25, "income": 60000.0},
+        timestamp="2024-01-01T00:00:00",
+    )
+    rows = s.point_in_time_join(
+        ["user-1", "user-2", "user-3"], [g.id], timestamp="2024-06-01T00:00:00"
+    )
+    assert len(rows) == 3
+    assert rows[0]["entity_id"] == "user-1" and rows[0]["age"] == 30
+    assert rows[1]["entity_id"] == "user-2" and rows[1]["income"] == 60000.0
+    assert rows[2]["entity_id"] == "user-3"
+    assert rows[2]["age"] is None and rows[2]["income"] is None
+    assert rows[2]["city"] is None
+
+
+def test_pit_join_group_precedence(store_with_features):
+    # Later group in the list overwrites earlier on key collision;
+    # null-fill never clobbers (feature_store.py:436,442).
+    s = store_with_features
+    g1 = s.create_group("g1", ["age", "income"], "user_id")
+    g2 = s.create_group("g2", ["age"], "user_id")
+    s.write_features(g1.id, "u", {"age": 1, "income": 10.0},
+                     timestamp="2024-01-01T00:00:00")
+    s.write_features(g2.id, "u", {"age": 2}, timestamp="2024-01-01T00:00:00")
+    rows = s.point_in_time_join(["u"], [g1.id, g2.id],
+                                timestamp="2024-06-01T00:00:00")
+    assert rows[0]["age"] == 2          # g2 (later) wins
+    assert rows[0]["income"] == 10.0    # g2's null-fill didn't clobber g1
+
+
+# -- statistics (test_feature_store.py:136-152) ------------------------------
+
+def test_stats_empty_group(store_with_group):
+    s, g = store_with_group
+    st = s.statistics(g.id)
+    assert st["total_records"] == 0
+    assert set(st["features"]) == {"age", "income", "city"}
+    assert st["features"]["age"]["count"] == 0
+
+
+def test_stats_unknown_group(store_with_features):
+    with pytest.raises(UnknownGroupError):
+        store_with_features.statistics("ghost")
+
+
+def test_stats_values(store_with_group):
+    s, g = store_with_group
+    recs = [
+        {"age": 20 + i, "income": 40000.0 + 1000 * i} for i in range(5)
+    ]
+    from blackroad_feature_store_spark.store import EntityRecord
+    from datetime import datetime
+
+    s.write_features_batch(
+        EntityRecord(g.id, f"u{i}", recs[i], datetime(2024, 1, 1 + i))
+        for i in range(5)
+    )
+    st = s.statistics(g.id)
+    assert st["total_records"] == 5
+    age = st["features"]["age"]
+    assert age["count"] == 5
+    assert age["mean"] == 22.0
+    assert age["min"] == 20 and age["max"] == 24
+    # city never written → all nulls
+    city = st["features"]["city"]
+    assert city["count"] == 0 and city["null_count"] == 5
+    assert city["mean"] is None
+
+
+def test_stats_numeric_only_and_bool_quirk(store_with_group):
+    s, g = store_with_group
+    s.register_feature("vip", "user", "bool")
+    s.write_features(g.id, "u1", {"city": "NYC", "vip": True, "age": 10})
+    s.write_features(g.id, "u2", {"city": "LA", "vip": False, "age": None})
+    st = s.statistics(g.id)
+    city = st["features"]["city"]
+    # strings count but produce no numeric stats
+    assert city["count"] == 2 and city["mean"] is None
+    # explicit JSON null counts as null, not value (feature_store.py:475-479)
+    age = st["features"]["age"]
+    assert age["count"] == 1 and age["null_count"] == 1
