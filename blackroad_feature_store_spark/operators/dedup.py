@@ -1,0 +1,280 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, each a pure DataFrame pipeline:
+
+* **Exact** — hash-groupBy on a normalized fingerprint. One shuffle on
+  the hash; at 100 TB this is the cheapest possible dedup.
+* **MinHash / LSH** — banded min-shingle signatures. We use the
+  portable construction min(md5(band || ':' || shingle)) per band: an
+  engine-independent MinHash (md5 is md5 everywhere; the min over hex
+  strings is lexicographic in every engine), so the DuckDB oracle can
+  reproduce candidate pairs bit-for-bit. Candidates come from a
+  self-equi-join on (band, signature) — the LSH bucket join — NOT an
+  all-pairs comparison, so cost scales with bucket sizes, not n².
+* **SimHash** — 16-bit signature from per-token md5 nibbles; documents
+  agreeing on all 16 bits are near-dup candidates. Same portability
+  rationale.
+* **N-gram Jaccard** — exact Jaccard over distinct word shingles for a
+  candidate pair set (feed it LSH candidates at scale; the oracle uses
+  a same-source restriction to stay small).
+* **Embedding cosine** — near-dup pairs with cosine ≥ τ, blocked by a
+  cheap partition key (label / LSH bucket) to avoid n² at scale.
+
+Skew note: a pathological shingle (e.g. boilerplate) can make one LSH
+bucket huge. AQE skew-join splitting is on in session.py; for truly
+adversarial corpora, cap bucket size with a count filter before the
+self-join (``max_bucket``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark.operators.similarity import cosine
+from blackroad_feature_store_spark.operators.text import (
+    fingerprint,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group documents by normalized-text fingerprint.
+
+    Returns (fingerprint, dup_count, keep_id, doc_ids): ``keep_id`` is
+    the canonical survivor (min id — deterministic), ``doc_ids`` the
+    sorted members. Filter ``dup_count > 1`` for actual duplicates.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Banded MinHash signatures: one row per (id, band, signature).
+
+    signature(band) = min over shingles of md5(band || ':' || shingle)
+    — a distinct deterministic hash function per band, portable across
+    engines. Plan shape: project → explode shingles → explode bands →
+    partial+final min aggregation (map-side combinable).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_size)).alias(
+            "shingle"
+        ),
+    ).select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_bands - 1))
+        ).alias("band"),
+        "shingle",
+    )
+    return shingled.groupBy(id_col, "band").agg(
+        F.min(
+            F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")))
+        ).alias("sig")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 8,
+    shingle_size: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing any band signature (a < b).
+
+    The self-join keys on (band, sig) — the LSH bucket — so only
+    colliding documents are ever compared. ``max_bucket`` drops
+    degenerate buckets (boilerplate shingles) before the join.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_bands, shingle_size)
+    if max_bucket is not None:
+        bucket_sizes = sigs.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("bs")
+        )
+        sigs = (
+            sigs.join(bucket_sizes, ["band", "sig"])
+            .where(F.col("bs") <= max_bucket)
+            .drop("bs")
+        )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens.
+
+    Bit j of the signature is the sign of the sum over tokens of
+    (2*b_j - 1), where b_j is the top bit of the j-th hex nibble of
+    md5(token) — i.e. nibble >= 8. Portable: computed with strpos over
+    the hex alphabet, identical in any engine with md5 + strpos.
+    Returns (id, simhash:long).
+    """
+    toked = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    expanded = toked.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j"),
+        "h",
+    ).withColumn(
+        "contrib",
+        F.when(
+            F.instr(
+                F.lit("89abcdef"), F.substring(F.col("h"), F.col("j"), 1)
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    return (
+        expanded.groupBy(id_col, "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bit_val",
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1), F.col("j") - 1))
+            .otherwise(F.lit(0)),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit_val").cast("long").alias("simhash"))
+    )
+
+
+def simhash_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Pairs with identical SimHash (a < b): one equi-join on the
+    signature — hamming-radius-0 LSH. For radius-k matching, band the
+    signature into k+1 chunks and equi-join each (same pattern)."""
+    s = simhash(df, id_col, text_col, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word shingles for the
+    given (id_a, id_b) candidate pairs.
+
+    |A ∩ B| via an equi-join of the two documents' distinct shingle
+    sets; |A ∪ B| = |A| + |B| − |A ∩ B|. Everything is hash joins +
+    hash aggregations; feed LSH candidates to keep the pair set linear.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("sa"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("sb"))
+    j = pairs.join(sh_a, "id_a")
+    inter = (
+        j.join(
+            sh_b,
+            (j["id_b"] == sh_b["id_b"]) & (j["sa"] == sh_b["sb"]),
+        )
+        .groupBy(j["id_a"].alias("id_a"), j["id_b"].alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
+    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (a < b).
+
+    ``block_col`` is the blocking key (label, cluster id, or an LSH
+    bucket from similarity.lsh_bucket) — the self-join runs within
+    blocks only, which is what keeps this feasible at 100 TB.
+    """
+    cols = [id_col, vec_col] + ([block_col] if block_col else [])
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+
+* **Brute-force cosine top-k** — the exactness baseline: queries ×
+  corpus cross join (broadcast the query side — it is small by
+  definition), dot product via zip_with + aggregate (JVM higher-order
+  functions, whole-stage codegen, zero Python), window top-k per query.
+  Cost O(|Q|·|C|·d): correct tool when |Q| is small even at 100 TB
+  corpus scale.
+* **LSH-bucketed top-k** — the scale path: a deterministic sign-bit
+  bucket over the first ``nbits`` dimensions (a fixed axis-aligned
+  hyperplane family — portable to the SQL oracle, unlike random
+  projections). Queries only compare within their bucket: the cross
+  join becomes a bucket equi-join, cutting candidates ~2^nbits-fold.
+  Recall is tunable via nbits (fewer bits → bigger buckets → higher
+  recall). An IVF variant is the same pattern with k-means centroid
+  ids as the bucket key.
+
+All arithmetic is double-precision left-fold, matching what a SQL
+engine computes with a sequential dot product — the oracle reproduces
+scores bit-for-bit (modulo the final round(6), applied identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a sequential double left-fold (portable order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lsh_bucket(vec: Column, nbits: int = 8) -> Column:
+    """Deterministic sign-bit bucket: bit i = (vec[i] >= 0).
+
+    Axis-aligned hyperplanes keep the function portable (the oracle
+    writes the same CASE expressions); swap in random hyperplanes via a
+    broadcast matrix for production recall tuning.
+    """
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(nbits)
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (brute force).
+
+    ``queries`` carries (query_id_col, vec_col). Output:
+    (query_id, neighbor_id, score, rank). Deterministic: ranked on the
+    rounded score with the neighbor id as tiebreaker.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(q)
+        .where(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nbits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: brute force restricted to the query's LSH
+    bucket. Same output shape as cosine_topk."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), nbits).alias("__b")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            lsh_bucket(F.col(vec_col), nbits).alias("__b"),
+        )
+    )
+    scored = (
+        c.join(q, "__b")
+        .where(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,165 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure built-in-function column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs. Each operator is deliberately expressed with
+engine-portable primitives (regex, md5, arithmetic) so the DuckDB
+oracle can compute byte-identical results (see __spark_entry__.py).
+
+Operators:
+* tokenization / token counts (whitespace + BPE-ish regex),
+* language ID (stopword-hit heuristic + CJK script detection),
+* quality scoring (length / alpha / digit / punct / stopword ratios),
+* document fingerprinting (normalized-text md5 + per-band min-shingle
+  signatures — the building block dedup.py reuses).
+
+Scale: everything is a narrow projection over the scan — no shuffle at
+all until a downstream groupBy; at 100 TB these run at I/O speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword hit-lists for the language-ID heuristic. Tiny on purpose:
+# the heuristic is a deterministic scoring function, not a model.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los", "una"],
+    "fr": ["le", "la", "les", "et", "des", "une", "est"],
+}
+# Order decides ties: first language with the max score wins.
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
+
+# BPE-ish pre-tokenizer: letter runs, single digits, punctuation marks.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text ('' → single empty token —
+    callers guard with token_count)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for blank text."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens (letter runs / digits / punct)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many stopword occurrences of ``lang`` appear in ``text``."""
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID.
+
+    CJK characters → 'zh'; otherwise the language with the most
+    stopword hits (ties resolved by LANG_ORDER); no hits at all →
+    'unknown'.
+    """
+    scores = {lang: stopword_hits(text, lang) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    out = F.when(F.regexp_count(text, F.lit(CJK_PATTERN)) > 0, F.lit("zh"))
+    cond = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_ORDER:
+        cond = cond.when(scores[lang] == best, F.lit(lang))
+    return out.otherwise(cond)
+
+
+def _ratio(n: Column, d: Column) -> Column:
+    return F.round(
+        F.when(d == 0, F.lit(0.0)).otherwise(
+            n.cast("double") / d.cast("double")
+        ),
+        6,
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Per-document quality signals (each a scalar column):
+
+    n_chars, n_tokens, alpha_ratio, digit_ratio, punct_ratio,
+    upper_ratio, stopword_ratio, mean_token_len — the classic cheap
+    filters (C4/Gopher-style) for corpus quality scoring.
+    """
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    n_tok = token_count(text)
+    n_stop = stopword_hits(text, "en")
+    n_ws = F.length(F.regexp_replace(text, r"[^\s]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "alpha_ratio": _ratio(n_alpha, n_chars),
+        "digit_ratio": _ratio(n_digit, n_chars),
+        "punct_ratio": _ratio(n_punct, n_chars),
+        "upper_ratio": _ratio(n_upper, n_alpha),
+        "stopword_ratio": _ratio(n_stop, n_tok),
+        "mean_token_len": _ratio(n_chars - n_ws, n_tok),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0..1 quality score: weighted blend of the signals a
+    pipeline would threshold on. Deterministic, portable arithmetic."""
+    q = quality_features(text)
+    in_range = (
+        F.when((q["n_tokens"] >= 10) & (q["n_tokens"] <= 100000), 1.0)
+        .otherwise(0.0)
+    )
+    return F.round(
+        0.4 * q["alpha_ratio"]
+        + 0.3 * F.least(q["stopword_ratio"] * 5, F.lit(1.0))
+        + 0.2 * in_range
+        + 0.1 * (1.0 - F.least(q["punct_ratio"] * 10, F.lit(1.0))),
+        6,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-duplicate fingerprint: md5 of whitespace-normalized,
+    lowercased text. Portable: md5 hex is identical everywhere."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>); short texts fall back to
+    one whole-text shingle so every document has ≥1 shingle."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document text-analysis profile."""
+    t = F.col(text_col)
+    out = df
+    for name, col in quality_features(t).items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("lang_pred", lang_id(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("fingerprint", fingerprint(t))
+        .withColumn("bpe_tokens", bpe_token_count(t))
+    )

@@ -1,0 +1,107 @@
+"""Streaming ingest: gives the reference's ``frequency="streaming"``
+label real behavior (it is declared-but-inert in the reference —
+SURVEY.md §2.9).
+
+A streaming group accepts a ``readStream`` of snapshots and appends
+them to the same ``entity_records`` table the batch path writes, so
+every as-of/PIT/stats read works unchanged over streamed data. The
+append-only record log is exactly the shape Structured Streaming's
+append output mode wants — no watermark needed for ingest (nothing
+aggregates); add watermark + windowed aggs only for streaming
+*aggregation* features (``windowed_counts`` below shows the pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark.store import FeatureStore, FREQ_STREAMING
+
+
+def records_stream(
+    source: DataFrame,
+    group_id: str,
+    entity_col: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Shape an arbitrary streaming DataFrame into entity_records rows.
+
+    Values are JSON-encoded per cell (to_json keeps int/float/str/bool
+    distinctions) matching the batch writer's canonical map form.
+    """
+    # to_json wraps as {"v": ...}; strip the envelope to the bare value.
+    fv = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in value_cols]),
+        F.array(
+            *[
+                F.regexp_extract(
+                    F.to_json(F.struct(F.col(c).alias("v"))), r'^\{"v":(.*)\}$', 1
+                )
+                for c in value_cols
+            ]
+        ),
+    )
+    return source.select(
+        F.expr("uuid()").alias("id"),
+        F.lit(group_id).alias("group_id"),
+        F.col(entity_col).cast("string").alias("entity_id"),
+        fv.alias("feature_values"),
+        F.col(ts_col).cast("timestamp").alias("timestamp"),
+        F.lit(1).alias("version"),
+    )
+
+
+def start_ingest(
+    store: FeatureStore,
+    group_id: str,
+    source: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    checkpoint: str,
+    trigger_available_now: bool = False,
+):
+    """Start (or one-shot drain, with availableNow) a streaming append
+    into the store's record log. Exactly-once via the checkpoint; the
+    sink is the same partitioned parquet table as batch writes."""
+    group = store.get_group(group_id)
+    if group is None:
+        raise ValueError(f"Feature group '{group_id}' not found")
+    if group.frequency != FREQ_STREAMING:
+        raise ValueError(
+            f"Group '{group.name}' has frequency '{group.frequency}'; "
+            "streaming ingest requires a streaming group"
+        )
+    shaped = records_stream(source, group_id, entity_col, ts_col, value_cols)
+    writer = (
+        shaped.writeStream.format("parquet")
+        .option("path", store._records_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("group_id")
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    source: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming windowed aggregation pattern (event-time window +
+    watermark for late data) — the building block for streaming
+    aggregate features beyond the reference's surface."""
+    return (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
