@@ -21,6 +21,7 @@ routing runs over a DataFrame of texts JVM-side at corpus scale.
 from __future__ import annotations
 
 import json
+import os
 import re
 import urllib.error
 import urllib.request
@@ -29,9 +30,14 @@ from typing import Any, Optional
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEFAULT_TRIGGERS = ("@ollama", "@local", "@llm")
-DEFAULT_BASE_URL = "http://localhost:11434"
-DEFAULT_MODEL = "llama3"
+# Trigger set and env-var configuration match the reference exactly
+# (ollama_router.py:26-36) — its test corpus runs unmodified.
+OLLAMA_TRIGGERS: frozenset = frozenset(
+    {"@ollama", "@copilot", "@lucidia", "@blackboxprogramming"}
+)
+DEFAULT_TRIGGERS = tuple(sorted(OLLAMA_TRIGGERS))
+DEFAULT_BASE_URL = os.environ.get("OLLAMA_BASE_URL", "http://localhost:11434")
+DEFAULT_MODEL = os.environ.get("OLLAMA_MODEL", "llama3")
 DEFAULT_TIMEOUT = 120.0
 
 

@@ -155,12 +155,12 @@ def simhash(
         F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j"),
         "h",
     ).withColumn(
+        # top bit of the j-th hex nibble: nibble in [8..f].
+        # (PySpark 4.1's F.instr requires a string-literal substr and
+        # F.shiftleft an int literal, hence rlike + SQL shiftleft.)
         "contrib",
         F.when(
-            F.instr(
-                F.lit("89abcdef"), F.substring(F.col("h"), F.col("j"), 1)
-            )
-            > 0,
+            F.substring(F.col("h"), F.col("j"), 1).rlike("[89a-f]"),
             F.lit(1),
         ).otherwise(F.lit(-1)),
     )
@@ -169,8 +169,9 @@ def simhash(
         .agg(F.sum("contrib").alias("s"))
         .withColumn(
             "bit_val",
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1), F.col("j") - 1))
-            .otherwise(F.lit(0)),
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j - 1)")
+            ).otherwise(F.lit(0).cast("long")),
         )
         .groupBy(id_col)
         .agg(F.sum("bit_val").cast("long").alias("simhash"))

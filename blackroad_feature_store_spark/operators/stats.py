@@ -45,21 +45,24 @@ def feature_statistics(
     records: DataFrame,
     feature_names: Sequence[str],
     values_col: str = "feature_values",
-) -> tuple[DataFrame, int]:
-    """Stats DataFrame (feature, count, null_count, mean, min, max) and
-    the group's total record count.
+) -> DataFrame:
+    """Stats DataFrame (feature, count, null_count, mean, min, max,
+    all_int) — ONE map-side-combinable hash aggregation, one scan.
 
-    One job for the total + one aggregation job; both are full
-    map-side-combinable hash aggregations.
+    The group's total record count is derivable as
+    ``count + null_count`` of any row (every record contributes one
+    long-form row per declared feature), so callers never run a second
+    scan. ``all_int`` is true when every numeric value was a JSON
+    integer or boolean — callers cast min/max back to int to match the
+    reference, which returns ``min(numeric_vals)`` preserving int
+    (feature_store.py:491-492).
     """
-    total = records.count()
     if not feature_names:
-        empty = records.sparkSession.createDataFrame(
+        return records.sparkSession.createDataFrame(
             [],
             "feature string, count long, null_count long, "
-            "mean double, min double, max double",
+            "mean double, min double, max double, all_int boolean",
         )
-        return empty, total
 
     # Long form: one row per (record, declared feature). element_at
     # returns NULL for absent keys, which is exactly the reference's
@@ -80,11 +83,18 @@ def feature_statistics(
 
     present = F.col("value").isNotNull() & (F.col("value") != F.lit("null"))
     num = numeric_value(F.col("value"))
-    stats = long_form.groupBy("feature").agg(
+    # A numeric cell whose JSON encoding is not an integer or boolean
+    # (e.g. "1.5", "1.0") makes min/max float in the reference.
+    is_int_like = F.col("value").rlike("^-?[0-9]+$") | F.col("value").isin(
+        "true", "false"
+    )
+    return long_form.groupBy("feature").agg(
         F.sum(present.cast("long")).alias("count"),
         F.sum((~present).cast("long")).alias("null_count"),
         F.round(F.avg(num), 6).alias("mean"),
         F.min(num).alias("min"),
         F.max(num).alias("max"),
+        F.min(
+            F.when(num.isNotNull(), is_int_like).otherwise(F.lit(True))
+        ).alias("all_int"),
     )
-    return stats, total

@@ -39,6 +39,7 @@ Query semantics preserved bit-for-bit from the reference (see tests):
 from __future__ import annotations
 
 import json
+import logging
 import os
 import uuid
 from dataclasses import dataclass, field
@@ -71,6 +72,8 @@ DTYPES = {DTYPE_INT, DTYPE_FLOAT, DTYPE_STR, DTYPE_BOOL, DTYPE_LIST}
 # Group frequencies (reference feature_store.py:33-34).
 FREQ_BATCH = "batch"
 FREQ_STREAMING = "streaming"
+
+logger = logging.getLogger("blackroad_feature_store_spark")
 
 
 def _utcnow() -> datetime:
@@ -229,15 +232,23 @@ class FeatureStore:
             for row in pq.read_table(g).to_pylist():
                 self._groups[row["id"]] = FeatureGroup(**row)
 
+    def _atomic_write(self, table: pa.Table, path: str) -> None:
+        # Write-then-rename so a crash mid-write never corrupts the
+        # registry (the reference's SQLite writes were transactional;
+        # single-writer is still assumed, as documented on the class).
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
     def _flush_features(self) -> None:
         rows = [f.__dict__ for f in self._features.values()]
         table = pa.Table.from_pylist(rows, schema=_FEATURES_PA_SCHEMA)
-        pq.write_table(table, self._registry_file(self._features_path))
+        self._atomic_write(table, self._registry_file(self._features_path))
 
     def _flush_groups(self) -> None:
         rows = [g.__dict__ for g in self._groups.values()]
         table = pa.Table.from_pylist(rows, schema=_GROUPS_PA_SCHEMA)
-        pq.write_table(table, self._registry_file(self._groups_path))
+        self._atomic_write(table, self._registry_file(self._groups_path))
 
     # ------------------------------------------------------------------
     # registry API (reference feature_store.py:195-320,510-516)
@@ -392,8 +403,11 @@ class FeatureStore:
         group = self._require_group(group_id)
         for k in feature_values:
             if k not in group.features:
-                # Reference logs a warning and stores anyway.
-                pass
+                # Open schema: store anyway (feature_store.py:347-349).
+                logger.warning(
+                    "Feature '%s' not in group '%s', storing anyway.",
+                    k, group.name,
+                )
         rec = EntityRecord(
             group_id=group_id,
             entity_id=str(entity_id),
@@ -440,14 +454,27 @@ class FeatureStore:
     def records_df(self, group_id: Optional[str] = None) -> DataFrame:
         """The append-only record log. Filtering by ``group_id`` prunes
         to one partition directory (the Spark analogue of the
-        reference's (group_id, entity_id) index, feature_store.py:190)."""
-        try:
-            df = self.spark.read.schema(RECORDS_SCHEMA).parquet(self._records_path)
-        except Exception:
+        reference's (group_id, entity_id) index, feature_store.py:190).
+
+        An empty store reads as an empty DataFrame; any real read error
+        (corruption, permissions) propagates rather than silently
+        looking like zero records.
+        """
+        if self._records_empty():
             df = self.spark.createDataFrame([], RECORDS_SCHEMA)
+        else:
+            df = self.spark.read.schema(RECORDS_SCHEMA).parquet(self._records_path)
         if group_id is not None:
             df = df.where(F.col("group_id") == F.lit(group_id))
         return df
+
+    def _records_empty(self) -> bool:
+        """True when no record data file exists yet (local-FS check;
+        for object stores, swap in a FileSystem listing)."""
+        for root, _dirs, files in os.walk(self._records_path):
+            if any(f.endswith(".parquet") for f in files):
+                return False
+        return True
 
     def get_features(
         self,
@@ -486,6 +513,12 @@ class FeatureStore:
         * later group in the list overwrites earlier on key collision
           (``row.update``), while null-fill never clobbers
           (``setdefault``);
+        * null-fill applies only to groups whose as-of read returned
+          no (or an empty) snapshot for that entity — a present
+          snapshot that merely omits a declared feature leaves the key
+          absent, exactly like the reference's ``if values:
+          row.update(values) else: setdefault(None)``
+          (feature_store.py:433-442);
         * entities with no data still get a row with group features None.
 
         Unlike the reference's E×G nested loop of point queries, this is
@@ -510,7 +543,7 @@ class FeatureStore:
         )
         exploded = (
             latest.join(F.broadcast(order_df), "group_id")
-            .select("entity_id", "group_order",
+            .select("entity_id", "group_id", "group_order",
                     F.explode("feature_values").alias("feature", "value"))
         )
         from pyspark.sql.window import Window
@@ -518,14 +551,26 @@ class FeatureStore:
         w = Window.partitionBy("entity_id", "feature").orderBy(
             F.col("group_order").desc()
         )
+        # One collect: the precedence-resolved value map plus the set of
+        # groups that actually produced a (non-empty) snapshot — the
+        # reference's `if values:` truthiness (an all-empty snapshot
+        # never reaches `exploded`, so it correctly counts as a miss).
         winners = (
             exploded.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
             .groupBy("entity_id")
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct("feature", "value"))).alias("fv"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1,
+                               F.struct("feature", "value"))
+                    )
+                ).alias("fv"),
+                F.collect_set("group_id").alias("hit_groups"),
+            )
         )
-        got = {r["entity_id"]: r["fv"] for r in winners.collect()}
+        rows = winners.collect()
+        got = {r["entity_id"]: r["fv"] for r in rows}
+        hits = {r["entity_id"]: set(r["hit_groups"]) for r in rows}
 
         out: list[dict[str, Any]] = []
         for e in ents:
@@ -534,8 +579,9 @@ class FeatureStore:
             if fv:
                 row.update({k: decode_value(v) for k, v in fv.items()})
             for g in groups:
-                for fname in g.features:
-                    row.setdefault(fname, None)
+                if g.id not in hits.get(e, ()):  # miss → null-fill
+                    for fname in g.features:
+                        row.setdefault(fname, None)
             out.append(row)
         return out
 
@@ -554,8 +600,25 @@ class FeatureStore:
         """
         group = self._require_group(group_id)
         recs = self.records_df(group_id)
-        stats_df, total = feature_statistics(recs, group.features)
-        by_feature = {r["feature"]: r for r in stats_df.collect()}
+        stats_rows = feature_statistics(recs, group.features).collect()
+        by_feature = {r["feature"]: r for r in stats_rows}
+        # Every record contributes one long-form row per declared
+        # feature, so total = count + null_count of any feature — no
+        # second scan. Empty stats → empty group (or no declared
+        # features, where one cheap count is unavoidable).
+        if stats_rows:
+            total = stats_rows[0]["count"] + stats_rows[0]["null_count"]
+        elif group.features:
+            total = 0
+        else:
+            total = recs.count()
+
+        def _minmax(r, key):
+            v = r[key]
+            if v is not None and r["all_int"] and v == int(v):
+                return int(v)
+            return v
+
         features_out = {}
         for fname in group.features:
             r = by_feature.get(fname)
@@ -569,8 +632,8 @@ class FeatureStore:
                     "count": r["count"],
                     "null_count": r["null_count"],
                     "mean": r["mean"],
-                    "min": r["min"],
-                    "max": r["max"],
+                    "min": _minmax(r, "min"),
+                    "max": _minmax(r, "max"),
                 }
         return {
             "group_id": group.id,

@@ -32,12 +32,20 @@ def records_stream(
     distinctions) matching the batch writer's canonical map form.
     """
     # to_json wraps as {"v": ...}; strip the envelope to the bare value.
+    # ignoreNullFields=false keeps {"v":null} so NULL cells decode as
+    # JSON null exactly like the batch writer (dropping the field would
+    # yield '' and crash decode_value on read).
     fv = F.map_from_arrays(
         F.array(*[F.lit(c) for c in value_cols]),
         F.array(
             *[
                 F.regexp_extract(
-                    F.to_json(F.struct(F.col(c).alias("v"))), r'^\{"v":(.*)\}$', 1
+                    F.to_json(
+                        F.struct(F.col(c).alias("v")),
+                        {"ignoreNullFields": "false"},
+                    ),
+                    r'^\{"v":(.*)\}$',
+                    1,
                 )
                 for c in value_cols
             ]
