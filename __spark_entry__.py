@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (point-in-time join of the
+customer spine against orders-as-snapshots — the engine's signature
+operator) at sf0.001. ``queries()``/``oracle_sql()`` expose the full
+operator catalog from ``blackroad_feature_store_spark.plans.
+driver_queries`` — one entry per SURVEY.md §2 operator row plus the
+LLM-pipeline suite, each paired with a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -13,26 +14,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from blackroad_feature_store_spark.plans import driver_queries as _dq
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PIT join + as-of top-1 + stats enrichment on sf0.001.
+
+    customer spine LEFT JOIN latest order ≤ cutoff per custkey (the
+    reference's point_in_time_join, feature_store.py:411-448, as one
+    window + one join), then a per-status aggregate profile — the
+    scan → filter → window → join → aggregate signature path.
+    """
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    pit = _dq.core_pit_join(spark, sf)
+    return pit.groupBy("pit_status").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("pit_totalprice"), 6).alias("avg_totalprice"),
+        F.min("pit_totalprice").alias("min_totalprice"),
+        F.max("pit_totalprice").alias("max_totalprice"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 + LLM suite)."""
+    return dict(_dq.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle for each query; keys absent here (the
+    mapInPandas fake-decode stub) get the driver's rows-only check."""
+    return dict(_dq.ORACLE)

@@ -48,6 +48,11 @@ def _pattern(triggers: tuple[str, ...]) -> str:
     return "(" + "|".join(re.escape(t) for t in alts) + ")"
 
 
+# The default alternation with the (?i) flag — longest-first, so it is
+# textually reproducible in an oracle SQL regexp.
+TRIGGER_PATTERN = "(?i)" + _pattern(DEFAULT_TRIGGERS)
+
+
 def detect_trigger(
     text: str, triggers: tuple[str, ...] = DEFAULT_TRIGGERS
 ) -> Optional[str]:

@@ -1,0 +1,952 @@
+"""Driver-contract query catalog: every operator from SURVEY.md §2 plus
+the LLM-pipeline suite, each as a (Spark pipeline, DuckDB oracle SQL)
+pair over the shared testdata parquet tables.
+
+Conventions (driver compare = row count + schema + order-insensitive
+value hash, columns sorted by name):
+
+* every computed column is aliased IDENTICALLY in the Spark pipeline
+  and the oracle SQL;
+* timestamps are surfaced as formatted strings (micro vs nano storage
+  would otherwise hash differently);
+* floating-point aggregates are ``round(x, 6)`` on BOTH sides; inputs
+  read from the same parquet files are bit-identical doubles, and all
+  derived arithmetic is expressed in the same operation order;
+* oracle SQL references the driver's pre-registered views (region
+  nation customer supplier part orders lineitem events documents
+  embeddings) — never file paths.
+
+Reference parity citations live in the operator modules; each query
+below names the SURVEY §2 rows it certifies.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from blackroad_feature_store_spark.functions.router import TRIGGER_PATTERN
+from blackroad_feature_store_spark.operators.asof import as_of_join, latest_as_of
+from blackroad_feature_store_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+    simhash,
+)
+from blackroad_feature_store_spark.operators.multimodal import (
+    asset_metadata,
+    documents_as_assets,
+    image_features,
+    sample_frames,
+)
+from blackroad_feature_store_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
+from blackroad_feature_store_spark.operators.text import text_profile
+from blackroad_feature_store_spark.sources.testdata import load
+from blackroad_feature_store_spark.streaming.ingest import windowed_counts
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Core feature-store operator surface (SURVEY §2.1-2.8) over TPC-H tables
+# ---------------------------------------------------------------------------
+
+ASOF_CUTOFF = "1998-01-01 00:00:00"
+
+
+@q(
+    "core_scan_filter_project",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part WHERE p_brand = 'Brand#1'
+    """,
+)
+def core_scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """S2/P3/P6/O1: filtered full scan with column pruning — the
+    `list_features(entity_type=...)` shape (feature_store.py:249-261).
+    Filter and 3-column ReadSchema push to the parquet scan."""
+    return (
+        load(spark, sf, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@q(
+    "core_dim_join_ordered",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def core_dim_join_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """S3/O3: registry-style scan + broadcast dim join (`list_groups`,
+    feature_store.py:510-516). region is broadcast — no shuffle."""
+    nation = load(spark, sf, "nation")
+    region = F.broadcast(load(spark, sf, "region"))
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+@q(
+    "core_point_lookup",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer WHERE c_custkey = 42
+    """,
+)
+def core_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """S5/S6: point lookup by key (`get_feature`/`get_group`,
+    feature_store.py:243-247,308-312). Equality predicate pushed to
+    the scan (min/max row-group skipping at scale)."""
+    return (
+        load(spark, sf, "customer")
+        .where(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+@q(
+    "core_lookup_composite",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+    """,
+)
+def core_lookup_composite(spark: SparkSession, sf: str) -> DataFrame:
+    """S7: composite-key lookup (`get_group_by_name(name, version)`,
+    feature_store.py:314-320) — broadcast semi-style join against a
+    1-row aggregate instead of a driver round-trip."""
+    li = load(spark, sf, "lineitem")
+    mn = li.agg(F.min("l_orderkey").alias("l_orderkey"))
+    return li.join(F.broadcast(mn), "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@q(
+    "core_asof_top1",
+    f"""
+    SELECT o_custkey,
+           o_orderkey   AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate,
+           o_totalprice AS last_totalprice
+    FROM orders
+    WHERE o_orderdate <= TIMESTAMP '{ASOF_CUTOFF}'
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def core_asof_top1(spark: SparkSession, sf: str) -> DataFrame:
+    """J2/O4/P4: as-of top-1 per key — the reference's
+    `ORDER BY timestamp DESC LIMIT 1` point read
+    (feature_store.py:391-405) as one window over the pruned scan."""
+    orders = load(spark, sf, "orders")
+    latest = latest_as_of(
+        orders,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        as_of=F.lit(ASOF_CUTOFF).cast("timestamp"),
+        tiebreakers=("o_orderkey",),
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@q(
+    "core_pit_join",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           l.o_totalprice  AS pit_totalprice,
+           l.o_orderstatus AS pit_status
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, o_totalprice, o_orderstatus
+        FROM orders
+        WHERE o_orderdate <= TIMESTAMP '{ASOF_CUTOFF}'
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ) l ON c.c_custkey = l.o_custkey
+    """,
+)
+def core_pit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: point-in-time join — spine left-joins the as-of snapshot,
+    entities with no qualifying record keep a (null) row
+    (feature_store.py:411-448). One window shuffle + one join; no E×G
+    loop."""
+    spine = load(spark, sf, "customer").select("c_custkey", "c_name")
+    recs = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus",
+    )
+    joined = as_of_join(
+        spine,
+        recs,
+        on="c_custkey",
+        ts_col="o_orderdate",
+        as_of=F.lit(ASOF_CUTOFF).cast("timestamp"),
+        tiebreakers=("o_orderkey",),
+    )
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        F.col("o_totalprice").alias("pit_totalprice"),
+        F.col("o_orderstatus").alias("pit_status"),
+    )
+
+
+@q(
+    "core_group_stats",
+    """
+    SELECT o_orderstatus AS status,
+           count(v)                                   AS n_values,
+           count(*) - count(v)                        AS null_count,
+           round(avg(v), 6)                           AS mean,
+           min(v)                                     AS min,
+           max(v)                                     AS max
+    FROM (SELECT o_orderstatus,
+                 CASE WHEN o_totalprice >= 50000 THEN o_totalprice END AS v
+          FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def core_group_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/F5/F6: the `statistics` aggregate shape — count of non-null,
+    null_count of absent, round(mean,6), min/max
+    (feature_store.py:450-508) — as one partial+final hash agg."""
+    orders = load(spark, sf, "orders").withColumn(
+        "v", F.when(F.col("o_totalprice") >= 50000, F.col("o_totalprice"))
+    )
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("v").alias("n_values"),
+        F.sum(F.col("v").isNull().cast("long")).alias("null_count"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.min("v").alias("min"),
+        F.max("v").alias("max"),
+    )
+
+
+@q(
+    "core_global_top1",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate,
+           o_totalprice
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    """,
+)
+def core_global_top1(spark: SparkSession, sf: str) -> DataFrame:
+    """O4: global ORDER BY ... DESC LIMIT 1 (feature_store.py:396,403)
+    — Spark plans this as TakeOrderedAndProject (no full sort)."""
+    return (
+        load(spark, sf, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+@q(
+    "core_json_values",
+    """
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k,
+           '{"k":' || CAST(props->>'k' AS BIGINT) || '}' AS payload
+    FROM events
+    """,
+)
+def core_json_values(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F2/F11: JSON parse of the `events.props` payload and
+    re-serialization — the feature_values blob codec
+    (feature_store.py:63,91,120,366,409)."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long").alias("k")
+    return ev.select(
+        "event_id", k, F.to_json(F.struct(F.col("k"))).alias("payload")
+    ).withColumn("k", F.col("k"))
+
+
+@q(
+    "core_string_fns",
+    """
+    SELECT event_id,
+           string_split(event_type || ',' || CAST(user_id AS VARCHAR), ',')[1]
+               AS head,
+           array_to_string(
+               string_split(event_type || ',' || CAST(user_id AS VARCHAR), ','),
+               ', ') AS joined,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts19,
+           CAST(event_type = 'click' AS INT) AS is_click
+    FROM events
+    """,
+)
+def core_string_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """F7/F8/F9/F10: split on ',', join with ', ', timestamp[:19]
+    truncation, bool cast (feature_store.py:524,537,575-576,600,66) —
+    the CLI string layer, in-engine and vectorized."""
+    ev = load(spark, sf, "events")
+    csv = F.concat("event_type", F.lit(","), F.col("user_id").cast("string"))
+    parts = F.split(csv, ",")
+    return ev.select(
+        "event_id",
+        F.element_at(parts, 1).alias("head"),
+        F.array_join(parts, ", ").alias("joined"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts19"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+
+
+@q(
+    "core_router_triggers",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN '@Ollama ' || text
+                 WHEN 1 THEN 'hey @COPILOT ' || text
+                 WHEN 2 THEN text
+                 ELSE '@lucidia ' || text || ' @blackboxprogramming'
+               END AS msg
+        FROM documents)
+    SELECT doc_id,
+           lower(nullif(regexp_extract(msg,
+               '(?i)(@blackboxprogramming|@copilot|@lucidia|@ollama)', 0), ''))
+               AS trigger,
+           trim(regexp_replace(msg,
+               '(?i)(@blackboxprogramming|@copilot|@lucidia|@ollama)', '', 'g'))
+               AS stripped
+    FROM t
+    """,
+)
+def core_router_triggers(spark: SparkSession, sf: str) -> DataFrame:
+    """F12/F13/F14: trigger detect / strip / lowercase over text
+    (ollama_router.py:41-55) on a deterministic @mention corpus
+    synthesized from `documents`."""
+    docs = load(spark, sf, "documents")
+    msg = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("@Ollama "), "text"))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("hey @COPILOT "), "text"))
+        .when(F.col("doc_id") % 4 == 2, F.col("text"))
+        .otherwise(
+            F.concat(F.lit("@lucidia "), "text", F.lit(" @blackboxprogramming"))
+        )
+    )
+    pat = TRIGGER_PATTERN
+    return docs.select("doc_id", msg.alias("msg")).select(
+        "doc_id",
+        F.lower(F.nullif(F.regexp_extract("msg", pat, 0), F.lit(""))).alias(
+            "trigger"
+        ),
+        F.trim(F.regexp_replace("msg", pat, "")).alias("stripped"),
+    )
+
+
+@q(
+    "core_events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def core_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference: event-time rollup (the hypertable-style
+    continuous aggregate). Partial+final hash agg over the scan."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+@q(
+    "core_sessionize",
+    """
+    WITH s AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+        FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM s GROUP BY user_id
+    """,
+)
+def core_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference: sessionization (30-min inactivity gap) — lag
+    window + conditional sum, one shuffle on user_id."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Store round-trip: write through the real FeatureStore, read back as-of,
+# verify against the raw orders table (S8 + P1/P2 + J2 end-to-end).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "store_roundtrip_asof",
+    f"""
+    SELECT CAST(o_custkey AS VARCHAR) AS entity_id,
+           o_totalprice  AS asof_totalprice,
+           o_orderstatus AS asof_status
+    FROM orders
+    WHERE epoch_us(o_orderdate) + o_orderkey
+          <= epoch_us(TIMESTAMP '{ASOF_CUTOFF}')
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY epoch_us(o_orderdate) + o_orderkey DESC) = 1
+    """,
+)
+def store_roundtrip_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """S8/P1/P2/J2 end-to-end: bulk-write orders into a real
+    FeatureStore (JSON-encoded map cells, partitioned parquet log),
+    then as-of read the latest snapshot per entity and decode.
+
+    Record ts = o_orderdate + o_orderkey µs makes snapshot times unique
+    per entity, so the oracle's window is deterministic without relying
+    on the store's uuid tiebreak.
+    """
+    from blackroad_feature_store_spark.store import FeatureStore
+
+    fs = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_oracle_"))
+    fs.register_feature("totalprice", "customer", "float")
+    fs.register_feature("status", "customer", "str")
+    g = fs.create_group("orders_g", ["totalprice", "status"], "c_custkey")
+
+    orders = load(spark, sf, "orders")
+    enc = lambda c: F.regexp_extract(  # noqa: E731 — JSON-cell encoder
+        F.to_json(F.struct(F.col(c).alias("v")), {"ignoreNullFields": "false"}),
+        r'^\{"v":(.*)\}$',
+        1,
+    )
+    recs = orders.select(
+        F.expr("uuid()").alias("id"),
+        F.lit(g.id).alias("group_id"),
+        F.col("o_custkey").cast("string").alias("entity_id"),
+        F.map_from_arrays(
+            F.array(F.lit("totalprice"), F.lit("status")),
+            F.array(enc("o_totalprice"), enc("o_orderstatus")),
+        ).alias("feature_values"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.col("o_orderkey")
+        ).alias("timestamp"),
+        F.lit(1).alias("version"),
+    )
+    fs.write_records_df(recs)
+
+    latest = latest_as_of(
+        fs.records_df(g.id),
+        keys=["entity_id"],
+        ts_col="timestamp",
+        as_of=F.lit(ASOF_CUTOFF).cast("timestamp"),
+    )
+    return latest.select(
+        "entity_id",
+        F.element_at("feature_values", "totalprice")
+        .cast("double")
+        .alias("asof_totalprice"),
+        F.regexp_replace(
+            F.element_at("feature_values", "status"), '^"|"$', ""
+        ).alias("asof_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup
+# ---------------------------------------------------------------------------
+
+# Shared oracle SQL fragments — kept textually identical across queries
+# so each oracle stays a standalone statement (driver runs them 1:1).
+_SQL_FINGERPRINT = r"md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"
+
+_SQL_SHINGLES = r"""
+    toks AS (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\s+') AS t
+             FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(CASE WHEN len(t) < 3
+                         THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(generate_series(1, len(t) - 2),
+                                             i -> array_to_string(t[i:i+2], ' '))
+                         END) AS shingle
+           FROM toks)
+"""
+
+_SQL_MINHASH_PAIRS = f"""
+    WITH {_SQL_SHINGLES},
+    bands AS (SELECT doc_id, band,
+                     min(md5(band || ':' || shingle)) AS sig
+              FROM sh CROSS JOIN
+                   (SELECT unnest(generate_series(0, 7)) AS band)
+              GROUP BY doc_id, band),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig
+               AND a.doc_id < b.doc_id)
+"""
+
+
+@q(
+    "dedup_exact",
+    f"""
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents)
+    SELECT {_SQL_FINGERPRINT} AS fp,
+           count(*)   AS dup_count,
+           min(doc_id) AS keep_id
+    FROM u GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized fingerprint — one
+    shuffle on md5. Run over documents ∪ re-keyed documents so real
+    duplicate groups exist at every sf."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    u = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_duplicates(u).select("fp", "dup_count", "keep_id")
+
+
+@q("dedup_minhash_pairs", _SQL_MINHASH_PAIRS + "SELECT id_a, id_b FROM pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash/LSH near-dup candidates: banded min-md5 signatures,
+    bucket self-join on (band, sig) — never all-pairs."""
+    docs = load(spark, sf, "documents")
+    return minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
+
+
+@q(
+    "dedup_simhash",
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (SELECT doc_id, j,
+                    sum(CASE WHEN substr(h, j, 1) SIMILAR TO '[89a-f]'
+                             THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j)
+             GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j - 1))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash signatures (16-bit, md5-nibble construction) per doc."""
+    return simhash(load(spark, sf, "documents"), bits=16)
+
+
+@q(
+    "dedup_jaccard",
+    _SQL_MINHASH_PAIRS
+    + """,
+    sh_d  AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh_d GROUP BY doc_id),
+    inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN sh_d a ON a.doc_id = p.id_a
+              JOIN sh_d b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+              GROUP BY p.id_a, p.id_b)
+    SELECT p.id_a, p.id_b,
+           round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE),
+                 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i USING (id_a, id_b)
+    JOIN sizes na ON na.doc_id = p.id_a
+    JOIN sizes nb ON nb.doc_id = p.id_b
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard over the LSH candidate pairs — the
+    verify stage of the dedup pipeline (pair-set-linear)."""
+    docs = load(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
+    return ngram_jaccard(docs, pairs, shingle_size=3)
+
+
+_SQL_COSINE = """
+    round(
+      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              p -> p[1]::DOUBLE * p[2]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+      6)
+"""
+
+
+@q(
+    "dedup_embedding",
+    f"""
+    SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_SQL_COSINE} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.3
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ τ) blocked by label — the
+    self-join runs within blocks only."""
+    return embedding_near_duplicates(
+        load(spark, sf, "embeddings"), block_col="label", threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+               {_SQL_COSINE} AS score
+        FROM q a CROSS JOIN embeddings b
+        WHERE b.vec_id != a.query_id)
+    SELECT query_id, neighbor_id, score,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query side, JVM zip_with/
+    aggregate dot product, window top-k — the exactness baseline."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5, query_id_col="query_id")
+
+
+@q(
+    "sim_cosine_topk_lsh",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding, bucket FROM bucketed
+          WHERE vec_id < 5),
+    scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+               {_SQL_COSINE} AS score
+        FROM q a JOIN bucketed b ON a.bucket = b.bucket
+        WHERE b.vec_id != a.query_id)
+    SELECT query_id, neighbor_id, score,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN top-k: sign-bit bucket equi-join cuts the
+    candidate set ~2^nbits-fold — the 100 TB path."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(emb, queries, k=5, query_id_col="query_id", nbits=4)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+# lang-ID score expressions, mirrored from operators/text.py
+_SQL_STOP = {
+    "en": r"\b(the|a|of|and|to|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein)\b",
+    "es": r"\b(el|la|de|que|y|los|una)\b",
+    "fr": r"\b(le|la|les|et|des|une|est)\b",
+}
+_SQL_LANG_SCORES = ",\n".join(
+    f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
+    for lang, pat in _SQL_STOP.items()
+)
+_SQL_LANG_PRED = """
+    CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
+         THEN 'zh'
+         WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END
+"""
+
+_SQL_PROFILE_BASE = f"""
+    raw AS (
+      SELECT doc_id, text, lang, source,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]',    '', 'g')) AS n_digit,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^A-Z]',    '', 'g')) AS n_upper,
+             length(regexp_replace(text, '[^\\s]',    '', 'g')) AS n_ws,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                 AS n_tokens,
+             len(regexp_extract_all(lower(text),
+                 '\\b(the|a|of|and|to|in|is)\\b')) AS n_stop,
+             {_SQL_LANG_SCORES}
+      FROM documents),
+    prof AS (
+      SELECT doc_id, lang, source, n_chars, n_tokens,
+             round(CASE WHEN n_chars = 0 THEN 0.0
+                   ELSE n_alpha::DOUBLE / n_chars END, 6) AS alpha_ratio,
+             round(CASE WHEN n_chars = 0 THEN 0.0
+                   ELSE n_digit::DOUBLE / n_chars END, 6) AS digit_ratio,
+             round(CASE WHEN n_chars = 0 THEN 0.0
+                   ELSE n_punct::DOUBLE / n_chars END, 6) AS punct_ratio,
+             round(CASE WHEN n_alpha = 0 THEN 0.0
+                   ELSE n_upper::DOUBLE / n_alpha END, 6) AS upper_ratio,
+             round(CASE WHEN n_tokens = 0 THEN 0.0
+                   ELSE n_stop::DOUBLE / n_tokens END, 6) AS stopword_ratio,
+             round(CASE WHEN n_tokens = 0 THEN 0.0
+                   ELSE (n_chars - n_ws)::DOUBLE / n_tokens END, 6)
+                 AS mean_token_len,
+             {_SQL_LANG_PRED} AS lang_pred,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+             {_SQL_FINGERPRINT} AS fingerprint
+      FROM raw),
+    scored AS (
+      SELECT *,
+             round(0.4 * alpha_ratio
+                 + 0.3 * least(stopword_ratio * 5, 1.0)
+                 + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 100000
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.1 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS quality
+      FROM prof)
+"""
+
+
+@q(
+    "text_quality_profile",
+    f"""
+    WITH {_SQL_PROFILE_BASE}
+    SELECT doc_id, n_chars, n_tokens, alpha_ratio, digit_ratio,
+           punct_ratio, upper_ratio, stopword_ratio, mean_token_len,
+           lang_pred, quality, fingerprint, CAST(bpe_tokens AS BIGINT)
+               AS bpe_tokens
+    FROM scored
+    """,
+)
+def text_quality_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: token counts, quality ratios, heuristic lang-ID,
+    BPE-ish token count, fingerprint — pure narrow projections."""
+    prof = text_profile(load(spark, sf, "documents"))
+    return prof.select(
+        "doc_id", "n_chars", "n_tokens", "alpha_ratio", "digit_ratio",
+        "punct_ratio", "upper_ratio", "stopword_ratio", "mean_token_len",
+        "lang_pred", "quality", "fingerprint",
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "text_lang_confusion",
+    f"""
+    WITH {_SQL_PROFILE_BASE}
+    SELECT lang, lang_pred, count(*) AS n
+    FROM scored GROUP BY lang, lang_pred
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Lang-ID confusion matrix vs the table's labeled lang."""
+    prof = text_profile(load(spark, sf, "documents"))
+    return prof.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "text_stats_by_source",
+    f"""
+    WITH {_SQL_PROFILE_BASE}
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM scored GROUP BY source
+    """,
+)
+def text_stats_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus rollup per source: doc/token counts + mean quality."""
+    prof = text_profile(load(spark, sf, "documents"))
+    return prof.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "mm_asset_metadata",
+    """
+    SELECT doc_id AS asset_id,
+           'text' AS modality,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           md5(text) AS content_md5,
+           lang   AS meta_lang,
+           source AS meta_source
+    FROM documents
+    """,
+)
+def mm_asset_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal: binary asset column + queryable metadata — the
+    no-decode projection (octet_length/md5 over binary payloads)."""
+    assets = documents_as_assets(load(spark, sf, "documents"))
+    return asset_metadata(assets)
+
+
+@q(
+    "mm_frame_samples",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(strlen(substr(text, frame_no * 64 + 1, 64)) AS INT)
+               AS n_frame_bytes,
+           md5(substr(text, frame_no * 64 + 1, 64)) AS frame_md5
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS frame_no)
+    WHERE frame_no <= least(7, strlen(text) // 64)
+    """,
+)
+def mm_frame_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal: fixed-stride frame sampling over binary payloads
+    (binary substring — a projection, shrinks data before any
+    shuffle). Oracle works because the documents payload is ASCII."""
+    assets = documents_as_assets(load(spark, sf, "documents"))
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "asset_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.octet_length("frame_bytes").cast("int").alias("n_frame_bytes"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+@q("mm_image_features")  # rows-only: fake-decode kernel is a stub by design
+def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode plumbing: mapInPandas Arrow-batch kernel with
+    the deterministic fake decoder (no image codec in this container —
+    honestly stubbed; schema/batching/partitioning are real)."""
+    assets = documents_as_assets(load(spark, sf, "documents"))
+    return image_features(assets, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (batch-mode parity check of the streaming aggregation plan)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "stream_windowed_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The Structured-Streaming windowed aggregation (watermark +
+    event-time tumbling window), run on the batch DataFrame where
+    withWatermark is a no-op — same plan the stream executes."""
+    ev = load(spark, sf, "events")
+    wc = windowed_counts(ev, ts_col="ts", key_col="event_type",
+                         window_duration="1 hour", watermark="2 hours")
+    return wc.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
