@@ -1,0 +1,236 @@
+"""Unit tests for the LLM-pipeline operator modules (dedup, similarity,
+text, multimodal) — every module imported and executed, with known-value
+assertions on tiny in-memory frames."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+    simhash,
+    simhash_duplicate_pairs,
+)
+from blackroad_feature_store_spark.operators.multimodal import (
+    asset_metadata,
+    documents_as_assets,
+    image_features,
+    sample_frames,
+)
+from blackroad_feature_store_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    cosine_topk_lsh,
+    dot,
+)
+from blackroad_feature_store_spark.operators.text import (
+    text_profile,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "  the   quick brown fox JUMPS over the lazy dog "),  # norm dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- exact dedup --------------------------------------------------------------
+
+
+def test_exact_duplicates(docs):
+    out = {r["fp"]: r for r in exact_duplicates(docs).collect()}
+    dup_groups = [r for r in out.values() if r["dup_count"] > 1]
+    assert len(dup_groups) == 1
+    g = dup_groups[0]
+    # 1, 2, and the whitespace/case variant 5 normalize together
+    assert g["dup_count"] == 3
+    assert g["keep_id"] == 1
+    assert g["doc_ids"] == [1, 2, 5]
+
+
+# -- minhash / LSH -------------------------------------------------------------
+
+
+def test_minhash_pairs_include_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs, num_bands=8).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide on every band
+    assert (1, 3) in pairs  # 1-word-different docs share most shingles
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_max_bucket_drops_degenerate(spark):
+    # 20 identical docs → every (band, sig) bucket has 20 members;
+    # max_bucket=5 must eliminate all candidates.
+    df = spark.createDataFrame(
+        [(i, "same text for everyone here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert minhash_candidate_pairs(df, max_bucket=5).count() == 0
+    assert minhash_candidate_pairs(df, max_bucket=None).count() == 20 * 19 // 2
+
+
+# -- simhash -------------------------------------------------------------------
+
+
+def test_simhash_identical_texts_equal(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sig[1] == sig[2]
+    assert 0 <= sig[1] < 2**16
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_duplicate_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs
+
+
+# -- jaccard -------------------------------------------------------------------
+
+
+def test_ngram_jaccard_exact_and_disjoint(spark, docs):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard(docs, pairs).collect()
+    }
+    assert j[(1, 2)] == 1.0  # identical shingle sets
+    assert 0.0 < j[(1, 3)] < 1.0  # near dup
+    assert j[(1, 4)] == 0.0  # disjoint
+
+
+# -- embedding near-dup / similarity -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0, 0.0], 0),   # ~same direction as 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),    # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0], 1),   # opposite, other block
+        (5, [0.7, 0.7, 0.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_dot_and_cosine_columns(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+        "a array<float>, b array<float>",
+    )
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).first()
+    assert r["d"] == pytest.approx(32.0)
+    assert r["c"] == pytest.approx(
+        32.0 / (math.sqrt(14) * math.sqrt(77)), rel=1e-9
+    )
+
+
+def test_embedding_near_duplicates_blocked(vectors):
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_duplicates(
+            vectors, block_col="label", threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+    # 4↔5 share a block but point apart; 1↔5 similar but cross-block
+    assert (4, 5) not in out
+    assert (1, 5) not in out
+
+
+def test_cosine_topk_ranks_correctly(vectors):
+    queries = vectors.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = cosine_topk(vectors, queries, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [2, 5]
+    assert rows[0]["rank"] == 1 and rows[0]["score"] > 0.99
+
+
+def test_cosine_topk_lsh_same_bucket_only(vectors):
+    queries = vectors.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = cosine_topk_lsh(vectors, queries, k=5, nbits=4).collect()
+    # bucket of [1,0,0,0] with sign bits = '1111' ∋ vectors 2, 3, 5
+    # ([-1,...] has bucket '0111'); top hits must exclude vec 4.
+    assert {r["neighbor_id"] for r in rows} == {2, 3, 5}
+
+
+# -- text profile --------------------------------------------------------------
+
+
+def test_text_profile_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, ""), (3, "der und das ist nicht")],
+        "doc_id long, text string",
+    )
+    p = {r["doc_id"]: r for r in text_profile(df).collect()}
+    r1 = p[1]
+    assert r1["n_tokens"] == 5
+    assert r1["n_chars"] == 19
+    assert r1["stopword_ratio"] == pytest.approx(0.6)  # the, and, the
+    assert r1["lang_pred"] == "en"
+    assert r1["fingerprint"] == hashlib.md5(
+        b"the cat and the dog"
+    ).hexdigest()
+    assert p[2]["n_tokens"] == 0 and p[2]["lang_pred"] == "unknown"
+    assert p[3]["lang_pred"] == "de"
+
+
+# -- multimodal ----------------------------------------------------------------
+
+
+def test_multimodal_pipeline(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 200, "en", "s0"), (2, "hello", "de", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    assets = documents_as_assets(df)
+    meta = {r["asset_id"]: r for r in asset_metadata(assets).collect()}
+    assert meta[1]["n_bytes"] == 200
+    assert meta[2]["content_md5"] == hashlib.md5(b"hello").hexdigest()
+    assert meta[2]["meta_lang"] == "de"
+
+    feats = {r["asset_id"]: r for r in image_features(assets).collect()}
+    d = hashlib.sha256(b"hello").digest()
+    assert feats[2]["width"] == 64 + d[0] % 192
+    assert feats[2]["height"] == 64 + d[1] % 192
+    assert feats[2]["sha256"] == hashlib.sha256(b"hello").hexdigest()
+
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=8)
+    by_asset = {}
+    for r in frames.collect():
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # 200 bytes at stride 64 → frames 0..3 (last one 8 bytes)
+    assert sorted(r["frame_no"] for r in by_asset[1]) == [0, 1, 2, 3]
+    sizes = {r["frame_no"]: len(r["frame_bytes"]) for r in by_asset[1]}
+    assert sizes == {0: 64, 1: 64, 2: 64, 3: 8}
+
+
+def test_image_features_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "en", "s0")], "doc_id long, text string, lang string, source string"
+    )
+    with pytest.raises(Exception):  # NotImplementedError crosses py4j
+        image_features(documents_as_assets(df), fake=False).collect()

@@ -1,0 +1,125 @@
+"""Streaming ingest executed for real: an availableNow drain from a
+file source into the store's record log, then as-of/PIT/stats reads
+over the streamed records — including a NULL cell (the to_json
+ignoreNullFields pitfall)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark import FeatureStore
+from blackroad_feature_store_spark.streaming.ingest import (
+    start_ingest,
+    windowed_counts,
+)
+
+
+@pytest.fixture()
+def streaming_store(spark, tmp_path):
+    fs = FeatureStore(spark, str(tmp_path / "fs"))
+    fs.register_feature("clicks", "user", "int")
+    fs.register_feature("city", "user", "str")
+    g = fs.create_group(
+        "user_activity", ["clicks", "city"], "user_id", frequency="streaming"
+    )
+    return fs, g
+
+
+def test_streaming_ingest_then_asof_read(spark, tmp_path, streaming_store):
+    fs, g = streaming_store
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            ("u1", "2026-01-01T00:00:00", 3, "Oslo"),
+            ("u1", "2026-02-01T00:00:00", 7, None),  # NULL cell
+            ("u2", "2026-01-15T00:00:00", 1, "Bergen"),
+        ],
+        "user_id string, ts string, clicks int, city string",
+    ).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id string, ts string, clicks int, city string"
+        ).parquet(src_dir)
+    )
+    q = start_ingest(
+        fs,
+        g.id,
+        stream,
+        entity_col="user_id",
+        ts_col="ts",
+        value_cols=["clicks", "city"],
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # latest snapshot (the one with the NULL) decodes cleanly
+    latest = fs.get_features(g.id, "u1")
+    assert latest == {"clicks": 7, "city": None}
+
+    # as-of before the second snapshot returns the first
+    old = fs.get_features(g.id, "u1", as_of="2026-01-15T00:00:00")
+    assert old == {"clicks": 3, "city": "Oslo"}
+
+    # PIT join over streamed records, missing entity null-filled
+    rows = fs.point_in_time_join(["u1", "u2", "u3"], [g.id])
+    assert rows[0]["clicks"] == 7
+    assert rows[1] == {"entity_id": "u2", "clicks": 1, "city": "Bergen"}
+    assert rows[2] == {"entity_id": "u3", "clicks": None, "city": None}
+
+    # stats over streamed records
+    st = fs.statistics(g.id)
+    assert st["total_records"] == 3
+    assert st["features"]["clicks"]["count"] == 3
+    assert st["features"]["clicks"]["mean"] == pytest.approx(11 / 3, abs=1e-6)
+    assert st["features"]["city"]["null_count"] == 1
+
+
+def test_streaming_requires_streaming_group(spark, tmp_path):
+    fs = FeatureStore(spark, str(tmp_path / "fs2"))
+    fs.register_feature("x", "user", "int")
+    g = fs.create_group("batch_g", ["x"], "user_id")  # frequency=batch
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="streaming"):
+        start_ingest(
+            fs, g.id, stream, "value", "timestamp", ["value"],
+            checkpoint=str(tmp_path / "ckpt2"),
+        )
+
+
+def test_windowed_counts_streaming_plan(spark, tmp_path):
+    """Run the watermarked windowed agg as a real stream (memory sink)."""
+    src_dir = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            ("2026-01-01T00:10:00", "click", 1.0),
+            ("2026-01-01T00:40:00", "click", 2.0),
+            ("2026-01-01T01:10:00", "view", 5.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    ).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src_dir)
+    agg = windowed_counts(stream, ts_col="ts", key_col="event_type")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wc_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["event_type"], r["window"]["start"].isoformat()): (
+            r["n"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM wc_test").collect()
+    }
+    assert rows[("click", "2026-01-01T00:00:00")] == (2, 3.0)
+    assert rows[("view", "2026-01-01T01:00:00")] == (1, 5.0)
