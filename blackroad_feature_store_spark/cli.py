@@ -1,0 +1,256 @@
+"""CLI with the reference's verb surface (feature_store.py:614-666 and
+ollama_router.py:137-147), against the Spark-backed store.
+
+Verbs: register, create-group, write, get, join, stats, list-features,
+list-groups, route. Store location comes from --db, else the
+``FEATURE_STORE_DB`` env var (the reference's variable,
+feature_store.py:23), else ``~/.blackroad/feature_store_spark``.
+
+Run as ``python -m blackroad_feature_store_spark <verb> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from datetime import datetime, timezone
+from pathlib import Path
+
+from blackroad_feature_store_spark.store import (
+    DTYPES,
+    FREQ_BATCH,
+    FREQ_STREAMING,
+    FeatureStore,
+)
+
+DEFAULT_DB = "~/.blackroad/feature_store_spark"
+
+
+def _store(args) -> FeatureStore:
+    from blackroad_feature_store_spark.session import get_spark
+
+    base = args.db or os.environ.get("FEATURE_STORE_DB") or DEFAULT_DB
+    spark = get_spark(app_name="feature-store-cli")
+    return FeatureStore(spark, str(Path(base).expanduser()))
+
+
+def cmd_register(args, store: FeatureStore) -> None:
+    tags = args.tags.split(",") if args.tags else []
+    feature = store.register_feature(
+        name=args.name,
+        entity_type=args.entity_type,
+        dtype=args.dtype,
+        source_query=args.source or "",
+        description=args.description or "",
+        tags=tags,
+    )
+    print(
+        f"✓ Feature registered: {feature.name} [{feature.dtype}] "
+        f"on {feature.entity_type}"
+    )
+
+
+def cmd_create_group(args, store: FeatureStore) -> None:
+    features = args.features.split(",")
+    group = store.create_group(
+        name=args.name,
+        features=features,
+        entity_key=args.entity_key,
+        frequency=args.frequency,
+        version=args.version,
+    )
+    print(
+        f"✓ Feature group created: {group.name} v{group.version} "
+        f"({len(group.features)} features)"
+    )
+    print(f"  ID: {group.id}")
+
+
+def cmd_write(args, store: FeatureStore) -> None:
+    values = json.loads(args.values)
+    store.write_features(
+        group_id=args.group_id,
+        entity_id=args.entity_id,
+        feature_values=values,
+        timestamp=getattr(args, "timestamp", None),
+    )
+    print(
+        f"✓ Features written for entity '{args.entity_id}' "
+        f"in group {args.group_id[:8]}..."
+    )
+
+
+def cmd_get(args, store: FeatureStore) -> None:
+    values = store.get_features(
+        group_id=args.group_id,
+        entity_id=args.entity_id,
+        as_of=getattr(args, "as_of", None),
+    )
+    if values is None:
+        print(f"No feature values found for entity '{args.entity_id}'.")
+        return
+    print(f"Features for '{args.entity_id}':")
+    for k, v in values.items():
+        print(f"  {k}: {v}")
+
+
+def cmd_join(args, store: FeatureStore) -> None:
+    entities = args.entities.split(",")
+    groups = args.groups.split(",")
+    ts = args.timestamp or datetime.now(timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+    result = store.point_in_time_join(entities, groups, ts)
+    print(json.dumps(result, indent=2, default=str))
+
+
+def cmd_stats(args, store: FeatureStore) -> None:
+    stats = store.statistics(args.group_id)
+    print(f"Group: {stats['group_name']} | Records: {stats['total_records']}")
+    print(
+        f"{'Feature':<30} {'Count':>8} {'Nulls':>8} "
+        f"{'Mean':>12} {'Min':>10} {'Max':>10}"
+    )
+    print("-" * 80)
+    for fname, s in stats["features"].items():
+        mean = f"{s['mean']:.4f}" if s["mean"] is not None else "N/A"
+        mn = f"{s['min']}" if s["min"] is not None else "N/A"
+        mx = f"{s['max']}" if s["max"] is not None else "N/A"
+        print(
+            f"{fname:<30} {s['count']:>8} {s['null_count']:>8} "
+            f"{mean:>12} {mn:>10} {mx:>10}"
+        )
+
+
+def cmd_list_features(args, store: FeatureStore) -> None:
+    features = store.list_features(
+        entity_type=getattr(args, "entity_type", None)
+    )
+    if not features:
+        print("No features registered.")
+        return
+    for f in features:
+        tags = ", ".join(f.tags) if f.tags else ""
+        print(f"  {f.name:<30} [{f.dtype:<6}] {f.entity_type:<15} {tags}")
+
+
+def cmd_list_groups(args, store: FeatureStore) -> None:
+    groups = store.list_groups()
+    if not groups:
+        print("No feature groups.")
+        return
+    for g in groups:
+        feats = ", ".join(g.features)
+        print(f"  {g.name} v{g.version} [{g.frequency}] → {feats}")
+
+
+def cmd_route(args, _store=None) -> None:
+    from blackroad_feature_store_spark.functions.router import (
+        DEFAULT_BASE_URL,
+        DEFAULT_MODEL,
+        OLLAMA_TRIGGERS,
+        route,
+    )
+
+    result = route(
+        args.prompt,
+        model=args.model or DEFAULT_MODEL,
+        base_url=args.base_url or DEFAULT_BASE_URL,
+    )
+    if not result["routed"]:
+        print(
+            "No Ollama trigger found in prompt.\n"
+            f"Supported triggers: {', '.join(sorted(OLLAMA_TRIGGERS))}"
+        )
+        return
+    response = result["response"]
+    print(response.get("response", json.dumps(response, indent=2)))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="blackroad_feature_store_spark",
+        description="ML Feature Store (PySpark-native)",
+    )
+    parser.add_argument("--db", help="Override store base path")
+    sub = parser.add_subparsers(dest="command", metavar="COMMAND")
+
+    p = sub.add_parser("register", help="Register a feature definition")
+    p.add_argument("name", help="Feature name")
+    p.add_argument("entity_type", help="Entity type (e.g. user, item)")
+    p.add_argument("dtype", choices=sorted(DTYPES))
+    p.add_argument("--source", help="Source query")
+    p.add_argument("--description", help="Description")
+    p.add_argument("--tags", help="Comma-separated tags")
+    p.set_defaults(func=cmd_register)
+
+    p = sub.add_parser("create-group", help="Create a feature group")
+    p.add_argument("name", help="Group name")
+    p.add_argument(
+        "--features", required=True, help="Comma-separated feature names"
+    )
+    p.add_argument("--entity-key", required=True, help="Entity key column")
+    p.add_argument(
+        "--frequency",
+        default=FREQ_BATCH,
+        choices=[FREQ_BATCH, FREQ_STREAMING],
+    )
+    p.add_argument("--version", type=int, default=1)
+    p.set_defaults(func=cmd_create_group)
+
+    p = sub.add_parser("write", help="Write feature values for an entity")
+    p.add_argument("group_id", help="Feature group ID")
+    p.add_argument("entity_id", help="Entity ID")
+    p.add_argument("values", help="JSON dict of feature values")
+    p.add_argument("--timestamp", help="ISO timestamp override")
+    p.set_defaults(func=cmd_write)
+
+    p = sub.add_parser("get", help="Get feature values for an entity")
+    p.add_argument("group_id")
+    p.add_argument("entity_id")
+    p.add_argument("--as-of", help="Point-in-time ISO timestamp")
+    p.set_defaults(func=cmd_get)
+
+    p = sub.add_parser("join", help="Point-in-time join")
+    p.add_argument("entities", help="Comma-separated entity IDs")
+    p.add_argument("groups", help="Comma-separated group IDs")
+    p.add_argument("--timestamp", help="ISO timestamp")
+    p.set_defaults(func=cmd_join)
+
+    p = sub.add_parser("stats", help="Feature group statistics")
+    p.add_argument("group_id")
+    p.set_defaults(func=cmd_stats)
+
+    p = sub.add_parser("list-features", help="List feature definitions")
+    p.add_argument("--entity-type", help="Filter by entity type")
+    p.set_defaults(func=cmd_list_features)
+
+    p = sub.add_parser("list-groups", help="List feature groups")
+    p.set_defaults(func=cmd_list_groups)
+
+    p = sub.add_parser(
+        "route", help="Route an @mention prompt to a local Ollama"
+    )
+    p.add_argument("prompt", help="Prompt text (may include @mention)")
+    p.add_argument("--model", help="Ollama model ($OLLAMA_MODEL or llama3)")
+    p.add_argument("--base-url", help="Ollama URL ($OLLAMA_BASE_URL)")
+    p.set_defaults(func=cmd_route)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.command:
+        parser.print_help()
+        return
+    if args.func is cmd_route:  # router mode needs no Spark session
+        cmd_route(args)
+        return
+    args.func(args, _store(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""CLI smoke tests: the reference's verb surface driven end-to-end
+against a temp store (register → create-group → write → get → join →
+stats → list-*), plus the router prompt mode with mocked HTTP."""
+
+import json
+import re
+import unittest.mock as mock
+
+import pytest
+
+from blackroad_feature_store_spark import cli
+
+
+@pytest.fixture()
+def run(spark, tmp_path, capsys):
+    db = str(tmp_path / "clistore")
+
+    def _run(*argv):
+        cli.main(["--db", db, *argv])
+        return capsys.readouterr().out
+
+    return _run
+
+
+def test_cli_full_journey(run):
+    out = run("register", "age", "user", "int", "--tags", "demo,core")
+    assert "✓ Feature registered: age [int] on user" in out
+    run("register", "income", "user", "float")
+    run("register", "city", "user", "str")
+
+    out = run(
+        "create-group", "user_demographics",
+        "--features", "age,income,city", "--entity-key", "user_id",
+    )
+    assert "✓ Feature group created: user_demographics v1 (3 features)" in out
+    gid = re.search(r"ID: (\S+)", out).group(1)
+
+    out = run(
+        "write", gid, "u1", json.dumps({"age": 25, "income": 60000.0}),
+        "--timestamp", "2026-01-01T00:00:00",
+    )
+    assert "✓ Features written for entity 'u1'" in out
+    run(
+        "write", gid, "u1", json.dumps({"age": 26}),
+        "--timestamp", "2026-02-01T00:00:00",
+    )
+
+    out = run("get", gid, "u1")
+    assert "age: 26" in out
+
+    out = run("get", gid, "u1", "--as-of", "2026-01-15T00:00:00")
+    assert "age: 25" in out and "income: 60000.0" in out
+
+    out = run("get", gid, "missing")
+    assert "No feature values found" in out
+
+    rows = json.loads(run("join", "u1,u2", gid))
+    assert rows[0]["entity_id"] == "u1" and rows[0]["age"] == 26
+    assert rows[1] == {
+        "entity_id": "u2", "age": None, "income": None, "city": None
+    }
+
+    out = run("stats", gid)
+    assert "Group: user_demographics | Records: 2" in out
+    assert re.search(r"age\s+2\s+0", out)
+
+    out = run("list-features")
+    assert "age" in out and "[int" in out and "demo, core" in out
+
+    out = run("list-features", "--entity-type", "nosuch")
+    assert "No features registered." in out
+
+    out = run("list-groups")
+    assert "user_demographics v1 [batch] → age, income, city" in out
+
+
+def test_cli_route_no_trigger(run):
+    out = run("route", "no mention here")
+    assert "No Ollama trigger found" in out
+    assert "@blackboxprogramming" in out
+
+
+def test_cli_route_with_trigger(run):
+    fake = {"model": "llama3", "response": "4", "done": True}
+    resp = mock.MagicMock()
+    resp.read.return_value = json.dumps(fake).encode()
+    resp.__enter__ = lambda s: s
+    resp.__exit__ = mock.MagicMock(return_value=False)
+    with mock.patch("urllib.request.urlopen", return_value=resp):
+        out = run("route", "@ollama what is 2+2?")
+    assert out.strip() == "4"
