@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from blackroad_feature_store_spark.operators.similarity import cosine
+from blackroad_feature_store_spark.operators.similarity import dot, norm
 from blackroad_feature_store_spark.operators.text import (
     fingerprint,
     tokens,
@@ -70,26 +70,37 @@ def minhash_signatures(
 
     signature(band) = min over shingles of md5(band || ':' || shingle)
     — a distinct deterministic hash function per band, portable across
-    engines. Plan shape: project → explode shingles → explode bands →
-    partial+final min aggregation (map-side combinable).
+    engines.
+
+    Plan shape (tuned for 100 TB): explode shingles once, then ONE
+    groupBy(id) computing all band minima as separate aggregate
+    columns — map-side combine collapses each partition to one row per
+    doc BEFORE the exchange, so shuffle volume is |docs| rows of
+    num_bands hashes instead of |shingles| × num_bands rows (the naive
+    explode-bands-then-aggregate shape).
     """
     shingled = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_size)).alias(
             "shingle"
         ),
-    ).select(
-        id_col,
-        F.explode(
-            F.sequence(F.lit(0), F.lit(num_bands - 1))
-        ).alias("band"),
-        "shingle",
     )
-    return shingled.groupBy(id_col, "band").agg(
-        F.min(
-            F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")))
-        ).alias("sig")
+    per_band = shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(
+                f"__sig{b}"
+            )
+            for b in range(num_bands)
+        ]
     )
+    # Unpivot to the canonical (id, band, sig) long form.
+    stack = F.explode(
+        F.map_from_arrays(
+            F.array(*[F.lit(b) for b in range(num_bands)]),
+            F.array(*[F.col(f"__sig{b}") for b in range(num_bands)]),
+        )
+    ).alias("band", "sig")
+    return per_band.select(id_col, stack)
 
 
 def minhash_candidate_pairs(
@@ -143,39 +154,36 @@ def simhash(
 
     Bit j of the signature is the sign of the sum over tokens of
     (2*b_j - 1), where b_j is the top bit of the j-th hex nibble of
-    md5(token) — i.e. nibble >= 8. Portable: computed with strpos over
-    the hex alphabet, identical in any engine with md5 + strpos.
-    Returns (id, simhash:long).
+    md5(token) — i.e. nibble in [8..f]. Portable: md5 hex + substring,
+    identical in any engine. Returns (id, simhash:long).
+
+    Plan shape (tuned for 100 TB): explode tokens once, then ONE
+    groupBy(id) computing all per-bit sums as aggregate columns —
+    map-side combine makes shuffle volume |docs| rows of ``bits`` ints
+    (the naive explode-bits shape shuffles |tokens| × bits rows through
+    two aggregations). The signature assembles from the agg columns
+    with static bit weights — no second shuffle.
     """
     toked = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
-    expanded = toked.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j"),
-        "h",
-    ).withColumn(
-        # top bit of the j-th hex nibble: nibble in [8..f].
-        # (PySpark 4.1's F.instr requires a string-literal substr and
-        # F.shiftleft an int literal, hence rlike + SQL shiftleft.)
-        "contrib",
-        F.when(
-            F.substring(F.col("h"), F.col("j"), 1).rlike("[89a-f]"),
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
+    bit_sums = toked.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", j, 1).rlike("[89a-f]"), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"__s{j}")
+            for j in range(1, bits + 1)
+        ]
     )
-    return (
-        expanded.groupBy(id_col, "j")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bit_val",
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j - 1)")
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bit_val").cast("long").alias("simhash"))
-    )
+    sig = None
+    for j in range(1, bits + 1):
+        term = F.when(
+            F.col(f"__s{j}") > 0, F.lit(1 << (j - 1)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return bit_sums.select(id_col, sig.alias("simhash"))
 
 
 def simhash_duplicate_pairs(
@@ -213,6 +221,14 @@ def ngram_jaccard(
     |A ∩ B| via an equi-join of the two documents' distinct shingle
     sets; |A ∪ B| = |A| + |B| − |A ∩ B|. Everything is hash joins +
     hash aggregations; feed LSH candidates to keep the pair set linear.
+
+    ``sh`` and ``pairs`` are each referenced from several joins below;
+    that is deliberate — the subtrees are IDENTICAL, so Catalyst plans
+    them once and reuses the shuffle output (ReusedExchange). Measured
+    at sf0.1 this beats both a persist() (materialization barrier) and
+    a pairs-semi-join prefilter (which makes the subtrees differ and
+    breaks exchange reuse, 3× slower). If the caller's pair set is tiny
+    relative to the corpus, pre-persisting ``pairs`` is their call.
     """
     sh = df.select(
         F.col(id_col),
@@ -261,15 +277,20 @@ def embedding_near_duplicates(
 
     ``block_col`` is the blocking key (label, cluster id, or an LSH
     bucket from similarity.lsh_bucket) — the self-join runs within
-    blocks only, which is what keeps this feasible at 100 TB.
+    blocks only, which is what keeps this feasible at 100 TB. Vector
+    norms are computed once per row BEFORE the self-join (per-pair
+    recomputation would triple the higher-order-function work inside
+    the pair loop).
     """
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    base = df.select(*cols)
+    base = df.select(*cols).withColumn("__norm", norm(F.col(vec_col)))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
     return (
         a.join(b, cond)
         .select(

@@ -73,20 +73,30 @@ def cosine_topk(
     ``queries`` carries (query_id_col, vec_col). Output:
     (query_id, neighbor_id, score, rank). Deterministic: ranked on the
     rounded score with the neighbor id as tiebreaker.
+
+    Norms are precomputed per side before the join: the corpus norm is
+    evaluated once per corpus row instead of once per (query, corpus)
+    pair — a |Q|-fold saving on the dominant term.
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
-        )
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+        ).withColumn("__qnorm", norm(F.col("__qvec")))
     )
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__cnorm", norm(F.col(vec_col)))
         .crossJoin(q)
         .where(F.col(id_col) != F.col("__qid"))
         .select(
             F.col("__qid").alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("score"),
+            F.round(
+                dot(F.col("__qvec"), F.col(vec_col))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -108,16 +118,16 @@ def cosine_topk_lsh(
     nbits: int = 4,
 ) -> DataFrame:
     """Approximate top-k: brute force restricted to the query's LSH
-    bucket. Same output shape as cosine_topk."""
+    bucket. Same output shape (and norm precompute) as cosine_topk."""
     c = corpus.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), nbits).alias("__b")
-    )
+    ).withColumn("__cnorm", norm(F.col(vec_col)))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("__qid"),
             F.col(vec_col).alias("__qvec"),
             lsh_bucket(F.col(vec_col), nbits).alias("__b"),
-        )
+        ).withColumn("__qnorm", norm(F.col("__qvec")))
     )
     scored = (
         c.join(q, "__b")
@@ -125,7 +135,11 @@ def cosine_topk_lsh(
         .select(
             F.col("__qid").alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("score"),
+            F.round(
+                dot(F.col("__qvec"), F.col(vec_col))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
