@@ -447,6 +447,49 @@ class FeatureStore:
         df = self.spark.createDataFrame(rows, RECORDS_SCHEMA)
         df.write.mode("append").partitionBy("group_id").parquet(self._records_path)
 
+    def compact_records(
+        self, group_id: Optional[str] = None, target_rows_per_file: int = 1_000_000
+    ) -> int:
+        """Rewrite the record log into right-sized files.
+
+        The reference-parity single-record ``write_features`` emits one
+        tiny parquet file per call; at any real ingest rate that is a
+        small-files scan killer. Compaction reads a group's partition
+        (or all of them), coalesces to ``ceil(rows / target)`` files,
+        and atomically swaps the directory. Returns the row count.
+
+        Single-writer assumption (same as the registry): don't compact
+        concurrently with writes to the same partition.
+        """
+        import math
+        import shutil
+        import tempfile as _tf
+
+        df = self.records_df(group_id)
+        n = df.count()
+        if n == 0:
+            return 0
+        files = max(1, math.ceil(n / target_rows_per_file))
+        tmp = _tf.mkdtemp(prefix="fs_compact_", dir=self.base_path)
+        (
+            df.repartition(files)
+            .write.mode("overwrite")
+            .partitionBy("group_id")
+            .parquet(tmp)
+        )
+        if group_id is None:
+            live, stale = tmp, self._records_path
+            shutil.rmtree(stale)
+            os.replace(live, stale)
+        else:
+            part = f"group_id={group_id}"
+            live = os.path.join(tmp, part)
+            stale = os.path.join(self._records_path, part)
+            shutil.rmtree(stale)
+            os.replace(live, stale)
+            shutil.rmtree(tmp, ignore_errors=True)
+        return n
+
     # ------------------------------------------------------------------
     # data plane: reads
     # ------------------------------------------------------------------

@@ -268,3 +268,29 @@ def test_stats_numeric_only_and_bool_quirk(store_with_group):
     # explicit JSON null counts as null, not value (feature_store.py:475-479)
     age = st["features"]["age"]
     assert age["count"] == 1 and age["null_count"] == 1
+
+
+# -- compaction (scale write-path maintenance) -------------------------------
+
+def test_compact_records_preserves_data(store_with_group):
+    store, g = store_with_group
+    for i in range(10):  # 10 single-record writes → 10 tiny files
+        store.write_features(
+            g.id, f"u{i % 3}", {"age": 20 + i},
+            timestamp=f"2026-01-{i+1:02d}T00:00:00",
+        )
+    import glob, os
+    part = os.path.join(store.base_path, "entity_records", f"group_id={g.id}")
+    before = len(glob.glob(os.path.join(part, "*.parquet")))
+    assert before >= 10
+
+    assert store.compact_records(g.id) == 10
+    after = len(glob.glob(os.path.join(part, "*.parquet")))
+    assert after < before
+
+    # reads unchanged after the swap
+    assert store.records_df(g.id).count() == 10
+    latest = store.get_features(g.id, "u0")
+    assert latest["age"] == 29
+    st = store.statistics(g.id)
+    assert st["total_records"] == 10
