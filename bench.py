@@ -22,6 +22,11 @@ from blackroad_feature_store_spark.session import get_spark
 
 HEADLINE = [
     "core_pit_join",
+    "core_asof_prev_order",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "pipeline_clean_corpus",
+    "text_top_tokens",
     "core_asof_top1",
     "core_group_stats",
     "core_events_hourly",

@@ -437,6 +437,172 @@ def core_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "core_asof_prev_order",
+    """
+    SELECT s.o_orderkey, s.o_custkey,
+           r.o_orderkey   AS prev_orderkey,
+           r.o_totalprice AS prev_totalprice
+    FROM orders s
+    LEFT JOIN orders r
+      ON r.o_custkey = s.o_custkey AND r.o_orderdate < s.o_orderdate
+    QUALIFY row_number() OVER (
+        PARTITION BY s.o_orderkey
+        ORDER BY r.o_orderdate DESC, r.o_orderkey DESC) = 1
+    """,
+)
+def core_asof_prev_order(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 per-row variant: each order joined to its customer's latest
+    STRICTLY EARLIER order — the per-spine-row as-of cutoff that makes
+    training sets leakage-free (classic point-in-time correctness).
+    Exercises as_of_join's range-join-then-window branch.
+
+    The two sides are read separately on purpose: deriving both from
+    one DataFrame gives the join keys identical expression IDs (the
+    classic self-join ambiguity) and scrambles the join condition.
+    """
+    spine = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("o_orderdate - INTERVAL 1 MICROSECOND").alias("__cutoff"),
+    )
+    recs = load(spark, sf, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("prev_orderkey"),
+        F.col("o_totalprice").alias("prev_totalprice"),
+        F.col("o_orderdate").alias("r_orderdate"),
+    )
+    joined = as_of_join(
+        spine,
+        recs,
+        on="o_custkey",
+        ts_col="r_orderdate",
+        as_of="__cutoff",
+        tiebreakers=("prev_orderkey",),
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", "prev_orderkey", "prev_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (general OLAP capability over the fact table).
+# Double sums are made engine-exact by casting each term to DECIMAL
+# before the sum (binary64 addition is order-dependent; decimal is not)
+# and back to DOUBLE at the end.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q1_pricing",
+    """
+    WITH d AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity      AS DECIMAL(18,2)) AS qty,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+               CAST(l_discount      AS DECIMAL(18,2)) AS disc,
+               CAST(l_tax           AS DECIMAL(18,2)) AS tax
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qty) AS DOUBLE) AS sum_qty,
+           CAST(sum(ep)  AS DOUBLE) AS sum_base_price,
+           CAST(sum(ep * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(ep * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(ep)  AS DOUBLE) / count(*), 6) AS avg_price,
+           count(*) AS count_order
+    FROM d GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) adapted to the testdata schema — the
+    canonical scan-heavy partial+final aggregation.
+
+    Inputs are cast to DECIMAL(18,2) BEFORE any arithmetic: at scale 2
+    the rounding half-step (0.005) dwarfs double noise (~1e-11), so
+    both engines round identically, and everything downstream is exact
+    decimal arithmetic — a double product cast at scale 10 would sit
+    inside the noise band and diverge per engine (measured: 3e-8 drift
+    over 138k rows).
+    """
+    li = load(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    dec_qty = F.sum(qty)
+    dec_base = F.sum(ep)
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_qty.cast("double").alias("sum_qty"),
+        dec_base.cast("double").alias("sum_base_price"),
+        F.sum(ep * (1 - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(ep * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+        F.round(dec_qty.cast("double") / n, 6).alias("avg_qty"),
+        F.round(dec_base.cast("double") / n, 6).alias("avg_price"),
+        n.alias("count_order"),
+    )
+
+
+@q(
+    "tpch_q3_shipping",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted: 3-way join with selective
+    filters on both dimensions, aggregate, top-10. The customer filter
+    broadcasts; only lineitem shuffles."""
+    cust = load(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    # Decimal-input arithmetic for engine-exact sums (see tpch_q1).
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust),
+                                    orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Store round-trip: write through the real FeatureStore, read back as-of,
 # verify against the raw orders table (S8 + P1/P2 + J2 end-to-end).
@@ -950,3 +1116,80 @@ def stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round("sum_value", 6).alias("sum_value"),
     )
+
+
+@q(
+    "pipeline_clean_corpus",
+    f"""
+    WITH {_SQL_PROFILE_BASE},
+    u AS (SELECT doc_id, fingerprint, source, quality FROM scored
+          UNION ALL
+          SELECT doc_id + 1000000, fingerprint, source, quality FROM scored),
+    filtered AS (SELECT * FROM u WHERE quality >= 0.5),
+    keep AS (SELECT min(doc_id) AS keep_id
+             FROM filtered GROUP BY fingerprint),
+    survivors AS (SELECT f.* FROM filtered f
+                  JOIN keep k ON f.doc_id = k.keep_id)
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(quality), 6) AS avg_quality
+    FROM survivors GROUP BY source
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed training-data pipeline: quality-filter → exact-dedup
+    (keep min-id per fingerprint) → per-source rollup, over a corpus
+    with synthetic duplicates. The shape every LLM data pipeline runs:
+    filter early (cheap narrow projection), dedup on the survivors,
+    aggregate last."""
+    prof = text_profile(load(spark, sf, "documents")).select(
+        "doc_id", "fingerprint", "source", "quality"
+    )
+    u = prof.unionByName(
+        prof.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    filtered = u.where(F.col("quality") >= 0.5)
+    keep = filtered.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = filtered.join(
+        keep.select("doc_id"), "doc_id", "left_semi"
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@q(
+    "text_top_tokens",
+    r"""
+    WITH toks AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+    counts AS (SELECT lang, tok, count(*) AS n
+               FROM toks GROUP BY lang, tok)
+    SELECT lang, tok, n, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY lang ORDER BY n DESC, tok) AS rank
+          FROM counts)
+    WHERE rank <= 5
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 tokens per language: explode → two-level agg → ranked
+    window with deterministic tiebreak. The vocabulary-stats shape."""
+    from blackroad_feature_store_spark.operators.text import tokens
+
+    docs = load(spark, sf, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
+
