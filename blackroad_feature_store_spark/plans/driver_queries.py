@@ -1076,11 +1076,25 @@ def mm_frame_samples(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("mm_image_features")  # rows-only: fake-decode kernel is a stub by design
+@q(
+    "mm_image_features",
+    """
+    SELECT doc_id AS asset_id,
+           64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192
+               AS width,
+           64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192
+               AS height,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
 def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal decode plumbing: mapInPandas Arrow-batch kernel with
     the deterministic fake decoder (no image codec in this container —
-    honestly stubbed; schema/batching/partitioning are real)."""
+    honestly stubbed; schema/batching/partitioning are real). The fake
+    decode derives dimensions from the payload digest, so the oracle
+    can verify the whole Python-kernel path byte-for-byte."""
     assets = documents_as_assets(load(spark, sf, "documents"))
     return image_features(assets, fake=True)
 

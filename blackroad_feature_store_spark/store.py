@@ -438,10 +438,13 @@ class FeatureStore:
            .parquet(self._records_path))
 
     def _append_records(self, recs: list[EntityRecord]) -> None:
+        # Coerce here, not just in write_features: batch callers build
+        # EntityRecord directly and may pass ISO strings (the reference
+        # accepted either — feature_store.py:351).
         rows = [
             (r.id, r.group_id, r.entity_id,
              {k: encode_value(v) for k, v in r.feature_values.items()},
-             r.timestamp, r.version)
+             _coerce_ts(r.timestamp), r.version)
             for r in recs
         ]
         df = self.spark.createDataFrame(rows, RECORDS_SCHEMA)

@@ -1,0 +1,104 @@
+"""Property-style point-in-time checks (SURVEY.md §5.2c): random
+snapshot histories, assert the engine's as-of results equal a
+brute-force Python scan over the same history."""
+
+import random
+
+import pytest
+
+from blackroad_feature_store_spark import FeatureStore
+from blackroad_feature_store_spark.store import EntityRecord
+
+
+def brute_force_asof(history, entity_id, as_of):
+    """Latest snapshot dict with ts <= as_of, ties broken by record id
+    (the engine's documented tiebreak)."""
+    cands = [
+        r for r in history
+        if r["entity_id"] == entity_id and r["ts"] <= as_of
+    ]
+    if not cands:
+        return None
+    best = max(cands, key=lambda r: (r["ts"], r["rid"]))
+    return best["values"]
+
+
+@pytest.fixture(scope="module")
+def random_store(spark, tmp_path_factory):
+    rng = random.Random(20260813)
+    base = str(tmp_path_factory.mktemp("pitprop") / "fs")
+    fs = FeatureStore(spark, base)
+    for name in ["a", "b", "c"]:
+        fs.register_feature(name, "user", "int")
+    g = fs.create_group("rand_g", ["a", "b", "c"], "user_id")
+
+    history = []
+    recs = []
+    for i in range(300):
+        entity = f"u{rng.randrange(12)}"
+        # coarse timestamps on purpose: plenty of exact-ts ties
+        ts = (
+            f"2026-{rng.randrange(1, 13):02d}-"
+            f"{rng.randrange(1, 28):02d}T{rng.choice([0, 12]):02d}:00:00"
+        )
+        values = {
+            k: rng.randrange(100)
+            for k in rng.sample(["a", "b", "c"], rng.randrange(1, 4))
+        }
+        rec = EntityRecord(
+            group_id=g.id, entity_id=entity,
+            feature_values=values, timestamp=ts,
+        )
+        recs.append(rec)
+        history.append(
+            {"entity_id": entity, "ts": ts, "rid": rec.id, "values": values}
+        )
+    fs.write_features_batch(recs)
+    return fs, g, history
+
+
+@pytest.mark.parametrize(
+    "as_of",
+    ["2026-03-15T00:00:00", "2026-06-01T12:00:00", "2026-12-31T23:59:59",
+     "2025-12-31T00:00:00"],
+)
+def test_asof_reads_match_brute_force(random_store, as_of):
+    fs, g, history = random_store
+    for entity in [f"u{i}" for i in range(12)]:
+        expected = brute_force_asof(history, entity, as_of)
+        got = fs.get_features(g.id, entity, as_of=as_of)
+        assert got == expected, (entity, as_of)
+
+
+def test_pit_join_matches_brute_force(random_store):
+    fs, g, history = random_store
+    as_of = "2026-07-01T00:00:00"
+    entities = [f"u{i}" for i in range(12)] + ["missing"]
+    rows = fs.point_in_time_join(entities, [g.id], as_of)
+    assert [r["entity_id"] for r in rows] == entities  # input order
+    for row in rows:
+        expected = brute_force_asof(history, row["entity_id"], as_of)
+        if expected is None:
+            # miss → every declared feature null-filled
+            assert row == {
+                "entity_id": row["entity_id"], "a": None, "b": None, "c": None
+            }
+        else:
+            # hit → the snapshot verbatim (snapshot-wins); declared
+            # features the snapshot omits stay ABSENT, exactly like the
+            # reference's `if values: row.update(values)` path
+            assert row == {"entity_id": row["entity_id"], **expected}
+
+
+def test_statistics_match_brute_force(random_store):
+    fs, g, history = random_store
+    st = fs.statistics(g.id)
+    assert st["total_records"] == len(history)
+    for feat in ["a", "b", "c"]:
+        vals = [r["values"][feat] for r in history if feat in r["values"]]
+        s = st["features"][feat]
+        assert s["count"] == len(vals)
+        assert s["null_count"] == len(history) - len(vals)
+        assert s["min"] == min(vals)
+        assert s["max"] == max(vals)
+        assert s["mean"] == round(sum(vals) / len(vals), 6)
