@@ -49,6 +49,7 @@ from blackroad_feature_store_spark.operators.similarity import (
     cosine_topk_lsh,
 )
 from blackroad_feature_store_spark.operators.text import text_profile
+from blackroad_feature_store_spark.operators.util import spread
 from blackroad_feature_store_spark.sources.testdata import load
 from blackroad_feature_store_spark.streaming.ingest import windowed_counts
 
@@ -981,7 +982,7 @@ _SQL_PROFILE_BASE = f"""
 def text_quality_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Text analysis: token counts, quality ratios, heuristic lang-ID,
     BPE-ish token count, fingerprint — pure narrow projections."""
-    prof = text_profile(load(spark, sf, "documents"))
+    prof = text_profile(spread(load(spark, sf, "documents"), "doc_id"))
     return prof.select(
         "doc_id", "n_chars", "n_tokens", "alpha_ratio", "digit_ratio",
         "punct_ratio", "upper_ratio", "stopword_ratio", "mean_token_len",
@@ -1000,7 +1001,7 @@ def text_quality_profile(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Lang-ID confusion matrix vs the table's labeled lang."""
-    prof = text_profile(load(spark, sf, "documents"))
+    prof = text_profile(spread(load(spark, sf, "documents"), "doc_id"))
     return prof.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1017,7 +1018,7 @@ def text_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_stats_by_source(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus rollup per source: doc/token counts + mean quality."""
-    prof = text_profile(load(spark, sf, "documents"))
+    prof = text_profile(spread(load(spark, sf, "documents"), "doc_id"))
     return prof.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -1156,7 +1157,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     with synthetic duplicates. The shape every LLM data pipeline runs:
     filter early (cheap narrow projection), dedup on the survivors,
     aggregate last."""
-    prof = text_profile(load(spark, sf, "documents")).select(
+    prof = text_profile(spread(load(spark, sf, "documents"), "doc_id")).select(
         "doc_id", "fingerprint", "source", "quality"
     )
     u = prof.unionByName(
