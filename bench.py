@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_embedding",
     "sim_cosine_topk",
     "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ivf",
+    "core_salted_hot_keys",
     "text_quality_profile",
     "text_stats_by_source",
     "mm_asset_metadata",

@@ -149,3 +149,113 @@ def cosine_topk_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, centroid
+    id as tiebreak) — the coarse quantizer of an IVF index.
+
+    ``centroids`` carries (centroid_id_col, vec_col) and is broadcast:
+    assignment is a narrow map-side pass over the corpus, no shuffle
+    until someone aggregates the inverted lists. Returns the input
+    columns + ``centroid_id``.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+        ).withColumn("__cnorm", norm(F.col("__cvec")))
+    )
+    scored = (
+        df.withColumn("__vnorm", norm(F.col(vec_col)))
+        .crossJoin(c)
+        .withColumn(
+            "__sim",
+            F.round(
+                dot(F.col(vec_col), F.col("__cvec"))
+                / (F.col("__vnorm") * F.col("__cnorm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*df.columns, F.col("__cid").alias("centroid_id"))
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in per-centroid
+    inverted lists; each query probes its ``nprobe`` nearest lists and
+    brute-forces only those. Same output shape as cosine_topk.
+
+    With K centroids and nprobe=p this scans ~p/K of the corpus per
+    query — the classic recall/cost dial. Any deterministic centroid
+    set works (k-means in production; a fixed sample keeps results
+    engine-reproducible for the oracle).
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    cq = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+        ).withColumn("__cnorm", norm(F.col("__cvec")))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    probe_w = Window.partitionBy("__qid").orderBy(
+        F.round(
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ).desc(),
+        F.col("__cid").asc(),
+    )
+    probes = F.broadcast(
+        q.crossJoin(cq)
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .where(F.col("__rn") <= nprobe)
+        .select("__qid", "__qvec", "__qnorm", F.col("__cid").alias("centroid_id"))
+    )
+
+    scored = (
+        assigned.join(probes, "centroid_id")
+        .where(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("__qvec"), F.col(vec_col))
+                / (F.col("__qnorm") * norm(F.col(vec_col))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1208,3 +1208,105 @@ def text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rank") <= 5)
     )
 
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """Cosine between two SQL vector expressions, rounded to 6 — the
+    same sequential-fold arithmetic the Spark operators use."""
+    return f"""round(
+      list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))
+      / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 6)"""
+
+
+@q(
+    "sim_cosine_topk_ivf",
+    f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 16),
+    corp AS (SELECT vec_id, embedding FROM embeddings),
+    assign_scored AS (
+        SELECT c.vec_id, k.cid,
+               {_sql_cos('c.embedding', 'k.cvec')} AS sim
+        FROM corp c CROSS JOIN cents k),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM assign_scored) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qvec
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+    probe_scored AS (
+        SELECT q.qid, q.qvec, k.cid,
+               {_sql_cos('q.qvec', 'k.cvec')} AS sim
+        FROM q CROSS JOIN cents k),
+    probes AS (
+        SELECT qid, qvec, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+            FROM probe_scored) WHERE rn <= 2),
+    scored AS (
+        SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+               {_sql_cos('p.qvec', 'e.embedding')} AS score
+        FROM probes p
+        JOIN assigned a ON a.cid = p.cid
+        JOIN corp e ON e.vec_id = a.vec_id
+        WHERE a.vec_id != p.qid)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-k: inverted lists under a 16-centroid coarse
+    quantizer, nprobe=2. Centroids are a fixed deterministic sample
+    (vec_id < 16) so the oracle reproduces the index exactly; swap in
+    k-means centroids in production — the plan shape is identical.
+    Assignment is a broadcast map-side pass; the probe join scans
+    ~nprobe/K of the corpus per query."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    corpus = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    centroids = (
+        load(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    queries = (
+        load(spark, sf, "embeddings")
+        .where((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return cosine_topk_ivf(corpus, queries, centroids, k=5, nprobe=2)
+
+
+@q(
+    "core_salted_hot_keys",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def core_salted_hot_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew pattern: 100k events funnel into 5 hot keys — the salted
+    two-stage aggregation spreads each hot key over 32 reducers before
+    the per-key combine. Decimal sum keeps the result identical to the
+    oracle's direct aggregation regardless of combine order."""
+    from blackroad_feature_store_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(
+        ev, ["event_type"], salt_on="event_id", num_salts=32,
+        sum_col="value",
+    )
+    return out.select(
+        "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )

@@ -234,3 +234,62 @@ def test_image_features_real_decode_is_stubbed(spark):
     )
     with pytest.raises(Exception):  # NotImplementedError crosses py4j
         image_features(documents_as_assets(df), fake=False).collect()
+
+
+# -- skew: salted aggregation --------------------------------------------------
+
+
+def test_salted_agg_matches_direct(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)],
+        "id long, k string, v double",
+    )
+    from blackroad_feature_store_spark.operators.skew import salted_agg
+
+    out = {
+        r["k"]: (r["n"], r["sum_value"])
+        for r in salted_agg(
+            df, ["k"], salt_on="id", num_salts=16, sum_col="v"
+        ).collect()
+    }
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert out.keys() == direct.keys()
+    for k in out:
+        assert out[k][0] == direct[k][0]
+        assert out[k][1] == pytest.approx(direct[k][1])
+
+
+# -- IVF similarity ------------------------------------------------------------
+
+
+def test_ivf_assign_and_topk(vectors, spark):
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_assign,
+    )
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, embedding array<float>",
+    )
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(vectors, centroids).collect()
+    }
+    assert assigned[1] == 0 and assigned[2] == 0   # x-direction
+    assert assigned[3] == 1                        # y-direction
+    assert assigned[4] == 1                        # -x: tie (0 vs 0) → min cid? cos=-1 vs 0 → cid 1
+
+    queries = vectors.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = cosine_topk_ivf(
+        vectors, queries, centroids, k=3, nprobe=1
+    ).orderBy("rank").collect()
+    # probe list of centroid 0 contains vectors 1, 2, 5 → neighbors 2, 5
+    assert [r["neighbor_id"] for r in rows] == [2, 5]
