@@ -493,6 +493,15 @@ class FeatureStore:
             shutil.rmtree(tmp, ignore_errors=True)
         return n
 
+    def create_views(self, prefix: str = "fs_") -> None:
+        """Register the store's three tables as temp views so the whole
+        surface is queryable with ``spark.sql`` — ``{prefix}features``,
+        ``{prefix}groups``, ``{prefix}records``. Views are lazy: each
+        query re-reads current registry/record state."""
+        self.features_df().createOrReplaceTempView(f"{prefix}features")
+        self.groups_df().createOrReplaceTempView(f"{prefix}groups")
+        self.records_df().createOrReplaceTempView(f"{prefix}records")
+
     # ------------------------------------------------------------------
     # data plane: reads
     # ------------------------------------------------------------------

@@ -1,0 +1,129 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The built-in streaming surface (windowed aggs + watermark,
+ingest.py) covers the reference-parity needs; this module adds the
+pattern for semantics Spark's built-ins can't express — here, true
+inactivity-gap SESSIONIZATION, where a session closes only when its
+key has been quiet for ``gap`` (not on fixed window boundaries).
+
+State model per key: (session_start_us, last_seen_us, n_events,
+sum_value). Each micro-batch folds its rows into the open session;
+a processing-time timeout (GroupStateTimeout) flushes sessions whose
+key has gone quiet. Arrow moves the per-key batches — the kernel is
+vectorized pandas, not per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = "start_us long, last_us long, n long, s double"
+
+
+def _fold(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start_us, last_us, n, s = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [s],
+                "closed": [True],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
+    vals = rows["value"].astype("float64")
+
+    out = []
+    if state.exists:
+        start_us, last_us, n, s = state.get
+    else:
+        start_us = last_us = int(ts_us.iloc[0])
+        n, s = 0, 0.0
+
+    for t, v in zip(ts_us, vals):
+        t = int(t)
+        if n > 0 and t - last_us > gap_us:
+            out.append((start_us, last_us, n, s, True))
+            start_us, n, s = t, 0, 0.0
+        last_us = max(last_us, t)
+        n += 1
+        s += float(v)
+
+    state.update((start_us, last_us, n, s))
+    state.setTimeoutDuration(gap_us // 1000)  # µs → ms of quiet time
+
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_start": [pd.Timestamp(o[0], unit="us") for o in out],
+                "session_end": [pd.Timestamp(o[1], unit="us") for o in out],
+                "n_events": [o[2] for o in out],
+                "sum_value": [o[3] for o in out],
+                "closed": [o[4] for o in out],
+            }
+        )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Inactivity-gap sessionization over a stream.
+
+    Emits one row per CLOSED session (mid-batch closes immediately;
+    trailing sessions when the key times out after ``gap`` of quiet).
+    Use on a batch DataFrame for testing via availableNow + memory
+    sink — the same code path the production stream runs.
+    """
+    n, unit = gap.split()
+    mult = {"minute": 60, "minutes": 60, "second": 1, "seconds": 1,
+            "hour": 3600, "hours": 3600}[unit]
+    gap_us = int(n) * mult * 1_000_000
+
+    shaped = events.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return shaped.groupBy("user_id").applyInPandasWithState(
+        lambda key, pdfs, state: _fold(key, pdfs, state, gap_us),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

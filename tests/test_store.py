@@ -294,3 +294,20 @@ def test_compact_records_preserves_data(store_with_group):
     assert latest["age"] == 29
     st = store.statistics(g.id)
     assert st["total_records"] == 10
+
+
+def test_sql_views(store_with_group):
+    store, g = store_with_group
+    store.write_features(g.id, "u1", {"age": 30}, timestamp="2026-01-01T00:00:00")
+    store.create_views()
+    spark = store.spark
+    assert spark.sql(
+        "SELECT count(*) AS n FROM fs_features WHERE entity_type='user'"
+    ).first()["n"] == 3
+    assert spark.sql(
+        "SELECT entity_key FROM fs_groups WHERE name='user_demographics'"
+    ).first()["entity_key"] == "user_id"
+    row = spark.sql(
+        "SELECT entity_id, feature_values['age'] AS age FROM fs_records"
+    ).first()
+    assert row["entity_id"] == "u1" and row["age"] == "30"

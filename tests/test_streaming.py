@@ -123,3 +123,46 @@ def test_windowed_counts_streaming_plan(spark, tmp_path):
     }
     assert rows[("click", "2026-01-01T00:00:00")] == (2, 3.0)
     assert rows[("view", "2026-01-01T01:00:00")] == (1, 5.0)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer run as a real stream."""
+    from blackroad_feature_store_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    src_dir = str(tmp_path / "sess_events")
+    spark.createDataFrame(
+        [
+            # user 1: two sessions (90-min gap between them)
+            (1, "2026-01-01T00:00:00", 1.0),
+            (1, "2026-01-01T00:10:00", 2.0),
+            (1, "2026-01-01T01:40:00", 3.0),
+            # user 2: one session
+            (2, "2026-01-01T00:05:00", 5.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    ).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src_dir)
+    sessions = sessionize_stream(stream, gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_test").collect()
+    # mid-batch close: user 1's first session (2 events, sum 3.0) is
+    # emitted; the still-open trailing sessions wait for the timeout
+    closed = {
+        (r["user_id"], r["n_events"], r["sum_value"]) for r in rows
+    }
+    assert (1, 2, 3.0) in closed
