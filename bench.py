@@ -25,6 +25,8 @@ HEADLINE = [
     "core_asof_prev_order",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "core_running_total",
     "pipeline_clean_corpus",
     "text_top_tokens",
     "core_asof_top1",

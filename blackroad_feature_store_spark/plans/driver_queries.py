@@ -1310,3 +1310,91 @@ def core_salted_hot_keys(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
     )
+
+
+@q(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) adapted: a 6-table join with
+    dimension filters. nation/region/supplier broadcast; Catalyst
+    orders the joins so only lineitem⋈orders shuffles. Decimal-input
+    arithmetic keeps the revenue sum engine-exact."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    supp = F.broadcast(load(spark, sf, "supplier"))
+    nation = F.broadcast(load(spark, sf, "nation"))
+    region = F.broadcast(
+        load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "core_running_total",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_spend,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+    FROM orders
+    """,
+)
+def core_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window frame (beyond the reference's surface): per-
+    customer cumulative spend + order sequence number — one shuffle on
+    the partition key, running frame computed in-partition. Decimal
+    accumulation keeps every prefix sum engine-exact."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        running.alias("running_spend"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )

@@ -12,8 +12,9 @@ Re-expresses the full public API of the reference engine
 * ``entity_records`` — the append-only, timestamped snapshot log
   (reference ``feature_store.py:178-186``), a parquet table partitioned
   by ``group_id`` so every read prunes to one partition directory. At
-  100 TB you would additionally partition by ``p_date`` (derived from
-  the snapshot timestamp) — the write path already computes it.
+  100 TB you would additionally partition by a date derived from the
+  snapshot timestamp (not enabled here: the testdata scale doesn't
+  warrant it and it would complicate the fixed RECORDS_SCHEMA reads).
   ``feature_values`` is a ``map<string,string>`` with each value
   JSON-encoded, preserving the reference's open-schema "store anything
   JSON-serializable" semantics (feature_store.py:322-370) while staying
