@@ -36,6 +36,7 @@ HEADLINE = [
     "store_roundtrip_asof",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_jaccard",
     "dedup_embedding",
@@ -61,8 +62,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
+        # Time construction + execution: iterative operators (e.g.
+        # dedup_clusters) do real work eagerly while building.
         t0 = time.time()
+        df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 

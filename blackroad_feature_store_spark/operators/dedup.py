@@ -300,3 +300,71 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: every document
+    in a pair gets a ``cluster_id`` = the minimum doc id reachable
+    through pair edges — how near-dup PAIRS become dedup GROUPS (keep
+    one representative per cluster).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — a handful
+    of rounds in practice). Each round is one shuffle; lineage is cut
+    with localCheckpoint so plans don't grow with iterations. The loop
+    exits as soon as a round changes nothing.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", "label")
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -1398,3 +1398,33 @@ def core_running_total(spark: SparkSession, sf: str) -> DataFrame:
         running.alias("running_spend"),
         F.row_number().over(w).cast("int").alias("order_seq"),
     )
+
+
+@q(
+    "dedup_clusters",
+    _SQL_MINHASH_PAIRS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, min(b) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative connected components over the MinHash candidate graph
+    — pairs become dedup clusters (keep min-id per cluster). The Spark
+    side is min-label propagation (one shuffle per round, lineage cut
+    per iteration); the oracle computes the same components by
+    recursive transitive closure, feasible at oracle scale."""
+    from blackroad_feature_store_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs = load(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
+    return duplicate_clusters(pairs)

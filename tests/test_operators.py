@@ -293,3 +293,22 @@ def test_ivf_assign_and_topk(vectors, spark):
     ).orderBy("rank").collect()
     # probe list of centroid 0 contains vectors 1, 2, 5 → neighbors 2, 5
     assert [r["neighbor_id"] for r in rows] == [2, 5]
+
+
+# -- duplicate clustering (connected components) -------------------------------
+
+
+def test_duplicate_clusters(spark):
+    from blackroad_feature_store_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    # two components: {1,2,3,4} chained, {10,11}; 99 isolated (absent)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
