@@ -1428,3 +1428,119 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     pairs = minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
     return duplicate_clusters(pairs)
+
+
+@q(
+    "core_set_ops",
+    """
+    SELECT c_custkey, 'both' AS src FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    UNION ALL
+    SELECT c_custkey, 'only_building' AS src FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    """,
+)
+def core_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operations (SURVEY §2.11 — absent from the reference, free
+    in Spark): INTERSECT and EXCEPT between customer cohorts, tagged
+    and unioned."""
+    building = (
+        load(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    positive = (
+        load(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select("c_custkey")
+    )
+    both = building.intersect(positive).withColumn("src", F.lit("both"))
+    only_b = building.exceptAll(positive).distinct().withColumn(
+        "src", F.lit("only_building")
+    )
+    return both.unionByName(only_b)
+
+
+@q(
+    "core_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def core_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (status → priority → grand
+    total) — one pass, multi-level aggregates; decimal-exact sums."""
+    orders = load(spark, sf, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend"),
+    )
+
+
+@q(
+    "core_semi_anti",
+    """
+    SELECT c.c_custkey, 'has_orders' AS kind
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, 'no_orders' AS kind
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def core_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi and anti joins (EXISTS / NOT EXISTS) — customers with and
+    without orders; the anti side is the classic orphan check."""
+    cust = load(spark, sf, "customer").select("c_custkey")
+    orders = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = cust.join(orders, "c_custkey", "left_semi").withColumn(
+        "kind", F.lit("has_orders")
+    )
+    anti = cust.join(orders, "c_custkey", "left_anti").withColumn(
+        "kind", F.lit("no_orders")
+    )
+    return semi.unionByName(anti)
+
+
+@q(
+    "core_date_arith",
+    """
+    SELECT o_orderkey,
+           date_diff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00')
+               AS days_before_cutoff,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')
+               AS due_date
+    FROM orders
+    """,
+)
+def core_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Date arithmetic (SURVEY §2.11): day differences, month/quarter
+    extraction, interval addition — pure narrow projections."""
+    orders = load(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(
+            F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_before_cutoff"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
