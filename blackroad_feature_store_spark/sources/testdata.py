@@ -44,6 +44,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # TIMESTAMP(NANOS) → read as long, convert to micros timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros yields an LTZ timestamp, so any downstream
+        # date_format depends on the session timezone. The caller's
+        # session (e.g. the driver's) may not be UTC — pin it so
+        # formatted event times always match the stored wall clock.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # Integer division: ns-since-epoch (~1.7e18) exceeds double's
