@@ -313,13 +313,24 @@ def duplicate_clusters(
     through pair edges — how near-dup PAIRS become dedup GROUPS (keep
     one representative per cluster).
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(graph diameter) rounds (near-dup clusters are shallow — a handful
-    of rounds in practice). Each round is one shuffle; lineage is cut
-    with localCheckpoint so plans don't grow with iterations. The loop
-    exits as soon as a round changes nothing.
+    Iterative min-label propagation with pointer jumping: each round
+    every node adopts the smallest label among itself and its
+    neighbors, then additionally adopts its label node's label
+    (path doubling), so convergence is O(log diameter) rounds instead
+    of O(diameter) — the same round count the large-star/small-star
+    formulation achieves, with one extra equi-join per round. Lineage
+    is cut with localCheckpoint so plans don't grow with iterations,
+    and the convergence probe is a ``__changed`` flag carried INSIDE
+    the checkpointed result — checking it re-scans cached blocks, it
+    never re-runs the round's joins as a second job.
+
+    If ``max_iterations`` rounds pass without convergence (a pair
+    graph with diameter > 2^max_iterations — pathological for
+    near-dup data) the function logs a warning and returns the
+    partial labels rather than silently presenting them as final.
     """
+    import logging
+
     edges = (
         pairs.select(
             F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
@@ -338,6 +349,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -346,25 +358,46 @@ def duplicate_clusters(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = (
+            labels.withColumnRenamed("label", "old")
+            .join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                "old",
+                F.least(F.col("old"), F.coalesce("nmin", "old")).alias(
+                    "mid"
+                ),
+            )
+        )
+        # Pointer jump: adopt the current label of your label node.
+        # Labels only ever decrease and stay within the component, so
+        # jumping through the (previous-round) label map is safe and
+        # collapses chains exponentially.
+        jump = labels.select(
+            F.col("node").alias("mid"), F.col("label").alias("jlabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(jump, "mid", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nmin", "label")
+                    F.col("mid"), F.coalesce("jlabel", "mid")
                 ).alias("label"),
+                (F.least(F.col("mid"), F.coalesce("jlabel", "mid"))
+                 != F.col("old")).alias("__changed"),
             )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint()
+        changed = new_labels.where("__changed").limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    if changed != 0:
+        logging.getLogger("blackroad_feature_store_spark").warning(
+            "duplicate_clusters: not converged after %d iterations; "
+            "returned cluster ids may still be mergeable",
+            max_iterations,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -157,6 +157,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    keep_norm_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, centroid
     id as tiebreak) — the coarse quantizer of an IVF index.
@@ -164,7 +165,9 @@ def ivf_assign(
     ``centroids`` carries (centroid_id_col, vec_col) and is broadcast:
     assignment is a narrow map-side pass over the corpus, no shuffle
     until someone aggregates the inverted lists. Returns the input
-    columns + ``centroid_id``.
+    columns + ``centroid_id``; pass ``keep_norm_col`` to also keep the
+    per-row vector norm (already computed for assignment) so downstream
+    scoring never re-evaluates it per candidate pair.
     """
     c = F.broadcast(
         centroids.select(
@@ -187,10 +190,13 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col("__cid").asc()
     )
+    extra = (
+        [F.col("__vnorm").alias(keep_norm_col)] if keep_norm_col else []
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select(*df.columns, F.col("__cid").alias("centroid_id"))
+        .select(*df.columns, F.col("__cid").alias("centroid_id"), *extra)
     )
 
 
@@ -213,7 +219,9 @@ def cosine_topk_ivf(
     set works (k-means in production; a fixed sample keeps results
     engine-reproducible for the oracle).
     """
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, keep_norm_col="__cnorm2"
+    )
 
     cq = F.broadcast(
         centroids.select(
@@ -247,7 +255,7 @@ def cosine_topk_ivf(
             F.col(id_col).alias("neighbor_id"),
             F.round(
                 dot(F.col("__qvec"), F.col(vec_col))
-                / (F.col("__qnorm") * norm(F.col(vec_col))),
+                / (F.col("__qnorm") * F.col("__cnorm2")),
                 6,
             ).alias("score"),
         )

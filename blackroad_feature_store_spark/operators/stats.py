@@ -47,21 +47,26 @@ def feature_statistics(
     values_col: str = "feature_values",
 ) -> DataFrame:
     """Stats DataFrame (feature, count, null_count, mean, min, max,
-    all_int) — ONE map-side-combinable hash aggregation, one scan.
+    min_is_int, max_is_int) — ONE map-side-combinable hash aggregation,
+    one scan.
 
     The group's total record count is derivable as
     ``count + null_count`` of any row (every record contributes one
     long-form row per declared feature), so callers never run a second
-    scan. ``all_int`` is true when every numeric value was a JSON
-    integer or boolean — callers cast min/max back to int to match the
-    reference, which returns ``min(numeric_vals)`` preserving int
-    (feature_store.py:491-492).
+    scan. ``min_is_int``/``max_is_int`` say whether the WINNING min/max
+    cell was a JSON integer or boolean — the reference's
+    ``min(numeric_vals)``/``max`` preserve the winning element's own
+    type (feature_store.py:491-492), so a mixed feature like [1, 2.5]
+    yields int min 1 and float max 2.5. Ties between an int and a
+    float encoding of the same value resolve to int (the reference is
+    insertion-order-dependent there; int is the deterministic choice).
     """
     if not feature_names:
         return records.sparkSession.createDataFrame(
             [],
             "feature string, count long, null_count long, "
-            "mean double, min double, max double, all_int boolean",
+            "mean double, min double, max double, "
+            "min_is_int boolean, max_is_int boolean",
         )
 
     # Long form: one row per (record, declared feature). element_at
@@ -88,13 +93,41 @@ def feature_statistics(
     is_int_like = F.col("value").rlike("^-?[0-9]+$") | F.col("value").isin(
         "true", "false"
     )
-    return long_form.groupBy("feature").agg(
-        F.sum(present.cast("long")).alias("count"),
-        F.sum((~present).cast("long")).alias("null_count"),
-        F.round(F.avg(num), 6).alias("mean"),
-        F.min(num).alias("min"),
-        F.max(num).alias("max"),
-        F.min(
-            F.when(num.isNotNull(), is_int_like).otherwise(F.lit(True))
-        ).alias("all_int"),
+    # Struct min/max order lexicographically (value first, then the
+    # int-ness tiebreak flag), so one aggregation yields both the
+    # extreme AND whether the winning cell was int-encoded. NULL-num
+    # cells map to a NULL struct and are skipped by min/max.
+    min_struct = F.min(
+        F.when(
+            num.isNotNull(),
+            F.struct(
+                num.alias("v"), (~is_int_like).cast("int").alias("notint")
+            ),
+        )
+    )
+    max_struct = F.max(
+        F.when(
+            num.isNotNull(),
+            F.struct(num.alias("v"), is_int_like.cast("int").alias("isint")),
+        )
+    )
+    return (
+        long_form.groupBy("feature")
+        .agg(
+            F.sum(present.cast("long")).alias("count"),
+            F.sum((~present).cast("long")).alias("null_count"),
+            F.round(F.avg(num), 6).alias("mean"),
+            min_struct.alias("__min_s"),
+            max_struct.alias("__max_s"),
+        )
+        .select(
+            "feature",
+            "count",
+            "null_count",
+            "mean",
+            F.col("__min_s.v").alias("min"),
+            F.col("__max_s.v").alias("max"),
+            (F.col("__min_s.notint") == 0).alias("min_is_int"),
+            (F.col("__max_s.isint") == 1).alias("max_is_int"),
+        )
     )

@@ -40,15 +40,16 @@ BROADCAST_TABLES = ("region", "nation")
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table with normalized schema."""
+    # Every table with timestamps (orders, lineitem, events) is
+    # date_format-ed somewhere downstream, and LTZ formatting depends on
+    # the session timezone. Pin it unconditionally — not just on the
+    # events branch — so results never depend on which table loaded
+    # first in an externally created non-UTC session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
         # TIMESTAMP(NANOS) → read as long, convert to micros timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros yields an LTZ timestamp, so any downstream
-        # date_format depends on the session timezone. The caller's
-        # session (e.g. the driver's) may not be UTC — pin it so
-        # formatted event times always match the stored wall clock.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # Integer division: ns-since-epoch (~1.7e18) exceeds double's

@@ -206,6 +206,10 @@ class FeatureStore:
         self._features_path = os.path.join(self.base_path, "features")
         self._groups_path = os.path.join(self.base_path, "feature_groups")
         self._records_path = os.path.join(self.base_path, "entity_records")
+        # Recover any compaction interrupted between its two renames
+        # BEFORE makedirs: recovery keys off "does the live path
+        # exist", and makedirs would fabricate an empty live path.
+        self._recover_compaction()
         os.makedirs(self._features_path, exist_ok=True)
         os.makedirs(self._groups_path, exist_ok=True)
         os.makedirs(self._records_path, exist_ok=True)
@@ -464,11 +468,21 @@ class FeatureStore:
 
         Single-writer assumption (same as the registry): don't compact
         concurrently with writes to the same partition.
+
+        Crash safety: the swap is rename-aside — the live directory
+        moves to ``base_path/compact_old/`` (one atomic rename), the
+        compacted one moves in (second atomic rename), then the aside
+        copy is deleted. At no point is the data unreachable: a crash
+        between the renames leaves the full log in ``compact_old``,
+        and :meth:`_recover_compaction` (run on every store open)
+        restores it. A crash after the second rename leaves only a
+        stale aside copy, which recovery deletes.
         """
         import math
         import shutil
         import tempfile as _tf
 
+        self._recover_compaction()
         df = self.records_df(group_id)
         n = df.count()
         if n == 0:
@@ -481,18 +495,59 @@ class FeatureStore:
             .partitionBy("group_id")
             .parquet(tmp)
         )
+        old_root = os.path.join(self.base_path, "compact_old")
+        os.makedirs(old_root, exist_ok=True)
         if group_id is None:
-            live, stale = tmp, self._records_path
-            shutil.rmtree(stale)
-            os.replace(live, stale)
+            stale = self._records_path
+            old = os.path.join(old_root, "__all__")
+            os.replace(stale, old)  # live moves aside, still readable
+            os.replace(tmp, stale)  # compacted data becomes live
+            shutil.rmtree(old)
         else:
             part = f"group_id={group_id}"
             live = os.path.join(tmp, part)
             stale = os.path.join(self._records_path, part)
-            shutil.rmtree(stale)
+            old = os.path.join(old_root, part)
+            os.replace(stale, old)
             os.replace(live, stale)
+            shutil.rmtree(old)
             shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            os.rmdir(old_root)
+        except OSError:
+            pass
         return n
+
+    def _recover_compaction(self) -> None:
+        """Finish a compaction interrupted between its two renames.
+
+        ``compact_old/<name>`` holds the pre-compaction copy of either
+        the whole log (``__all__``) or one ``group_id=...`` partition.
+        If the corresponding live path is missing, the crash happened
+        before the compacted data moved in — restore the copy (no data
+        was lost: the aside rename is atomic). If the live path exists,
+        the compacted data is already in place — drop the stale copy.
+        """
+        import shutil
+
+        old_root = os.path.join(self.base_path, "compact_old")
+        if not os.path.isdir(old_root):
+            return
+        for name in os.listdir(old_root):
+            src = os.path.join(old_root, name)
+            dst = (
+                self._records_path
+                if name == "__all__"
+                else os.path.join(self._records_path, name)
+            )
+            if not os.path.exists(dst):
+                os.replace(src, dst)
+            else:
+                shutil.rmtree(src)
+        try:
+            os.rmdir(old_root)
+        except OSError:
+            pass
 
     def create_views(self, prefix: str = "fs_") -> None:
         """Register the store's three tables as temp views so the whole
@@ -670,8 +725,11 @@ class FeatureStore:
             total = recs.count()
 
         def _minmax(r, key):
+            # The reference's min()/max() return the winning element
+            # with its own type (feature_store.py:491-492): mixed
+            # [1, 2.5] → min is int 1, max is float 2.5.
             v = r[key]
-            if v is not None and r["all_int"] and v == int(v):
+            if v is not None and r[f"{key}_is_int"] and v == int(v):
                 return int(v)
             return v
 

@@ -61,7 +61,10 @@ def _fold(
         return
 
     rows = pd.concat(list(pdfs)).sort_values("ts")
-    ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
+    # Normalize to µs explicitly: the Arrow→pandas path may deliver
+    # datetime64[ns] or datetime64[us] depending on pandas/pyarrow
+    # versions, and assuming ns would shrink gaps 1000× on a us input.
+    ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
     vals = rows["value"].astype("float64")
 
     out = []

@@ -296,6 +296,61 @@ def test_compact_records_preserves_data(store_with_group):
     assert st["total_records"] == 10
 
 
+def test_compact_records_crash_between_renames_recovers(store_with_group):
+    # Kill the swap after the live dir moved aside but BEFORE the
+    # compacted dir moved in — the worst-case window. The full log must
+    # survive (in compact_old/) and a fresh store open must restore it.
+    store, g = store_with_group
+    for i in range(6):
+        store.write_features(
+            g.id, f"u{i}", {"age": 20 + i},
+            timestamp=f"2026-01-{i+1:02d}T00:00:00",
+        )
+
+    import os as _os
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def exploding_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second rename of the swap
+            raise RuntimeError("simulated crash mid-swap")
+        return real_replace(src, dst)
+
+    import blackroad_feature_store_spark.store as store_mod
+    orig = store_mod.os.replace
+    store_mod.os.replace = exploding_replace
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.compact_records(g.id)
+    finally:
+        store_mod.os.replace = orig
+
+    # Reopen: recovery runs in __init__ and restores the aside copy.
+    reopened = FeatureStore(store.spark, store.base_path)
+    assert reopened.records_df(g.id).count() == 6
+    assert reopened.get_features(g.id, "u5")["age"] == 25
+    # A subsequent compaction completes normally.
+    assert reopened.compact_records(g.id) == 6
+    assert reopened.records_df(g.id).count() == 6
+
+
+def test_stats_mixed_int_float_min_max_types(store_with_group):
+    # Reference min()/max() preserve the WINNING element's own type
+    # (feature_store.py:491-492): [1, 2.5] → min is int 1, max is
+    # float 2.5; [0.5, 3] → min float, max int.
+    s, g = store_with_group
+    s.write_features(g.id, "u1", {"age": 1, "income": 0.5})
+    s.write_features(g.id, "u2", {"age": 2.5, "income": 3})
+    st = s.statistics(g.id)
+    age = st["features"]["age"]
+    assert age["min"] == 1 and isinstance(age["min"], int)
+    assert age["max"] == 2.5 and isinstance(age["max"], float)
+    inc = st["features"]["income"]
+    assert inc["min"] == 0.5 and isinstance(inc["min"], float)
+    assert inc["max"] == 3 and isinstance(inc["max"], int)
+
+
 def test_sql_views(store_with_group):
     store, g = store_with_group
     store.write_features(g.id, "u1", {"age": 30}, timestamp="2026-01-01T00:00:00")
