@@ -679,6 +679,153 @@ def store_roundtrip_asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "store_registry_ops",
+    """
+    SELECT * FROM (VALUES
+        ('feature', 'age',    'user',    'float', 0, TRUE),
+        ('feature', 'city',   'user',    'str',   0, FALSE),
+        ('feature', 'income', 'user',    'float', 0, TRUE),
+        ('group',   'user_core',  'user_id', 'batch', 1, TRUE),
+        ('group',   'user_core',  'user_id', 'batch', 2, TRUE),
+        ('group',   'user_geo',   'user_id', 'batch', 1, TRUE),
+        ('check', 'duplicate_group_version_rejected',
+                  'GroupExistsError',   'raised', 0, TRUE),
+        ('check', 'invalid_dtype_rejected',
+                  'InvalidDtypeError',  'raised', 0, TRUE),
+        ('check', 'unknown_feature_rejected',
+                  'UnknownFeatureError', 'raised', 0, TRUE)
+    ) AS t(kind, name, attr1, attr2, version, active)
+    """,
+)
+def store_registry_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/S9/S10 through a real FeatureStore: DDL (fresh store layout),
+    upsert-by-name re-registration (reference ``INSERT OR REPLACE`` on
+    the UNIQUE name column, feature_store.py:195-241), and
+    (name, version)-unique group creation (feature_store.py:263-306),
+    plus the three error contracts. Output is the registry state with
+    the non-deterministic columns (uuid ids, created_at) dropped, so a
+    literal-VALUES DuckDB oracle pins it exactly.
+    """
+    from blackroad_feature_store_spark.errors import (
+        GroupExistsError,
+        InvalidDtypeError,
+        UnknownFeatureError,
+    )
+    from blackroad_feature_store_spark.store import FeatureStore
+
+    fs = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_registry_"))
+    # S9: register, then re-register the same name — upsert wins.
+    fs.register_feature("age", "user", "int", description="first take")
+    fs.register_feature("income", "user", "float")
+    fs.register_feature("city", "user", "str")
+    fs.register_feature("age", "user", "float", description="upserted")
+    fs.deactivate_feature("city")  # soft delete survives in the registry
+    # S10: two versions of the same group name are distinct rows...
+    fs.create_group("user_core", ["age", "income"], "user_id")
+    fs.create_group("user_core", ["age"], "user_id", version=2)
+    fs.create_group("user_geo", ["city"], "user_id")
+
+    checks = []
+    # ...but a duplicate (name, version) is rejected.
+    try:
+        fs.create_group("user_core", ["age"], "user_id")
+    except GroupExistsError:
+        checks.append(("check", "duplicate_group_version_rejected",
+                       "GroupExistsError", "raised"))
+    try:
+        fs.register_feature("bad", "user", "decimal")
+    except InvalidDtypeError:
+        checks.append(("check", "invalid_dtype_rejected",
+                       "InvalidDtypeError", "raised"))
+    try:
+        fs.create_group("ghost", ["nope"], "user_id")
+    except UnknownFeatureError:
+        checks.append(("check", "unknown_feature_rejected",
+                       "UnknownFeatureError", "raised"))
+
+    feats = fs.features_df().select(
+        F.lit("feature").alias("kind"),
+        "name",
+        F.col("entity_type").alias("attr1"),
+        F.col("dtype").alias("attr2"),
+        F.lit(0).alias("version"),
+        F.col("is_active").alias("active"),
+    )
+    groups = fs.groups_df().select(
+        F.lit("group").alias("kind"),
+        "name",
+        F.col("entity_key").alias("attr1"),
+        F.col("frequency").alias("attr2"),
+        "version",
+        F.lit(True).alias("active"),
+    )
+    checks_df = spark.createDataFrame(
+        [(*c, 0, True) for c in checks],
+        "kind string, name string, attr1 string, attr2 string, "
+        "version int, active boolean",
+    )
+    return feats.unionByName(groups).unionByName(checks_df)
+
+
+@q("core_uuid_shape")  # F4 — rows-only: uuid() can't hash-match an oracle
+def core_uuid_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """F4: UUID generation (reference ``str(uuid.uuid4())`` for ids,
+    feature_store.py:114,133,151). Non-deterministic by nature, so this
+    is a rows-only driver entry: every generated id must match the
+    RFC-4122 v4 shape and be unique — both enforced IN the query, so a
+    wrong implementation changes the row count.
+    """
+    n = (
+        load(spark, sf, "customer")
+        .select(F.expr("uuid()").alias("u"))
+        .where(
+            F.col("u").rlike(
+                "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}"
+                "-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_valid"),
+            F.count_distinct("u").alias("n_distinct"),
+        )
+    )
+    return n.where(F.col("n_valid") == F.col("n_distinct")).select(
+        "n_valid", "n_distinct"
+    )
+
+
+@q("core_current_ts_shape")  # F3 — rows-only: wall clock can't hash-match
+def core_current_ts_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """F3: current UTC timestamp, ISO-formatted (reference
+    ``datetime.utcnow().isoformat()``, feature_store.py:80-84,351).
+    Rows-only entry: the value is wall-clock, but its SHAPE is checked
+    in-query — ISO-8601 with microseconds, UTC session zone, and within
+    a sane bound of the driver's own clock — so the single output row
+    vanishes if the implementation breaks.
+    """
+    from datetime import datetime, timezone
+
+    py_now = datetime.now(timezone.utc).replace(tzinfo=None)
+    one = spark.range(1).select(
+        F.date_format(
+            F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).alias("iso"),
+        F.current_timestamp().alias("ts"),
+    )
+    return one.where(
+        F.col("iso").rlike(
+            r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}$"
+        )
+        & (
+            F.abs(
+                F.unix_micros("ts") - F.lit(int(py_now.timestamp() * 1e6))
+            )
+            < F.lit(3_600_000_000)  # within an hour of the driver clock
+        )
+    ).select("iso")
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: dedup
 # ---------------------------------------------------------------------------
