@@ -1,6 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"} plus
+"vs_baseline" — per-query time ratios against the pinned round-2
+numbers (BASELINE_r2.json), so a regression is attributable to a
+specific query, not just the headline total. Ratio > 1 = slower than
+round 2.
 
 Each query is forced through a noop sink so every output column is
 actually computed (a bare .count() would let Catalyst prune the
@@ -70,17 +74,25 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_r2.json"
     )
+    if os.path.exists(baseline_path) and sf == 0.1:
+        with open(baseline_path) as f:
+            base = json.load(f)["queries"]
+        out["vs_baseline"] = {
+            name: round(t / base[name], 2)
+            for name, t in timings.items()
+            if name in base and base[name] > 0
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -343,10 +343,14 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint()
     )
+    # Initial labels fold propagation round 1 into node enumeration:
+    # label(v) = min(v, min neighbor) comes from the same groupBy that
+    # would otherwise just distinct the node list (edges are stored
+    # bidirectional, so every node appears as src).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("nmin"))
+        .select("node", F.least("node", "nmin").alias("label"))
         .localCheckpoint()
     )
     changed = 1
