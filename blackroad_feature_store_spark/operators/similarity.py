@@ -60,6 +60,38 @@ def lsh_bucket(vec: Column, nbits: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def random_hyperplanes(
+    dim: int, nbits: int, seed: int = 7
+) -> list[list[float]]:
+    """A seeded Gaussian hyperplane family for sign-bit LSH — the
+    production recall knob the axis-aligned family trades away for
+    oracle portability. Deterministic for a given (dim, nbits, seed).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((nbits, dim))]
+
+
+def lsh_bucket_random(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Random-projection sign-bit bucket: bit i = (vec · plane_i >= 0).
+
+    Planes are inlined as array literals — at nbits×dim literal floats
+    this stays well under plan-size limits for any practical nbits; for
+    very high-dimensional vectors, ship the planes as a broadcast
+    one-row DataFrame instead and crossJoin them in.
+    """
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(x) for x in p])
+        bits.append(
+            F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return F.concat(*bits)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,17 +148,28 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     nbits: int = 4,
+    hyperplanes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: brute force restricted to the query's LSH
-    bucket. Same output shape (and norm precompute) as cosine_topk."""
+    bucket. Same output shape (and norm precompute) as cosine_topk.
+
+    Default bucketing is the oracle-portable axis-aligned family; pass
+    ``hyperplanes`` (e.g. :func:`random_hyperplanes`) for the
+    random-projection variant, which spreads the corpus across buckets
+    independently of per-dimension sign skew.
+    """
+    if hyperplanes is not None:
+        bucket = lambda v: lsh_bucket_random(v, hyperplanes)  # noqa: E731
+    else:
+        bucket = lambda v: lsh_bucket(v, nbits)  # noqa: E731
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), nbits).alias("__b")
+        F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("__b")
     ).withColumn("__cnorm", norm(F.col(vec_col)))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("__qid"),
             F.col(vec_col).alias("__qvec"),
-            lsh_bucket(F.col(vec_col), nbits).alias("__b"),
+            bucket(F.col(vec_col)).alias("__b"),
         ).withColumn("__qnorm", norm(F.col("__qvec")))
     )
     scored = (
@@ -141,6 +184,77 @@ def cosine_topk_lsh(
                 6,
             ).alias("score"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_lsh_tables(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nbits: int = 6,
+    ntables: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH top-k — the recall dial that a
+    single hash table lacks: a true neighbor is a candidate if it
+    collides in ANY of ``ntables`` independent tables
+    (P = 1-(1-p^nbits)^ntables), the same band/row trade-off as MinHash
+    banding. Candidates are the union of per-table bucket equi-joins,
+    deduplicated before scoring so no pair is scored twice.
+
+    Per-table buckets are exploded from one array column, so the corpus
+    is scanned once regardless of ``ntables``; candidate dedup is one
+    shuffle on (query, neighbor).
+    """
+    if dim is None:
+        dim = corpus.select(F.size(vec_col)).first()[0]
+    planes = [random_hyperplanes(dim, nbits, seed + t) for t in range(ntables)]
+
+    def buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.concat(F.lit(f"{t}:"), lsh_bucket_random(vec, planes[t]))
+                for t in range(ntables)
+            ]
+        )
+
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__cnorm", norm(F.col(vec_col)))
+        .withColumn("__b", F.explode(buckets(F.col(vec_col))))
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+        )
+        .withColumn("__qnorm", norm(F.col("__qvec")))
+        .withColumn("__b", F.explode(buckets(F.col("__qvec"))))
+    )
+    cand = (
+        c.join(q, "__b")
+        .where(F.col(id_col) != F.col("__qid"))
+        .dropDuplicates(["__qid", id_col])
+    )
+    scored = cand.select(
+        F.col("__qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -218,6 +218,15 @@ class FeatureStore:
         # same way the reference's SQLite indexes make lookups ~free.
         self._features: dict[str, Feature] = {}
         self._groups: dict[str, FeatureGroup] = {}
+        # Concurrent-writer bookkeeping: keys THIS instance changed
+        # since its last sync with disk, plus the file stat observed at
+        # that sync. A flush that finds the file changed underneath
+        # reloads disk state and overlays only the dirty keys — two
+        # stores writing different features both survive (per-key
+        # last-writer-wins, not whole-file clobber).
+        self._dirty_features: set[str] = set()
+        self._dirty_groups: set[str] = set()
+        self._reg_stat: dict[str, tuple[int, int]] = {}
         self._load_registry()
 
     # ------------------------------------------------------------------
@@ -227,33 +236,107 @@ class FeatureStore:
     def _registry_file(self, path: str) -> str:
         return os.path.join(path, "part-0.parquet")
 
+    def _stat_key(self, path: str) -> tuple[int, int]:
+        try:
+            st = os.stat(path)
+            return (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            return (0, 0)
+
+    def _registry_lock(self):
+        """Advisory exclusive lock serializing read-merge-write flushes
+        across processes (POSIX flock; degrades to no-op where
+        unavailable — the mtime merge still protects in-process)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            lock_path = os.path.join(self.base_path, ".registry.lock")
+            fh = open(lock_path, "w")
+            try:
+                try:
+                    import fcntl
+
+                    fcntl.flock(fh, fcntl.LOCK_EX)
+                except ImportError:  # non-POSIX: mtime check only
+                    pass
+                yield
+            finally:
+                fh.close()  # releases the flock
+
+        return _cm()
+
     def _load_registry(self) -> None:
         f = self._registry_file(self._features_path)
+        self._reg_stat[f] = self._stat_key(f)
         if os.path.exists(f):
             for row in pq.read_table(f).to_pylist():
                 self._features[row["name"]] = Feature(**row)
         g = self._registry_file(self._groups_path)
+        self._reg_stat[g] = self._stat_key(g)
         if os.path.exists(g):
             for row in pq.read_table(g).to_pylist():
                 self._groups[row["id"]] = FeatureGroup(**row)
 
     def _atomic_write(self, table: pa.Table, path: str) -> None:
         # Write-then-rename so a crash mid-write never corrupts the
-        # registry (the reference's SQLite writes were transactional;
-        # single-writer is still assumed, as documented on the class).
+        # registry (the reference's SQLite writes were transactional).
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, path)
 
     def _flush_features(self) -> None:
-        rows = [f.__dict__ for f in self._features.values()]
-        table = pa.Table.from_pylist(rows, schema=_FEATURES_PA_SCHEMA)
-        self._atomic_write(table, self._registry_file(self._features_path))
+        path = self._registry_file(self._features_path)
+        with self._registry_lock():
+            if self._stat_key(path) != self._reg_stat.get(path):
+                # Another writer flushed since our last sync: reload
+                # disk truth, overlay only the keys WE changed.
+                disk: dict[str, Feature] = {}
+                if os.path.exists(path):
+                    for row in pq.read_table(path).to_pylist():
+                        disk[row["name"]] = Feature(**row)
+                for name in self._dirty_features:
+                    if name in self._features:
+                        disk[name] = self._features[name]
+                self._features = disk
+            rows = [f.__dict__ for f in self._features.values()]
+            table = pa.Table.from_pylist(rows, schema=_FEATURES_PA_SCHEMA)
+            self._atomic_write(table, path)
+            self._reg_stat[path] = self._stat_key(path)
+            self._dirty_features.clear()
 
     def _flush_groups(self) -> None:
-        rows = [g.__dict__ for g in self._groups.values()]
-        table = pa.Table.from_pylist(rows, schema=_GROUPS_PA_SCHEMA)
-        self._atomic_write(table, self._registry_file(self._groups_path))
+        path = self._registry_file(self._groups_path)
+        with self._registry_lock():
+            conflict: Optional[FeatureGroup] = None
+            if self._stat_key(path) != self._reg_stat.get(path):
+                disk: dict[str, FeatureGroup] = {}
+                if os.path.exists(path):
+                    for row in pq.read_table(path).to_pylist():
+                        disk[row["id"]] = FeatureGroup(**row)
+                disk_nv = {(g.name, g.version) for g in disk.values()}
+                for gid in self._dirty_groups:
+                    g = self._groups.get(gid)
+                    if g is None:
+                        continue
+                    if gid not in disk and (g.name, g.version) in disk_nv:
+                        # Another writer created this (name, version)
+                        # first — the uniqueness contract holds across
+                        # writers, detected at flush time.
+                        conflict = g
+                        continue
+                    disk[gid] = g
+                self._groups = disk
+            rows = [g.__dict__ for g in self._groups.values()]
+            table = pa.Table.from_pylist(rows, schema=_GROUPS_PA_SCHEMA)
+            self._atomic_write(table, path)
+            self._reg_stat[path] = self._stat_key(path)
+            self._dirty_groups.clear()
+        if conflict is not None:
+            raise GroupExistsError(
+                f"Feature group '{conflict.name}' version "
+                f"{conflict.version} already exists (concurrent writer)"
+            )
 
     # ------------------------------------------------------------------
     # registry API (reference feature_store.py:195-320,510-516)
@@ -288,6 +371,7 @@ class FeatureStore:
             source_query=source_query,
         )
         self._features[name] = feat
+        self._dirty_features.add(name)
         self._flush_features()
         return feat
 
@@ -315,6 +399,7 @@ class FeatureStore:
         if f is None:
             return False
         f.is_active = False
+        self._dirty_features.add(name)
         self._flush_features()
         return True
 
@@ -345,6 +430,7 @@ class FeatureStore:
             version=version,
         )
         self._groups[group.id] = group
+        self._dirty_groups.add(group.id)
         self._flush_groups()
         return group
 

@@ -177,6 +177,55 @@ def test_cosine_topk_lsh_same_bucket_only(vectors):
     assert {r["neighbor_id"] for r in rows} == {2, 3, 5}
 
 
+def test_lsh_recall_random_planes_and_tables(spark):
+    # Recall@5 vs brute-force truth over the real embeddings table,
+    # deterministic via seeded planes. Pins the recall ordering:
+    # multi-table > single random table >= axis-aligned at equal nbits.
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_lsh_tables,
+        random_hyperplanes,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topk_set(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = topk_set(cosine_topk(emb, queries, k=5))
+    axis = topk_set(cosine_topk_lsh(emb, queries, k=5, nbits=6))
+    planes = random_hyperplanes(64, nbits=6, seed=7)
+    rand1 = topk_set(
+        cosine_topk_lsh(emb, queries, k=5, hyperplanes=planes)
+    )
+    multi = topk_set(
+        cosine_topk_lsh_tables(emb, queries, k=5, nbits=6, ntables=4)
+    )
+
+    r_axis = len(axis & truth) / len(truth)
+    r_rand = len(rand1 & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_rand >= r_axis  # random planes ≥ sign-skewed axis family
+    assert r_multi > r_rand  # OR-ing tables is the recall dial
+    assert r_multi >= 0.2  # measured 0.24 with these seeds
+
+
+def test_random_hyperplanes_deterministic():
+    from blackroad_feature_store_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    a = random_hyperplanes(8, 4, seed=42)
+    b = random_hyperplanes(8, 4, seed=42)
+    c = random_hyperplanes(8, 4, seed=43)
+    assert a == b and a != c
+    assert len(a) == 4 and len(a[0]) == 8
+
+
 # -- text profile --------------------------------------------------------------
 
 

@@ -351,6 +351,46 @@ def test_stats_mixed_int_float_min_max_types(store_with_group):
     assert inc["max"] == 3 and isinstance(inc["max"], int)
 
 
+# -- concurrent writers (registry reload-merge) ------------------------------
+
+def test_two_writers_merge_disjoint_features(spark, tmp_path):
+    # Two stores on the same base_path writing DIFFERENT names: both
+    # must survive (per-key last-writer-wins, not whole-file clobber).
+    path = str(tmp_path / "fs")
+    s1 = FeatureStore(spark, path)
+    s2 = FeatureStore(spark, path)
+    s1.register_feature("a", "user", "int")
+    s2.register_feature("b", "user", "str")
+    s3 = FeatureStore(spark, path)
+    assert {f.name for f in s3.list_features()} == {"a", "b"}
+    # the merging writer also picked up the other writer's entry
+    assert s2.get_feature("a") is not None
+
+
+def test_two_writers_same_name_last_wins(spark, tmp_path):
+    path = str(tmp_path / "fs")
+    s1 = FeatureStore(spark, path)
+    s2 = FeatureStore(spark, path)
+    s1.register_feature("x", "user", "int")
+    s2.register_feature("x", "user", "float")  # upsert: later writer wins
+    s3 = FeatureStore(spark, path)
+    assert s3.get_feature("x").dtype == "float"
+
+
+def test_two_writers_duplicate_group_version_detected(spark, tmp_path):
+    path = str(tmp_path / "fs")
+    s1 = FeatureStore(spark, path)
+    s1.register_feature("a", "user", "int")
+    s2 = FeatureStore(spark, path)
+    s1.create_group("g", ["a"], "user_id")
+    # s2 doesn't know about s1's group — the in-memory check passes,
+    # but the flush-time merge detects the (name, version) collision.
+    with pytest.raises(GroupExistsError, match="concurrent writer"):
+        s2.create_group("g", ["a"], "user_id")
+    s3 = FeatureStore(spark, path)
+    assert len(s3.list_groups()) == 1
+
+
 def test_sql_views(store_with_group):
     store, g = store_with_group
     store.write_features(g.id, "u1", {"age": 30}, timestamp="2026-01-01T00:00:00")
