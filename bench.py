@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from blackroad_feature_store_spark.session import get_spark
+from pyspark.sql.functions import col as _col
+
+F_col_id = _col("id")
 
 HEADLINE = [
     "core_pit_join",
@@ -53,6 +56,13 @@ HEADLINE = [
     "mm_asset_metadata",
     "mm_image_features",
     "stream_windowed_counts",
+    "core_window_funcs",
+    "core_pivot",
+    "core_rolling_range",
+    "core_approx_distinct",
+    "core_range_join",
+    "core_percentiles",
+    "store_registry_ops",
 ]
 
 
@@ -63,6 +73,16 @@ def main() -> None:
 
     spark = get_spark(app_name="spark-graft-bench")
     queries = entrymod.queries()
+
+    # JVM/codegen warmup OUTSIDE the timed loop: one small aggregation
+    # and one parquet scan, so the first headline query measures its
+    # plan, not JIT compilation. (Round-2 numbers included warmup in
+    # the first query — noted in PLANS_r03.md for cross-round reads.)
+    spark.range(1_000_000).groupBy((F_col_id % 7).alias("k")).count().write \
+        .format("noop").mode("overwrite").save()
+    queries["core_point_lookup"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1691,3 +1691,229 @@ def core_date_arith(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
         ).alias("due_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# General-SQL surface, round 3: window functions, pivot, range frames,
+# sketches, range joins, percentiles
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "core_window_funcs",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST(rank()   OVER w AS INT) AS rnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def core_window_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window functions (lag/lead/ntile/rank) per customer in
+    order-date order — the per-entity history navigation a feature
+    pipeline uses for "previous snapshot" features. Ordering is made
+    total with the orderkey tiebreak, so every engine agrees."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.rank().over(w).cast("int").alias("rnk"),
+    )
+
+
+@q(
+    "core_pivot",
+    """
+    SELECT c_mktsegment,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p,
+           CAST(round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2)
+                AS DOUBLE) AS rev_f
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def core_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long→wide): order counts and F-revenue per market segment
+    spread across status columns — Spark's relational pivot operator
+    with an explicit value list (no extra distinct-values scan), which
+    is exactly conditional aggregation and shuffles once."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    wide = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    return wide.select(
+        "c_mktsegment",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.col("F_rev").alias("rev_f"),
+    )
+
+
+@q(
+    "core_rolling_range",
+    """
+    SELECT o_orderkey,
+           CAST(round(
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE))
+                   OVER w
+               / count(*) OVER w, 6) AS DOUBLE) AS avg_90d,
+           CAST(count(*) OVER w AS BIGINT) AS n_90d
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 epoch(CAST(o_orderdate AS TIMESTAMP)) AS ts_s
+          FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_s
+                 RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def core_rolling_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-range window frame (hypertable-style rolling aggregate):
+    per customer, the trailing-90-day average order value at every
+    order. RANGE frames are tie-insensitive (all equal timestamps are
+    in-frame), so the result is deterministic without a tiebreak; the
+    frame is expressed in epoch seconds so both engines bound it
+    identically."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias(
+            "ts_s"
+        ),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts_s")
+        .rangeBetween(-7776000, 0)  # 90 days in seconds
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+    return orders.select(
+        "o_orderkey",
+        F.round(
+            F.sum(price).over(w) / F.count(F.lit(1)).over(w), 6
+        ).alias("avg_90d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_90d"),
+    )
+
+
+@q(
+    "core_approx_distinct",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS sketch_within_bound
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def core_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per segment. Sketch estimates
+    are engine-specific, so the oracle pins the EXACT count and the
+    sketch is validated IN-QUERY: the row only survives if the HLL
+    estimate lands within 15% of the exact count (default rsd is 5%,
+    so a healthy sketch passes with wide margin — a broken one drops
+    rows and fails the row-count gate). At 100 TB the sketch is the
+    point: one pass, fixed memory, mergeable across partitions."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    per_seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        )
+    )
+    return per_seg.where(
+        F.abs(F.col("approx_customers") - F.col("exact_customers"))
+        <= 0.15 * F.col("exact_customers")
+    ).select(
+        "c_mktsegment",
+        "exact_customers",
+        F.lit(True).alias("sketch_within_bound"),
+    )
+
+
+@q(
+    "core_range_join",
+    """
+    SELECT o.o_orderkey,
+           count(l.l_linenumber) AS n_shipped_30d,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS shipped_value_30d
+    FROM orders o LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def core_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-predicate join (interval containment): line items shipped
+    within 30 days of their order's date. The equi key (orderkey)
+    carries the join — the range predicate is a post-join filter, so
+    this stays a hash join (never a cross product) and scales as the
+    equi join does."""
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    joined = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (
+            F.col("l_shipdate")
+            < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("l_linenumber").alias("n_shipped_30d"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("shipped_value_30d"),
+    )
+
+
+@q(
+    "core_percentiles",
+    """
+    SELECT o_orderstatus,
+           CAST(round(quantile_cont(o_totalprice, 0.25), 6) AS DOUBLE) AS p25,
+           CAST(round(quantile_cont(o_totalprice, 0.50), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(o_totalprice, 0.75), 6) AS DOUBLE) AS p75
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def core_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per status — the distribution
+    profile a data-quality gate reports next to mean/min/max. Both
+    engines compute the same linear interpolation ((1-f)·lo + f·hi) on
+    the same parquet doubles, rounded to 6 places."""
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+    )
