@@ -23,9 +23,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from blackroad_feature_store_spark.session import get_spark
-from pyspark.sql.functions import col as _col
-
-F_col_id = _col("id")
 
 HEADLINE = [
     "core_pit_join",
@@ -78,8 +75,8 @@ def main() -> None:
     # and one parquet scan, so the first headline query measures its
     # plan, not JIT compilation. (Round-2 numbers included warmup in
     # the first query — noted in PLANS_r03.md for cross-round reads.)
-    spark.range(1_000_000).groupBy((F_col_id % 7).alias("k")).count().write \
-        .format("noop").mode("overwrite").save()
+    spark.range(1_000_000).selectExpr("id % 7 AS k").groupBy("k").count() \
+        .write.format("noop").mode("overwrite").save()
     queries["core_point_lookup"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
