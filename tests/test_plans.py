@@ -1,0 +1,100 @@
+"""Plan-shape regression tests — pin the physical-plan properties the
+100 TB design depends on (pushdown, pruning, broadcast, bucketing), so
+a refactor that silently loses one fails CI, not the cluster.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark.plans import driver_queries as dq
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = formatted_plan(dq.core_scan_filter_project(spark, SF))
+    # the part-type filter must reach the parquet reader, not sit in a
+    # post-scan Filter only
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = formatted_plan(dq.core_scan_filter_project(spark, SF))
+    # ReadSchema must be narrowed to the projected columns — p_retailprice
+    # (present in part.parquet) must NOT be read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("p_retailprice" not in ln for ln in read)
+
+
+def test_small_dims_broadcast(spark):
+    plan = formatted_plan(dq.tpch_q5_local_supplier(spark, SF))
+    assert "BroadcastHashJoin" in plan  # region/nation never shuffle
+
+
+def test_asof_top1_uses_window_group_limit(spark):
+    # Spark 4 plans top-1-per-key with WindowGroupLimit (map-side top-1
+    # before the exchange) — losing it would shuffle every record
+    plan = formatted_plan(dq.core_asof_top1(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # Co-located join: both sides bucketed by the join key into the
+    # same bucket count — the sort-merge join must read buckets
+    # directly with NO Exchange on either side. This is the 100 TB
+    # fact-to-fact join strategy (pre-bucket once, join many times).
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .saveAsTable("b_orders")
+    )
+    (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .saveAsTable("b_lineitem")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"), "o_orderkey"
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # buckets align: zero shuffle
+        # and it actually computes the right thing
+        n = joined.count()
+        assert n == li.count()  # every lineitem matches its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_group_stats_single_aggregation(spark):
+    # statistics() must stay ONE partial+final hash aggregation — a
+    # second Exchange would mean a second scan/shuffle crept in
+    plan = formatted_plan(dq.core_group_stats(spark, SF))
+    assert plan.count("Exchange") <= 2  # 1 shuffle (+1 AQE read marker)

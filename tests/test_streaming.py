@@ -166,3 +166,44 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         (r["user_id"], r["n_events"], r["sum_value"]) for r in rows
     }
     assert (1, 2, 3.0) in closed
+
+
+def test_streaming_dedup_first_seen_wins(spark, tmp_path):
+    # Real stream (file source, availableNow drain): three docs, two
+    # sharing a fingerprint after normalization — one survives.
+    from blackroad_feature_store_spark.streaming.dedup import dedup_stream
+
+    src_dir = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [
+            (1, "2026-01-01T00:00:00", "Hello   world"),
+            (2, "2026-01-01T00:00:10", "hello world"),  # dup after norm
+            (3, "2026-01-01T00:00:20", "something else"),
+        ],
+        "doc_id long, ts string, text string",
+    ).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = dedup_stream(stream, ts_col="ts", text_col="text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(rows) == 2
+    kept_texts = {r["text"].lower().replace("   ", " ") for r in rows}
+    assert kept_texts == {"hello world", "something else"}
+    # stream and batch agree on the fingerprint definition
+    from blackroad_feature_store_spark.operators.dedup import exact_duplicates
+
+    batch = spark.read.parquet(src_dir)
+    batch_groups = exact_duplicates(batch).count()
+    assert batch_groups == 2  # same two distinct fingerprints
