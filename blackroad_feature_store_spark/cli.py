@@ -95,6 +95,14 @@ def cmd_get(args, store: FeatureStore) -> None:
         print(f"  {k}: {v}")
 
 
+def cmd_delete_entity(args, store: FeatureStore) -> None:
+    n = store.delete_entity_records(args.group_id, args.entity_id)
+    if n == 0:
+        print(f"No records found for entity '{args.entity_id}'.")
+    else:
+        print(f"✓ Removed {n} record(s) for entity '{args.entity_id}'.")
+
+
 def cmd_join(args, store: FeatureStore) -> None:
     entities = args.entities.split(",")
     groups = args.groups.split(",")
@@ -211,6 +219,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("entity_id")
     p.add_argument("--as-of", help="Point-in-time ISO timestamp")
     p.set_defaults(func=cmd_get)
+
+    p = sub.add_parser(
+        "delete-entity",
+        help="Erase all records of one entity from a group (GDPR path)",
+    )
+    p.add_argument("group_id")
+    p.add_argument("entity_id")
+    p.set_defaults(func=cmd_delete_entity)
 
     p = sub.add_parser("join", help="Point-in-time join")
     p.add_argument("entities", help="Comma-separated entity IDs")

@@ -1917,3 +1917,99 @@ def core_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline sampling: deterministic splits and balanced downsampling
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pipeline_train_split",
+    """
+    SELECT source,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                     AS INT) % 100 < 90
+                THEN 'train' ELSE 'holdout' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY source, split
+    """,
+)
+def pipeline_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based train/holdout split — the assignment a
+    training pipeline must reproduce across runs and engines (never
+    rand(): re-runs must not reshuffle documents between splits). The
+    bucket is the first 16 bits of md5(doc_id) mod 100; 90/10. Pure
+    narrow projection + one aggregation: at 100 TB the split is a
+    filter, never a shuffle."""
+    docs = load(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    return (
+        docs.withColumn(
+            "split",
+            F.when(bucket < 90, F.lit("train")).otherwise(F.lit("holdout")),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@q(
+    "pipeline_balanced_sample",
+    """
+    WITH sized AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    floor_n AS (SELECT min(n) AS target FROM sized),
+    ranked AS (
+        SELECT d.lang, d.doc_id,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rn
+        FROM documents d)
+    SELECT r.lang,
+           count(*) AS n_sampled,
+           min(r.doc_id) AS min_doc_id,
+           max(r.doc_id) AS max_doc_id
+    FROM ranked r, floor_n f
+    WHERE r.rn <= f.target
+    GROUP BY r.lang
+    """,
+)
+def pipeline_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly the
+    smallest class's document count, chosen deterministically by hash
+    order (stable across runs/engines — no rand()). The per-class
+    top-N is a window over the hash ordering; the class floor is a
+    one-row broadcast join. The classic rebalance step before training
+    on skewed multilingual corpora."""
+    docs = load(spark, sf, "documents")
+    target = F.broadcast(
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("target"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("lang", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(target)
+        .where(F.col("rn") <= F.col("target"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

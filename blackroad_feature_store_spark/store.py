@@ -581,13 +581,23 @@ class FeatureStore:
             .partitionBy("group_id")
             .parquet(tmp)
         )
+        self._swap_in(tmp, group_id)
+        return n
+
+    def _swap_in(self, tmp: str, group_id: Optional[str]) -> None:
+        """Crash-safe two-rename swap of freshly written record data
+        (in ``tmp``, partitioned layout) over the live log (whole log
+        when ``group_id`` is None, else that one partition). See
+        :meth:`compact_records` for the safety argument."""
+        import shutil
+
         old_root = os.path.join(self.base_path, "compact_old")
         os.makedirs(old_root, exist_ok=True)
         if group_id is None:
             stale = self._records_path
             old = os.path.join(old_root, "__all__")
             os.replace(stale, old)  # live moves aside, still readable
-            os.replace(tmp, stale)  # compacted data becomes live
+            os.replace(tmp, stale)  # new data becomes live
             shutil.rmtree(old)
         else:
             part = f"group_id={group_id}"
@@ -602,7 +612,56 @@ class FeatureStore:
             os.rmdir(old_root)
         except OSError:
             pass
-        return n
+
+    def delete_entity_records(self, group_id: str, entity_id: str) -> int:
+        """Physically remove every record of one entity from a group's
+        partition — the right-to-erasure path an append-only log still
+        has to offer. Rewrites the partition minus the entity through
+        the same crash-safe rename-aside swap as compaction (at no
+        point is the partition unreadable; recovery on store open).
+        Returns the number of records removed.
+
+        Single-writer per partition, like compaction: don't delete
+        concurrently with writes to the same group. At 100 TB this is
+        one partition-pruned scan + rewrite of one partition, not a
+        full-log pass; with Delta/Iceberg it would be a `DELETE WHERE`.
+        """
+        import shutil
+        import tempfile as _tf
+
+        self._require_group(group_id)
+        self._recover_compaction()
+        df = self.records_df(group_id)
+        eid = str(entity_id)
+        counts = df.groupBy(
+            (F.col("entity_id") == eid).alias("hit")
+        ).count().collect()
+        removed = sum(r["count"] for r in counts if r["hit"])
+        kept = sum(r["count"] for r in counts if not r["hit"])
+        if removed == 0:
+            return 0
+        part_dir = os.path.join(self._records_path, f"group_id={group_id}")
+        if kept == 0:
+            # Nothing left in the partition: swap it aside and drop it.
+            old_root = os.path.join(self.base_path, "compact_old")
+            os.makedirs(old_root, exist_ok=True)
+            old = os.path.join(old_root, f"group_id={group_id}")
+            os.replace(part_dir, old)
+            shutil.rmtree(old)
+            try:
+                os.rmdir(old_root)
+            except OSError:
+                pass
+            return removed
+        tmp = _tf.mkdtemp(prefix="fs_delete_", dir=self.base_path)
+        (
+            df.where(F.col("entity_id") != eid)
+            .write.mode("overwrite")
+            .partitionBy("group_id")
+            .parquet(tmp)
+        )
+        self._swap_in(tmp, group_id)
+        return removed
 
     def _recover_compaction(self) -> None:
         """Finish a compaction interrupted between its two renames.

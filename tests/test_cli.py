@@ -73,6 +73,13 @@ def test_cli_full_journey(run):
     out = run("list-groups")
     assert "user_demographics v1 [batch] → age, income, city" in out
 
+    out = run("delete-entity", gid, "u1")
+    assert "Removed 2 record(s) for entity 'u1'" in out
+    out = run("get", gid, "u1")
+    assert "No feature values found" in out
+    out = run("delete-entity", gid, "u1")
+    assert "No records found" in out
+
 
 def test_cli_route_no_trigger(run):
     out = run("route", "no mention here")

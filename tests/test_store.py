@@ -351,6 +351,39 @@ def test_stats_mixed_int_float_min_max_types(store_with_group):
     assert inc["max"] == 3 and isinstance(inc["max"], int)
 
 
+def test_delete_entity_records(store_with_group):
+    store, g = store_with_group
+    for i in range(4):
+        store.write_features(
+            g.id, "keep_me", {"age": 30 + i},
+            timestamp=f"2026-01-{i+1:02d}T00:00:00",
+        )
+    store.write_features(
+        g.id, "erase_me", {"age": 99}, timestamp="2026-01-05T00:00:00"
+    )
+    assert store.delete_entity_records(g.id, "erase_me") == 1
+    assert store.get_features(g.id, "erase_me") is None
+    # the surviving entity is untouched, latest snapshot intact
+    assert store.records_df(g.id).count() == 4
+    assert store.get_features(g.id, "keep_me")["age"] == 33
+    # absent entity → 0, no rewrite
+    assert store.delete_entity_records(g.id, "ghost") == 0
+
+
+def test_delete_entity_records_last_entity_empties_partition(store_with_group):
+    store, g = store_with_group
+    store.write_features(
+        g.id, "only", {"age": 1}, timestamp="2026-01-01T00:00:00"
+    )
+    assert store.delete_entity_records(g.id, "only") == 1
+    assert store.records_df(g.id).count() == 0
+    # store still writable afterwards
+    store.write_features(
+        g.id, "next", {"age": 2}, timestamp="2026-01-02T00:00:00"
+    )
+    assert store.records_df(g.id).count() == 1
+
+
 # -- concurrent writers (registry reload-merge) ------------------------------
 
 def test_two_writers_merge_disjoint_features(spark, tmp_path):
