@@ -60,6 +60,10 @@ HEADLINE = [
     "core_range_join",
     "core_percentiles",
     "store_registry_ops",
+    "core_approx_quantiles",
+    "core_sliding_windows",
+    "pipeline_train_split",
+    "pipeline_balanced_sample",
 ]
 
 

@@ -2013,3 +2013,89 @@ def pipeline_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@q(
+    "core_approx_quantiles",
+    """
+    SELECT o_orderstatus,
+           CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE)
+               AS exact_median,
+           TRUE AS sketch_within_bound
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def core_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna percentile_approx) validated
+    the same way as the HLL sketch: the oracle pins the EXACT median,
+    and the sketch must land within 2% of it IN-QUERY or the row
+    drops and the row-count gate fails. The sketch is the 100 TB tool:
+    one pass, bounded memory, mergeable partials — the exact
+    percentile needs a full sort per group."""
+    orders = load(spark, sf, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias(
+            "exact_median"
+        ),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias(
+            "approx_median"
+        ),
+    )
+    return per.where(
+        F.abs(F.col("approx_median") - F.col("exact_median"))
+        <= 0.02 * F.col("exact_median")
+    ).select(
+        "o_orderstatus",
+        "exact_median",
+        F.lit(True).alias("sketch_within_bound"),
+    )
+
+
+@q(
+    "core_sliding_windows",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+               AS sum_value
+    FROM (
+        SELECT e.ts, e.event_type, e.value,
+               date_trunc('minute', e.ts)
+                 - INTERVAL (EXTRACT(minute FROM e.ts)::INT % 15) MINUTE
+                 - INTERVAL (k.k * 15) MINUTE AS ws
+        FROM events e
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+    WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def core_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding event-time windows (1h length, 15min slide) — the
+    overlapping-window aggregation Structured Streaming runs with
+    ``window(ts, '1 hour', '15 minutes')``; here in batch mode so the
+    DuckDB oracle can replicate it (each event belongs to exactly 4
+    windows — the oracle enumerates them with a generate_series cross
+    join). Spark's window() explodes to the same 4 rows per event
+    before one aggregation — at 100 TB the slide factor multiplies
+    shuffle volume, which is why slides should divide the length."""
+    events = load(spark, sf, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
