@@ -218,48 +218,43 @@ def ngram_jaccard(
     """Exact Jaccard similarity over distinct word shingles for the
     given (id_a, id_b) candidate pairs.
 
-    |A ∩ B| via an equi-join of the two documents' distinct shingle
-    sets; |A ∪ B| = |A| + |B| − |A ∩ B|. Everything is hash joins +
-    hash aggregations; feed LSH candidates to keep the pair set linear.
-
-    ``sh`` and ``pairs`` are each referenced from several joins below;
-    that is deliberate — the subtrees are IDENTICAL, so Catalyst plans
-    them once and reuses the shuffle output (ReusedExchange). Measured
-    at sf0.1 this beats both a persist() (materialization barrier) and
-    a pairs-semi-join prefilter (which makes the subtrees differ and
-    breaks exchange reuse, 3× slower). If the caller's pair set is tiny
-    relative to the corpus, pre-persisting ``pairs`` is their call.
+    Each document's distinct shingle SET is a narrow per-row projection
+    (``array_distinct`` of the shingle array — no shuffle at all), and
+    |A ∩ B| is ``array_intersect`` evaluated JVM-side per pair;
+    |A ∪ B| = |A| + |B| − |A ∩ B|. Total shuffle cost is two hash
+    joins keyed on doc id (AQE broadcasts the pair side when it is
+    small) — the earlier explode-shingles formulation shuffled
+    |shingles| rows through three joins instead and measured the same
+    wall time at sf0.1 with a strictly heavier exchange profile
+    (PLANS_r03.md §6; per-pair values verified identical). Feed LSH
+    candidates to keep the pair set linear in the corpus.
     """
-    sh = df.select(
+    docs_arr = df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("s"),
-    ).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("sa"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("sb"))
-    j = pairs.join(sh_a, "id_a")
-    inter = (
-        j.join(
-            sh_b,
-            (j["id_b"] == sh_b["id_b"]) & (j["sa"] == sh_b["sb"]),
-        )
-        .groupBy(j["id_a"].alias("id_a"), j["id_b"].alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        F.array_distinct(
+            word_shingles(F.col(text_col), shingle_size)
+        ).alias("sset"),
+    ).withColumn("n", F.size("sset"))
+    a = docs_arr.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sset").alias("set_a"),
+        F.col("n").alias("n_a"),
     )
-    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
-    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
+    b = docs_arr.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sset").alias("set_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(na, "id_a")
-        .join(nb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                n_inter.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_inter).cast("double"),
                 6,
             ).alias("jaccard"),
         )
