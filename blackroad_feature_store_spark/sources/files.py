@@ -1,0 +1,108 @@
+"""Generic document sources: land a corpus from parquet / JSONL / CSV /
+raw text into the canonical ``documents`` shape every operator in this
+engine consumes (doc_id, text, lang, source, n_chars).
+
+Spark-first: each format maps to the corresponding built-in reader
+(``spark.read.json/csv/text/parquet``) so schema inference, predicate
+pushdown (parquet), malformed-row handling (PERMISSIVE/DROPMALFORMED)
+and partitioned-directory discovery are all the battle-tested Spark
+implementations — none of it is reimplemented here. Missing canonical
+columns are derived (``n_chars``) or null-filled (``lang``), and
+``doc_id`` falls back to a stable hash of the text when the source has
+no id column — deterministic across runs, unlike
+``monotonically_increasing_id`` which depends on partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CANONICAL_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    source_label: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a corpus in any supported format as canonical documents.
+
+    ``format``: parquet | jsonl | csv | text.
+    ``text`` mode treats each LINE as one document (the common
+    one-example-per-line training-data layout).
+    ``id_col=None`` (or a missing column) derives ``doc_id`` from
+    ``xxhash64(text)`` — stable across runs and partitionings.
+    """
+    opts = dict(options or {})
+    if format == "parquet":
+        df = spark.read.options(**opts).parquet(path)
+    elif format == "jsonl":
+        df = spark.read.options(**opts).json(path)
+    elif format == "csv":
+        opts.setdefault("header", "true")
+        opts.setdefault("multiLine", "true")
+        opts.setdefault("escape", '"')
+        df = spark.read.options(**opts).csv(path)
+    elif format == "text":
+        df = spark.read.options(**opts).text(path).withColumnRenamed(
+            "value", text_col
+        )
+    else:
+        raise ValueError(
+            f"Unsupported format '{format}' "
+            "(expected parquet, jsonl, csv, or text)"
+        )
+
+    if text_col != "text":
+        df = df.withColumnRenamed(text_col, "text")
+    cols = set(df.columns)
+    if "text" not in cols:
+        raise ValueError(
+            f"Source at {path} has no '{text_col}' column (found: "
+            f"{sorted(cols)})"
+        )
+
+    if id_col and id_col in cols:
+        if id_col != "doc_id":
+            df = df.withColumnRenamed(id_col, "doc_id")
+        df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
+    else:
+        df = df.withColumn("doc_id", F.xxhash64("text"))
+
+    if "lang" not in df.columns:
+        df = df.withColumn("lang", F.lit(None).cast("string"))
+    if "source" not in df.columns:
+        df = df.withColumn(
+            "source",
+            F.lit(source_label)
+            if source_label is not None
+            else F.input_file_name(),
+        )
+    df = df.withColumn("n_chars", F.length("text").cast("long"))
+    return df.select(*CANONICAL_COLUMNS)
+
+
+def write_documents(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write documents in the canonical shape. Parquet (columnar,
+    splittable, statistics for pushdown) is the right sink for anything
+    downstream of ingest; JSONL is offered for interchange."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if format == "parquet":
+        w.parquet(path)
+    elif format == "jsonl":
+        w.json(path)
+    else:
+        raise ValueError(f"Unsupported sink format '{format}'")

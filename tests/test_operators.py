@@ -361,3 +361,62 @@ def test_duplicate_clusters(spark):
         for r in duplicate_clusters(pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+# -- file sources --------------------------------------------------------------
+
+
+def test_read_documents_all_formats(spark, tmp_path):
+    from blackroad_feature_store_spark.sources.files import (
+        CANONICAL_COLUMNS,
+        read_documents,
+        write_documents,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "hello world", "en", "src1"), (2, "der hund", "de", "src2")],
+        "doc_id long, text string, lang string, source string",
+    )
+
+    pq = str(tmp_path / "docs_pq")
+    base.write.parquet(pq)
+    out = read_documents(spark, pq, "parquet")
+    assert out.columns == list(CANONICAL_COLUMNS)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_chars"] == 11 and rows[2]["lang"] == "de"
+
+    jl = str(tmp_path / "docs_jsonl")
+    base.write.json(jl)
+    assert read_documents(spark, jl, "jsonl").count() == 2
+
+    cv = str(tmp_path / "docs_csv")
+    base.write.option("header", "true").csv(cv)
+    got = read_documents(spark, cv, "csv")
+    assert {r["doc_id"] for r in got.collect()} == {1, 2}
+
+    # raw text: one doc per line, hash-derived ids, labeled source
+    tx = str(tmp_path / "docs_txt")
+    spark.createDataFrame([("alpha beta",), ("gamma",)], "value string") \
+        .write.text(tx)
+    t = read_documents(spark, tx, "text", id_col=None, source_label="crawl")
+    trows = t.collect()
+    assert len(trows) == 2
+    assert all(r["source"] == "crawl" for r in trows)
+    assert len({r["doc_id"] for r in trows}) == 2  # distinct stable ids
+    # deterministic: same text → same id on re-read
+    t2 = read_documents(spark, tx, "text", id_col=None, source_label="crawl")
+    assert {r["doc_id"] for r in t2.collect()} == {r["doc_id"] for r in trows}
+
+    # canonical docs flow straight into the operator suite
+    from blackroad_feature_store_spark.operators.dedup import exact_duplicates
+
+    assert exact_duplicates(out).count() == 2
+
+    # round-trip through the sink
+    sink = str(tmp_path / "sink_pq")
+    write_documents(out, sink, partition_by=["lang"])
+    back = read_documents(spark, sink, "parquet")
+    assert back.count() == 2
+
+    with pytest.raises(ValueError, match="Unsupported format"):
+        read_documents(spark, pq, "avro")
