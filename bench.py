@@ -64,6 +64,8 @@ HEADLINE = [
     "core_sliding_windows",
     "pipeline_train_split",
     "pipeline_balanced_sample",
+    "core_salted_join",
+    "text_repetition",
 ]
 
 

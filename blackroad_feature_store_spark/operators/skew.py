@@ -50,3 +50,36 @@ def salted_agg(
     if sum_col is not None:
         final_aggs.append(F.sum("__ps").alias(sum_alias))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the BIG side's key deterministically,
+    replicate the SMALL side once per salt value, and join on
+    (key, salt) — each hot key spreads over ``num_salts`` reducers
+    instead of funneling through one.
+
+    This is the manual fallback for when AQE's runtime skew splitting
+    can't apply (e.g. the skewed side feeds another operator that pins
+    the partitioning, or the join is part of a cached plan). The small
+    side grows ``num_salts``-fold — use only when
+    |small| × num_salts ≪ |big|'s hot-key mass, which is exactly the
+    skewed-dimension-join regime. Results are identical to a plain
+    join (same key matches, salt is internal).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.hash(F.col(on)), F.lit(num_salts))
+    )
+    replicated_small = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(num_salts)])),
+    )
+    out = salted_big.join(replicated_small, [on, "__salt"], how)
+    return out.drop("__salt")

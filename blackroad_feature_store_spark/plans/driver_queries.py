@@ -48,7 +48,10 @@ from blackroad_feature_store_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
 )
-from blackroad_feature_store_spark.operators.text import text_profile
+from blackroad_feature_store_spark.operators.text import (
+    text_profile,
+    word_shingles,
+)
 from blackroad_feature_store_spark.operators.util import spread
 from blackroad_feature_store_spark.sources.testdata import load
 from blackroad_feature_store_spark.streaming.ingest import windowed_counts
@@ -2098,4 +2101,80 @@ def core_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
             "n",
             "sum_value",
         )
+    )
+
+
+@q(
+    "core_salted_join",
+    """
+    SELECT s_nationkey,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def core_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted skew join, correctness-pinned: the fact side's key is
+    salted (hash-pmod, deterministic) and the dimension side replicated
+    once per salt, so a hot key spreads over 16 reducers — and the
+    oracle proves the result is EXACTLY the plain join (salting is
+    internal). The manual fallback for when AQE's runtime skew split
+    can't apply."""
+    from blackroad_feature_store_spark.operators.skew import salted_join
+
+    li = load(spark, sf, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on="l_suppkey", num_salts=16)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@q(
+    "text_repetition",
+    r"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     CASE WHEN len(t) < 2
+                          THEN [array_to_string(t, ' ')]
+                          ELSE list_transform(
+                                   generate_series(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+1], ' '))
+                     END AS g
+              FROM toks)
+    SELECT doc_id,
+           len(g) AS n_bigrams,
+           len(list_distinct(g)) AS n_distinct,
+           CAST(round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                            / CAST(len(g) AS DOUBLE), 6) AS DOUBLE)
+               AS rep_ratio
+    FROM grams
+    """,
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition metric: fraction of repeated word
+    bigrams per document (high → boilerplate / degenerate text, a
+    standard pre-training quality filter). Pure narrow projection —
+    the bigram array, its distinct size, and the ratio are all
+    computed per row with zero shuffle at any scale."""
+    docs = load(spark, sf, "documents")
+    g = word_shingles(F.col("text"), 2)
+    nd = F.size(F.array_distinct(g))
+    n = F.size(g)
+    return docs.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - nd.cast("double") / n.cast("double"), 6
+        ).alias("rep_ratio"),
     )

@@ -420,3 +420,32 @@ def test_read_documents_all_formats(spark, tmp_path):
 
     with pytest.raises(ValueError, match="Unsupported format"):
         read_documents(spark, pq, "avro")
+
+
+# -- skew ----------------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from blackroad_feature_store_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for k in ("hot", "hot", "hot", "warm", "orphan")
+         for i in range(3)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("warm", 2), ("unused", 9)], "k string, w int"
+    )
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    salted = {tuple(r) for r in salted_join(big, small, "k", num_salts=4).collect()}
+    assert salted == plain and len(salted) > 0
+
+    plain_l = {tuple(r) for r in big.join(small, "k", "left").collect()}
+    salted_l = {
+        tuple(r)
+        for r in salted_join(big, small, "k", num_salts=4, how="left").collect()
+    }
+    assert salted_l == plain_l  # orphan keys survive with null w
+
+    with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        salted_join(big, small, "k", how="outer")
