@@ -66,6 +66,7 @@ HEADLINE = [
     "pipeline_balanced_sample",
     "core_salted_join",
     "text_repetition",
+    "core_asof_tolerance",
 ]
 
 

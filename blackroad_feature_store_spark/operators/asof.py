@@ -34,17 +34,33 @@ def latest_as_of(
     ts_col: str = "timestamp",
     as_of: datetime | str | Column | None = None,
     tiebreakers: Sequence[str] = ("id",),
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Top-1 snapshot per key: the newest row with ``ts_col <= as_of``.
 
     Deterministic under timestamp ties via ``tiebreakers`` (the
     reference's ``ORDER BY timestamp DESC LIMIT 1`` leaves ties
     unspecified — SURVEY.md §2.3 pins them down with the record id).
+
+    ``tolerance`` (an interval string like ``"90 days"``, requires
+    ``as_of``) additionally excludes snapshots older than
+    ``as_of - tolerance`` — pandas ``merge_asof(tolerance=...)``
+    semantics: a stale snapshot is treated as no snapshot. The bound
+    is a second pushdown-able range predicate, so at scale it PRUNES
+    the scan rather than adding work.
     """
     df = records
+    if tolerance is not None and as_of is None:
+        raise ValueError("tolerance requires as_of")
     if as_of is not None:
         as_of_expr = as_of if isinstance(as_of, Column) else F.lit(as_of)
         df = df.where(F.col(ts_col) <= as_of_expr)
+        if tolerance is not None:
+            df = df.where(
+                F.col(ts_col)
+                >= as_of_expr.cast("timestamp")
+                - F.expr(f"INTERVAL {tolerance}")
+            )
     order = [F.col(ts_col).desc()] + [
         F.col(c).desc() for c in tiebreakers if c in df.columns
     ]
@@ -65,6 +81,7 @@ def as_of_join(
     tiebreakers: Sequence[str] = ("id",),
     how: str = "left",
     broadcast_spine: bool = False,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Join each spine row to the latest record snapshot as of a time.
 
@@ -73,6 +90,12 @@ def as_of_join(
       (classic training-set point-in-time correctness). Implemented as
       join-then-window so each spine row sees only records at or before
       its own timestamp.
+    * ``tolerance`` (interval string) → snapshots older than
+      ``as_of - tolerance`` don't match (stale features become NULLs
+      under a left join instead of silently serving old data). In the
+      per-row branch the bound tightens the range-join condition, which
+      SHRINKS the pre-window intermediate — at scale a tolerance makes
+      the per-row as-of cheaper, not costlier.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
 
@@ -82,12 +105,16 @@ def as_of_join(
             "__spine_id", F.monotonically_increasing_id()
         )
         s = F.broadcast(spine_keyed) if broadcast_spine else spine_keyed
-        joined = s.join(
-            records,
-            on=[s[c] == records[c] for c in on_cols]
-            + [records[ts_col] <= s[as_of]],
-            how=how,
-        )
+        conds = [s[c] == records[c] for c in on_cols] + [
+            records[ts_col] <= s[as_of]
+        ]
+        if tolerance is not None:
+            conds.append(
+                records[ts_col]
+                >= s[as_of].cast("timestamp")
+                - F.expr(f"INTERVAL {tolerance}")
+            )
+        joined = s.join(records, on=conds, how=how)
         order = [records[ts_col].desc()] + [
             records[c].desc() for c in tiebreakers if c in records.columns
         ]
@@ -101,6 +128,8 @@ def as_of_join(
             out = out.drop(records[c])
         return out
 
-    latest = latest_as_of(records, on_cols, ts_col, as_of, tiebreakers)
+    latest = latest_as_of(
+        records, on_cols, ts_col, as_of, tiebreakers, tolerance=tolerance
+    )
     s = F.broadcast(spine) if broadcast_spine else spine
     return s.join(latest, on=on_cols, how=how)

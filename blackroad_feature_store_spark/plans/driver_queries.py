@@ -2178,3 +2178,51 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(1.0) - nd.cast("double") / n.cast("double"), 6
         ).alias("rep_ratio"),
     )
+
+
+@q(
+    "core_asof_tolerance",
+    """
+    SELECT s.o_orderkey, s.o_custkey,
+           r.o_orderkey   AS prev_orderkey,
+           r.o_totalprice AS prev_totalprice
+    FROM orders s
+    LEFT JOIN orders r
+      ON r.o_custkey = s.o_custkey
+     AND r.o_orderdate < s.o_orderdate
+     AND r.o_orderdate >= s.o_orderdate - INTERVAL 90 DAY
+    QUALIFY row_number() OVER (
+        PARTITION BY s.o_orderkey
+        ORDER BY r.o_orderdate DESC, r.o_orderkey DESC) = 1
+    """,
+)
+def core_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """Tolerance-bounded per-row as-of join (pandas merge_asof
+    tolerance semantics): each order sees its customer's latest earlier
+    order ONLY if it is within 90 days — staler history joins as NULL
+    instead of silently serving old features. The lower bound tightens
+    the range-join condition, shrinking the pre-window intermediate.
+    """
+    spine = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("o_orderdate - INTERVAL 1 MICROSECOND").alias("__cutoff"),
+    )
+    recs = load(spark, sf, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("prev_orderkey"),
+        F.col("o_totalprice").alias("prev_totalprice"),
+        F.col("o_orderdate").alias("r_orderdate"),
+    )
+    joined = as_of_join(
+        spine,
+        recs,
+        on="o_custkey",
+        ts_col="r_orderdate",
+        as_of="__cutoff",
+        tiebreakers=("prev_orderkey",),
+        tolerance="90 days",
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", "prev_orderkey", "prev_totalprice"
+    )

@@ -449,3 +449,59 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError, match="inner.*left|left.*inner"):
         salted_join(big, small, "k", how="outer")
+
+
+# -- duplicate clustering vs brute-force union-find ---------------------------
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    # Randomized (seeded) graphs incl. long chains — the worst case for
+    # label propagation — checked against a driver-side union-find.
+    import random
+
+    from blackroad_feature_store_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    cases = []
+    rng = random.Random(7)
+    # random sparse graphs
+    for _ in range(3):
+        n = rng.randint(10, 60)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, n))
+            }
+        )
+        cases.append(edges)
+    # a 40-node chain: diameter 39 needs pointer jumping to converge
+    cases.append([(i, i + 1) for i in range(40)])
+    # two chains merged at the far end
+    cases.append([(i, i + 1) for i in range(15)]
+                 + [(100 + i, 101 + i) for i in range(15)] + [(15, 115)])
+
+    for edges in cases:
+        nodes = sorted({x for e in edges for x in e})
+        expected = union_find_components(edges, nodes)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == expected, f"mismatch on edges={edges[:5]}..."
