@@ -67,6 +67,7 @@ HEADLINE = [
     "core_salted_join",
     "text_repetition",
     "core_asof_tolerance",
+    "core_cube",
 ]
 
 

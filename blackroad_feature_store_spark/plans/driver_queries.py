@@ -2226,3 +2226,40 @@ def core_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select(
         "o_orderkey", "o_custkey", "prev_orderkey", "prev_totalprice"
     )
+
+
+@q(
+    "core_cube",
+    """
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def core_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (segment, status): all four grouping-set combinations
+    in ONE aggregation pass (Spark expands the grouping sets before the
+    shuffle — one exchange regardless of how many sets). Completes the
+    grouping-sets family next to core_rollup."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
