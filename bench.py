@@ -68,6 +68,7 @@ HEADLINE = [
     "text_repetition",
     "core_asof_tolerance",
     "core_cube",
+    "store_time_travel",
 ]
 
 

@@ -103,6 +103,24 @@ def cmd_delete_entity(args, store: FeatureStore) -> None:
         print(f"✓ Removed {n} record(s) for entity '{args.entity_id}'.")
 
 
+def cmd_history(args, store: FeatureStore) -> None:
+    entries = store.history()
+    if not entries:
+        print("No commits yet.")
+        return
+    print(f"{'ver':>5}  {'op':<14} {'added':>6} {'removed':>8}  ts")
+    for e in entries:
+        print(
+            f"{e['version']:>5}  {e['op']:<14} {e['files_added']:>6} "
+            f"{e['files_removed']:>8}  {e['ts']}"
+        )
+
+
+def cmd_vacuum(args, store: FeatureStore) -> None:
+    n = store.vacuum(retain_versions=args.retain)
+    print(f"✓ Vacuum removed {n} unreferenced data file(s).")
+
+
 def cmd_join(args, store: FeatureStore) -> None:
     entities = args.entities.split(",")
     groups = args.groups.split(",")
@@ -227,6 +245,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("group_id")
     p.add_argument("entity_id")
     p.set_defaults(func=cmd_delete_entity)
+
+    p = sub.add_parser(
+        "history", help="Record-table commit history (versions, ops)"
+    )
+    p.set_defaults(func=cmd_history)
+
+    p = sub.add_parser(
+        "vacuum", help="Delete data files no retained version references"
+    )
+    p.add_argument(
+        "--retain", type=int, default=1,
+        help="number of most-recent versions to keep time-travelable",
+    )
+    p.set_defaults(func=cmd_vacuum)
 
     p = sub.add_parser("join", help="Point-in-time join")
     p.add_argument("entities", help="Comma-separated entity IDs")

@@ -2263,3 +2263,81 @@ def core_cube(spark: SparkSession, sf: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@q(
+    "store_time_travel",
+    """
+    SELECT * FROM (VALUES
+        (0, 'append',        3, 'e1,e2,e3'),
+        (1, 'append',        5, 'e1,e2,e3,e4'),
+        (2, 'delete-entity', 4, 'e1,e3,e4'),
+        (3, 'compact',       4, 'e1,e3,e4'),
+        (4, 'post-vacuum',   4, 'e1,e3,e4')
+    ) AS t(version, op, n_records, entities)
+    """,
+)
+def store_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Versioned-storage semantics through a real store (the Delta-style
+    commit log in versioning.py): four commits — two batch appends, a
+    GDPR delete, a compaction — then each version read back via
+    ``records_df(version=...)`` (time travel / snapshot isolation), and
+    a final read after ``vacuum`` proving reclamation never touches the
+    live version. The reference inherits atomicity + one linear history
+    from SQLite (feature_store.py:178-186); this is the file-backed
+    equivalent, so every row here is deterministic and a literal-VALUES
+    oracle pins it.
+    """
+    from blackroad_feature_store_spark.store import EntityRecord, FeatureStore
+
+    fs = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_tt_"))
+    fs.register_feature("score", "user", "int")
+    g = fs.create_group("tt_g", ["score"], "user_id")
+
+    def batch(*pairs):
+        fs.write_features_batch(
+            EntityRecord(
+                group_id=g.id, entity_id=e, feature_values={"score": s},
+                timestamp=f"2026-01-0{i+1}T00:00:00",
+            )
+            for i, (e, s) in enumerate(pairs)
+        )
+
+    batch(("e1", 1), ("e2", 2), ("e3", 3))          # version 0
+    batch(("e4", 4), ("e1", 10))                    # version 1 (e1 updated)
+    fs.delete_entity_records(g.id, "e2")            # version 2
+    fs.compact_records(g.id)                        # version 3
+    ops = {e["version"]: e["op"] for e in fs.history()}
+
+    def snapshot(version, op):
+        return (
+            fs.records_df(g.id, version=version)
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.array_join(
+                    F.sort_array(F.collect_set("entity_id")), ","
+                ).alias("entities"),
+            )
+            .select(
+                F.lit(version).alias("version"),
+                F.lit(op).alias("op"),
+                "n_records",
+                "entities",
+            )
+        )
+
+    # Materialize the time-travel reads BEFORE vacuum: a version-pinned
+    # snapshot is only valid while its files are retained (same
+    # contract as Delta — vacuum shortens the travel horizon).
+    versioned = [
+        tuple(snapshot(v, ops[v]).collect()[0]) for v in range(4)
+    ]
+    fs.vacuum(retain_versions=1)  # drops superseded + pre-delete files
+    after_vacuum = snapshot(fs.current_version, "post-vacuum").select(
+        F.lit(4).alias("version"), "op", "n_records", "entities"
+    )
+
+    pinned = spark.createDataFrame(
+        versioned, "version int, op string, n_records bigint, entities string"
+    )
+    return pinned.unionByName(after_vacuum)

@@ -61,6 +61,7 @@ from blackroad_feature_store_spark.errors import (
 )
 from blackroad_feature_store_spark.operators.asof import latest_as_of
 from blackroad_feature_store_spark.operators.stats import feature_statistics
+from blackroad_feature_store_spark.versioning import CommitLog
 
 # Declared dtypes (reference feature_store.py:25-31).
 DTYPE_INT = "int"
@@ -198,6 +199,11 @@ class FeatureStore:
         base_path/features/          -- registry parquet
         base_path/feature_groups/    -- registry parquet
         base_path/entity_records/    -- data plane, partitioned by group_id
+        base_path/_versions/         -- record-table commit log (versioning.py)
+
+    The record table is versioned: every append/compact/delete is one
+    atomic manifest commit, reads are snapshot-isolated at a version,
+    and ``records_df(version=...)`` / ``as_of_commit=...`` time-travel.
     """
 
     def __init__(self, spark: SparkSession, base_path: str):
@@ -213,6 +219,12 @@ class FeatureStore:
         os.makedirs(self._features_path, exist_ok=True)
         os.makedirs(self._groups_path, exist_ok=True)
         os.makedirs(self._records_path, exist_ok=True)
+        # Record-table commit log (versioning.py): every data-plane
+        # mutation is one atomic manifest commit; readers resolve a
+        # file set per version. Stores written before versioning
+        # existed get a migration commit adopting their files.
+        self._log = CommitLog(os.path.join(self.base_path, "_versions"))
+        self._migrate_unversioned()
         # Driver-side registry cache. The registry is control-plane
         # metadata (KBs); caching it avoids a Spark job per lookup the
         # same way the reference's SQLite indexes make lookups ~free.
@@ -521,12 +533,12 @@ class FeatureStore:
         """Append a pre-shaped DataFrame of records — the bulk-ingest /
         backfill path a 100 TB pipeline uses. ``df`` must match
         RECORDS_SCHEMA minus partition bookkeeping; values must already
-        be JSON-encoded strings."""
-        (df.select("id", "group_id", "entity_id", "feature_values",
-                   "timestamp", "version")
-           .write.mode("append")
-           .partitionBy("group_id")
-           .parquet(self._records_path))
+        be JSON-encoded strings. The append is one atomic commit."""
+        self._stage_and_commit(
+            df.select("id", "group_id", "entity_id", "feature_values",
+                      "timestamp", "version"),
+            op="append",
+        )
 
     def _append_records(self, recs: list[EntityRecord]) -> None:
         # Coerce here, not just in write_features: batch callers build
@@ -539,7 +551,131 @@ class FeatureStore:
             for r in recs
         ]
         df = self.spark.createDataFrame(rows, RECORDS_SCHEMA)
-        df.write.mode("append").partitionBy("group_id").parquet(self._records_path)
+        self._stage_and_commit(df, op="append")
+
+    # ------------------------------------------------------------------
+    # data plane: commit-log plumbing (versioning.py)
+    # ------------------------------------------------------------------
+
+    def _stage_and_commit(
+        self,
+        df: DataFrame,
+        op: str,
+        remove: Optional[list[str]] = None,
+        meta: Optional[dict[str, Any]] = None,
+    ) -> list[str]:
+        """Write ``df`` into the record table as ONE atomic commit.
+
+        Data files land in a staging directory first, move into the
+        live tree under fresh unique names (invisible: readers only see
+        files listed in committed manifests), and become visible when
+        the manifest commits. A crash at any point before the commit
+        leaves only unreferenced files, which :meth:`vacuum` reclaims —
+        there is no window where the table is missing or doubled.
+        Returns the relative paths added.
+        """
+        import shutil
+        import tempfile as _tf
+
+        stage = _tf.mkdtemp(prefix="fs_stage_", dir=self.base_path)
+        try:
+            (df.write.mode("overwrite").partitionBy("group_id").parquet(stage))
+            added = self._absorb_stage(stage)
+            if added or remove:
+                self._log.commit(op, add=added, remove=remove or [], meta=meta)
+            return added
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def _absorb_stage(self, stage: str) -> list[str]:
+        """Move staged parquet files into the live record tree under
+        collision-free names; returns their table-relative paths."""
+        added: list[str] = []
+        for part in sorted(os.listdir(stage)):
+            src_dir = os.path.join(stage, part)
+            if not (part.startswith("group_id=") and os.path.isdir(src_dir)):
+                continue  # _SUCCESS markers etc.
+            dst_dir = os.path.join(self._records_path, part)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in sorted(os.listdir(src_dir)):
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.join(part, f"part-{uuid.uuid4().hex}.parquet")
+                os.rename(
+                    os.path.join(src_dir, f),
+                    os.path.join(self._records_path, rel),
+                )
+                added.append(rel)
+        return added
+
+    def _migrate_unversioned(self) -> None:
+        """Adopt a pre-versioning store: if no commit log exists but
+        record files do, commit version 0 listing them verbatim."""
+        if self._log.latest_version() is not None:
+            return
+        found: list[str] = []
+        for root, _dirs, files in os.walk(self._records_path):
+            rel_root = os.path.relpath(root, self._records_path)
+            for f in files:
+                if f.endswith(".parquet"):
+                    found.append(
+                        f if rel_root == "." else os.path.join(rel_root, f)
+                    )
+        if found:
+            self._log.commit("migrate", add=sorted(found), remove=[])
+
+    def stream_batch_committed(self, stream_id: str, batch_id: int) -> bool:
+        """True when a streaming micro-batch (identified by its
+        checkpoint + batch id) already landed in the table — the replay
+        guard that turns at-least-once checkpoint recovery into an
+        exactly-once sink. Scans manifests newest-first and stops at
+        the stream's most recent commit (batch ids are monotonic per
+        checkpoint, so one hit decides)."""
+        for v in reversed(self._log.versions()):
+            m = self._log.read(v)
+            if m.get("stream_id") == stream_id:
+                return m.get("batch_id", -1) >= batch_id
+        return False
+
+    @property
+    def current_version(self) -> Optional[int]:
+        """Latest committed record-table version (None before any
+        data-plane commit)."""
+        return self._log.latest_version()
+
+    def history(self) -> list[dict[str, Any]]:
+        """Record-table commit history, newest first — version, commit
+        timestamp, operation, and files added/removed per commit."""
+        return self._log.history()
+
+    def vacuum(self, retain_versions: int = 1) -> int:
+        """Physically delete data files no retained version references.
+
+        Keeps the live file sets of the last ``retain_versions``
+        versions; everything else under the record tree — files removed
+        by old compactions/deletes, and orphans from crashed writes —
+        is unlinked. Time travel reaches back only as far as the oldest
+        retained version afterwards (same contract as Delta's VACUUM).
+        Returns the number of files deleted.
+        """
+        vs = self._log.versions()
+        retained: set[str] = set()
+        for v in vs[-max(1, retain_versions):]:
+            retained.update(self._log.live_files(v))
+        deleted = 0
+        for root, _dirs, files in os.walk(self._records_path, topdown=False):
+            rel_root = os.path.relpath(root, self._records_path)
+            for f in files:
+                rel = f if rel_root == "." else os.path.join(rel_root, f)
+                if f.endswith(".parquet") and rel not in retained:
+                    os.unlink(os.path.join(root, f))
+                    deleted += 1
+            if rel_root != ".":
+                try:
+                    os.rmdir(root)  # prune now-empty partition dirs
+                except OSError:
+                    pass
+        return deleted
 
     def compact_records(
         self, group_id: Optional[str] = None, target_rows_per_file: int = 1_000_000
@@ -550,88 +686,56 @@ class FeatureStore:
         tiny parquet file per call; at any real ingest rate that is a
         small-files scan killer. Compaction reads a group's partition
         (or all of them), coalesces to ``ceil(rows / target)`` files,
-        and atomically swaps the directory. Returns the row count.
+        and commits ``{add: compacted, remove: old}`` in one atomic
+        manifest. Returns the row count.
 
-        Single-writer assumption (same as the registry): don't compact
-        concurrently with writes to the same partition.
-
-        Crash safety: the swap is rename-aside — the live directory
-        moves to ``base_path/compact_old/`` (one atomic rename), the
-        compacted one moves in (second atomic rename), then the aside
-        copy is deleted. At no point is the data unreachable: a crash
-        between the renames leaves the full log in ``compact_old``,
-        and :meth:`_recover_compaction` (run on every store open)
-        restores it. A crash after the second rename leaves only a
-        stale aside copy, which recovery deletes.
+        Crash safety and concurrency come from the commit log: the
+        table is never unreachable (old files stay live until the
+        commit lands; a crash leaves only invisible staged files for
+        :meth:`vacuum`), readers pinned at older versions keep their
+        snapshot, and an append that commits *while* the compaction
+        runs survives — its files are not in this commit's remove set,
+        so replay keeps them live alongside the compacted files. Old
+        pre-compaction files remain for time travel until vacuumed.
         """
         import math
-        import shutil
-        import tempfile as _tf
 
-        self._recover_compaction()
-        df = self.records_df(group_id)
+        snapshot = self._log.latest_version()
+        old_files = self._log.live_files(snapshot)
+        if group_id is not None:
+            prefix = f"group_id={group_id}/"
+            old_files = [f for f in old_files if f.startswith(prefix)]
+        df = self.records_df(group_id, version=snapshot)
         n = df.count()
         if n == 0:
             return 0
         files = max(1, math.ceil(n / target_rows_per_file))
-        tmp = _tf.mkdtemp(prefix="fs_compact_", dir=self.base_path)
-        (
-            df.repartition(files)
-            .write.mode("overwrite")
-            .partitionBy("group_id")
-            .parquet(tmp)
+        self._stage_and_commit(
+            df.repartition(files), op="compact", remove=old_files
         )
-        self._swap_in(tmp, group_id)
         return n
-
-    def _swap_in(self, tmp: str, group_id: Optional[str]) -> None:
-        """Crash-safe two-rename swap of freshly written record data
-        (in ``tmp``, partitioned layout) over the live log (whole log
-        when ``group_id`` is None, else that one partition). See
-        :meth:`compact_records` for the safety argument."""
-        import shutil
-
-        old_root = os.path.join(self.base_path, "compact_old")
-        os.makedirs(old_root, exist_ok=True)
-        if group_id is None:
-            stale = self._records_path
-            old = os.path.join(old_root, "__all__")
-            os.replace(stale, old)  # live moves aside, still readable
-            os.replace(tmp, stale)  # new data becomes live
-            shutil.rmtree(old)
-        else:
-            part = f"group_id={group_id}"
-            live = os.path.join(tmp, part)
-            stale = os.path.join(self._records_path, part)
-            old = os.path.join(old_root, part)
-            os.replace(stale, old)
-            os.replace(live, stale)
-            shutil.rmtree(old)
-            shutil.rmtree(tmp, ignore_errors=True)
-        try:
-            os.rmdir(old_root)
-        except OSError:
-            pass
 
     def delete_entity_records(self, group_id: str, entity_id: str) -> int:
         """Physically remove every record of one entity from a group's
         partition — the right-to-erasure path an append-only log still
-        has to offer. Rewrites the partition minus the entity through
-        the same crash-safe rename-aside swap as compaction (at no
-        point is the partition unreadable; recovery on store open).
-        Returns the number of records removed.
+        has to offer. Rewrites the partition minus the entity and
+        commits ``{add: rewritten, remove: old partition files}``
+        atomically (Delta's `DELETE WHERE` shape). Returns the number
+        of records removed.
 
-        Single-writer per partition, like compaction: don't delete
-        concurrently with writes to the same group. At 100 TB this is
-        one partition-pruned scan + rewrite of one partition, not a
-        full-log pass; with Delta/Iceberg it would be a `DELETE WHERE`.
+        At 100 TB this is one partition-pruned scan + rewrite of one
+        partition, not a full-log pass. Note the erasure contract: the
+        purged rows stay reachable through OLDER versions until
+        :meth:`vacuum` runs — a real GDPR pipeline follows a delete
+        with a retention-bounded vacuum.
         """
-        import shutil
-        import tempfile as _tf
-
         self._require_group(group_id)
-        self._recover_compaction()
-        df = self.records_df(group_id)
+        snapshot = self._log.latest_version()
+        prefix = f"group_id={group_id}/"
+        old_files = [
+            f for f in self._log.live_files(snapshot) if f.startswith(prefix)
+        ]
+        df = self.records_df(group_id, version=snapshot)
         eid = str(entity_id)
         counts = df.groupBy(
             (F.col("entity_id") == eid).alias("hit")
@@ -640,31 +744,22 @@ class FeatureStore:
         kept = sum(r["count"] for r in counts if not r["hit"])
         if removed == 0:
             return 0
-        part_dir = os.path.join(self._records_path, f"group_id={group_id}")
         if kept == 0:
-            # Nothing left in the partition: swap it aside and drop it.
-            old_root = os.path.join(self.base_path, "compact_old")
-            os.makedirs(old_root, exist_ok=True)
-            old = os.path.join(old_root, f"group_id={group_id}")
-            os.replace(part_dir, old)
-            shutil.rmtree(old)
-            try:
-                os.rmdir(old_root)
-            except OSError:
-                pass
+            # Nothing left in the partition: a remove-only commit.
+            self._log.commit("delete-entity", add=[], remove=old_files)
             return removed
-        tmp = _tf.mkdtemp(prefix="fs_delete_", dir=self.base_path)
-        (
-            df.where(F.col("entity_id") != eid)
-            .write.mode("overwrite")
-            .partitionBy("group_id")
-            .parquet(tmp)
+        self._stage_and_commit(
+            df.where(F.col("entity_id") != eid),
+            op="delete-entity",
+            remove=old_files,
         )
-        self._swap_in(tmp, group_id)
         return removed
 
     def _recover_compaction(self) -> None:
-        """Finish a compaction interrupted between its two renames.
+        """Finish a LEGACY (pre-commit-log) compaction interrupted
+        between its two renames. Current compactions are single-commit
+        and need no recovery; this runs at open only so stores written
+        by older builds of this package still recover.
 
         ``compact_old/<name>`` holds the pre-compaction copy of either
         the whole log (``__all__``) or one ``group_id=...`` partition.
@@ -707,30 +802,52 @@ class FeatureStore:
     # data plane: reads
     # ------------------------------------------------------------------
 
-    def records_df(self, group_id: Optional[str] = None) -> DataFrame:
-        """The append-only record log. Filtering by ``group_id`` prunes
-        to one partition directory (the Spark analogue of the
+    def records_df(
+        self,
+        group_id: Optional[str] = None,
+        version: Optional[int] = None,
+        as_of_commit: datetime | str | None = None,
+    ) -> DataFrame:
+        """The record table at a pinned version (snapshot read).
+
+        The file set comes from the commit log, resolved once here —
+        concurrent commits cannot change the files under a running
+        query, and uncommitted/orphaned files are never read. Time
+        travel: ``version=`` pins an exact table version,
+        ``as_of_commit=`` the latest version committed at or before a
+        wall-clock instant (Delta's `VERSION AS OF` / `TIMESTAMP AS
+        OF`). Filtering by ``group_id`` prunes the file list to one
+        partition directory driver-side (the Spark analogue of the
         reference's (group_id, entity_id) index, feature_store.py:190).
 
         An empty store reads as an empty DataFrame; any real read error
         (corruption, permissions) propagates rather than silently
         looking like zero records.
         """
-        if self._records_empty():
+        if version is not None and as_of_commit is not None:
+            raise ValueError("pass version= or as_of_commit=, not both")
+        if as_of_commit is not None:
+            version = self._log.version_as_of(_coerce_ts(as_of_commit))
+            if version is None:  # before the first commit
+                files: list[str] = []
+            else:
+                files = self._log.live_files(version)
+        else:
+            files = self._log.live_files(version)
+        if group_id is not None:
+            prefix = f"group_id={group_id}/"
+            files = [f for f in files if f.startswith(prefix)]
+        if not files:
             df = self.spark.createDataFrame([], RECORDS_SCHEMA)
         else:
-            df = self.spark.read.schema(RECORDS_SCHEMA).parquet(self._records_path)
+            df = (
+                self.spark.read.schema(RECORDS_SCHEMA)
+                .option("basePath", self._records_path)
+                .parquet(*(os.path.join(self._records_path, f) for f in files))
+            )
         if group_id is not None:
             df = df.where(F.col("group_id") == F.lit(group_id))
         return df
-
-    def _records_empty(self) -> bool:
-        """True when no record data file exists yet (local-FS check;
-        for object stores, swap in a FileSystem listing)."""
-        for root, _dirs, files in os.walk(self._records_path):
-            if any(f.endswith(".parquet") for f in files):
-                return False
-        return True
 
     def get_features(
         self,

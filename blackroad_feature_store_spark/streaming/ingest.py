@@ -72,8 +72,20 @@ def start_ingest(
     trigger_available_now: bool = False,
 ):
     """Start (or one-shot drain, with availableNow) a streaming append
-    into the store's record log. Exactly-once via the checkpoint; the
-    sink is the same partitioned parquet table as batch writes."""
+    into the store's record table.
+
+    The sink is ``foreachBatch`` → one commit-log transaction per
+    micro-batch, the same shape Delta's streaming sink uses. Exactly
+    once end-to-end: the checkpoint replays a failed batch
+    (at-least-once delivery), and the commit carries ``(stream_id,
+    batch_id)`` so a replayed batch that already committed is detected
+    and skipped — a batch lands in the table exactly once. A plain
+    parquet streaming sink can't give this over a versioned table: its
+    files would bypass the manifest (invisible to readers, reclaimed
+    by vacuum).
+    """
+    import os as _os
+
     group = store.get_group(group_id)
     if group is None:
         raise ValueError(f"Feature group '{group_id}' not found")
@@ -83,11 +95,20 @@ def start_ingest(
             "streaming ingest requires a streaming group"
         )
     shaped = records_stream(source, group_id, entity_col, ts_col, value_cols)
+    stream_id = _os.path.abspath(checkpoint)
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if store.stream_batch_committed(stream_id, batch_id):
+            return  # checkpoint replay of an already-committed batch
+        store._stage_and_commit(
+            batch_df,
+            op="stream-append",
+            meta={"stream_id": stream_id, "batch_id": batch_id},
+        )
+
     writer = (
-        shaped.writeStream.format("parquet")
-        .option("path", store._records_path)
+        shaped.writeStream.foreachBatch(_commit_batch)
         .option("checkpointLocation", checkpoint)
-        .partitionBy("group_id")
         .outputMode("append")
     )
     if trigger_available_now:

@@ -1,0 +1,173 @@
+"""Commit log giving the record table versions, time travel, and vacuum.
+
+The reference persists records in SQLite, which hands it atomicity and
+a single linear history for free (``feature_store.py:178-186``). On a
+distributed file-backed table the equivalent is a *table format*:
+Delta Lake / Iceberg track table state as an append-only log of
+commits, each listing the data files added and removed, so that
+
+* a write is **atomic** — data files are invisible until one small
+  manifest file appears in the log, and that appearance is a single
+  atomic filesystem operation;
+* readers get **snapshot isolation** — a query resolves the live file
+  set once, at its own version, and concurrent commits cannot change
+  the files underneath it;
+* old versions remain **time-travelable** until a vacuum physically
+  deletes the files only they reference.
+
+delta-spark is not installable in this environment, so this module is
+a minimal, dependency-free implementation of the same public design
+(the Delta Lake transaction-log protocol is published; this follows
+its add/remove-action shape without any of its formats). At 100 TB the
+identical layout works on an object store, with the one caveat that
+the exclusive-create commit step needs a store with atomic
+put-if-absent (S3 now has one) or a coordination service.
+
+Layout::
+
+    <base>/_versions/00000000.json   {"version": 0, "ts": ..., "op":
+    <base>/_versions/00000001.json    "append", "add": [relpaths...],
+    ...                               "remove": [relpaths...], ...}
+
+Relative paths are against the record-table root. Replaying the log in
+version order yields the live file set at any version.
+
+Commit protocol: write the manifest to a temp name, fsync, then
+``os.link`` it to ``{version:08d}.json``. Hard-linking is atomic and
+*exclusive* (EEXIST if a concurrent committer claimed the version), so
+losing a race is detected and retried with the next version number —
+optimistic concurrency, the same loop Delta runs against its log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from datetime import datetime, timezone
+from typing import Any, Optional
+
+_MANIFEST_DIGITS = 8
+
+
+def _manifest_name(version: int) -> str:
+    return f"{version:0{_MANIFEST_DIGITS}d}.json"
+
+
+class CommitLog:
+    """The version history of one file-backed table."""
+
+    def __init__(self, log_dir: str):
+        self.dir = str(log_dir)
+
+    # -- reading ------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        """All committed versions, ascending. Temp files are skipped."""
+        try:
+            names = os.listdir(self.dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            stem, dot, ext = n.partition(".")
+            if dot and ext == "json" and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def latest_version(self) -> Optional[int]:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def read(self, version: int) -> dict[str, Any]:
+        with open(os.path.join(self.dir, _manifest_name(version))) as fh:
+            return json.load(fh)
+
+    def live_files(self, version: Optional[int] = None) -> list[str]:
+        """Replay add/remove actions up to ``version`` (inclusive;
+        latest when None). Order of first addition is preserved."""
+        live: dict[str, None] = {}
+        for v in self.versions():
+            if version is not None and v > version:
+                break
+            m = self.read(v)
+            for f in m.get("remove", ()):
+                live.pop(f, None)
+            for f in m.get("add", ()):
+                live[f] = None
+        return list(live)
+
+    def version_as_of(self, ts: datetime | str) -> Optional[int]:
+        """Latest version committed at or before ``ts`` (UTC)."""
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        best = None
+        for v in self.versions():
+            committed = datetime.fromisoformat(self.read(v)["ts"])
+            if committed <= ts:
+                best = v
+            else:
+                break
+        return best
+
+    def history(self) -> list[dict[str, Any]]:
+        """All commits, newest first, with add/remove collapsed to
+        counts (the full file lists stay in the manifests)."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self.read(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "ts": m["ts"],
+                    "op": m["op"],
+                    "files_added": len(m.get("add", ())),
+                    "files_removed": len(m.get("remove", ())),
+                }
+            )
+        return out
+
+    # -- writing ------------------------------------------------------
+
+    def commit(
+        self,
+        op: str,
+        add: list[str],
+        remove: list[str],
+        meta: Optional[dict[str, Any]] = None,
+    ) -> int:
+        """Durably append one commit; returns its version number.
+
+        Optimistic: on EEXIST (another committer claimed the version)
+        the attempt retries with the next number. The manifest content
+        is fsynced before the link, so a crash can never expose a
+        partially written manifest under a committed name.
+        """
+        os.makedirs(self.dir, exist_ok=True)
+        while True:
+            vs = self.versions()
+            version = (vs[-1] + 1) if vs else 0
+            doc = {
+                "version": version,
+                "ts": datetime.now(timezone.utc).isoformat(),
+                "op": op,
+                "add": list(add),
+                "remove": list(remove),
+            }
+            if meta:
+                doc.update(meta)
+            tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(doc, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            final = os.path.join(self.dir, _manifest_name(version))
+            try:
+                os.link(tmp, final)
+                os.unlink(tmp)
+                return version
+            except FileExistsError:
+                os.unlink(tmp)
+                continue

@@ -96,3 +96,26 @@ def test_cli_route_with_trigger(run):
     with mock.patch("urllib.request.urlopen", return_value=resp):
         out = run("route", "@ollama what is 2+2?")
     assert out.strip() == "4"
+
+
+def test_cli_history_and_vacuum(run):
+    run("register", "age", "user", "int")
+    out = run("create-group", "g", "--features", "age",
+              "--entity-key", "user_id")
+    gid = re.search(r"ID: ([a-f0-9-]+)", out).group(1)
+
+    out = run("history")
+    assert "No commits yet." in out
+
+    run("write", gid, "u1", '{"age": 1}')
+    run("write", gid, "u2", '{"age": 2}')
+    run("delete-entity", gid, "u1")
+    out = run("history")
+    assert "delete-entity" in out and "append" in out
+    # three commits: two appends + one delete, newest first
+    assert out.strip().splitlines()[1].split()[0] == "2"
+
+    out = run("vacuum")
+    assert re.search(r"Vacuum removed [1-9]\d* unreferenced", out)
+    out = run("get", gid, "u2")
+    assert "age: 2" in out

@@ -281,58 +281,143 @@ def test_compact_records_preserves_data(store_with_group):
         )
     import glob, os
     part = os.path.join(store.base_path, "entity_records", f"group_id={g.id}")
-    before = len(glob.glob(os.path.join(part, "*.parquet")))
-    assert before >= 10
+    pre_version = store.current_version
+    live_before = store._log.live_files()
+    assert len(live_before) >= 10
 
     assert store.compact_records(g.id) == 10
-    after = len(glob.glob(os.path.join(part, "*.parquet")))
-    assert after < before
+    # The LIVE file set shrinks (manifest replay), even though the old
+    # files stay on disk for time travel until vacuum.
+    live_after = store._log.live_files()
+    assert len(live_after) < len(live_before)
+    assert not set(live_after) & set(live_before)
 
-    # reads unchanged after the swap
+    # reads unchanged after the commit
     assert store.records_df(g.id).count() == 10
     latest = store.get_features(g.id, "u0")
     assert latest["age"] == 29
     st = store.statistics(g.id)
     assert st["total_records"] == 10
 
+    # Pre-compaction version still reads identically (time travel)...
+    old = store.records_df(g.id, version=pre_version)
+    assert old.count() == 10
 
-def test_compact_records_crash_between_renames_recovers(store_with_group):
-    # Kill the swap after the live dir moved aside but BEFORE the
-    # compacted dir moved in — the worst-case window. The full log must
-    # survive (in compact_old/) and a fresh store open must restore it.
+    # ...until vacuum reclaims the superseded files.
+    physical_before = len(glob.glob(os.path.join(part, "*.parquet")))
+    deleted = store.vacuum(retain_versions=1)
+    assert deleted >= 10
+    physical_after = len(glob.glob(os.path.join(part, "*.parquet")))
+    assert physical_after < physical_before
+    assert physical_after == len(
+        [f for f in live_after if f.startswith(f"group_id={g.id}/")]
+    )
+    assert store.records_df(g.id).count() == 10
+
+
+def test_compact_records_crash_before_commit_is_invisible(store_with_group):
+    # Kill the compaction AFTER its data files are written but BEFORE
+    # the manifest commits — the worst-case window. The table must be
+    # completely unaffected (the new files are unreferenced), and
+    # vacuum must reclaim the orphans.
     store, g = store_with_group
     for i in range(6):
         store.write_features(
             g.id, f"u{i}", {"age": 20 + i},
             timestamp=f"2026-01-{i+1:02d}T00:00:00",
         )
+    version_before = store.current_version
 
-    import os as _os
-    real_replace = _os.replace
-    calls = {"n": 0}
+    from blackroad_feature_store_spark.versioning import CommitLog
+    orig_commit = CommitLog.commit
 
-    def exploding_replace(src, dst):
-        calls["n"] += 1
-        if calls["n"] == 2:  # second rename of the swap
-            raise RuntimeError("simulated crash mid-swap")
-        return real_replace(src, dst)
+    def exploding_commit(self, *a, **k):
+        raise RuntimeError("simulated crash before commit")
 
-    import blackroad_feature_store_spark.store as store_mod
-    orig = store_mod.os.replace
-    store_mod.os.replace = exploding_replace
+    CommitLog.commit = exploding_commit
     try:
         with pytest.raises(RuntimeError, match="simulated crash"):
             store.compact_records(g.id)
     finally:
-        store_mod.os.replace = orig
+        CommitLog.commit = orig_commit
 
-    # Reopen: recovery runs in __init__ and restores the aside copy.
+    # Table state is byte-identical: same version, same rows.
+    assert store.current_version == version_before
+    assert store.records_df(g.id).count() == 6
+    assert store.get_features(g.id, "u5")["age"] == 25
+
+    # Orphaned (never-committed) compacted files are vacuumable.
+    assert store.vacuum(retain_versions=1) >= 1
+    assert store.records_df(g.id).count() == 6
+
+    # Reopen + a subsequent compaction completes normally.
     reopened = FeatureStore(store.spark, store.base_path)
-    assert reopened.records_df(g.id).count() == 6
-    assert reopened.get_features(g.id, "u5")["age"] == 25
-    # A subsequent compaction completes normally.
     assert reopened.compact_records(g.id) == 6
     assert reopened.records_df(g.id).count() == 6
+
+
+def test_time_travel_and_history(store_with_group):
+    store, g = store_with_group
+    store.write_features(g.id, "u1", {"age": 1},
+                         timestamp="2026-01-01T00:00:00")
+    v0 = store.current_version
+    store.write_features(g.id, "u2", {"age": 2},
+                         timestamp="2026-01-02T00:00:00")
+    v1 = store.current_version
+    assert v1 == v0 + 1
+
+    # Each version is a frozen snapshot.
+    assert store.records_df(g.id, version=v0).count() == 1
+    assert store.records_df(g.id, version=v1).count() == 2
+    assert store.records_df(g.id).count() == 2
+
+    # version= and as_of_commit= are mutually exclusive.
+    with pytest.raises(ValueError):
+        store.records_df(g.id, version=v0, as_of_commit="2026-01-01")
+
+    # as_of_commit pins by COMMIT wall-clock (not record timestamps):
+    # a cutoff between the two commits' ts fields sees only the first.
+    h = store.history()
+    assert [e["version"] for e in h] == [v1, v0]
+    assert all(e["op"] == "append" for e in h)
+    cutoff = h[-1]["ts"]  # exactly at v0's commit instant
+    assert store.records_df(g.id, as_of_commit=cutoff).count() == 1
+
+
+def test_delete_entity_is_versioned(store_with_group):
+    # GDPR delete rewrites the partition in a new version; the purged
+    # entity stays readable at the OLD version until vacuum (and after
+    # vacuum the old version's files are gone — erasure completes).
+    store, g = store_with_group
+    store.write_features(g.id, "u1", {"age": 1})
+    store.write_features(g.id, "u2", {"age": 2})
+    pre = store.current_version
+    assert store.delete_entity_records(g.id, "u1") == 1
+    assert store.records_df(g.id).count() == 1
+    assert store.records_df(g.id, version=pre).count() == 2
+    store.vacuum(retain_versions=1)
+    assert store.records_df(g.id).count() == 1
+    # Old version now points at deleted files — u1 is physically gone.
+    import glob, os
+    part = os.path.join(store.base_path, "entity_records", f"group_id={g.id}")
+    assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+
+
+def test_concurrent_stores_share_commit_log(spark, tmp_path):
+    # Two store instances on the same path: appends interleave, both
+    # visible, versions strictly increasing (optimistic commit).
+    a = FeatureStore(spark, str(tmp_path / "s"))
+    a.register_feature("age", "user", "int")
+    g = a.create_group("g", features=["age"], entity_key="user_id")
+    b = FeatureStore(spark, str(tmp_path / "s"))
+    a.write_features(g.id, "u1", {"age": 1})
+    b.write_features(g.id, "u2", {"age": 2})
+    a.write_features(g.id, "u3", {"age": 3})
+    assert a.records_df(g.id).count() == 3
+    assert b.records_df(g.id).count() == 3
+    versions = [e["version"] for e in a.history()]
+    assert versions == sorted(versions, reverse=True)
+    assert len(versions) == len(set(versions)) == 3
 
 
 def test_stats_mixed_int_float_min_max_types(store_with_group):

@@ -207,3 +207,45 @@ def test_streaming_dedup_first_seen_wins(spark, tmp_path):
     batch = spark.read.parquet(src_dir)
     batch_groups = exact_duplicates(batch).count()
     assert batch_groups == 2  # same two distinct fingerprints
+
+
+def test_streaming_sink_replay_guard(spark, tmp_path, streaming_store):
+    # A replayed micro-batch (checkpoint recovery re-delivers it) must
+    # not double-append: the commit carries (stream_id, batch_id) and
+    # the sink skips batches already in the table.
+    fs, g = streaming_store
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("u1", "2026-01-01T00:00:00", 5, "Oslo")],
+        "user_id string, ts string, clicks int, city string",
+    ).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "user_id string, ts string, clicks int, city string"
+    ).parquet(src_dir)
+    q = start_ingest(
+        fs, g.id, stream,
+        entity_col="user_id", ts_col="ts", value_cols=["clicks", "city"],
+        checkpoint=str(tmp_path / "ckpt"), trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert fs.records_df(g.id).count() == 1
+
+    stream_id = str(tmp_path / "ckpt")
+    import os
+    stream_id = os.path.abspath(stream_id)
+    assert fs.stream_batch_committed(stream_id, 0)
+    assert not fs.stream_batch_committed(stream_id, 1)
+    assert not fs.stream_batch_committed(stream_id + "-other", 0)
+
+    # Simulate the replay the checkpoint would perform after a crash
+    # between sink-commit and checkpoint-commit: deliver batch 0 again.
+    batch_df = fs.records_df(g.id)
+    before = fs.current_version
+    fs._stage_and_commit(  # what the sink would do WITHOUT the guard
+        batch_df, op="stream-append",
+        meta={"stream_id": stream_id, "batch_id": 0},
+    ) if not fs.stream_batch_committed(stream_id, 0) else None
+    assert fs.current_version == before
+    assert fs.records_df(g.id).count() == 1
