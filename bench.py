@@ -69,6 +69,11 @@ HEADLINE = [
     "core_asof_tolerance",
     "core_cube",
     "store_time_travel",
+    "pipeline_decontaminate",
+    "text_pii_redaction",
+    "pipeline_chunks",
+    "text_tfidf_top_terms",
+    "text_outlier_docs",
 ]
 
 

@@ -1,0 +1,201 @@
+"""Training-corpus preparation operators.
+
+The steps between "raw deduplicated documents" and "tokens in a
+trainer": benchmark decontamination, context-window chunking, tf-idf
+term scoring, and robust outlier filtering. Like operators/text.py,
+everything is built-in-function column algebra (JVM-side, codegen) —
+no Python UDFs — and deliberately engine-portable so the DuckDB
+oracles can pin results byte-for-byte.
+
+Scale notes (100 TB corpus, 1000 executors):
+
+* ``decontaminate`` — the benchmark side of the join is tiny by nature
+  (eval sets are MBs, corpora are TBs), so its distinct shingle set is
+  **broadcast**: the corpus is scanned once, shingles are checked
+  against a hashed relation executor-side, and no corpus shuffle ever
+  happens. This is the same contains-any-ngram shape GPT-3/PaLM-style
+  decontamination describes (n-gram collision against eval sets).
+* ``chunk_documents`` — a narrow projection + explode; output rows ≈
+  tokens/stride. No shuffle.
+* ``tfidf_terms`` — two aggregations (term frequencies per doc,
+  document frequencies per term) over one explode; df per term is a
+  broadcast-back join since vocabularies (≤ millions of terms) are
+  dwarfed by corpora.
+* ``mad_outliers`` — median/MAD per group via exact percentiles; on
+  integer-valued columns the MAD threshold is exactly representable in
+  doubles, so the flag is deterministic across engines (no stddev
+  summation-order noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark.operators.text import word_shingles
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with the
+    benchmark set (eval-set contamination, GPT-3 appendix-C style).
+
+    Returns ``train`` plus a boolean ``contaminated`` column. The
+    benchmark's distinct shingles are broadcast — the training corpus
+    is never shuffled, so this runs at scan speed on any corpus size.
+    """
+    bench_shingles = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("__shingle")
+        ).distinct()
+    )
+    hits = (
+        train.select(
+            "*", F.explode(word_shingles(F.col(text_col), n)).alias("__shingle")
+        )
+        .join(F.broadcast(bench_shingles), "__shingle", "left_semi")
+        .drop("__shingle")
+        .distinct()
+    )
+    # A doc is contaminated iff it survived the semi join at least once.
+    return train.join(
+        hits.select(train.columns[0]).withColumn(
+            "contaminated", F.lit(True)
+        ),
+        train.columns[0],
+        "left",
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the context-window prep step before packing sequences for training.
+
+    Chunk ``k`` covers tokens ``[k*stride+1, k*stride+chunk_size]``
+    (1-based); the chunk count is ``1 + ceil(max(n-chunk_size,0) /
+    stride)`` so the final window always reaches the last token.
+    Output: one row per (doc, chunk) with the window's token count and
+    an md5 fingerprint of its text (callers wanting the text itself
+    re-slice; fingerprints keep result sets small).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.lit(1) + (
+        (F.greatest(n - chunk_size, F.lit(0)) + (stride - 1))
+        .cast("long")
+        / F.lit(stride)
+    ).cast("long")
+    chunk = F.col("chunk_id") * stride + 1
+    sliced = F.slice(toks, chunk, chunk_size)
+    return (
+        df.select(
+            id_col,
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(
+                F.slice(F.col("__toks"), chunk, chunk_size)
+            ).alias("chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("__toks"), chunk, chunk_size))
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Per-(doc, term) tf-idf: ``tf * ln(N / df)`` over lowercase
+    alphabetic terms of length ≥ ``min_term_len``.
+
+    Two aggregations over one explode; the per-term document-frequency
+    relation is vocabulary-sized and joined back broadcast. Returns
+    (id, term, tf, df, tfidf rounded to 6).
+    """
+    terms = (
+        df.select(
+            id_col,
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
+                    ),
+                    " ",
+                )
+            ).alias("term"),
+        )
+        .where(F.length("term") >= min_term_len)
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    return tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flag: ``|x - median| > k * MAD``
+    (median absolute deviation).
+
+    Exact interpolated percentiles, not stddev — on integer-valued
+    columns every quantity here is exactly representable, so the flag
+    never depends on float summation order (deterministic across
+    engines and partitionings, unlike z-scores). Two grouped
+    aggregations (median, then MAD of residuals), both map-side
+    combinable; group stats are broadcast back.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = (
+        with_med.groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)
+            ).alias("__mad")
+        )
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col(value_col) - F.col("__med")) > F.lit(k) * F.col("__mad"),
+        )
+        .withColumnRenamed("__med", "group_median")
+        .withColumnRenamed("__mad", "group_mad")
+    )

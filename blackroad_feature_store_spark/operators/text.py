@@ -131,6 +131,37 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# PII patterns, deliberately restricted to syntax shared by Java regex
+# (Spark) and RE2 (DuckDB): classes, bounded repeats, \b. Replacement
+# order matters: emails first (they contain digits), then IPs, then
+# bare long digit runs (account-number-style).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("number", r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII category, honoring replacement order (an
+    email's digits are not double-counted as numbers)."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and ≥6-digit runs with typed
+    placeholder tokens — the cheap regex tier of a PII scrub."""
+    cur = text
+    for _name, pat, token in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, token)
+    return cur
+
+
 def fingerprint(text: Column) -> Column:
     """Exact-duplicate fingerprint: md5 of whitespace-normalized,
     lowercased text. Portable: md5 hex is identical everywhere."""

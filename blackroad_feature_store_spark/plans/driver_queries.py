@@ -38,6 +38,12 @@ from blackroad_feature_store_spark.operators.dedup import (
     ngram_jaccard,
     simhash,
 )
+from blackroad_feature_store_spark.operators.corpus import (
+    chunk_documents,
+    decontaminate,
+    mad_outliers,
+    tfidf_terms,
+)
 from blackroad_feature_store_spark.operators.multimodal import (
     asset_metadata,
     documents_as_assets,
@@ -49,6 +55,8 @@ from blackroad_feature_store_spark.operators.similarity import (
     cosine_topk_lsh,
 )
 from blackroad_feature_store_spark.operators.text import (
+    pii_counts,
+    redact_pii,
     text_profile,
     word_shingles,
 )
@@ -2341,3 +2349,230 @@ def store_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         versioned, "version int, op string, n_records bigint, entities string"
     )
     return pinned.unionByName(after_vacuum)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: corpus preparation (decontamination, chunking, tf-idf,
+# PII redaction, robust outlier filtering)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pipeline_decontaminate",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(CASE WHEN len(t) < 5
+                         THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(generate_series(1, len(t) - 4),
+                                             i -> array_to_string(t[i:i+4], ' '))
+                         END) AS shingle
+           FROM toks),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+    hits AS (SELECT DISTINCT s.doc_id FROM sh s
+             JOIN bench USING (shingle) WHERE s.doc_id % 23 <> 0)
+    SELECT d.lang, count(*) AS n_train,
+           count(h.doc_id) AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 23 <> 0
+    GROUP BY d.lang
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C shape): flag training
+    docs sharing any 5-token shingle with a held-out benchmark set
+    (here the deterministic doc_id%23 slice standing in for an eval
+    set). The benchmark's distinct shingles are BROADCAST — the corpus
+    is scanned once with no shuffle, which is what makes this viable
+    at 100 TB (eval sets are MBs; corpora are not)."""
+    docs = load(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    train = docs.where(F.col("doc_id") % 23 != 0)
+    return (
+        decontaminate(train, bench, n=5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(
+                F.when(F.col("contaminated"), 1).otherwise(0)
+            ).alias("n_contaminated"),
+        )
+    )
+
+
+@q(
+    "text_pii_redaction",
+    r"""
+    WITH injected AS (
+      SELECT lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com from 10.2.'
+                  || CAST(doc_id % 250 AS VARCHAR)
+                  || '.7 acct 9900' || CAST(doc_id AS VARCHAR) AS t0
+      FROM documents),
+    step1 AS (
+      SELECT lang, t0,
+             len(regexp_extract_all(
+                 t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_email,
+             regexp_replace(
+                 t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM injected),
+    step2 AS (
+      SELECT lang, t0, n_email,
+             len(regexp_extract_all(
+                 t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+               AS n_ip,
+             regexp_replace(
+                 t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                 '<IP>', 'g') AS t2
+      FROM step1),
+    step3 AS (
+      SELECT lang, t0, n_email, n_ip,
+             len(regexp_extract_all(t2, '[0-9]{6,}')) AS n_number,
+             regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS t3
+      FROM step2)
+    SELECT lang, count(*) AS n_docs,
+           sum(n_email) AS emails, sum(n_ip) AS ips,
+           sum(n_number) AS numbers,
+           sum(len(t0) - len(t3)) AS chars_redacted
+    FROM step3 GROUP BY lang
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex-tier PII scrub (emails / IPv4 / long digit runs →
+    placeholder tokens), counted per category with replacement-order
+    semantics (an email's digits never double-count as numbers). The
+    synthetic corpus has no natural PII, so a deterministic injection
+    (doc_id-derived email/IP/account) gives every row known ground
+    truth. Pure regexp projections — scan-speed at any corpus size."""
+    docs = load(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.2."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 acct 9900"), F.col("doc_id").cast("string"),
+    )
+    counts = pii_counts(injected)
+    return (
+        docs.select(
+            "lang",
+            F.length(injected).alias("__len0"),
+            counts["n_email"].alias("__e"),
+            counts["n_ip"].alias("__i"),
+            counts["n_number"].alias("__n"),
+            F.length(redact_pii(injected)).alias("__len3"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__e").alias("emails"),
+            F.sum("__i").alias("ips"),
+            F.sum("__n").alias("numbers"),
+            F.sum(F.col("__len0") - F.col("__len3")).alias("chars_redacted"),
+        )
+    )
+
+
+@q(
+    "pipeline_chunks",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+    ch AS (SELECT doc_id, t,
+                  unnest(generate_series(
+                      0, CAST((greatest(len(t) - 32, 0) + 23) // 24 AS BIGINT)
+                  )) AS chunk_id
+           FROM toks)
+    SELECT doc_id, chunk_id,
+           len(t[chunk_id*24+1 : chunk_id*24+32]) AS chunk_tokens,
+           md5(array_to_string(t[chunk_id*24+1 : chunk_id*24+32], ' '))
+             AS chunk_md5
+    FROM ch
+    """,
+)
+def pipeline_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: overlapping 32-token windows at stride
+    24 (8-token overlap), the sequence-prep step before packing
+    training batches. One narrow projection + explode, rows ≈
+    tokens/stride — no shuffle at any scale. Chunk text is returned as
+    an md5 fingerprint to keep result sets bounded."""
+    return chunk_documents(
+        load(spark, sf, "documents"), chunk_size=32, stride=24
+    )
+
+
+@q(
+    "text_tfidf_top_terms",
+    r"""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(list_filter(
+                 string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ',
+                                                  'g')), ' '),
+                 x -> len(x) >= 3)) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM terms GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+              FROM terms GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    WHERE doc_id % 29 = 0
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """tf-idf keyword extraction: top-3 terms per document (sampled
+    docs) by ``tf * ln(N/df)``. Corpus-wide document frequencies come
+    from one extra aggregation whose output is vocabulary-sized and
+    joined back BROADCAST; ranking is a per-doc window over rounded
+    scores with a lexical tiebreak (deterministic across engines)."""
+    docs = load(spark, sf, "documents")
+    scored = tfidf_terms(docs).where(F.col("doc_id") % 29 == 0)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 3)
+        .drop("__rk")
+    )
+
+
+@q(
+    "text_outlier_docs",
+    r"""
+    WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS m
+                 FROM documents GROUP BY source),
+    mad AS (SELECT d.source, quantile_cont(abs(d.n_chars - m.m), 0.5) AS v
+            FROM documents d JOIN med m USING (source) GROUP BY d.source)
+    SELECT d.source, count(*) AS n_docs,
+           min(m.m) AS median_chars, min(a.v) AS mad_chars,
+           count(*) FILTER (WHERE abs(d.n_chars - m.m) > 3 * a.v)
+             AS n_outliers
+    FROM documents d JOIN med m USING (source) JOIN mad a USING (source)
+    GROUP BY d.source
+    """,
+)
+def text_outlier_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust length-outlier filter: per-source median/MAD with a
+    ``|x - median| > 3*MAD`` flag. Median absolute deviation instead of
+    z-scores on purpose — exact interpolated percentiles over integer
+    lengths are exactly representable, so the flag never depends on
+    float summation order (stddev would make boundary docs flip
+    between engines/partitionings)."""
+    docs = load(spark, sf, "documents").select("source", "n_chars")
+    flagged = mad_outliers(docs, "source", "n_chars", k=3.0)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first("group_median").alias("median_chars"),
+        F.first("group_mad").alias("mad_chars"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"),
+    )

@@ -505,3 +505,118 @@ def test_duplicate_clusters_matches_union_find(spark):
             for r in duplicate_clusters(pairs).collect()
         }
         assert got == expected, f"mismatch on edges={edges[:5]}..."
+
+
+# -- corpus preparation -------------------------------------------------------
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from blackroad_feature_store_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 5-gram "beta gamma delta epsilon zeta"
+            (1, "intro beta gamma delta epsilon zeta outro"),
+            # shares words but no 5-token run
+            (2, "alpha beta gamma unrelated delta epsilon"),
+            (3, "nothing in common at all here friend"),
+            (4, "tiny"),  # < n tokens: whole-text shingle, no match
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train, bench, n=5).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: False}
+    # the benchmark side must be broadcast: corpus never shuffles
+    plan = decontaminate(train, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from blackroad_feature_store_spark.operators.corpus import chunk_documents
+
+    words = [f"w{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(df, chunk_size=32, stride=24).collect()
+    }
+    # doc 1: 50 tokens -> chunks at 1..32 and 25..50
+    assert rows[(1, 0)]["chunk_tokens"] == 32
+    assert rows[(1, 1)]["chunk_tokens"] == 26
+    import hashlib as _h
+
+    assert rows[(1, 1)]["chunk_md5"] == _h.md5(
+        " ".join(words[24:50]).encode()
+    ).hexdigest()
+    # doc 2 fits in one chunk; doc 3 (blank) still yields one chunk row
+    assert rows[(2, 0)]["chunk_tokens"] == 2
+    assert (3, 0) in rows and (3, 1) not in rows
+    assert len(rows) == 4
+
+
+def test_tfidf_terms_hand_computed(spark):
+    import math
+
+    from blackroad_feature_store_spark.operators.corpus import tfidf_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark engine"),
+            (2, "spark cluster"),
+            (3, "warehouse cluster"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): r for r in tfidf_terms(df).collect()
+    }
+    r = out[(1, "spark")]
+    assert (r["tf"], r["df"]) == (2, 2)
+    assert r["tfidf"] == round(2 * math.log(3 / 2), 6)
+    # a term in every doc would have idf 0; here 'engine' is unique
+    assert out[(1, "engine")]["tfidf"] == round(math.log(3.0), 6)
+
+
+def test_mad_outliers_flags_extremes(spark):
+    from blackroad_feature_store_spark.operators.corpus import mad_outliers
+
+    rows = [("a", v) for v in [10, 11, 12, 13, 14, 500]] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = mad_outliers(df, "g", "x", k=3.0).collect()
+    flagged = sorted(r["x"] for r in out if r["is_outlier"])
+    assert flagged == [500]
+    a = next(r for r in out if r["g"] == "a")
+    assert a["group_median"] == 12.5  # interpolated over 6 values
+    # group b: single value, MAD 0, never an outlier
+    b = next(r for r in out if r["g"] == "b")
+    assert not b["is_outlier"]
+
+
+def test_pii_redaction_order_and_counts(spark):
+    from blackroad_feature_store_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-1.example.org ip 10.0.200.7 acct 12345678 pin 123",)],
+        "text string",
+    )
+    c = pii_counts(F.col("text"))
+    row = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        c["n_email"].alias("e"), c["n_ip"].alias("i"), c["n_number"].alias("n"),
+    ).collect()[0]
+    assert row["red"] == "mail <EMAIL> ip <IP> acct <NUM> pin 123"
+    # email digits are consumed before digit-run counting; short pin kept
+    assert (row["e"], row["i"], row["n"]) == (1, 1, 1)
