@@ -74,6 +74,8 @@ HEADLINE = [
     "pipeline_chunks",
     "text_tfidf_top_terms",
     "text_outlier_docs",
+    "pipeline_pack_sequences",
+    "mm_audio_features",
 ]
 
 

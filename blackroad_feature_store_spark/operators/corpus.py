@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from blackroad_feature_store_spark.operators.text import word_shingles
 
@@ -96,7 +97,6 @@ def chunk_documents(
         / F.lit(stride)
     ).cast("long")
     chunk = F.col("chunk_id") * stride + 1
-    sliced = F.slice(toks, chunk, chunk_size)
     return (
         df.select(
             id_col,
@@ -199,3 +199,34 @@ def mad_outliers(
         .withColumnRenamed("__med", "group_median")
         .withColumnRenamed("__mad", "group_mad")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign items to fixed-token-budget bins — the sequence-packing
+    step that turns variable-length documents into trainer batches.
+
+    An item's bin is ``floor(start_offset / budget)`` where
+    ``start_offset`` is the running token total before it in the
+    deterministic ``order_cols`` order: the concatenated stream is cut
+    at budget boundaries, with the boundary item spilling into the next
+    bin (streaming packing, no lookahead). Exactly expressible as one
+    cumulative-sum window — and the window is PARTITIONED by
+    ``partition_col``, so packing parallelizes across sources instead
+    of serializing the corpus through a single global sort (a global
+    ORDER BY window is a one-partition bottleneck at 100 TB).
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(token_col).over(w) - F.col(token_col)).alias("__start")
+    return df.withColumn("__start", start).withColumn(
+        "bin_id", F.expr(f"__start div {int(budget)}")
+    ).drop("__start")

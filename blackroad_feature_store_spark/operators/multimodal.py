@@ -136,3 +136,61 @@ def sample_frames(
             F.col("content"), F.col("frame_no") * every_n_bytes + 1, every_n_bytes
         ).alias("frame_bytes"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake audio decoder: (sample_rate, duration_ms,
+    rms) derived from a payload digest. STUB — replace with
+    soundfile/librosa in a codec-enabled image."""
+    d = hashlib.sha256(payload).digest()
+    rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+    duration_ms = 500 + int.from_bytes(d[1:3], "big") % 59500
+    rms = round((d[3] / 255.0) * 0.5 + 0.01, 6)
+    return rate, duration_ms, rms
+
+
+def audio_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-asset decoded audio features (sample rate, duration, RMS
+    loudness) via mapInPandas — same Arrow-batch shape as
+    ``image_features``; the decode kernel is the only stub.
+
+    With ``fake=False`` this raises NotImplementedError from the
+    executors — the real decode needs soundfile/librosa, absent here.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                # STUB: no audio codec in this container.
+                raise NotImplementedError(
+                    "audio decode requires soundfile/librosa; "
+                    "run with fake=True"
+                )
+            decoded = [_fake_decode_audio(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": [r for r, _, _ in decoded],
+                    "duration_ms": [m for _, m, _ in decoded],
+                    "rms": [v for _, _, v in decoded],
+                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "sha256": [
+                        hashlib.sha256(bytes(b)).hexdigest()
+                        for b in pdf["content"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

@@ -2576,3 +2576,74 @@ def text_outlier_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.first("group_mad").alias("mad_chars"),
         F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"),
     )
+
+
+@q(
+    "pipeline_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tok
+      FROM documents),
+    c AS (SELECT source, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_tok AS start
+          FROM t)
+    SELECT source, CAST(start // 256 AS BIGINT) AS bin_id,
+           count(*) AS n_docs, sum(n_tok) AS bin_tokens
+    FROM c GROUP BY source, bin_id
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: documents assigned to 256-token trainer bins
+    by cutting the concatenated token stream at budget boundaries
+    (streaming packing, boundary doc spills forward). One cumulative
+    window PARTITIONED by source — packing parallelizes across sources
+    rather than serializing the corpus through a global sort."""
+    from blackroad_feature_store_spark.operators.corpus import pack_sequences
+    from blackroad_feature_store_spark.operators.text import token_count
+
+    docs = load(spark, sf, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_sequences(
+        docs, "source", ["doc_id"], "n_tok", budget=256
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
+@q(
+    "mm_audio_features",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(CASE CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 4
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(500 + CAST(('0x' || substr(sha256(text), 3, 4)) AS INT)
+                      % 59500 AS BIGINT) AS duration_ms,
+           round(CAST(('0x' || substr(sha256(text), 7, 2)) AS INT)
+                 / 255.0 * 0.5 + 0.01, 6) AS rms,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-decode plumbing, same contract as ``mm_image_features``:
+    mapInPandas Arrow-batch kernel with a deterministic digest-derived
+    fake decoder (no audio codec in this container — honestly stubbed;
+    schema/batching are real). Sample rate, duration, and RMS are pure
+    functions of the payload sha256, so the oracle replays the whole
+    Python-kernel path in SQL."""
+    from blackroad_feature_store_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    assets = documents_as_assets(load(spark, sf, "documents"))
+    return audio_features(assets, fake=True)

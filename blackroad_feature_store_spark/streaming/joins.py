@@ -1,0 +1,56 @@
+"""Stream-stream joins with bounded state.
+
+The streaming analogue of the batch point-in-time join family
+(operators/asof.py): correlate two live event streams — e.g. raw
+events with a feature-update stream, or impressions with conversions —
+without ever holding unbounded state.
+
+Spark-first: Structured Streaming's stream-stream equi-join with an
+**event-time range condition and watermarks on both sides** is exactly
+this operator. The range bound tells Spark how long a left row can
+possibly still match (so it ages out of the join state), and the
+watermarks bound how late either side may arrive. State per key is
+O(rows within the watermark+interval horizon) — the property that
+makes the join runnable forever. Without the range condition Spark
+must keep *all* past rows of both sides; that variant is rejected here
+by requiring ``max_delay``.
+
+At 100 TB/day both sides shuffle on the join key once (the stateful
+join co-partitions them); skewed keys are the same salting problem as
+batch (operators/skew.py), applied to the key column before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    late_threshold: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left event to right events for the same ``key`` whose
+    timestamp falls in ``[left_ts, left_ts + max_delay]`` — the
+    "conversion within N minutes of impression" shape.
+
+    Both inputs must be streaming DataFrames with proper timestamp
+    columns. Watermarks (``late_threshold``) are applied here; the
+    range condition makes the join state self-cleaning. ``how`` may be
+    ``inner`` or the watermark-gated outer variants Spark supports
+    (``leftOuter``/``rightOuter``/``fullOuter``).
+    """
+    lw = left.withWatermark(left_ts, late_threshold)
+    rw = right.withWatermark(right_ts, late_threshold)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, how)

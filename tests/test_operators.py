@@ -620,3 +620,44 @@ def test_pii_redaction_order_and_counts(spark):
     assert row["red"] == "mail <EMAIL> ip <IP> acct <NUM> pin 123"
     # email digits are consumed before digit-run counting; short pin kept
     assert (row["e"], row["i"], row["n"]) == (1, 1, 1)
+
+
+def test_pack_sequences_bins_by_running_total(spark):
+    from blackroad_feature_store_spark.operators.corpus import pack_sequences
+
+    rows = [
+        ("s", 1, 100), ("s", 2, 100), ("s", 3, 100),  # starts 0/100/200
+        ("s", 4, 100),                                # start 300 -> bin 1
+        ("t", 9, 50),                                 # own partition, bin 0
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    out = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_sequences(df, "source", ["doc_id"], "n_tok", 256).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 9: 0}
+
+
+def test_audio_features_fake_decode_and_stub(spark):
+    from blackroad_feature_store_spark.operators.multimodal import (
+        _fake_decode_audio,
+        audio_features,
+        documents_as_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some audio-ish payload", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    assets = documents_as_assets(docs)
+    row = audio_features(assets, fake=True).collect()[0]
+    rate, dur, rms = _fake_decode_audio(b"some audio-ish payload")
+    assert (row["sample_rate"], row["duration_ms"], row["rms"]) == (
+        rate, dur, rms,
+    )
+    assert row["sample_rate"] in (8000, 16000, 22050, 44100)
+    # the honest stub: fake=False must raise from the kernel
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        audio_features(assets, fake=False).collect()

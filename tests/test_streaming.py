@@ -249,3 +249,52 @@ def test_streaming_sink_replay_guard(spark, tmp_path, streaming_store):
     ) if not fs.stream_batch_committed(stream_id, 0) else None
     assert fs.current_version == before
     assert fs.records_df(g.id).count() == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    # Two real streams (file sources, availableNow): impressions joined
+    # to conversions within 5 minutes of the impression, same user.
+    from blackroad_feature_store_spark.streaming.joins import interval_join
+
+    imp_dir, conv_dir = str(tmp_path / "imp"), str(tmp_path / "conv")
+    spark.createDataFrame(
+        [
+            ("u1", "2026-01-01T00:00:00", "ad_a"),
+            ("u2", "2026-01-01T00:01:00", "ad_b"),
+            ("u3", "2026-01-01T00:02:00", "ad_c"),
+        ],
+        "user string, imp_ts string, ad string",
+    ).write.parquet(imp_dir)
+    spark.createDataFrame(
+        [
+            ("u1", "2026-01-01T00:03:00"),   # within 5 min of u1's imp
+            ("u2", "2026-01-01T00:30:00"),   # too late for u2's imp
+            ("u4", "2026-01-01T00:02:30"),   # no matching impression
+        ],
+        "user string, conv_ts string",
+    ).write.parquet(conv_dir)
+
+    imps = (
+        spark.readStream.schema("user string, imp_ts string, ad string")
+        .parquet(imp_dir)
+        .withColumn("imp_ts", F.col("imp_ts").cast("timestamp"))
+    )
+    convs = (
+        spark.readStream.schema("user string, conv_ts string")
+        .parquet(conv_dir)
+        .withColumn("conv_ts", F.col("conv_ts").cast("timestamp"))
+    )
+    joined = interval_join(
+        imps, convs, key="user", left_ts="imp_ts", right_ts="conv_ts",
+        max_delay="5 minutes",
+    ).select(imps["user"], "ad", "imp_ts", "conv_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ss_join_out").collect()
+    assert [(r["user"], r["ad"]) for r in rows] == [("u1", "ad_a")]
