@@ -190,6 +190,58 @@ RECORDS_SCHEMA = T.StructType(
 )
 
 
+def _file_ts_stats(path: str) -> tuple[Optional[str], Optional[str]]:
+    """Min/max of the ``timestamp`` column of one parquet file, as ISO
+    strings (None, None when indeterminable — empty file, stats absent
+    for the physical type). Footer statistics first (metadata-only
+    read); falls back to scanning just the timestamp column, which is
+    a single narrow column of the file."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "timestamp"
+            ),
+            None,
+        )
+        if idx is None or md.num_rows == 0:
+            return None, None
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:  # stats absent (e.g. INT96): read the one column
+            col = pf.read(columns=["timestamp"])["timestamp"]
+            if col.null_count == len(col):
+                return None, None
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(col).as_py()
+            mins, maxs = [mm["min"]], [mm["max"]]
+
+        def _norm(dt):
+            # Stats may come back tz-aware (parquet TIMESTAMP is
+            # adjusted-to-UTC); the store's cutoffs are naive UTC.
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+            return dt.isoformat()
+
+        return _norm(min(mins)), _norm(max(maxs))
+    except Exception:
+        # Stats are an optimization: an unreadable footer must never
+        # fail a write, it just makes this file unskippable.
+        return None, None
+
+
 class FeatureStore:
     """Spark-native feature store with the reference's API surface.
 
@@ -587,10 +639,16 @@ class FeatureStore:
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
-    def _absorb_stage(self, stage: str) -> list[str]:
+    def _absorb_stage(self, stage: str) -> list[dict[str, Any]]:
         """Move staged parquet files into the live record tree under
-        collision-free names; returns their table-relative paths."""
-        added: list[str] = []
+        collision-free names; returns one manifest add-entry per file —
+        path plus min/max ``timestamp`` statistics, so versioned reads
+        can skip files wholesale (Delta's per-file stats pattern).
+        Stats come from the parquet footer when present; locally the
+        footer read is metadata-only. On a real cluster this collection
+        runs where the files are written (executors), exactly as Delta
+        gathers stats at write time."""
+        added: list[dict[str, Any]] = []
         for part in sorted(os.listdir(stage)):
             src_dir = os.path.join(stage, part)
             if not (part.startswith("group_id=") and os.path.isdir(src_dir)):
@@ -601,11 +659,10 @@ class FeatureStore:
                 if not f.endswith(".parquet"):
                     continue
                 rel = os.path.join(part, f"part-{uuid.uuid4().hex}.parquet")
-                os.rename(
-                    os.path.join(src_dir, f),
-                    os.path.join(self._records_path, rel),
-                )
-                added.append(rel)
+                dst = os.path.join(self._records_path, rel)
+                os.rename(os.path.join(src_dir, f), dst)
+                lo, hi = _file_ts_stats(dst)
+                added.append({"path": rel, "min_ts": lo, "max_ts": hi})
         return added
 
     def _migrate_unversioned(self) -> None:
@@ -807,6 +864,7 @@ class FeatureStore:
         group_id: Optional[str] = None,
         version: Optional[int] = None,
         as_of_commit: datetime | str | None = None,
+        ts_lte: datetime | None = None,
     ) -> DataFrame:
         """The record table at a pinned version (snapshot read).
 
@@ -829,14 +887,30 @@ class FeatureStore:
         if as_of_commit is not None:
             version = self._log.version_as_of(_coerce_ts(as_of_commit))
             if version is None:  # before the first commit
-                files: list[str] = []
+                entries: list[dict[str, Any]] = []
             else:
-                files = self._log.live_files(version)
+                entries = self._log.live_entries(version)
         else:
-            files = self._log.live_files(version)
+            entries = self._log.live_entries(version)
         if group_id is not None:
             prefix = f"group_id={group_id}/"
-            files = [f for f in files if f.startswith(prefix)]
+            entries = [e for e in entries if e["path"].startswith(prefix)]
+        if ts_lte is not None:
+            # Data skipping via manifest stats (Delta-style): an as-of
+            # read drops every file whose min timestamp is already past
+            # the cutoff — no footer reads, no scan, pruned driver-side
+            # from the commit log alone. Files without stats stay in.
+            cutoff = (
+                ts_lte.astimezone(timezone.utc).replace(tzinfo=None)
+                if ts_lte.tzinfo is not None
+                else ts_lte
+            ).isoformat()
+            entries = [
+                e
+                for e in entries
+                if e.get("min_ts") is None or e["min_ts"] <= cutoff
+            ]
+        files = [e["path"] for e in entries]
         if not files:
             df = self.spark.createDataFrame([], RECORDS_SCHEMA)
         else:
@@ -860,7 +934,9 @@ class FeatureStore:
         feature_store.py:372-409). Missing entity → None."""
         self._require_group(group_id)
         as_of_dt = _coerce_ts(as_of)
-        df = self.records_df(group_id).where(
+        # ts_lte prunes whole files from the manifest stats before the
+        # scan even starts; the row-level predicate below still applies.
+        df = self.records_df(group_id, ts_lte=as_of_dt).where(
             F.col("entity_id") == F.lit(str(entity_id))
         )
         if as_of_dt is not None:
@@ -903,7 +979,7 @@ class FeatureStore:
         as_of_dt = _coerce_ts(timestamp) or _utcnow()
         ents = [str(e) for e in entities]
 
-        recs = self.records_df().where(
+        recs = self.records_df(ts_lte=as_of_dt).where(
             F.col("group_id").isin(feature_groups)
             & F.col("entity_id").isin(ents)
             & (F.col("timestamp") <= F.lit(as_of_dt))

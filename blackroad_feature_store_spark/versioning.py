@@ -30,7 +30,10 @@ Layout::
     ...                               "remove": [relpaths...], ...}
 
 Relative paths are against the record-table root. Replaying the log in
-version order yields the live file set at any version.
+version order yields the live file set at any version. Add actions may
+carry per-file column statistics (``min_ts``/``max_ts``) — Delta's
+stats pattern — which versioned reads use for data skipping: an as-of
+query drops whole files from the scan using the manifest alone.
 
 Commit protocol: write the manifest to a temp name, fsync, then
 ``os.link`` it to ``{version:08d}.json``. Hard-linking is atomic and
@@ -83,10 +86,16 @@ class CommitLog:
         with open(os.path.join(self.dir, _manifest_name(version))) as fh:
             return json.load(fh)
 
-    def live_files(self, version: Optional[int] = None) -> list[str]:
+    def live_entries(self, version: Optional[int] = None) -> list[dict[str, Any]]:
         """Replay add/remove actions up to ``version`` (inclusive;
-        latest when None). Order of first addition is preserved."""
-        live: dict[str, None] = {}
+        latest when None). Returns one dict per live file — at least
+        ``{"path": ...}``, plus whatever per-file statistics the commit
+        recorded (``min_ts``/``max_ts`` for data-skipping reads, the
+        Delta-stats pattern). Order of first addition is preserved.
+        Add actions may be plain path strings (older manifests) or
+        stat dicts; both replay identically.
+        """
+        live: dict[str, dict[str, Any]] = {}
         for v in self.versions():
             if version is not None and v > version:
                 break
@@ -94,8 +103,13 @@ class CommitLog:
             for f in m.get("remove", ()):
                 live.pop(f, None)
             for f in m.get("add", ()):
-                live[f] = None
-        return list(live)
+                e = {"path": f} if isinstance(f, str) else f
+                live[e["path"]] = e
+        return list(live.values())
+
+    def live_files(self, version: Optional[int] = None) -> list[str]:
+        """Live file paths at ``version`` (stats dropped)."""
+        return [e["path"] for e in self.live_entries(version)]
 
     def version_as_of(self, ts: datetime | str) -> Optional[int]:
         """Latest version committed at or before ``ts`` (UTC)."""
@@ -134,7 +148,7 @@ class CommitLog:
     def commit(
         self,
         op: str,
-        add: list[str],
+        add: list[Any],
         remove: list[str],
         meta: Optional[dict[str, Any]] = None,
     ) -> int:

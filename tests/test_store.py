@@ -524,3 +524,76 @@ def test_sql_views(store_with_group):
         "SELECT entity_id, feature_values['age'] AS age FROM fs_records"
     ).first()
     assert row["entity_id"] == "u1" and row["age"] == "30"
+
+
+# -- manifest file statistics / data skipping -------------------------------
+
+def test_manifest_stats_skip_files_on_asof_read(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    # Two commits with disjoint timestamp ranges -> two file sets whose
+    # manifest stats don't overlap.
+    store.write_features_batch(
+        [
+            EntityRecord(g.id, "u1", {"age": 30}, datetime(2026, 1, 1)),
+            EntityRecord(g.id, "u2", {"age": 40}, datetime(2026, 1, 2)),
+        ]
+    )
+    store.write_features_batch(
+        [
+            EntityRecord(g.id, "u1", {"age": 31}, datetime(2026, 6, 1)),
+            EntityRecord(g.id, "u3", {"age": 50}, datetime(2026, 6, 2)),
+        ]
+    )
+    entries = store._log.live_entries()
+    assert all(e.get("min_ts") and e.get("max_ts") for e in entries)
+
+    all_files = set(store.records_df(g.id).inputFiles())
+    pruned = set(
+        store.records_df(g.id, ts_lte=datetime(2026, 3, 1)).inputFiles()
+    )
+    # The June commit's files are dropped from the scan entirely.
+    assert pruned and pruned < all_files
+    june_files = {
+        e["path"] for e in entries if e["min_ts"] >= "2026-06-01"
+    }
+    assert june_files
+    assert not any(any(p.endswith(f.split("/")[-1]) for p in pruned)
+                   for f in june_files)
+
+    # Correctness is unchanged: as-of before June sees the old snapshot,
+    # an unbounded read the new one.
+    assert store.get_features(g.id, "u1", as_of=datetime(2026, 3, 1)) == {
+        "age": 30
+    }
+    assert store.get_features(g.id, "u1") == {"age": 31}
+    # Boundary: a cutoff exactly equal to a file's min_ts keeps it.
+    kept = set(
+        store.records_df(g.id, ts_lte=datetime(2026, 6, 1)).inputFiles()
+    )
+    assert len(kept) > len(pruned)
+
+
+def test_manifest_stats_survive_compaction(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    store.write_features_batch(
+        [EntityRecord(g.id, "u1", {"age": 1}, datetime(2026, 1, 1))]
+    )
+    store.write_features_batch(
+        [EntityRecord(g.id, "u1", {"age": 2}, datetime(2026, 6, 1))]
+    )
+    store.compact_records(g.id)
+    entries = store._log.live_entries()
+    assert all(e.get("min_ts") for e in entries)
+    # compacted file spans both ranges -> no pruning at an early cutoff,
+    # but results stay right
+    assert store.get_features(g.id, "u1", as_of=datetime(2026, 2, 1)) == {
+        "age": 1
+    }
