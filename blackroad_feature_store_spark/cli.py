@@ -116,6 +116,15 @@ def cmd_history(args, store: FeatureStore) -> None:
         )
 
 
+def cmd_compact(args, store: FeatureStore) -> None:
+    n = store.compact_records(
+        group_id=args.group_id,
+        target_rows_per_file=args.target_rows,
+        cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+    )
+    print(f"✓ Compacted {n} record(s).")
+
+
 def cmd_vacuum(args, store: FeatureStore) -> None:
     n = store.vacuum(retain_versions=args.retain)
     print(f"✓ Vacuum removed {n} unreferenced data file(s).")
@@ -250,6 +259,21 @@ def build_parser() -> argparse.ArgumentParser:
         "history", help="Record-table commit history (versions, ops)"
     )
     p.set_defaults(func=cmd_history)
+
+    p = sub.add_parser(
+        "compact", help="Rewrite the record table into right-sized files"
+    )
+    p.add_argument("group_id", nargs="?", default=None)
+    p.add_argument(
+        "--target-rows", type=int, default=1_000_000,
+        help="rows per compacted file",
+    )
+    p.add_argument(
+        "--cluster-by", default=None,
+        help="comma-separated columns to range-cluster the rewrite on "
+             "(keeps files skippable via manifest stats)",
+    )
+    p.set_defaults(func=cmd_compact)
 
     p = sub.add_parser(
         "vacuum", help="Delete data files no retained version references"

@@ -735,9 +735,19 @@ class FeatureStore:
         return deleted
 
     def compact_records(
-        self, group_id: Optional[str] = None, target_rows_per_file: int = 1_000_000
+        self,
+        group_id: Optional[str] = None,
+        target_rows_per_file: int = 1_000_000,
+        cluster_by: Optional[list[str]] = None,
     ) -> int:
         """Rewrite the record log into right-sized files.
+
+        ``cluster_by`` additionally range-partitions and sorts the
+        rewrite on the given columns (Delta's ``OPTIMIZE ... ZORDER``
+        niche, linear-order flavor): with ``cluster_by=["timestamp"]``
+        the compacted files get *disjoint* timestamp ranges, so the
+        manifest min/max stats keep as-of reads skipping files even
+        after compaction merges many small writes.
 
         The reference-parity single-record ``write_features`` emits one
         tiny parquet file per call; at any real ingest rate that is a
@@ -767,9 +777,13 @@ class FeatureStore:
         if n == 0:
             return 0
         files = max(1, math.ceil(n / target_rows_per_file))
-        self._stage_and_commit(
-            df.repartition(files), op="compact", remove=old_files
-        )
+        if cluster_by:
+            rewritten = df.repartitionByRange(
+                files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            rewritten = df.repartition(files)
+        self._stage_and_commit(rewritten, op="compact", remove=old_files)
         return n
 
     def delete_entity_records(self, group_id: str, entity_id: str) -> int:

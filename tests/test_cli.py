@@ -119,3 +119,19 @@ def test_cli_history_and_vacuum(run):
     assert re.search(r"Vacuum removed [1-9]\d* unreferenced", out)
     out = run("get", gid, "u2")
     assert "age: 2" in out
+
+
+def test_cli_compact_clustered(run):
+    run("register", "age", "user", "int")
+    import re as _re
+
+    gid = _re.search(
+        r"ID: (\S+)",
+        run("create-group", "g", "--features", "age",
+            "--entity-key", "user_id"),
+    ).group(1)
+    run("write", gid, "u1", '{"age": 1}')
+    run("write", gid, "u2", '{"age": 2}')
+    out = run("compact", gid, "--cluster-by", "timestamp")
+    assert "Compacted 2 record(s)" in out
+    assert "compact" in run("history")

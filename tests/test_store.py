@@ -597,3 +597,33 @@ def test_manifest_stats_survive_compaction(store_with_group):
     assert store.get_features(g.id, "u1", as_of=datetime(2026, 2, 1)) == {
         "age": 1
     }
+
+
+def test_clustered_compaction_keeps_files_skippable(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    # Many tiny writes spanning a year...
+    store.write_features_batch(
+        [
+            EntityRecord(g.id, f"u{m}", {"age": m}, datetime(2026, m, 15))
+            for m in range(1, 13)
+        ]
+    )
+    # ...compacted into two files CLUSTERED on timestamp.
+    store.compact_records(
+        g.id, target_rows_per_file=6, cluster_by=["timestamp"]
+    )
+    entries = store._log.live_entries()
+    assert len(entries) == 2
+    # Range partitioning makes the two files' ts ranges disjoint...
+    a, b = sorted(entries, key=lambda e: e["min_ts"])
+    assert a["max_ts"] < b["min_ts"]
+    # ...so an early as-of read scans exactly one of them.
+    pruned = store.records_df(g.id, ts_lte=datetime(2026, 2, 1)).inputFiles()
+    assert len(pruned) == 1
+    assert store.get_features(g.id, "u1", as_of=datetime(2026, 2, 1)) == {
+        "age": 1
+    }
