@@ -52,9 +52,20 @@ from typing import Any, Optional
 
 _MANIFEST_DIGITS = 8
 
+# A checkpoint (the full live-entry set, materialized) is written every
+# N commits, so replay cost is O(N + entries) instead of O(commits) —
+# the same reader-scaling device as Delta's _last_checkpoint. Manifests
+# are kept (history/time travel still read them); checkpoints are pure
+# acceleration and readers fall back to full replay without one.
+CHECKPOINT_EVERY = 10
+
 
 def _manifest_name(version: int) -> str:
     return f"{version:0{_MANIFEST_DIGITS}d}.json"
+
+
+def _checkpoint_name(version: int) -> str:
+    return f"{version:0{_MANIFEST_DIGITS}d}.checkpoint.json"
 
 
 class CommitLog:
@@ -87,18 +98,29 @@ class CommitLog:
             return json.load(fh)
 
     def live_entries(self, version: Optional[int] = None) -> list[dict[str, Any]]:
-        """Replay add/remove actions up to ``version`` (inclusive;
-        latest when None). Returns one dict per live file — at least
+        """The live file set at ``version`` (inclusive; latest when
+        None). Returns one dict per live file — at least
         ``{"path": ...}``, plus whatever per-file statistics the commit
         recorded (``min_ts``/``max_ts`` for data-skipping reads, the
         Delta-stats pattern). Order of first addition is preserved.
         Add actions may be plain path strings (older manifests) or
         stat dicts; both replay identically.
+
+        Replay starts from the newest usable checkpoint at or before
+        the target, then applies only the manifests after it.
         """
+        vs = self.versions()
+        if version is not None:
+            vs = [v for v in vs if v <= version]
+        if not vs:
+            return []
         live: dict[str, dict[str, Any]] = {}
-        for v in self.versions():
-            if version is not None and v > version:
-                break
+        cp = self._load_checkpoint(at_most=vs[-1])
+        if cp is not None:
+            cp_version, entries = cp
+            live = {e["path"]: e for e in entries}
+            vs = [v for v in vs if v > cp_version]
+        for v in vs:
             m = self.read(v)
             for f in m.get("remove", ()):
                 live.pop(f, None)
@@ -106,6 +128,53 @@ class CommitLog:
                 e = {"path": f} if isinstance(f, str) else f
                 live[e["path"]] = e
         return list(live.values())
+
+    def _checkpoint_versions(self) -> list[int]:
+        try:
+            names = os.listdir(self.dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            stem, dot, ext = n.partition(".")
+            if dot and ext == "checkpoint.json" and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def _load_checkpoint(
+        self, at_most: int
+    ) -> Optional[tuple[int, list[dict[str, Any]]]]:
+        """Newest readable checkpoint with version <= ``at_most``; an
+        unreadable one falls back to the next older (checkpoints are
+        acceleration only — correctness never depends on them)."""
+        for v in reversed(self._checkpoint_versions()):
+            if v > at_most:
+                continue
+            try:
+                with open(os.path.join(self.dir, _checkpoint_name(v))) as fh:
+                    doc = json.load(fh)
+                return v, doc["entries"]
+            except (OSError, ValueError, KeyError):
+                continue
+        return None
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Materialize the live set after every CHECKPOINT_EVERY-th
+        commit. Atomic replace; content is deterministic for a version,
+        so concurrent writers racing on the same checkpoint are
+        harmless. Failure is swallowed — the log stays correct."""
+        if version == 0 or version % CHECKPOINT_EVERY != 0:
+            return
+        try:
+            doc = {"version": version, "entries": self.live_entries(version)}
+            tmp = os.path.join(self.dir, f".tmp-cp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(doc, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(self.dir, _checkpoint_name(version)))
+        except OSError:
+            pass
 
     def live_files(self, version: Optional[int] = None) -> list[str]:
         """Live file paths at ``version`` (stats dropped)."""
@@ -181,6 +250,7 @@ class CommitLog:
             try:
                 os.link(tmp, final)
                 os.unlink(tmp)
+                self._maybe_checkpoint(version)
                 return version
             except FileExistsError:
                 os.unlink(tmp)
