@@ -134,3 +134,69 @@ def windowed_counts(
             F.sum("value").alias("sum_value"),
         )
     )
+
+
+def materialize_windowed_features(
+    store: FeatureStore,
+    group_id: str,
+    source: DataFrame,
+    ts_col: str,
+    key_col: str,
+    checkpoint: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = False,
+):
+    """Streaming feature engineering end-to-end: windowed aggregates of
+    an event stream land in the store AS FEATURES, timestamped at
+    window end, so every as-of read and point-in-time join sees the
+    freshest closed window — continuous materialized features, the
+    streaming analogue of a batch feature backfill.
+
+    Pipeline: watermark + event-time window agg (`windowed_counts`) →
+    entity = the grouping key, timestamp = window END (an aggregate is
+    knowable only once its window closes — stamping window start would
+    leak future events into as-of reads) → exactly-once commit per
+    micro-batch (same replay guard as `start_ingest`). Append output
+    mode means a window emits once, finalized, when the watermark
+    passes — re-emission/update semantics are not needed because the
+    record log is append-only and as-of reads take the latest row.
+    """
+    import os as _os
+
+    group = store.get_group(group_id)
+    if group is None:
+        raise ValueError(f"Feature group '{group_id}' not found")
+    if group.frequency != FREQ_STREAMING:
+        raise ValueError(
+            f"Group '{group.name}' has frequency '{group.frequency}'; "
+            "streaming ingest requires a streaming group"
+        )
+    agg = windowed_counts(
+        source, ts_col, key_col, window_duration, watermark
+    ).select(
+        F.col(key_col),
+        F.col("window.end").alias("__ts"),
+        F.col("n"),
+        F.col("sum_value"),
+    )
+    shaped = records_stream(agg, group_id, key_col, "__ts", ["n", "sum_value"])
+    stream_id = _os.path.abspath(checkpoint)
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if store.stream_batch_committed(stream_id, batch_id):
+            return
+        store._stage_and_commit(
+            batch_df,
+            op="stream-features",
+            meta={"stream_id": stream_id, "batch_id": batch_id},
+        )
+
+    writer = (
+        shaped.writeStream.foreachBatch(_commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

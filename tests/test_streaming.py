@@ -298,3 +298,66 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM ss_join_out").collect()
     assert [(r["user"], r["ad"]) for r in rows] == [("u1", "ad_a")]
+
+
+def test_materialize_windowed_features_asof_visible(spark, tmp_path):
+    """Streaming feature engineering end-to-end: event stream ->
+    watermarked windowed agg -> features in the store -> as-of read."""
+    from blackroad_feature_store_spark.streaming.ingest import (
+        materialize_windowed_features,
+    )
+
+    fs = FeatureStore(spark, str(tmp_path / "fs_mwf"))
+    fs.register_feature("n", "event", "int")
+    fs.register_feature("sum_value", "event", "float")
+    g = fs.create_group(
+        "hourly_counts", ["n", "sum_value"], "event_type",
+        frequency="streaming",
+    )
+
+    src_dir = str(tmp_path / "mwf_src")
+    def write_events(rows, path):
+        spark.createDataFrame(
+            rows, "ts_s string, event_type string, value double"
+        ).select(
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        ).write.mode("append").parquet(path)
+
+    write_events(
+        [
+            ("2026-01-01T00:10:00", "click", 1.0),
+            ("2026-01-01T00:40:00", "click", 2.0),
+            ("2026-01-01T01:10:00", "view", 5.0),
+        ],
+        src_dir,
+    )
+    # A far-future sentinel in its own file pushes the watermark past
+    # every window of interest (append mode only emits closed windows).
+    write_events([("2026-01-02T12:00:00", "heartbeat", 0.0)], src_dir)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = materialize_windowed_features(
+        fs, g.id, stream, ts_col="ts", key_col="event_type",
+        checkpoint=str(tmp_path / "mwf_ckpt"),
+        window_duration="1 hour", watermark="30 minutes",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    # The 00:00 click window (2 events, sum 3.0) is a feature snapshot
+    # timestamped at window end 01:00 — visible to as-of reads at/after
+    # that instant, invisible before (no leakage).
+    assert fs.get_features(g.id, "click", as_of="2026-01-01T01:00:00") == {
+        "n": 2, "sum_value": 3.0,
+    }
+    assert fs.get_features(g.id, "click", as_of="2026-01-01T00:59:59") is None
+    assert fs.get_features(g.id, "view", as_of="2026-01-01T03:00:00") == {
+        "n": 1, "sum_value": 5.0,
+    }
+    # The commit log records the stream's batches as feature commits.
+    assert any(e["op"] == "stream-features" for e in fs.history())
