@@ -76,6 +76,7 @@ HEADLINE = [
     "text_outlier_docs",
     "pipeline_pack_sequences",
     "mm_audio_features",
+    "dedup_canonical",
 ]
 
 

@@ -2647,3 +2647,62 @@ def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
 
     assets = documents_as_assets(load(spark, sf, "documents"))
     return audio_features(assets, fake=True)
+
+
+@q(
+    "dedup_canonical",
+    _SQL_MINHASH_PAIRS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id
+                 FROM reach GROUP BY a),
+"""
+    + _SQL_PROFILE_BASE
+    + """,
+    sel AS (
+      SELECT c.cluster_id, c.doc_id, s.quality,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY s.quality DESC, c.doc_id) AS rk
+      FROM clusters c JOIN scored s USING (doc_id))
+    SELECT cluster_id, doc_id AS canonical_doc,
+           quality AS canonical_quality, n_members
+    FROM sel WHERE rk = 1
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """The last stage of the dedup pipeline: per duplicate cluster,
+    keep the best member (highest quality score, doc-id tiebreak) —
+    candidates → clusters → canonical survivor. Cluster labels and
+    quality profiles join on doc_id; survivor selection is one window
+    over cluster-sized partitions (tiny after clustering)."""
+    from blackroad_feature_store_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs = load(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
+    clusters = duplicate_clusters(pairs)
+    quality = text_profile(docs).select("doc_id", "quality")
+    m = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        m.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("quality").alias("canonical_quality"),
+            "n_members",
+        )
+    )
