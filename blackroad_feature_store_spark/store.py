@@ -277,6 +277,10 @@ class FeatureStore:
         # existed get a migration commit adopting their files.
         self._log = CommitLog(os.path.join(self.base_path, "_versions"))
         self._migrate_unversioned()
+        # Streaming replay-guard cache: last committed batch id per
+        # stream_id, seeded lazily from one manifest scan.
+        self._stream_commits: dict[str, int] = {}
+        self._stream_commits_scanned: set[str] = set()
         # Driver-side registry cache. The registry is control-plane
         # metadata (KBs); caching it avoids a Spark job per lookup the
         # same way the reference's SQLite indexes make lookups ~free.
@@ -685,14 +689,33 @@ class FeatureStore:
         """True when a streaming micro-batch (identified by its
         checkpoint + batch id) already landed in the table — the replay
         guard that turns at-least-once checkpoint recovery into an
-        exactly-once sink. Scans manifests newest-first and stops at
-        the stream's most recent commit (batch ids are monotonic per
-        checkpoint, so one hit decides)."""
+        exactly-once sink.
+
+        The manifest scan (newest-first, stops at the stream's most
+        recent commit — batch ids are monotonic per checkpoint, so one
+        hit decides) runs once per stream per store instance: the
+        answer is cached and advanced in-process by
+        :meth:`_note_stream_commit`, so steady-state micro-batches cost
+        a dict lookup, not a log walk."""
+        cached = self._stream_commits.get(stream_id)
+        if cached is not None and cached >= batch_id:
+            return True
+        if stream_id in self._stream_commits_scanned:
+            return False
         for v in reversed(self._log.versions()):
             m = self._log.read(v)
             if m.get("stream_id") == stream_id:
-                return m.get("batch_id", -1) >= batch_id
+                self._stream_commits[stream_id] = m.get("batch_id", -1)
+                self._stream_commits_scanned.add(stream_id)
+                return self._stream_commits[stream_id] >= batch_id
+        self._stream_commits_scanned.add(stream_id)
         return False
+
+    def _note_stream_commit(self, stream_id: str, batch_id: int) -> None:
+        self._stream_commits[stream_id] = max(
+            self._stream_commits.get(stream_id, -1), batch_id
+        )
+        self._stream_commits_scanned.add(stream_id)
 
     @property
     def current_version(self) -> Optional[int]:

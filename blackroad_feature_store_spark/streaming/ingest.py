@@ -105,6 +105,7 @@ def start_ingest(
             op="stream-append",
             meta={"stream_id": stream_id, "batch_id": batch_id},
         )
+        store._note_stream_commit(stream_id, batch_id)
 
     writer = (
         shaped.writeStream.foreachBatch(_commit_batch)
@@ -191,6 +192,7 @@ def materialize_windowed_features(
             op="stream-features",
             meta={"stream_id": stream_id, "batch_id": batch_id},
         )
+        store._note_stream_commit(stream_id, batch_id)
 
     writer = (
         shaped.writeStream.foreachBatch(_commit_batch)

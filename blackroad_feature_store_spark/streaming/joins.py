@@ -54,3 +54,44 @@ def interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, how)
+
+
+def enrich_with_features(
+    stream: DataFrame,
+    store,
+    group_id: str,
+    entity_col: str,
+    features: list[str],
+    as_of=None,
+) -> DataFrame:
+    """Stream-static feature lookup: join a live event stream against
+    the store's latest feature snapshot per entity — online inference
+    enrichment, the read-side twin of streaming ingest.
+
+    The static side is resolved ONCE (snapshot isolation from the
+    commit log: the file set is pinned at plan time; pass ``as_of`` to
+    pin a historical snapshot instead of latest) and broadcast — each
+    micro-batch probes an executor-local hash relation, no per-batch
+    shuffle of the stream. Re-create the query to pick up newer
+    features; at 100 TB the static side is one entity-latest row per
+    entity, dimension-table-sized.
+    """
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.operators.asof import latest_as_of
+
+    recs = store.records_df(group_id, ts_lte=as_of)
+    if as_of is not None:
+        recs = recs.where(F.col("timestamp") <= F.lit(as_of))
+    latest = latest_as_of(recs, keys=["group_id", "entity_id"]).select(
+        F.col("entity_id").alias("__entity"),
+        *[
+            F.col("feature_values").getItem(f).alias(f"feature_{f}")
+            for f in features
+        ],
+    )
+    return stream.join(
+        F.broadcast(latest),
+        stream[entity_col] == F.col("__entity"),
+        "left",
+    ).drop("__entity")

@@ -361,3 +361,43 @@ def test_materialize_windowed_features_asof_visible(spark, tmp_path):
     }
     # The commit log records the stream's batches as feature commits.
     assert any(e["op"] == "stream-features" for e in fs.history())
+
+
+def test_stream_static_feature_enrichment(spark, tmp_path, streaming_store):
+    """Stream-static join: events enriched with the store's latest
+    feature snapshot per entity (online-inference read path)."""
+    from blackroad_feature_store_spark.streaming.joins import (
+        enrich_with_features,
+    )
+
+    fs, g = streaming_store
+    fs.write_features(g.id, "u1", {"clicks": 5, "city": "berlin"},
+                      timestamp="2026-01-01T00:00:00")
+    fs.write_features(g.id, "u1", {"clicks": 9, "city": "berlin"},
+                      timestamp="2026-02-01T00:00:00")
+
+    src_dir = str(tmp_path / "enrich_src")
+    spark.createDataFrame(
+        [("u1", "view"), ("u2", "click")], "user string, action string"
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema("user string, action string").parquet(
+        src_dir
+    )
+    out = enrich_with_features(
+        stream, fs, g.id, entity_col="user", features=["clicks", "city"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user"]: r for r in spark.sql(
+        "SELECT * FROM enriched_out").collect()}
+    # Latest snapshot wins; JSON-encoded cell values come back verbatim.
+    assert rows["u1"]["feature_clicks"] == "9"
+    assert rows["u1"]["feature_city"] == '"berlin"'
+    # Unknown entity keeps the event (left join) with null features.
+    assert rows["u2"]["feature_clicks"] is None
