@@ -77,6 +77,7 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "mm_audio_features",
     "dedup_canonical",
+    "tpch_q10_returns",
 ]
 
 

@@ -2706,3 +2706,57 @@ def dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@q(
+    "tpch_q10_returns",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returns(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) adapted: 4-table join, the
+    fact side filtered on return flag, revenue per customer, top-20.
+    nation and the filtered customer dim broadcast; lineitem carries
+    the only real shuffle (the final groupBy). Decimal-input sums for
+    engine-exact revenue (tpch_q1 pattern); deterministic top-20 via
+    (revenue DESC, custkey) total order."""
+    cust = load(spark, sf, "customer")
+    nat = F.broadcast(load(spark, sf, "nation"))
+    orders = load(spark, sf, "orders").where(
+        F.col("o_orderdate")
+        >= F.lit("1997-10-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        )
+        .join(
+            F.broadcast(cust.join(nat, cust.c_nationkey == nat.n_nationkey)),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

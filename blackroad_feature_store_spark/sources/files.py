@@ -32,7 +32,7 @@ def read_documents(
 ) -> DataFrame:
     """Read a corpus in any supported format as canonical documents.
 
-    ``format``: parquet | jsonl | csv | text.
+    ``format``: parquet | orc | jsonl | csv | text.
     ``text`` mode treats each LINE as one document (the common
     one-example-per-line training-data layout).
     ``id_col=None`` (or a missing column) derives ``doc_id`` from
@@ -41,6 +41,8 @@ def read_documents(
     opts = dict(options or {})
     if format == "parquet":
         df = spark.read.options(**opts).parquet(path)
+    elif format == "orc":
+        df = spark.read.options(**opts).orc(path)
     elif format == "jsonl":
         df = spark.read.options(**opts).json(path)
     elif format == "csv":
@@ -55,7 +57,7 @@ def read_documents(
     else:
         raise ValueError(
             f"Unsupported format '{format}' "
-            "(expected parquet, jsonl, csv, or text)"
+            "(expected parquet, orc, jsonl, csv, or text)"
         )
 
     if text_col != "text":
@@ -102,6 +104,8 @@ def write_documents(
         w = w.partitionBy(*partition_by)
     if format == "parquet":
         w.parquet(path)
+    elif format == "orc":
+        w.orc(path)
     elif format == "jsonl":
         w.json(path)
     else:

@@ -921,6 +921,14 @@ class FeatureStore:
         """
         if version is not None and as_of_commit is not None:
             raise ValueError("pass version= or as_of_commit=, not both")
+        if version is not None and version not in self._log.versions():
+            # Same contract as Delta's VERSION AS OF: asking for a
+            # version that never existed (or was never committed) is a
+            # caller bug, not an empty result.
+            raise ValueError(
+                f"Record-table version {version} does not exist "
+                f"(latest: {self._log.latest_version()})"
+            )
         if as_of_commit is not None:
             version = self._log.version_as_of(_coerce_ts(as_of_commit))
             if version is None:  # before the first commit

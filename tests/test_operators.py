@@ -661,3 +661,51 @@ def test_audio_features_fake_decode_and_stub(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|audio decode"):
         audio_features(assets, fake=False).collect()
+
+
+def test_read_documents_orc_roundtrip(spark, tmp_path):
+    from blackroad_feature_store_spark.sources.files import (
+        read_documents,
+        write_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello orc", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs_orc")
+    write_documents(docs, path, format="orc")
+    back = read_documents(spark, path, format="orc")
+    assert [tuple(r) for r in back.collect()] == [
+        (1, "hello orc", "en", "s", 9)
+    ]
+
+
+def test_chunk_documents_exhaustive_coverage(spark):
+    """For every token count 0..80: chunk count matches the closed
+    form, every token is covered, no chunk exceeds chunk_size, and
+    consecutive chunks overlap by exactly chunk_size - stride."""
+    import math
+
+    from blackroad_feature_store_spark.operators.corpus import chunk_documents
+
+    C, S = 32, 24
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(0, 81)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(df, chunk_size=C, stride=S).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_tokens"])
+        )
+    for n in range(0, 81):
+        chunks = sorted(out[n])
+        eff_n = max(n, 1)  # blank text still tokenizes to one '' token
+        expected = 1 + math.ceil(max(eff_n - C, 0) / S)
+        assert len(chunks) == expected, f"n={n}"
+        assert all(sz <= C for _, sz in chunks)
+        # chunk k starts at k*S (0-based); last chunk must reach token n
+        last_k, last_sz = chunks[-1]
+        assert last_k * S + last_sz == eff_n, f"n={n}"
+        # full coverage with exact overlap C-S between neighbors
+        for k, sz in chunks[:-1]:
+            assert sz == C, f"n={n} interior chunk short"

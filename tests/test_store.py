@@ -627,3 +627,22 @@ def test_clustered_compaction_keeps_files_skippable(store_with_group):
     assert store.get_features(g.id, "u1", as_of=datetime(2026, 2, 1)) == {
         "age": 1
     }
+
+
+def test_records_df_nonexistent_version_raises(store_with_group):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    store.write_features_batch(
+        [EntityRecord(g.id, "u1", {"age": 1}, datetime(2026, 1, 1))]
+    )
+    with _pytest.raises(ValueError, match="version 99 does not exist"):
+        store.records_df(g.id, version=99)
+    # as_of_commit before the first commit is NOT an error: empty table.
+    assert store.records_df(
+        g.id, as_of_commit=datetime(2000, 1, 1)
+    ).count() == 0
