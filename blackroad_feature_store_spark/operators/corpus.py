@@ -62,10 +62,15 @@ def decontaminate(
         .drop("__shingle")
         .distinct()
     )
-    # A doc is contaminated iff it survived the semi join at least once.
+    # A doc is contaminated iff it survived the semi join at least
+    # once. The hit set (contaminated ids) is benchmark-overlap-sized —
+    # tiny next to the corpus — so it broadcasts too: neither pass over
+    # the training corpus ever shuffles it.
     return train.join(
-        hits.select(train.columns[0]).withColumn(
-            "contaminated", F.lit(True)
+        F.broadcast(
+            hits.select(train.columns[0]).withColumn(
+                "contaminated", F.lit(True)
+            )
         ),
         train.columns[0],
         "left",
