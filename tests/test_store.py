@@ -646,3 +646,46 @@ def test_records_df_nonexistent_version_raises(store_with_group):
     assert store.records_df(
         g.id, as_of_commit=datetime(2000, 1, 1)
     ).count() == 0
+
+
+def test_concurrent_data_plane_writers_both_commit(spark, tmp_path):
+    """Two FeatureStore instances on the same base path appending
+    concurrently: the optimistic commit loop must land BOTH commits
+    (no lost update, distinct versions, all rows readable)."""
+    import threading
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    base = str(tmp_path / "fs_conc")
+    a = FeatureStore(spark, base)
+    a.register_feature("age", "user", "int")
+    g = a.create_group("g", ["age"], "user_id")
+    b = FeatureStore(spark, base)
+
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(store, lo, hi):
+        try:
+            barrier.wait(timeout=60)
+            store.write_features_batch(
+                [
+                    EntityRecord(g.id, f"u{i}", {"age": i},
+                                 datetime(2026, 1, 1 + (i % 27)))
+                    for i in range(lo, hi)
+                ]
+            )
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(a, 0, 40))
+    t2 = threading.Thread(target=writer, args=(b, 40, 80))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors
+    versions = a._log.versions()
+    assert len(versions) == 2  # two distinct commits, no clobber
+    fresh = FeatureStore(spark, base)
+    df = fresh.records_df(g.id)
+    assert df.count() == 80
+    assert df.select("entity_id").distinct().count() == 80
