@@ -78,6 +78,8 @@ HEADLINE = [
     "mm_audio_features",
     "dedup_canonical",
     "tpch_q10_returns",
+    "core_event_funnel",
+    "core_retention_cohorts",
 ]
 
 

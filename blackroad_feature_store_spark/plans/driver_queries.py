@@ -2760,3 +2760,97 @@ def tpch_q10_returns(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@q(
+    "core_event_funnel",
+    """
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS fv,
+             min(ts) FILTER (WHERE event_type = 'click')    AS fc,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS fp
+      FROM ev GROUP BY user_id),
+    staged AS (
+      SELECT CASE
+               WHEN fv IS NULL THEN 'no_view'
+               WHEN fc IS NULL OR fc <= fv THEN 'view_only'
+               WHEN fp IS NULL OR fp <= fc THEN 'view_click'
+               ELSE 'full_funnel'
+             END AS stage
+      FROM firsts)
+    SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+    """,
+)
+def core_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase) by
+    first-occurrence ordering per user — one conditional-min
+    aggregation over the event stream, then a stage bucket. A single
+    groupBy(user) shuffle at any scale; the first-ts simplification
+    (first click must follow first view) keeps it one pass."""
+    ev = load(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    stage = (
+        F.when(F.col("fv").isNull(), "no_view")
+        .when(F.col("fc").isNull() | (F.col("fc") <= F.col("fv")),
+              "view_only")
+        .when(F.col("fp").isNull() | (F.col("fp") <= F.col("fc")),
+              "view_click")
+        .otherwise("full_funnel")
+    )
+    return (
+        firsts.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@q(
+    "core_retention_cohorts",
+    """
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    cohorts AS (SELECT user_id,
+                       date_trunc('week', min(ts)) AS cohort_wk
+                FROM ev GROUP BY user_id),
+    active AS (SELECT DISTINCT e.user_id,
+                      date_trunc('week', e.ts) AS wk
+               FROM ev e)
+    SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', c.cohort_wk, a.wk) // 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM active a JOIN cohorts c USING (user_id)
+    GROUP BY c.cohort_wk, week_offset
+    """,
+)
+def core_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted per week offset they stayed active. Two aggregations (first
+    event per user; distinct active weeks) joined on user — cohort
+    assignment is a broadcast-back of a user-sized relation."""
+    ev = load(spark, sf, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        active.join(F.broadcast(cohorts), "user_id")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort_wk")) / 7
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
