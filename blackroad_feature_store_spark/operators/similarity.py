@@ -381,3 +381,41 @@ def cosine_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def train_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Train IVF coarse-quantizer centroids with MLlib k-means —
+    Spark-first: distributed k-means|| initialization + Lloyd
+    iterations from ``pyspark.ml``, not a hand-rolled loop. Returns
+    (centroid_id, ``vec_col``) in exactly the shape
+    :func:`ivf_assign`/:func:`cosine_topk_ivf` consume.
+
+    The deterministic-sample centroids used by the oracle queries keep
+    results engine-reproducible; these trained centroids are the
+    production quality dial (tighter clusters → fewer probes for the
+    same recall). Seeded, so the index is still reproducible run to
+    run.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(train)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        f"centroid_id int, {vec_col} array<double>",
+    )

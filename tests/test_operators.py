@@ -709,3 +709,67 @@ def test_chunk_documents_exhaustive_coverage(spark):
         # full coverage with exact overlap C-S between neighbors
         for k, sz in chunks[:-1]:
             assert sz == C, f"n={n} interior chunk short"
+
+
+def test_ivf_trained_centroids_quantization_and_recall(spark):
+    """MLlib k-means centroids must quantize better than a random
+    sample (higher mean max-cosine to the assigned centroid — the
+    k-means objective) and still find real neighbors at nprobe=2.
+
+    Recall alone is a misleading metric here: a sampled-centroid set
+    that happens to contain the query vectors probes the query's own
+    cluster and looks artificially good, so the quantization quality
+    is the property worth pinning."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        dot,
+        norm,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # Disjoint from the query ids below, so no coincidence artifact.
+    sampled = emb.where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 216)
+    ).selectExpr("CAST(vec_id AS INT) AS centroid_id", "embedding")
+    trained = train_centroids(emb, k=16, max_iter=5)
+
+    def mean_assignment_sim(centroids):
+        c = F.broadcast(
+            centroids.selectExpr(
+                "centroid_id AS cid", "embedding AS cvec"
+            ).withColumn("cn", norm(F.col("cvec")))
+        )
+        sims = (
+            emb.withColumn("vn", norm(F.col("embedding")))
+            .crossJoin(c)
+            .withColumn(
+                "sim",
+                dot(F.col("embedding"), F.col("cvec"))
+                / (F.col("vn") * F.col("cn")),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("best"))
+        )
+        return sims.agg(F.avg("best")).collect()[0][0]
+
+    q_sampled = mean_assignment_sim(sampled)
+    q_trained = mean_assignment_sim(trained)
+    assert q_trained > q_sampled, (q_trained, q_sampled)
+
+    queries = (
+        emb.where(F.col("vec_id") < 10)
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            emb, queries, trained, k=5, nprobe=2
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) > 0.3
