@@ -194,3 +194,57 @@ def audio_features(assets: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return assets.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 224, height: int = 224, fake: bool = True
+) -> DataFrame:
+    """Batch image resize via mapInPandas — the preprocessing step a
+    vision-training pipeline runs between decode and feature
+    extraction. Output rows carry the target dimensions and the
+    resized payload as binary.
+
+    The resample kernel is STUBBED (no codec in this container): with
+    ``fake=True`` the "resized" payload is a deterministic function of
+    (payload digest, target dims) sized ~width*height/64 bytes, so the
+    Spark-side contract — Arrow batch shape, binary output column,
+    downstream writability — is fully real and testable. With
+    ``fake=False`` it raises NotImplementedError from the executors.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                # STUB: no image codec in this container.
+                raise NotImplementedError(
+                    "image resize requires PIL/libvips; run with fake=True"
+                )
+            out_bytes = []
+            for b in pdf["content"]:
+                seed = hashlib.sha256(
+                    bytes(b) + f":{width}x{height}".encode()
+                ).digest()
+                reps = max(1, (width * height) // (64 * len(seed)))
+                out_bytes.append(seed * reps)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "content": out_bytes,
+                    "n_bytes": [len(x) for x in out_bytes],
+                }
+            )
+
+    return assets.mapInPandas(kernel, RESIZED_SCHEMA)

@@ -773,3 +773,34 @@ def test_ivf_trained_centroids_quantization_and_recall(spark):
         ).collect()
     }
     assert len(got & exact) / len(exact) > 0.3
+
+
+def test_resize_images_fake_kernel_deterministic(spark):
+    import hashlib as _h
+
+    from blackroad_feature_store_spark.operators.multimodal import (
+        documents_as_assets,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "payload one", "en", "s"), (2, "payload two", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    assets = documents_as_assets(docs)
+    rows = {r["asset_id"]: r for r in resize_images(
+        assets, width=64, height=64).collect()}
+    assert rows[1]["width"] == 64 and rows[1]["n_bytes"] == len(
+        rows[1]["content"]
+    )
+    # Deterministic: same payload + dims -> same bytes.
+    seed = _h.sha256(b"payload one" + b":64x64").digest()
+    assert bytes(rows[1]["content"])[:32] == seed
+    # Different dims -> different payload (the dims are in the digest).
+    rows_other = {r["asset_id"]: r for r in resize_images(
+        assets, width=32, height=32).collect()}
+    assert bytes(rows_other[1]["content"]) != bytes(rows[1]["content"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_images(assets, fake=False).collect()
