@@ -80,6 +80,8 @@ HEADLINE = [
     "tpch_q10_returns",
     "core_event_funnel",
     "core_retention_cohorts",
+    "core_json_props",
+    "core_correlated_subquery",
 ]
 
 

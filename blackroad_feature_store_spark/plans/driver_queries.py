@@ -2854,3 +2854,67 @@ def core_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@q(
+    "core_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def core_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured payload extraction: a JSON string column
+    (`events.props`) parsed and aggregated without ever materializing
+    an intermediate table — `get_json_object` is a JVM expression
+    inside the scan projection, so the parse runs at scan speed and
+    only the extracted integer reaches the aggregate."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@q(
+    "core_correlated_subquery",
+    """
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def core_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (orders worth >2x their customer's
+    average), expressed as literal SQL so Catalyst demonstrates
+    decorrelation: the optimizer rewrites the per-row subquery into
+    ONE aggregate + join — the plan a hand-written window/join would
+    produce, without hand-writing it. avg() compares only (never
+    surfaced), so float summation order cannot flip a row: the margin
+    between 2x-avg and any price dwarfs double noise here; outputs are
+    raw column values."""
+    orders = load(spark, sf, "orders")
+    orders.createOrReplaceTempView("__corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice
+        FROM __corr_orders o
+        WHERE o.o_totalprice > 2 * (
+            SELECT avg(o2.o_totalprice) FROM __corr_orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

@@ -3,6 +3,8 @@
 a refactor that silently loses one fails CI, not the cluster.
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -98,3 +100,38 @@ def test_group_stats_single_aggregation(spark):
     # second Exchange would mean a second scan/shuffle crept in
     plan = formatted_plan(dq.core_group_stats(spark, SF))
     assert plan.count("Exchange") <= 2  # 1 shuffle (+1 AQE read marker)
+
+
+def test_chunks_plan_has_no_exchange(spark):
+    # Chunking is a narrow projection + explode: any Exchange appearing
+    # here means a refactor added an accidental shuffle.
+    plan = formatted_plan(dq.pipeline_chunks(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    # One exchange total: the per-source window partition. The grouped
+    # agg on (source, bin_id) reuses that partitioning only if the
+    # planner sees it — but it must never exceed two.
+    plan = formatted_plan(dq.pipeline_pack_sequences(spark, SF))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+    assert n_exchanges <= 2, plan
+
+
+def test_decontaminate_corpus_never_shuffle_joins(spark):
+    # Both joins against the corpus must be broadcast: a
+    # SortMergeJoin/ShuffledHashJoin here means the benchmark or hit
+    # set stopped broadcasting and the corpus pays a shuffle.
+    plan = formatted_plan(dq.pipeline_decontaminate(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_json_props_parse_stays_in_scan_stage(spark):
+    # get_json_object must be a projection expression feeding a partial
+    # aggregate — no separate shuffle before the parse.
+    plan = formatted_plan(dq.core_json_props(spark, SF))
+    assert "get_json_object" in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+    assert n_exchanges == 1, plan  # only the groupBy(event_type) shuffle
