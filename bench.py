@@ -82,6 +82,7 @@ HEADLINE = [
     "core_retention_cohorts",
     "core_json_props",
     "core_correlated_subquery",
+    "store_pit_precedence",
 ]
 
 

@@ -2918,3 +2918,52 @@ def core_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
             WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@q(
+    "store_pit_precedence",
+    """
+    SELECT * FROM (VALUES
+        ('u1', 10,   'a'),
+        ('u2', 2,    'b'),
+        ('u3', 30,   CAST(NULL AS VARCHAR)),
+        ('u4', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR))
+    ) AS t(entity_id, score, city)
+    """,
+)
+def store_pit_precedence(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 multi-group semantics pinned end-to-end through a real store:
+    point_in_time_join with TWO groups — later group overrides earlier
+    on key collision, null-fill never clobbers, records after the
+    cutoff never leak, entities with no data still get a row
+    (reference feature_store.py:411-448; the reference's
+    ``row.update`` / ``setdefault`` asymmetry). Deterministic by
+    construction → literal-VALUES oracle."""
+    from blackroad_feature_store_spark.store import EntityRecord, FeatureStore
+
+    fs = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_pitp_"))
+    fs.register_feature("score", "user", "int")
+    fs.register_feature("city", "user", "str")
+    g1 = fs.create_group("base", ["score", "city"], "user_id")
+    g2 = fs.create_group("override", ["score"], "user_id")
+    fs.write_features_batch(
+        [
+            EntityRecord(g1.id, "u1", {"score": 1, "city": "a"},
+                         "2026-01-01T00:00:00"),
+            EntityRecord(g1.id, "u2", {"score": 2, "city": "b"},
+                         "2026-01-01T00:00:00"),
+            # After the cutoff: must NOT leak into the join.
+            EntityRecord(g1.id, "u1", {"score": 99, "city": "z"},
+                         "2026-03-01T00:00:00"),
+            EntityRecord(g2.id, "u1", {"score": 10}, "2026-01-02T00:00:00"),
+            EntityRecord(g2.id, "u3", {"score": 30}, "2026-01-02T00:00:00"),
+        ]
+    )
+    rows = fs.point_in_time_join(
+        ["u1", "u2", "u3", "u4"], [g1.id, g2.id],
+        timestamp="2026-02-01T00:00:00",
+    )
+    return spark.createDataFrame(
+        [(r["entity_id"], r["score"], r["city"]) for r in rows],
+        "entity_id string, score bigint, city string",
+    )
