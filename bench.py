@@ -83,6 +83,7 @@ HEADLINE = [
     "core_json_props",
     "core_correlated_subquery",
     "store_pit_precedence",
+    "core_histogram",
 ]
 
 

@@ -2967,3 +2967,41 @@ def store_pit_precedence(spark: SparkSession, sf: str) -> DataFrame:
         [(r["entity_id"], r["score"], r["city"]) for r in rows],
         "entity_id string, score bigint, city string",
     )
+
+
+@q(
+    "core_histogram",
+    """
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders)
+    SELECT c // 5000000 AS bucket,
+           count(*) AS n,
+           CAST(min(c) AS DOUBLE) / 100 AS lo,
+           CAST(max(c) AS DOUBLE) / 100 AS hi
+    FROM cents
+    GROUP BY bucket
+    """,
+)
+def core_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram binning in integer cents — bucket =
+    cents div width, so boundaries are exact integer division on both
+    engines (a double `/` can put a boundary value in either bin, and
+    DuckDB's `//` on DECIMAL is round-divide, not floor). One
+    map-side-combinable aggregation; the histogram shape every
+    profiling pass wants at scale."""
+    orders = load(spark, sf, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    return (
+        orders.select(cents.alias("c"))
+        .select(F.expr("c div 5000000").alias("bucket"), "c")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("c").cast("double") / 100).alias("lo"),
+            (F.max("c").cast("double") / 100).alias("hi"),
+        )
+    )
