@@ -400,3 +400,57 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def incremental_candidate_pairs(
+    new_docs: DataFrame,
+    existing_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 8,
+    shingle_size: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental LSH: near-dup candidates for a NEW batch of
+    documents against an already-signed corpus — the daily-ingest path
+    that never re-reads old documents.
+
+    ``existing_sigs`` is a persisted :func:`minhash_signatures` table
+    (id, band, sig). Only the new batch is shingled and hashed; the
+    bucket join runs new-vs-existing (one direction — old-old pairs
+    were found when those docs arrived) plus new-vs-new. Returns
+    ``(pairs, new_sigs)`` so the caller appends ``new_sigs`` to the
+    signature table for the next increment — cost per increment is
+    O(|new batch| + collisions), independent of corpus size.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_bands, shingle_size
+    )
+    n = new_sigs.alias("n")
+    e = existing_sigs.alias("e")
+    vs_existing = (
+        n.join(
+            e,
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.sig") == F.col("e.sig")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"e.{id_col}")).alias("id_a"),
+            F.greatest(
+                F.col(f"n.{id_col}"), F.col(f"e.{id_col}")
+            ).alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    b = new_sigs.alias("b")
+    vs_new = (
+        n.join(
+            b,
+            (F.col("n.band") == F.col("b.band"))
+            & (F.col("n.sig") == F.col("b.sig"))
+            & (F.col(f"n.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    return vs_existing.unionByName(vs_new).distinct(), new_sigs

@@ -804,3 +804,35 @@ def test_resize_images_fake_kernel_deterministic(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|resize"):
         resize_images(assets, fake=False).collect()
+
+
+def test_incremental_candidate_pairs_match_full_recompute(spark):
+    """Incremental LSH over two ingest batches must find exactly the
+    pairs a full recompute finds that touch the new batch."""
+    from blackroad_feature_store_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.collect()}
+    expected = {
+        p for p in full if p[0] in new_ids or p[1] in new_ids
+    }
+
+    old_sigs = minhash_signatures(old)
+    pairs, new_sigs = incremental_candidate_pairs(new, old_sigs)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == expected
+    # The returned signatures extend the table for the next increment.
+    assert new_sigs.count() == new.count() * 8  # 8 bands per doc
