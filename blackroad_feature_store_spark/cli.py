@@ -86,6 +86,7 @@ def cmd_get(args, store: FeatureStore) -> None:
         group_id=args.group_id,
         entity_id=args.entity_id,
         as_of=getattr(args, "as_of", None),
+        table_version=getattr(args, "table_version", None),
     )
     if values is None:
         print(f"No feature values found for entity '{args.entity_id}'.")
@@ -245,6 +246,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("group_id")
     p.add_argument("entity_id")
     p.add_argument("--as-of", help="Point-in-time ISO timestamp")
+    p.add_argument(
+        "--table-version", type=int, default=None,
+        help="Time-travel: read against this record-table version "
+             "(commit time), combinable with --as-of (value time)",
+    )
     p.set_defaults(func=cmd_get)
 
     p = sub.add_parser(

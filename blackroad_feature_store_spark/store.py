@@ -973,15 +973,27 @@ class FeatureStore:
         group_id: str,
         entity_id: str,
         as_of: datetime | str | None = None,
+        table_version: Optional[int] = None,
     ) -> Optional[dict[str, Any]]:
         """As-of point read: the latest snapshot with ts <= as_of,
         returned verbatim (snapshot-wins — reference
-        feature_store.py:372-409). Missing entity → None."""
+        feature_store.py:372-409). Missing entity → None.
+
+        The read is bitemporal: ``as_of`` pins VALUE time (which
+        snapshot was current), ``table_version`` pins COMMIT time
+        (what the table itself contained at that version — time
+        travel). "What did we believe user X's features were, as of
+        last Tuesday's table?" is ``table_version=`` + ``as_of=``
+        together; an audit can distinguish late-arriving data from
+        data present all along.
+        """
         self._require_group(group_id)
         as_of_dt = _coerce_ts(as_of)
         # ts_lte prunes whole files from the manifest stats before the
         # scan even starts; the row-level predicate below still applies.
-        df = self.records_df(group_id, ts_lte=as_of_dt).where(
+        df = self.records_df(
+            group_id, version=table_version, ts_lte=as_of_dt
+        ).where(
             F.col("entity_id") == F.lit(str(entity_id))
         )
         if as_of_dt is not None:

@@ -689,3 +689,29 @@ def test_concurrent_data_plane_writers_both_commit(spark, tmp_path):
     df = fresh.records_df(g.id)
     assert df.count() == 80
     assert df.select("entity_id").distinct().count() == 80
+
+
+def test_bitemporal_get_features(store_with_group):
+    """Value time (as_of) and commit time (table_version) are
+    independent axes: a late-arriving backdated record is visible at
+    the latest table version but absent from the earlier one, at the
+    SAME value-time cutoff."""
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    store.write_features_batch(
+        [EntityRecord(g.id, "u1", {"age": 30}, datetime(2026, 1, 1))]
+    )  # table version 0
+    # Late arrival: committed later (version 1), but BACKDATED to Jan 2.
+    store.write_features_batch(
+        [EntityRecord(g.id, "u1", {"age": 31}, datetime(2026, 1, 2))]
+    )
+    cutoff = datetime(2026, 1, 15)
+    # What we believe now about Jan 15: the backdated row counts.
+    assert store.get_features(g.id, "u1", as_of=cutoff) == {"age": 31}
+    # What the table knew at version 0 about Jan 15: it didn't have it.
+    assert store.get_features(
+        g.id, "u1", as_of=cutoff, table_version=0
+    ) == {"age": 30}
