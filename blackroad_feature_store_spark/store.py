@@ -884,13 +884,32 @@ class FeatureStore:
             pass
 
     def create_views(self, prefix: str = "fs_") -> None:
-        """Register the store's three tables as temp views so the whole
+        """Register the store's tables as temp views so the whole
         surface is queryable with ``spark.sql`` — ``{prefix}features``,
-        ``{prefix}groups``, ``{prefix}records``. Views are lazy: each
-        query re-reads current registry/record state."""
+        ``{prefix}groups``, ``{prefix}records``, plus
+        ``{prefix}history`` (the record-table commit log: version, ts,
+        op, files added/removed — Delta's DESCRIBE HISTORY shape).
+        Views are lazy where possible: each query re-reads current
+        registry/record state; the history view is a snapshot taken
+        here (re-run create_views to refresh it)."""
         self.features_df().createOrReplaceTempView(f"{prefix}features")
         self.groups_df().createOrReplaceTempView(f"{prefix}groups")
         self.records_df().createOrReplaceTempView(f"{prefix}records")
+        hist = self.history()
+        self.spark.createDataFrame(
+            [
+                (
+                    h["version"],
+                    h["ts"],
+                    h["op"],
+                    h["files_added"],
+                    h["files_removed"],
+                )
+                for h in hist
+            ],
+            "version int, ts string, op string, "
+            "files_added int, files_removed int",
+        ).createOrReplaceTempView(f"{prefix}history")
 
     # ------------------------------------------------------------------
     # data plane: reads

@@ -524,6 +524,11 @@ def test_sql_views(store_with_group):
         "SELECT entity_id, feature_values['age'] AS age FROM fs_records"
     ).first()
     assert row["entity_id"] == "u1" and row["age"] == "30"
+    hist = spark.sql(
+        "SELECT version, op, files_added FROM fs_history ORDER BY version"
+    ).collect()
+    assert len(hist) == 1 and hist[0]["op"] == "append"
+    assert hist[0]["files_added"] >= 1
 
 
 # -- manifest file statistics / data skipping -------------------------------
