@@ -76,10 +76,14 @@ def enrich_with_features(
     features; at 100 TB the static side is one entity-latest row per
     entity, dimension-table-sized.
     """
+    from datetime import datetime
+
     from pyspark.sql import functions as F
 
     from blackroad_feature_store_spark.operators.asof import latest_as_of
 
+    if isinstance(as_of, str):
+        as_of = datetime.fromisoformat(as_of)
     recs = store.records_df(group_id, ts_lte=as_of)
     if as_of is not None:
         recs = recs.where(F.col("timestamp") <= F.lit(as_of))

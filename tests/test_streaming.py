@@ -401,3 +401,29 @@ def test_stream_static_feature_enrichment(spark, tmp_path, streaming_store):
     assert rows["u1"]["feature_city"] == '"berlin"'
     # Unknown entity keeps the event (left join) with null features.
     assert rows["u2"]["feature_clicks"] is None
+
+
+def test_enrichment_as_of_string_pins_snapshot(spark, tmp_path, streaming_store):
+    from blackroad_feature_store_spark.streaming.joins import (
+        enrich_with_features,
+    )
+
+    fs, g = streaming_store
+    fs.write_features(g.id, "u1", {"clicks": 5, "city": "x"},
+                      timestamp="2026-01-01T00:00:00")
+    fs.write_features(g.id, "u1", {"clicks": 9, "city": "x"},
+                      timestamp="2026-02-01T00:00:00")
+    src = str(tmp_path / "enrich_asof_src")
+    spark.createDataFrame([("u1",)], "user string").write.parquet(src)
+    stream = spark.readStream.schema("user string").parquet(src)
+    out = enrich_with_features(
+        stream, fs, g.id, entity_col="user", features=["clicks"],
+        as_of="2026-01-15T00:00:00",  # ISO string accepted
+    )
+    q = (
+        out.writeStream.format("memory").queryName("enrich_asof")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    row = spark.sql("SELECT * FROM enrich_asof").collect()[0]
+    assert row["feature_clicks"] == "5"  # pinned before the Feb update
