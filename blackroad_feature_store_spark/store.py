@@ -735,13 +735,18 @@ class FeatureStore:
         versions; everything else under the record tree — files removed
         by old compactions/deletes, and orphans from crashed writes —
         is unlinked. Time travel reaches back only as far as the oldest
-        retained version afterwards (same contract as Delta's VACUUM).
-        Returns the number of files deleted.
+        retained version afterwards (same contract as Delta's VACUUM);
+        a watermark is persisted so travel past it raises a clear
+        error instead of a missing-file scan failure. Returns the
+        number of files deleted.
         """
         vs = self._log.versions()
+        retained_versions = vs[-max(1, retain_versions):]
         retained: set[str] = set()
-        for v in vs[-max(1, retain_versions):]:
+        for v in retained_versions:
             retained.update(self._log.live_files(v))
+        if retained_versions:
+            self._write_vacuum_watermark(retained_versions[0])
         deleted = 0
         for root, _dirs, files in os.walk(self._records_path, topdown=False):
             rel_root = os.path.relpath(root, self._records_path)
@@ -756,6 +761,24 @@ class FeatureStore:
                 except OSError:
                     pass
         return deleted
+
+    def _write_vacuum_watermark(self, earliest_retained: int) -> None:
+        """Persist the earliest still-travelable version (monotonic)."""
+        path = os.path.join(self.base_path, "_versions", "_vacuum.json")
+        current = self._vacuum_watermark() or 0
+        doc = {"retained_from": max(current, earliest_retained)}
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, path)
+
+    def _vacuum_watermark(self) -> Optional[int]:
+        path = os.path.join(self.base_path, "_versions", "_vacuum.json")
+        try:
+            with open(path) as fh:
+                return json.load(fh)["retained_from"]
+        except (OSError, ValueError, KeyError):
+            return None
 
     def compact_records(
         self,
@@ -948,6 +971,13 @@ class FeatureStore:
                 f"Record-table version {version} does not exist "
                 f"(latest: {self._log.latest_version()})"
             )
+        if version is not None:
+            wm = self._vacuum_watermark()
+            if wm is not None and version < wm:
+                raise ValueError(
+                    f"Record-table version {version} was vacuumed; "
+                    f"earliest time-travelable version is {wm}"
+                )
         if as_of_commit is not None:
             version = self._log.version_as_of(_coerce_ts(as_of_commit))
             if version is None:  # before the first commit

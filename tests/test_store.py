@@ -720,3 +720,22 @@ def test_bitemporal_get_features(store_with_group):
     assert store.get_features(
         g.id, "u1", as_of=cutoff, table_version=0
     ) == {"age": 30}
+
+
+def test_vacuumed_version_raises_clear_error(store_with_group):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    store.write_features_batch(
+        [EntityRecord(g.id, "u1", {"age": 1}, datetime(2026, 1, 1))]
+    )  # v0
+    store.compact_records(g.id)  # v1 supersedes v0's file
+    store.vacuum(retain_versions=1)
+    with _pytest.raises(ValueError, match="was vacuumed"):
+        store.records_df(g.id, version=0)
+    # The retained version still reads fine.
+    assert store.records_df(g.id, version=1).count() == 1
