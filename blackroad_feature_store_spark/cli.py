@@ -127,7 +127,10 @@ def cmd_compact(args, store: FeatureStore) -> None:
 
 
 def cmd_vacuum(args, store: FeatureStore) -> None:
-    n = store.vacuum(retain_versions=args.retain)
+    n = store.vacuum(
+        retain_versions=args.retain,
+        orphan_grace_seconds=args.orphan_grace,
+    )
     print(f"✓ Vacuum removed {n} unreferenced data file(s).")
 
 
@@ -287,6 +290,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--retain", type=int, default=1,
         help="number of most-recent versions to keep time-travelable",
+    )
+    p.add_argument(
+        "--orphan-grace", type=float, default=3600.0,
+        help="seconds an unreferenced file must age before deletion "
+             "(protects in-flight writers); 0 waives the grace",
     )
     p.set_defaults(func=cmd_vacuum)
 

@@ -26,3 +26,16 @@ class UnknownGroupError(FeatureStoreError):
 class GroupExistsError(FeatureStoreError):
     """Duplicate (name, version) — the reference surfaces SQLite's UNIQUE
     constraint (feature_store.py:175)."""
+
+
+class ConcurrentModificationError(FeatureStoreError):
+    """A commit's remove set conflicts with a concurrent commit.
+
+    Raised when an optimistic commit (compaction, delete) finds that a
+    file it planned to remove is no longer live at the current latest
+    version — another writer removed it first. Replaying both commits
+    would double the surviving rows (and could resurrect erased
+    entities), so the later writer must abort and re-resolve its
+    snapshot. This is Delta Lake's published conflict-detection
+    contract for DELETE/OPTIMIZE racing each other; the reference gets
+    linear history for free from SQLite (feature_store.py:178-186)."""

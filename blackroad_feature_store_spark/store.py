@@ -728,7 +728,9 @@ class FeatureStore:
         timestamp, operation, and files added/removed per commit."""
         return self._log.history()
 
-    def vacuum(self, retain_versions: int = 1) -> int:
+    def vacuum(
+        self, retain_versions: int = 1, orphan_grace_seconds: float = 3600.0
+    ) -> int:
         """Physically delete data files no retained version references.
 
         Keeps the live file sets of the last ``retain_versions``
@@ -739,7 +741,19 @@ class FeatureStore:
         a watermark is persisted so travel past it raises a clear
         error instead of a missing-file scan failure. Returns the
         number of files deleted.
+
+        Files no manifest has EVER referenced get a grace period:
+        :meth:`_stage_and_commit` moves data files into the live tree
+        *before* its manifest commits, so a zero-grace vacuum racing an
+        in-flight writer would delete files its imminent commit is
+        about to reference. An unreferenced file younger (by mtime)
+        than ``orphan_grace_seconds`` is therefore skipped — Delta's
+        retention-hours pattern. Committed-but-superseded files (those
+        some old manifest added and a later commit removed) carry no
+        such risk and are deleted regardless of age.
         """
+        import time
+
         vs = self._log.versions()
         retained_versions = vs[-max(1, retain_versions):]
         retained: set[str] = set()
@@ -747,14 +761,24 @@ class FeatureStore:
             retained.update(self._log.live_files(v))
         if retained_versions:
             self._write_vacuum_watermark(retained_versions[0])
+        ever_referenced = self._log.referenced_paths()
+        orphan_cutoff = time.time() - max(0.0, orphan_grace_seconds)
         deleted = 0
         for root, _dirs, files in os.walk(self._records_path, topdown=False):
             rel_root = os.path.relpath(root, self._records_path)
             for f in files:
                 rel = f if rel_root == "." else os.path.join(rel_root, f)
-                if f.endswith(".parquet") and rel not in retained:
-                    os.unlink(os.path.join(root, f))
-                    deleted += 1
+                if not f.endswith(".parquet") or rel in retained:
+                    continue
+                full = os.path.join(root, f)
+                if rel not in ever_referenced:
+                    try:
+                        if os.path.getmtime(full) > orphan_cutoff:
+                            continue  # possible in-flight writer
+                    except OSError:
+                        continue  # gone already — someone else's commit
+                os.unlink(full)
+                deleted += 1
             if rel_root != ".":
                 try:
                     os.rmdir(root)  # prune now-empty partition dirs
@@ -983,6 +1007,18 @@ class FeatureStore:
             if version is None:  # before the first commit
                 entries: list[dict[str, Any]] = []
             else:
+                # Same watermark contract as the version= branch: an
+                # instant that resolves below the vacuum horizon gets
+                # the clear earliest-travelable error, not a
+                # missing-file scan failure mid-query.
+                wm = self._vacuum_watermark()
+                if wm is not None and version < wm:
+                    raise ValueError(
+                        f"as_of_commit={as_of_commit!r} resolves to "
+                        f"record-table version {version}, which was "
+                        f"vacuumed; earliest time-travelable version "
+                        f"is {wm}"
+                    )
                 entries = self._log.live_entries(version)
         else:
             entries = self._log.live_entries(version)

@@ -50,6 +50,8 @@ import uuid
 from datetime import datetime, timezone
 from typing import Any, Optional
 
+from .errors import ConcurrentModificationError
+
 _MANIFEST_DIGITS = 8
 
 # A checkpoint (the full live-entry set, materialized) is written every
@@ -180,19 +182,39 @@ class CommitLog:
         """Live file paths at ``version`` (stats dropped)."""
         return [e["path"] for e in self.live_entries(version)]
 
+    def referenced_paths(self) -> set[str]:
+        """Every path any manifest ever ADDED, live or since removed.
+
+        Vacuum uses this to tell committed-but-superseded files (safe
+        to delete immediately once unretained) from true orphans —
+        files in the tree that no manifest references, which may belong
+        to an in-flight writer that has absorbed its staging files but
+        not yet committed, and so only die after a grace period. Full
+        log walk, O(commits) — fine at vacuum frequency; checkpoints
+        cannot serve here because they drop removed entries.
+        """
+        out: set[str] = set()
+        for v in self.versions():
+            for f in self.read(v).get("add", ()):
+                out.add(f if isinstance(f, str) else f["path"])
+        return out
+
     def version_as_of(self, ts: datetime | str) -> Optional[int]:
         """Latest version committed at or before ``ts`` (UTC)."""
         if isinstance(ts, str):
             ts = datetime.fromisoformat(ts)
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
+        # Scan the FULL log rather than stopping at the first commit
+        # with ts > target: concurrent writers / clock skew can commit
+        # non-monotonic timestamps, and the contract is
+        # max(v where ts(v) <= target). The log is checkpointed and
+        # small, so the full pass is cheap.
         best = None
         for v in self.versions():
             committed = datetime.fromisoformat(self.read(v)["ts"])
             if committed <= ts:
                 best = v
-            else:
-                break
         return best
 
     def history(self) -> list[dict[str, Any]]:
@@ -227,11 +249,39 @@ class CommitLog:
         the attempt retries with the next number. The manifest content
         is fsynced before the link, so a crash can never expose a
         partially written manifest under a committed name.
+
+        Conflict detection: a commit with a non-empty ``remove`` set
+        verifies — on the first attempt AND on every optimistic retry —
+        that every path it removes is still live at the current latest
+        version. A concurrent commit that already removed one of them
+        (a delete racing a compaction, say) makes replaying both
+        commits double every surviving row the loser re-added, and can
+        resurrect rows the winner erased; the loser must abort with
+        :class:`ConcurrentModificationError` and re-resolve its
+        snapshot instead (Delta Lake's DELETE/OPTIMIZE conflict-check
+        contract). The version-numbered exclusive link makes this
+        sound: two racing committers necessarily collide on a version
+        number, so the loser always re-runs the validation against the
+        winner's commit before it can land.
         """
         os.makedirs(self.dir, exist_ok=True)
         while True:
             vs = self.versions()
             version = (vs[-1] + 1) if vs else 0
+            if remove:
+                live = {
+                    e["path"]
+                    for e in self.live_entries(vs[-1] if vs else None)
+                }
+                gone = sorted(set(remove) - live)
+                if gone:
+                    raise ConcurrentModificationError(
+                        f"Commit op={op!r} aborted: {len(gone)} file(s) in "
+                        f"its remove set are no longer live at version "
+                        f"{vs[-1] if vs else None} (first: {gone[0]!r}). A "
+                        "concurrent commit removed them; re-resolve the "
+                        "snapshot and retry the operation."
+                    )
             doc = {
                 "version": version,
                 "ts": datetime.now(timezone.utc).isoformat(),

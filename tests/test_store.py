@@ -346,8 +346,13 @@ def test_compact_records_crash_before_commit_is_invisible(store_with_group):
     assert store.records_df(g.id).count() == 6
     assert store.get_features(g.id, "u5")["age"] == 25
 
-    # Orphaned (never-committed) compacted files are vacuumable.
-    assert store.vacuum(retain_versions=1) >= 1
+    # Orphaned (never-committed) compacted files are vacuumable — but
+    # only once past the in-flight-writer grace window. With the
+    # default grace these fresh orphans MUST survive (they are
+    # indistinguishable from a live writer's absorbed-not-yet-committed
+    # files); with grace waived they go.
+    assert store.vacuum(retain_versions=1) == 0
+    assert store.vacuum(retain_versions=1, orphan_grace_seconds=0.0) >= 1
     assert store.records_df(g.id).count() == 6
 
     # Reopen + a subsequent compaction completes normally.
@@ -739,3 +744,95 @@ def test_vacuumed_version_raises_clear_error(store_with_group):
         store.records_df(g.id, version=0)
     # The retained version still reads fine.
     assert store.records_df(g.id, version=1).count() == 1
+
+
+def test_concurrent_delete_and_compact_abort_one_side(store_with_group):
+    # The ADVICE delete×compact race: a compaction resolves its
+    # snapshot, then a concurrent GDPR delete commits first. Replaying
+    # both would double every surviving row and resurrect the erased
+    # entity via the compaction's add set — the conflict check must
+    # abort the compaction instead.
+    from blackroad_feature_store_spark.errors import (
+        ConcurrentModificationError,
+    )
+    from blackroad_feature_store_spark.versioning import CommitLog
+
+    store, g = store_with_group
+    for i in range(4):
+        store.write_features(g.id, f"u{i}", {"age": 20 + i})
+
+    orig_commit = CommitLog.commit
+    state = {"injected": False}
+
+    def racing_commit(self, op, add, remove, meta=None):
+        if op == "compact" and not state["injected"]:
+            state["injected"] = True
+            # The concurrent deleter erases u0 (one whole file, since
+            # each write_features lands one file) between the
+            # compaction's snapshot resolution and its commit.
+            store.delete_entity_records(g.id, "u0")
+        return orig_commit(self, op, add, remove, meta)
+
+    CommitLog.commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentModificationError):
+            store.compact_records(g.id)
+    finally:
+        CommitLog.commit = orig_commit
+
+    # The delete won; no doubled rows, no resurrected entity.
+    df = store.records_df(g.id)
+    assert df.count() == 3
+    assert store.get_features(g.id, "u0") is None
+    assert df.groupBy("id").count().agg({"count": "max"}).collect()[0][0] == 1
+
+    # A retried compaction re-resolves the snapshot and succeeds.
+    assert store.compact_records(g.id) == 3
+    assert store.records_df(g.id).count() == 3
+    assert store.get_features(g.id, "u0") is None
+
+
+def test_vacuum_spares_in_flight_writer(store_with_group):
+    # The ADVICE vacuum race: _stage_and_commit moves files into the
+    # live tree BEFORE the manifest commits; a vacuum running in that
+    # window must not delete them. The default orphan grace protects
+    # them; the commit then lands and reads back intact.
+    from blackroad_feature_store_spark.versioning import CommitLog
+
+    store, g = store_with_group
+    store.write_features(g.id, "u1", {"age": 1})
+
+    orig_commit = CommitLog.commit
+    state = {"vacuumed_during_write": None}
+
+    def vacuuming_commit(self, op, add, remove, meta=None):
+        if state["vacuumed_during_write"] is None:
+            # Absorbed-but-uncommitted files are on disk right now.
+            state["vacuumed_during_write"] = store.vacuum(retain_versions=1)
+        return orig_commit(self, op, add, remove, meta)
+
+    CommitLog.commit = vacuuming_commit
+    try:
+        store.write_features(g.id, "u2", {"age": 2})
+    finally:
+        CommitLog.commit = orig_commit
+
+    assert state["vacuumed_during_write"] == 0  # grace spared the files
+    assert store.records_df(g.id).count() == 2
+    assert store.get_features(g.id, "u2")["age"] == 2
+
+
+def test_as_of_commit_past_vacuum_watermark_raises(store_with_group):
+    # Same contract as version=: an instant resolving below the vacuum
+    # horizon raises the clear earliest-travelable error, not a
+    # missing-file scan failure.
+    store, g = store_with_group
+    store.write_features(g.id, "u1", {"age": 1})
+    v0_ts = store.history()[-1]["ts"]
+    store.compact_records(g.id)
+    store.vacuum(retain_versions=1)
+    with pytest.raises(ValueError, match="earliest time-travelable"):
+        store.records_df(g.id, as_of_commit=v0_ts).count()
+    # At-or-after the retained version still reads.
+    latest_ts = store.history()[0]["ts"]
+    assert store.records_df(g.id, as_of_commit=latest_ts).count() == 1

@@ -73,3 +73,84 @@ def test_checkpoint_content_is_live_set(tmp_path):
     assert {e["path"] for e in doc["entries"]} == {
         f"f{i}" for i in range(6, 11)
     }
+
+
+# -- conflict detection (Delta's DELETE/OPTIMIZE conflict contract) --------
+
+def test_remove_set_conflict_raises(tmp_path):
+    from blackroad_feature_store_spark.errors import (
+        ConcurrentModificationError,
+    )
+
+    log = CommitLog(str(tmp_path / "log"))
+    log.commit("append", add=["a", "b"], remove=[])
+    # Writer 1 resolves its snapshot (plans to remove a+b), but writer
+    # 2's delete of "a" commits first.
+    log.commit("delete-entity", add=[], remove=["a"])
+    import pytest
+
+    with pytest.raises(ConcurrentModificationError, match="no longer live"):
+        log.commit("compact", add=["c"], remove=["a", "b"])
+    # The loser landed nothing: live set reflects only the delete, and
+    # no version was burned.
+    assert {e["path"] for e in log.live_entries()} == {"b"}
+    assert log.latest_version() == 1
+
+
+def test_remove_set_still_live_commits(tmp_path):
+    # A concurrent APPEND does not conflict with a compaction: its
+    # files are not in the remove set, so both commits replay cleanly.
+    log = CommitLog(str(tmp_path / "log"))
+    log.commit("append", add=["a"], remove=[])
+    log.commit("append", add=["b"], remove=[])  # racing append
+    v = log.commit("compact", add=["c"], remove=["a"])
+    assert v == 2
+    assert {e["path"] for e in log.live_entries()} == {"b", "c"}
+
+
+def test_remove_from_empty_log_conflicts(tmp_path):
+    from blackroad_feature_store_spark.errors import (
+        ConcurrentModificationError,
+    )
+    import pytest
+
+    log = CommitLog(str(tmp_path / "log"))
+    with pytest.raises(ConcurrentModificationError):
+        log.commit("delete-entity", add=[], remove=["ghost"])
+
+
+# -- version_as_of under non-monotonic commit timestamps -------------------
+
+def test_version_as_of_non_monotonic_ts(tmp_path):
+    # Concurrent writers / clock skew can commit out-of-order ts
+    # fields. The contract is max(v where ts(v) <= target) over the
+    # FULL log — an early break at the first future ts would wrongly
+    # resolve to an older version.
+    log = CommitLog(str(tmp_path / "log"))
+    for p in ("a", "b", "c"):
+        log.commit("append", add=[p], remove=[])
+
+    def _set_ts(version, ts):
+        path = os.path.join(log.dir, f"{version:08d}.json")
+        with open(path) as fh:
+            doc = json.load(fh)
+        doc["ts"] = ts
+        with open(path, "w") as fh:
+            json.dump(doc, fh)
+
+    _set_ts(0, "2026-01-01T00:00:00+00:00")
+    _set_ts(1, "2026-01-03T00:00:00+00:00")  # skewed clock: late ts
+    _set_ts(2, "2026-01-02T00:00:00+00:00")
+
+    # Target between v2's and v1's ts: v2 qualifies and is the max
+    # qualifying version, even though v1's ts is in the future.
+    assert log.version_as_of("2026-01-02T00:00:00+00:00") == 2
+    assert log.version_as_of("2026-01-01T12:00:00+00:00") == 0
+    assert log.version_as_of("2026-01-04T00:00:00+00:00") == 2
+
+
+def test_referenced_paths_covers_removed(tmp_path):
+    log = CommitLog(str(tmp_path / "log"))
+    log.commit("append", add=[{"path": "a", "min_ts": "t"}], remove=[])
+    log.commit("compact", add=["b"], remove=["a"])
+    assert log.referenced_paths() == {"a", "b"}
