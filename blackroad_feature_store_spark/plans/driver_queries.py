@@ -817,7 +817,11 @@ def core_current_ts_shape(spark: SparkSession, sf: str) -> DataFrame:
     """
     from datetime import datetime, timezone
 
-    py_now = datetime.now(timezone.utc).replace(tzinfo=None)
+    # Keep the datetime tz-aware: .timestamp() on a NAIVE datetime is
+    # interpreted as LOCAL time, so on a non-UTC driver the epoch bound
+    # would be off by the zone offset and the row would spuriously
+    # vanish.
+    py_now = datetime.now(timezone.utc)
     one = spark.range(1).select(
         F.date_format(
             F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
@@ -2730,10 +2734,14 @@ def dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
 def tpch_q10_returns(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting) adapted: 4-table join, the
     fact side filtered on return flag, revenue per customer, top-20.
-    nation and the filtered customer dim broadcast; lineitem carries
-    the only real shuffle (the final groupBy). Decimal-input sums for
-    engine-exact revenue (tpch_q1 pattern); deterministic top-20 via
-    (revenue DESC, custkey) total order."""
+    nation and the filtered customer dim broadcast; lineitem×orders is
+    deliberately UN-hinted: orders is a date-filtered FACT table that
+    grows with scale (~15 MB at sf0.1, multi-GB at 100×), so a forced
+    broadcast would OOM the driver at cluster scale — AQE picks
+    broadcast when the filtered side is actually small and falls back
+    to shuffle join when it isn't (pinned by tests/test_plans.py).
+    Decimal-input sums for engine-exact revenue (tpch_q1 pattern);
+    deterministic top-20 via (revenue DESC, custkey) total order."""
     cust = load(spark, sf, "customer")
     nat = F.broadcast(load(spark, sf, "nation"))
     orders = load(spark, sf, "orders").where(
@@ -2745,9 +2753,7 @@ def tpch_q10_returns(spark: SparkSession, sf: str) -> DataFrame:
         1 - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(
-            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
-        )
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
             F.broadcast(cust.join(nat, cust.c_nationkey == nat.n_nationkey)),
             orders.o_custkey == cust.c_custkey,

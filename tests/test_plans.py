@@ -128,6 +128,41 @@ def test_decontaminate_corpus_never_shuffle_joins(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_q10_orders_never_force_broadcast(spark):
+    # orders is a date-filtered FACT table: small at test SF, multi-GB
+    # at cluster scale. A forced broadcast() on it OOMs at 100× — the
+    # only explicit hints allowed are the two dim-side ones (nation,
+    # cust×nation); lineitem×orders must be left to AQE.
+    analyzed = (
+        dq.tpch_q10_returns(spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+
+
+def test_current_ts_shape_survives_non_utc_driver_tz(spark):
+    # The epoch bound is computed driver-side in Python; a naive
+    # datetime's .timestamp() is interpreted as LOCAL time, so under a
+    # non-UTC TZ the bound would shift by the zone offset and the row
+    # would vanish. Pin: 1 row regardless of the driver's zone.
+    import os
+    import time
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"  # UTC-4/-5: beyond the 1h bound
+    time.tzset()
+    try:
+        assert dq.core_current_ts_shape(spark, SF).count() == 1
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
 def test_json_props_parse_stays_in_scan_stage(spark):
     # get_json_object must be a projection expression feeding a partial
     # aggregate — no separate shuffle before the parse.
