@@ -1,12 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (clearly marked below): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case they emit a
-deterministic fake derived from the payload bytes — which keeps the
-Spark-side plumbing (schema, Arrow batch shape, mapInPandas
-partitioning) fully real and testable.
+Each kernel has two modes:
+
+* ``fake=True`` (default): a deterministic fake derived from the
+  payload digest — hash-stable, so the DuckDB oracles can replicate it
+  exactly; the Spark-side plumbing (schema, Arrow batch shape,
+  mapInPandas partitioning) is identical to the real path.
+* ``fake=False``: REAL decode via :mod:`.codecs` — PIL / soundfile
+  when importable, else the built-in pure stdlib+numpy codecs (full
+  PNG decode/encode + resize, JPEG/GIF/BMP/PPM header dims, PCM WAV
+  with numpy RMS). Undecodable payloads yield NULL feature columns
+  instead of failing the job — at 100 TB a corrupt file must not kill
+  the pipeline; filter ``width IS NULL`` downstream to quarantine.
 
 Design for 100 TB:
 * assets live in an ``assets`` table: (asset_id, modality,
@@ -63,7 +69,7 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
 
 def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     """Deterministic fake decoder: dimensions derived from a payload
-    digest. STUB — replace with PIL/libvips in a codec-enabled image."""
+    digest (oracle-replicable; same output shape as the real path)."""
     d = hashlib.sha256(payload).digest()
     return 64 + d[0] % 192, 64 + d[1] % 192
 
@@ -72,27 +78,36 @@ def image_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Per-asset decoded image features via mapInPandas (one Arrow
     batch per call; vectorized inside).
 
-    With ``fake=False`` this raises NotImplementedError from the
-    executors — the real decode needs PIL/libvips, absent here.
-    """
+    ``fake=False`` reads REAL container headers
+    (:func:`codecs.sniff_image_dims`: PNG/JPEG/GIF/BMP/PPM, or any
+    PIL format when PIL is importable) — header-only, so the kernel
+    stays O(bytes hashed) per asset even for multi-MB payloads;
+    unrecognized payloads get NULL dims."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
-            if not fake:
-                # STUB: no image codec in this container.
-                raise NotImplementedError(
-                    "image decode requires PIL/libvips; run with fake=True"
-                )
-            dims = [_fake_decode_dims(bytes(b)) for b in pdf["content"]]
+            payloads = [bytes(b) for b in pdf["content"]]
+            if fake:
+                dims: list[tuple] = [_fake_decode_dims(p) for p in payloads]
+            else:
+                dims = [
+                    codecs.sniff_image_dims(p) or (None, None)
+                    for p in payloads
+                ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "width": [w for w, _ in dims],
-                    "height": [h for _, h in dims],
-                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "width": pd.array(
+                        [w for w, _ in dims], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [h for _, h in dims], dtype="Int32"
+                    ),
+                    "n_bytes": [len(p) for p in payloads],
                     "sha256": [
-                        hashlib.sha256(bytes(b)).hexdigest()
-                        for b in pdf["content"]
+                        hashlib.sha256(p).hexdigest() for p in payloads
                     ],
                 }
             )
@@ -152,8 +167,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 def _fake_decode_audio(payload: bytes) -> tuple[int, int, float]:
     """Deterministic fake audio decoder: (sample_rate, duration_ms,
-    rms) derived from a payload digest. STUB — replace with
-    soundfile/librosa in a codec-enabled image."""
+    rms) derived from a payload digest (oracle-replicable)."""
     d = hashlib.sha256(payload).digest()
     rate = (8000, 16000, 22050, 44100)[d[0] % 4]
     duration_ms = 500 + int.from_bytes(d[1:3], "big") % 59500
@@ -164,31 +178,42 @@ def _fake_decode_audio(payload: bytes) -> tuple[int, int, float]:
 def audio_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Per-asset decoded audio features (sample rate, duration, RMS
     loudness) via mapInPandas — same Arrow-batch shape as
-    ``image_features``; the decode kernel is the only stub.
+    ``image_features``.
 
-    With ``fake=False`` this raises NotImplementedError from the
-    executors — the real decode needs soundfile/librosa, absent here.
-    """
+    ``fake=False`` REALLY decodes PCM WAV (stdlib ``wave`` + numpy
+    full-scale-normalized RMS; soundfile instead when importable,
+    which also admits FLAC/OGG) — :func:`codecs.decode_wav`.
+    Undecodable payloads get NULL features."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
-            if not fake:
-                # STUB: no audio codec in this container.
-                raise NotImplementedError(
-                    "audio decode requires soundfile/librosa; "
-                    "run with fake=True"
-                )
-            decoded = [_fake_decode_audio(bytes(b)) for b in pdf["content"]]
+            payloads = [bytes(b) for b in pdf["content"]]
+            decoded: list[tuple] = []
+            for p in payloads:
+                if fake:
+                    decoded.append(_fake_decode_audio(p))
+                else:
+                    try:
+                        decoded.append(codecs.decode_wav(p))
+                    except ValueError:
+                        decoded.append((None, None, None))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "sample_rate": [r for r, _, _ in decoded],
-                    "duration_ms": [m for _, m, _ in decoded],
-                    "rms": [v for _, _, v in decoded],
-                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "sample_rate": pd.array(
+                        [r for r, _, _ in decoded], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [m for _, m, _ in decoded], dtype="Int64"
+                    ),
+                    "rms": pd.array(
+                        [v for _, _, v in decoded], dtype="Float64"
+                    ),
+                    "n_bytes": [len(p) for p in payloads],
                     "sha256": [
-                        hashlib.sha256(bytes(b)).hexdigest()
-                        for b in pdf["content"]
+                        hashlib.sha256(p).hexdigest() for p in payloads
                     ],
                 }
             )
@@ -215,35 +240,46 @@ def resize_images(
     extraction. Output rows carry the target dimensions and the
     resized payload as binary.
 
-    The resample kernel is STUBBED (no codec in this container): with
-    ``fake=True`` the "resized" payload is a deterministic function of
-    (payload digest, target dims) sized ~width*height/64 bytes, so the
-    Spark-side contract — Arrow batch shape, binary output column,
-    downstream writability — is fully real and testable. With
-    ``fake=False`` it raises NotImplementedError from the executors.
-    """
+    ``fake=True``: the "resized" payload is a deterministic function
+    of (payload digest, target dims) — oracle-replicable plumbing.
+    ``fake=False``: REAL resample — pixel-decode
+    (:func:`codecs.decode_image`: PIL when importable, else the pure
+    PNG decoder), nearest-neighbor resize, re-encode as PNG.
+    Undecodable payloads get NULL content."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
-            if not fake:
-                # STUB: no image codec in this container.
-                raise NotImplementedError(
-                    "image resize requires PIL/libvips; run with fake=True"
-                )
-            out_bytes = []
+            out_bytes: list = []
             for b in pdf["content"]:
-                seed = hashlib.sha256(
-                    bytes(b) + f":{width}x{height}".encode()
-                ).digest()
-                reps = max(1, (width * height) // (64 * len(seed)))
-                out_bytes.append(seed * reps)
+                payload = bytes(b)
+                if fake:
+                    seed = hashlib.sha256(
+                        payload + f":{width}x{height}".encode()
+                    ).digest()
+                    reps = max(1, (width * height) // (64 * len(seed)))
+                    out_bytes.append(seed * reps)
+                else:
+                    try:
+                        img = codecs.decode_image(payload)
+                        out_bytes.append(
+                            codecs.encode_png(
+                                codecs.resize_nearest(img, width, height)
+                            )
+                        )
+                    except ValueError:
+                        out_bytes.append(None)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
                     "content": out_bytes,
-                    "n_bytes": [len(x) for x in out_bytes],
+                    "n_bytes": pd.array(
+                        [len(x) if x is not None else None for x in out_bytes],
+                        dtype="Int64",
+                    ),
                 }
             )
 

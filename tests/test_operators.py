@@ -277,12 +277,56 @@ def test_multimodal_pipeline(spark):
     assert sizes == {0: 64, 1: 64, 2: 64, 3: 8}
 
 
-def test_image_features_real_decode_is_stubbed(spark):
-    df = spark.createDataFrame(
-        [(1, "x", "en", "s0")], "doc_id long, text string, lang string, source string"
+def _tiny_png(w=21, h=13):
+    """A real PNG generated in-test (gradient), pure stdlib+numpy."""
+    import numpy as np
+
+    from blackroad_feature_store_spark.operators.codecs import encode_png
+
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = (np.arange(w, dtype=np.uint16)[None, :] * 9 % 256).astype(
+        np.uint8
     )
-    with pytest.raises(Exception):  # NotImplementedError crosses py4j
-        image_features(documents_as_assets(df), fake=False).collect()
+    img[..., 2] = (np.arange(h, dtype=np.uint16)[:, None] * 17 % 256).astype(
+        np.uint8
+    )
+    return img, encode_png(img)
+
+
+def _tiny_wav(rate=16000, seconds=0.25, amp=0.5):
+    """A real 16-bit PCM WAV generated in-test (sine), stdlib only."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds))
+    samples = (amp * np.sin(2 * np.pi * 440 * t / rate) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_image_features_real_decode(spark):
+    # fake=False REALLY parses container headers: a valid in-test PNG
+    # yields its true dims; a non-image payload yields NULL dims (job
+    # survives corrupt files) — with n_bytes/sha256 still populated.
+    _img, png = _tiny_png(21, 13)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png), {}), (2, "image", bytearray(b"junk"), {})],
+        "asset_id long, modality string, content binary, "
+        "meta map<string,string>",
+    )
+    rows = {r["asset_id"]: r for r in
+            image_features(assets, fake=False).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (21, 13)
+    assert rows[1]["sha256"] == hashlib.sha256(png).hexdigest()
+    assert rows[2]["width"] is None and rows[2]["height"] is None
+    assert rows[2]["n_bytes"] == 4
 
 
 # -- skew: salted aggregation --------------------------------------------------
@@ -656,11 +700,30 @@ def test_audio_features_fake_decode_and_stub(spark):
         rate, dur, rms,
     )
     assert row["sample_rate"] in (8000, 16000, 22050, 44100)
-    # the honest stub: fake=False must raise from the kernel
-    import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|audio decode"):
-        audio_features(assets, fake=False).collect()
+
+def test_audio_features_real_decode(spark):
+    # fake=False REALLY decodes PCM WAV: stdlib wave + numpy RMS. A
+    # 440 Hz sine at amp 0.5 has RMS 0.5/sqrt(2); junk payloads get
+    # NULL features without failing the job.
+    import math
+
+    from blackroad_feature_store_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    wav = _tiny_wav(rate=16000, seconds=0.25, amp=0.5)
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), {}), (2, "audio", bytearray(b"junk"), {})],
+        "asset_id long, modality string, content binary, "
+        "meta map<string,string>",
+    )
+    rows = {r["asset_id"]: r for r in
+            audio_features(assets, fake=False).collect()}
+    assert rows[1]["sample_rate"] == 16000
+    assert rows[1]["duration_ms"] == 250
+    assert abs(rows[1]["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    assert rows[2]["sample_rate"] is None and rows[2]["rms"] is None
 
 
 def test_read_documents_orc_roundtrip(spark, tmp_path):
@@ -800,10 +863,33 @@ def test_resize_images_fake_kernel_deterministic(spark):
     rows_other = {r["asset_id"]: r for r in resize_images(
         assets, width=32, height=32).collect()}
     assert bytes(rows_other[1]["content"]) != bytes(rows[1]["content"])
-    import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|resize"):
-        resize_images(assets, fake=False).collect()
+
+def test_resize_images_real_roundtrip(spark):
+    # fake=False: decode PNG pixels -> nearest-neighbor resize ->
+    # re-encode PNG. The output payload must itself decode to the
+    # target dims with pixel values drawn from the source image.
+    from blackroad_feature_store_spark.operators.codecs import decode_png
+    from blackroad_feature_store_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    img, png = _tiny_png(40, 24)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png), {}), (2, "image", bytearray(b"junk"), {})],
+        "asset_id long, modality string, content binary, "
+        "meta map<string,string>",
+    )
+    rows = {r["asset_id"]: r for r in
+            resize_images(assets, width=10, height=6, fake=False).collect()}
+    out = decode_png(bytes(rows[1]["content"]))
+    assert out.shape == (6, 10, 3)
+    # nearest-neighbor: every output pixel exists somewhere in the source
+    src_px = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in src_px for p in out.reshape(-1, 3))
+    # exact corner: output (0, 0) maps to source (0, 0)
+    assert (out[0, 0] == img[0, 0]).all()
+    assert rows[2]["content"] is None and rows[2]["n_bytes"] is None
 
 
 def test_incremental_candidate_pairs_match_full_recompute(spark):
