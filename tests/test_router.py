@@ -1,9 +1,17 @@
-"""The reference's 20 router test behaviors, ported assertion-for-
-assertion (reference tests/test_ollama_router.py:21-141), plus tests
-for the Spark column forms the engine adds."""
+"""Router behavior suite, corpus-driven.
+
+Pins the same 20 externally-visible behaviors the reference's router
+suite checks (reference tests/test_ollama_router.py:21-141) — trigger
+detection/stripping, HTTP payload shape, error mapping, and routing —
+but expressed as data tables driven through shared runners, plus the
+Spark column forms this engine adds on top. The implementation under
+test (functions/router.py) is an independent rewrite of the
+reference's ollama_router.py.
+"""
 
 import json
 import unittest.mock as mock
+from contextlib import contextmanager
 
 import pytest
 from pyspark.sql import functions as F
@@ -18,152 +26,132 @@ from blackroad_feature_store_spark.functions.router import (
     strip_triggers_col,
 )
 
-# -- detect_trigger (reference tests/test_ollama_router.py:21-40) -----------
+BASE = "http://localhost:11434"
+
+# One row per text: (text, trigger detect_trigger must return,
+# strip_triggers result). Covers: each trigger word, case folding,
+# multiple triggers in one text, no-trigger passthrough, and the
+# email-address non-match.
+TEXT_CORPUS = [
+    ("@ollama what is the weather?", "@ollama", "what is the weather?"),
+    ("Hey @copilot, explain this code", "@copilot", "Hey , explain this code"),
+    ("@lucidia summarize my data", "@lucidia", "summarize my data"),
+    ("@blackboxprogramming write a test", "@blackboxprogramming", "write a test"),
+    # replace-all + end-trim only: the interior double space survives
+    ("UPPER @OLLAMA case", "@ollama", "UPPER  case"),
+    ("@ollama what is 2+2?", "@ollama", "what is 2+2?"),
+    ("@copilot explain recursion", "@copilot", "explain recursion"),
+    ("@lucidia @ollama clean both", "@lucidia", "clean both"),
+    ("no trigger here", None, "no trigger here"),
+    ("email@example.com", None, "email@example.com"),
+]
+
+CANNED_REPLY = {"model": "llama3", "response": "Hello!", "done": True}
 
 
-@pytest.mark.parametrize(
-    "text,expected",
-    [
-        ("@ollama what is the weather?", "@ollama"),
-        ("Hey @copilot, explain this code", "@copilot"),
-        ("@lucidia summarize my data", "@lucidia"),
-        ("@blackboxprogramming write a test", "@blackboxprogramming"),
-        ("UPPER @OLLAMA case", "@ollama"),
-        ("no trigger here", None),
-        ("email@example.com", None),
-    ],
-)
-def test_detect_trigger(text, expected):
-    assert detect_trigger(text) == expected
+@contextmanager
+def fake_ollama(reply=None, error=None):
+    """Patch urllib with a canned Ollama endpoint; yields a recorder
+    exposing the Request objects and decoded JSON payloads sent."""
+
+    class Recorder:
+        requests: list = []
+
+        @property
+        def payloads(self):
+            return [json.loads(r.data) for r in self.requests]
+
+    rec = Recorder()
+    if error is not None:
+        patch = mock.patch("urllib.request.urlopen", side_effect=error)
+        with patch:
+            yield rec
+        return
+
+    def serve(req, timeout=None):
+        rec.requests.append(req)
+        resp = mock.MagicMock()
+        resp.read.return_value = json.dumps(reply or CANNED_REPLY).encode()
+        resp.__enter__ = lambda s: s
+        resp.__exit__ = mock.MagicMock(return_value=False)
+        return resp
+
+    with mock.patch("urllib.request.urlopen", side_effect=serve):
+        yield rec
 
 
-def test_detect_trigger_returns_first_match():
-    result = detect_trigger("@ollama and @copilot")
-    assert result in OLLAMA_TRIGGERS
+# -- text behaviors, one runner over the corpus ------------------------------
 
 
-# -- strip_triggers (reference :48-58) ---------------------------------------
+@pytest.mark.parametrize("text,trigger,stripped", TEXT_CORPUS)
+def test_detect_and_strip_corpus(text, trigger, stripped):
+    assert detect_trigger(text) == trigger
+    assert strip_triggers(text) == stripped
 
 
-@pytest.mark.parametrize(
-    "text,expected",
-    [
-        ("@ollama what is 2+2?", "what is 2+2?"),
-        ("@copilot explain recursion", "explain recursion"),
-        ("@lucidia @ollama clean both", "clean both"),
-        ("no trigger here", "no trigger here"),
-    ],
-)
-def test_strip_triggers(text, expected):
-    assert strip_triggers(text) == expected
+def test_first_of_multiple_triggers_wins():
+    assert detect_trigger("@ollama and @copilot") in OLLAMA_TRIGGERS
 
 
-# -- query_ollama (reference :65-97) -----------------------------------------
-
-_FAKE_RESPONSE = {"model": "llama3", "response": "Hello!", "done": True}
-
-
-def _make_mock_urlopen(response_body: dict):
-    mock_resp = mock.MagicMock()
-    mock_resp.read.return_value = json.dumps(response_body).encode()
-    mock_resp.__enter__ = lambda s: s
-    mock_resp.__exit__ = mock.MagicMock(return_value=False)
-    return mock_resp
-
-
-def test_query_ollama_sends_correct_payload():
-    mock_resp = _make_mock_urlopen(_FAKE_RESPONSE)
-    with mock.patch(
-        "urllib.request.urlopen", return_value=mock_resp
-    ) as mock_open:
-        result = query_ollama(
-            "hello", model="llama3", base_url="http://localhost:11434"
-        )
-
-    assert result == _FAKE_RESPONSE
-    req = mock_open.call_args[0][0]
-    assert req.full_url == "http://localhost:11434/api/generate"
-    payload = json.loads(req.data)
-    assert payload["model"] == "llama3"
-    assert payload["prompt"] == "hello"
-    assert payload["stream"] is False
-
-
-def test_query_ollama_connection_error():
-    import urllib.error
-
-    with mock.patch(
-        "urllib.request.urlopen",
-        side_effect=urllib.error.URLError("refused"),
-    ):
-        with pytest.raises(ConnectionError, match="Cannot reach Ollama"):
-            query_ollama("ping", base_url="http://localhost:11434")
-
-
-# -- route (reference :105-141) ----------------------------------------------
-
-
-def test_route_with_trigger():
-    mock_resp = _make_mock_urlopen(_FAKE_RESPONSE)
-    with mock.patch("urllib.request.urlopen", return_value=mock_resp):
-        result = route("@ollama what is 2+2?", base_url="http://localhost:11434")
-
-    assert result["routed"] is True
-    assert result["trigger"] == "@ollama"
-    assert result["response"] == _FAKE_RESPONSE
-
-
-@pytest.mark.parametrize("trigger", sorted(OLLAMA_TRIGGERS))
-def test_route_all_triggers(trigger):
-    mock_resp = _make_mock_urlopen(_FAKE_RESPONSE)
-    with mock.patch("urllib.request.urlopen", return_value=mock_resp):
-        result = route(
-            f"{trigger} explain feature stores",
-            base_url="http://localhost:11434",
-        )
-
-    assert result["routed"] is True
-    assert result["trigger"] == trigger.lower()
-
-
-def test_route_no_trigger():
-    result = route("no mention here")
-    assert result["routed"] is False
-    assert result["trigger"] is None
-    assert result["response"] is None
-
-
-def test_route_strips_trigger_before_sending():
-    mock_resp = _make_mock_urlopen(_FAKE_RESPONSE)
-    with mock.patch(
-        "urllib.request.urlopen", return_value=mock_resp
-    ) as mock_open:
-        route("@copilot explain recursion", base_url="http://localhost:11434")
-
-    req = mock_open.call_args[0][0]
-    payload = json.loads(req.data)
-    assert "@copilot" not in payload["prompt"]
-    assert "recursion" in payload["prompt"]
-
-
-# -- Spark column forms (engine addition) ------------------------------------
-
-
-def test_column_forms_match_python(spark):
-    texts = [
-        "@ollama what is the weather?",
-        "Hey @copilot, explain this code",
-        "UPPER @OLLAMA case",
-        "no trigger here",
-        "email@example.com",
-        "@lucidia @ollama clean both",
-    ]
-    df = spark.createDataFrame([(t,) for t in texts], "text string")
-    rows = df.select(
+def test_spark_column_forms_agree_with_python_over_corpus(spark):
+    df = spark.createDataFrame(
+        [(t,) for t, _, _ in TEXT_CORPUS], "text string"
+    )
+    out = df.select(
         "text",
         detect_trigger_col(F.col("text")).alias("trig"),
         strip_triggers_col(F.col("text")).alias("stripped"),
-    ).collect()
-    for r in rows:
-        assert r["trig"] == detect_trigger(r["text"])
-        assert r["stripped"] == strip_triggers(r["text"])
+    )
+    expected = {t: (trig, strip) for t, trig, strip in TEXT_CORPUS}
+    for row in out.collect():
+        assert (row["trig"], row["stripped"]) == expected[row["text"]]
+
+
+# -- HTTP behaviors ----------------------------------------------------------
+
+
+def test_generate_request_shape():
+    with fake_ollama() as srv:
+        out = query_ollama("hello", model="llama3", base_url=BASE)
+    assert out == CANNED_REPLY
+    (req,) = srv.requests
+    assert req.full_url == f"{BASE}/api/generate"
+    (payload,) = srv.payloads
+    assert (payload["model"], payload["prompt"], payload["stream"]) == (
+        "llama3", "hello", False,
+    )
+
+
+def test_unreachable_endpoint_maps_to_connection_error():
+    import urllib.error
+
+    with fake_ollama(error=urllib.error.URLError("refused")):
+        with pytest.raises(ConnectionError, match="Cannot reach Ollama"):
+            query_ollama("ping", base_url=BASE)
+
+
+# -- routing behaviors -------------------------------------------------------
+
+
+@pytest.mark.parametrize("trigger", sorted(OLLAMA_TRIGGERS))
+def test_each_trigger_routes(trigger):
+    with fake_ollama():
+        out = route(f"{trigger} explain feature stores", base_url=BASE)
+    assert (out["routed"], out["trigger"]) == (True, trigger.lower())
+
+
+def test_routed_call_returns_endpoint_reply_and_strips_prompt():
+    with fake_ollama() as srv:
+        out = route("@copilot explain recursion", base_url=BASE)
+    assert out == {
+        "routed": True, "trigger": "@copilot", "response": CANNED_REPLY,
+    }
+    (payload,) = srv.payloads
+    assert payload["prompt"] == "explain recursion"  # trigger stripped
+
+
+def test_triggerless_text_never_calls_http():
+    with fake_ollama() as srv:
+        out = route("no mention here", base_url=BASE)
+    assert out == {"routed": False, "trigger": None, "response": None}
+    assert srv.requests == []  # short-circuits before any HTTP
