@@ -2355,6 +2355,89 @@ def store_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     return pinned.unionByName(after_vacuum)
 
 
+@q(
+    "store_bitemporal",
+    """
+    SELECT * FROM (VALUES
+        ('v0_asof_jan02', 1),
+        ('v0_asof_jan04', 1),
+        ('v0_asof_jan06', 2),
+        ('v1_asof_jan04', 99),
+        ('v1_asof_jan06', 2),
+        ('commit_ts_resolves_v0', 2)
+    ) AS t(case_id, value)
+    """,
+)
+def store_bitemporal(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitemporal reads through a real store: ``as_of=`` pins VALUE
+    time (which snapshot was current), ``table_version=`` pins COMMIT
+    time (what the table itself contained) — ``get_features`` takes
+    both (store.py), distinguishing late-arriving data from data
+    present all along, which the reference cannot express (its SQLite
+    history is value-time only, feature_store.py:372-409).
+
+    Timeline: commit v0 writes e1@Jan01=1 and e1@Jan05=2; commit v1
+    backfills a LATE row e1@Jan03=99. So "as of Jan 04" is 1 against
+    table v0 (the late row wasn't known yet) but 99 against v1 —
+    while "as of Jan 06" is 2 against both (Jan05 snapshot-wins), and
+    the backfill never rewrites it. The last case reads
+    ``records_df(as_of_commit=<v0 commit ts>)`` and counts v0's rows —
+    the wall-clock form of commit-time travel (Delta's TIMESTAMP AS
+    OF). Every value is deterministic; a literal-VALUES oracle pins
+    all six."""
+    from blackroad_feature_store_spark.store import EntityRecord, FeatureStore
+
+    fs = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_bt_"))
+    fs.register_feature("score", "user", "int")
+    g = fs.create_group("bt_g", ["score"], "user_id")
+
+    fs.write_features_batch(  # commit v0: two on-time snapshots
+        [
+            EntityRecord(
+                group_id=g.id, entity_id="e1",
+                feature_values={"score": 1},
+                timestamp="2026-01-01T00:00:00",
+            ),
+            EntityRecord(
+                group_id=g.id, entity_id="e1",
+                feature_values={"score": 2},
+                timestamp="2026-01-05T00:00:00",
+            ),
+        ]
+    )
+    fs.write_features_batch(  # commit v1: LATE-arriving backfill
+        [
+            EntityRecord(
+                group_id=g.id, entity_id="e1",
+                feature_values={"score": 99},
+                timestamp="2026-01-03T00:00:00",
+            )
+        ]
+    )
+
+    def read(table_version, as_of):
+        got = fs.get_features(
+            g.id, "e1", as_of=as_of, table_version=table_version
+        )
+        return got["score"]
+
+    v0_commit_ts = next(
+        h["ts"] for h in fs.history() if h["version"] == 0
+    )
+    cases = [
+        ("v0_asof_jan02", read(0, "2026-01-02T00:00:00")),
+        ("v0_asof_jan04", read(0, "2026-01-04T00:00:00")),
+        ("v0_asof_jan06", read(0, "2026-01-06T00:00:00")),
+        ("v1_asof_jan04", read(1, "2026-01-04T00:00:00")),
+        ("v1_asof_jan06", read(1, "2026-01-06T00:00:00")),
+        (
+            "commit_ts_resolves_v0",
+            fs.records_df(g.id, as_of_commit=v0_commit_ts).count(),
+        ),
+    ]
+    return spark.createDataFrame(cases, "case_id string, value int")
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: corpus preparation (decontamination, chunking, tf-idf,
 # PII redaction, robust outlier filtering)
