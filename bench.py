@@ -105,14 +105,28 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    # Short queries re-run REPS times, keeping the MINIMUM: a 0.5 s
+    # query's measurement is dominated by scheduler jitter, and one
+    # noisy sample would trip a 2x regression wire that the plan can't
+    # actually cause. Long queries run once — jitter is proportionally
+    # irrelevant there and repetition would double total bench time.
+    rep_threshold = float(os.environ.get("SPARK_GRAFT_REP_THRESHOLD", "1.5"))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+
+    def run_once(name: str) -> float:
         # Time construction + execution: iterative operators (e.g.
         # dedup_clusters) do real work eagerly while building.
         t0 = time.time()
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        return time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t = run_once(name)
+        if t < rep_threshold and reps > 1:
+            t = min([t] + [run_once(name) for _ in range(reps - 1)])
+        timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -48,15 +48,32 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
-        # TIMESTAMP(NANOS) → read as long, convert to micros timestamp.
+        # Older generations wrote TIMESTAMP(NANOS) → read as long,
+        # convert to micros timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # Integer division: ns-since-epoch (~1.7e18) exceeds double's
             # 53-bit mantissa, so `/ 1000` would round some stamps ±1µs.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _ntz_to_utc(df)
+    return _ntz_to_utc(spark.read.parquet(path))
+
+
+def _ntz_to_utc(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to plain TIMESTAMP.
+
+    Current testdata generations write parquet TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which Spark 4 reads as TIMESTAMP_NTZ —
+    a type `unix_micros`/`window` reject. The session zone is pinned
+    UTC one line above, so the cast reinterprets the same wall-clock
+    values losslessly, and every downstream operator (and the DuckDB
+    oracle, which reads the files as naive timestamps) sees identical
+    instants."""
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
