@@ -108,9 +108,12 @@ def main() -> None:
     # Short queries re-run REPS times, keeping the MINIMUM: a 0.5 s
     # query's measurement is dominated by scheduler jitter, and one
     # noisy sample would trip a 2x regression wire that the plan can't
-    # actually cause. Long queries run once — jitter is proportionally
-    # irrelevant there and repetition would double total bench time.
-    rep_threshold = float(os.environ.get("SPARK_GRAFT_REP_THRESHOLD", "1.5"))
+    # actually cause. Mid-size (3-8 s) queries get one extra sample —
+    # observed run-to-run swings there are +-40% under contention.
+    # Long queries run once: jitter is proportionally irrelevant and
+    # repetition would double total bench time.
+    rep_threshold = float(os.environ.get("SPARK_GRAFT_REP_THRESHOLD", "3.0"))
+    slow_threshold = float(os.environ.get("SPARK_GRAFT_SLOW_THRESHOLD", "8.0"))
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 
     def run_once(name: str) -> float:
@@ -124,8 +127,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t = run_once(name)
-        if t < rep_threshold and reps > 1:
-            t = min([t] + [run_once(name) for _ in range(reps - 1)])
+        if t < rep_threshold:
+            extra = max(0, reps - 1)
+        elif t < slow_threshold:
+            extra = 1
+        else:
+            extra = 0
+        if extra:
+            t = min([t] + [run_once(name) for _ in range(extra)])
         timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)

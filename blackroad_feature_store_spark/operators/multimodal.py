@@ -90,21 +90,24 @@ def image_features(assets: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             payloads = [bytes(b) for b in pdf["content"]]
             if fake:
+                # Never null — plain lists convert to Arrow faster
+                # than nullable extension arrays.
                 dims: list[tuple] = [_fake_decode_dims(p) for p in payloads]
+                width, height = (
+                    [w for w, _ in dims], [h for _, h in dims],
+                )
             else:
                 dims = [
                     codecs.sniff_image_dims(p) or (None, None)
                     for p in payloads
                 ]
+                width = pd.array([w for w, _ in dims], dtype="Int32")
+                height = pd.array([h for _, h in dims], dtype="Int32")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "width": pd.array(
-                        [w for w, _ in dims], dtype="Int32"
-                    ),
-                    "height": pd.array(
-                        [h for _, h in dims], dtype="Int32"
-                    ),
+                    "width": width,
+                    "height": height,
                     "n_bytes": [len(p) for p in payloads],
                     "sha256": [
                         hashlib.sha256(p).hexdigest() for p in payloads
@@ -190,27 +193,29 @@ def audio_features(assets: DataFrame, fake: bool = True) -> DataFrame:
 
         for pdf in batches:
             payloads = [bytes(b) for b in pdf["content"]]
-            decoded: list[tuple] = []
-            for p in payloads:
-                if fake:
-                    decoded.append(_fake_decode_audio(p))
-                else:
+            if fake:
+                # Never null — plain lists convert to Arrow faster
+                # than nullable extension arrays.
+                decoded: list[tuple] = [_fake_decode_audio(p) for p in payloads]
+                rate_col: object = [r for r, _, _ in decoded]
+                dur_col: object = [m for _, m, _ in decoded]
+                rms_col: object = [v for _, _, v in decoded]
+            else:
+                decoded = []
+                for p in payloads:
                     try:
                         decoded.append(codecs.decode_wav(p))
                     except ValueError:
                         decoded.append((None, None, None))
+                rate_col = pd.array([r for r, _, _ in decoded], dtype="Int32")
+                dur_col = pd.array([m for _, m, _ in decoded], dtype="Int64")
+                rms_col = pd.array([v for _, _, v in decoded], dtype="Float64")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "sample_rate": pd.array(
-                        [r for r, _, _ in decoded], dtype="Int32"
-                    ),
-                    "duration_ms": pd.array(
-                        [m for _, m, _ in decoded], dtype="Int64"
-                    ),
-                    "rms": pd.array(
-                        [v for _, _, v in decoded], dtype="Float64"
-                    ),
+                    "sample_rate": rate_col,
+                    "duration_ms": dur_col,
+                    "rms": rms_col,
                     "n_bytes": [len(p) for p in payloads],
                     "sha256": [
                         hashlib.sha256(p).hexdigest() for p in payloads

@@ -9,9 +9,11 @@ contract) needs:
   batched HTTP) moves columnar batches, not pickled rows.
 * UTC session timezone — timestamps behave identically everywhere and
   match the reference's naive-UTC ISO strings (feature_store.py:351).
-* ``parquet.nanosAsLong`` — the driver's ``events.parquet`` carries
-  TIMESTAMP(NANOS) which Spark has no native type for; we read it as
-  nanos-since-epoch and normalize in sources.testdata.
+* ``parquet.nanosAsLong`` — older testdata generations wrote
+  ``events.parquet`` as TIMESTAMP(NANOS), which Spark has no native
+  type for; the flag reads it as nanos-since-epoch and
+  sources.testdata normalizes. Current generations write micros-NTZ,
+  also normalized there (to plain TIMESTAMP under the UTC zone).
 """
 
 from __future__ import annotations
