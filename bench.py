@@ -53,6 +53,7 @@ HEADLINE = [
     "mm_asset_metadata",
     "mm_image_features",
     "stream_windowed_counts",
+    "stream_exec_windowed",
     "core_window_funcs",
     "core_pivot",
     "core_rolling_range",

@@ -22,6 +22,7 @@ below names the SURVEY §2 rows it certifies.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -1286,6 +1287,66 @@ def stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     wc = windowed_counts(ev, ts_col="ts", key_col="event_type",
                          window_duration="1 hour", watermark="2 hours")
     return wc.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+@q(
+    "stream_exec_windowed",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_exec_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """A GENUINE Structured Streaming execution certified by the SQL
+    oracle: ``readStream`` over the events parquet → watermark +
+    event-time tumbling window (`streaming/ingest.py::windowed_counts`)
+    → availableNow drain into a memory sink → sink contents returned.
+    Complete output mode, so every window (including ones newer than
+    the final watermark, which append mode would withhold) is emitted
+    and the result equals the batch GROUP BY exactly — this is the
+    streaming/batch unification Structured Streaming promises, pinned
+    query-for-query against DuckDB. `stream_windowed_counts` checks
+    the same PLAN in batch mode; this entry actually runs the stream.
+    """
+    import uuid as _uuid
+
+    from blackroad_feature_store_spark.streaming.ingest import (
+        windowed_counts,
+    )
+
+    # Schema from the batch loader (which normalizes NTZ micros to UTC
+    # TIMESTAMP); the streaming reader applies it directly.
+    batch = load(spark, sf, "events")
+    # FileStreamSource takes a directory; glob-filter to the one table.
+    src = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    wc = windowed_counts(src, ts_col="ts", key_col="event_type",
+                         window_duration="1 hour", watermark="2 hours")
+    sink = f"stream_exec_windowed_{_uuid.uuid4().hex[:8]}"
+    q_ = (
+        wc.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return spark.table(sink).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),
