@@ -54,6 +54,7 @@ HEADLINE = [
     "mm_image_features",
     "stream_windowed_counts",
     "stream_exec_windowed",
+    "stream_exec_dedup",
     "core_window_funcs",
     "core_pivot",
     "core_rolling_range",

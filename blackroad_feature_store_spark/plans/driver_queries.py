@@ -1357,6 +1357,52 @@ def stream_exec_windowed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_dedup",
+    f"SELECT DISTINCT {_SQL_FINGERPRINT} AS fingerprint FROM documents",
+)
+def stream_exec_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """A GENUINE streaming dedup execution certified by the oracle:
+    ``readStream`` over documents → normalized-content fingerprint →
+    ``dropDuplicatesWithinWatermark`` (bounded state — fingerprints
+    age out past the watermark horizon; `streaming/dedup.py`) →
+    availableNow drain into a memory sink. The surviving FINGERPRINT
+    set is deterministic (which duplicate survives is not — first-seen
+    by processing order — so only the fingerprint column is returned)
+    and equals batch `SELECT DISTINCT md5(normalized)`; event time is
+    synthesized from doc_id since documents carries no timestamp."""
+    import uuid as _uuid
+
+    from blackroad_feature_store_spark.streaming.dedup import dedup_stream
+
+    batch = load(spark, sf, "documents")
+    src = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf)
+    )
+    # One-day base offset: doc_id 0 would otherwise synthesize event
+    # time == epoch 0 == the stream's initial watermark, and a row at
+    # the watermark is dropped as late.
+    docs = src.withColumn(
+        "ts",
+        F.timestamp_micros((F.col("doc_id") + F.lit(86_400)) * 1_000_000),
+    )
+    deduped = dedup_stream(docs, ts_col="ts", text_col="text",
+                           late_threshold="10 minutes")
+    sink = f"stream_exec_dedup_{_uuid.uuid4().hex[:8]}"
+    q_ = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return spark.table(sink).select("fingerprint")
+
+
+@q(
     "pipeline_clean_corpus",
     f"""
     WITH {_SQL_PROFILE_BASE},
