@@ -86,6 +86,7 @@ HEADLINE = [
     "core_correlated_subquery",
     "store_pit_precedence",
     "core_histogram",
+    "core_asof_sql_join",
 ]
 
 

@@ -1403,6 +1403,51 @@ def stream_exec_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "core_asof_sql_join",
+    """
+    WITH p AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, max(value) AS value FROM events
+               WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.user_id, p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           round(c.value, 6) AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def core_asof_sql_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The ``ASOF JOIN`` SQL spelling (SURVEY §4.2's optional parser
+    extension, `functions/asof_sql.py`): every purchase joined to the
+    same user's latest click at or before it, written as
+    ``ASOF LEFT JOIN`` and lowered to the join-then-window-top-1 plan.
+    The oracle is DuckDB's NATIVE ASOF JOIN — our front-end is pinned
+    against an independent engine's implementation of the same syntax.
+    The right side is pre-aggregated to unique (user_id, ts) so the
+    as-of match is tie-free in both engines."""
+    from blackroad_feature_store_spark.functions.asof_sql import asof_sql
+
+    ev = load(spark, sf, "events")
+    ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    ).createOrReplaceTempView("asof_purchases")
+    ev.where(F.col("event_type") == "click").groupBy("user_id", "ts").agg(
+        F.max("value").alias("value")
+    ).createOrReplaceTempView("asof_clicks")
+    return asof_sql(
+        spark,
+        """
+        SELECT p.user_id AS user_id, p.event_id AS event_id,
+               date_format(p.ts, 'yyyy-MM-dd HH:mm:ss') AS purchase_ts,
+               date_format(c.ts, 'yyyy-MM-dd HH:mm:ss') AS click_ts,
+               round(c.value, 6) AS click_value
+        FROM asof_purchases p ASOF LEFT JOIN asof_clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+    )
+
+
+@q(
     "pipeline_clean_corpus",
     f"""
     WITH {_SQL_PROFILE_BASE},
