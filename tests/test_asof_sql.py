@@ -108,6 +108,41 @@ def test_plan_uses_window_group_limit(spark, views):
     assert "WindowGroupLimit" in plan
 
 
+def test_randomized_parity_with_brute_force(spark):
+    # Property-style (same pattern as test_pit_property.py): random
+    # spine/record histories, assert the SQL front-end's result equals
+    # a brute-force Python scan. Unique (key, t) on the right keeps
+    # the expected match unambiguous.
+    import random
+
+    rng = random.Random(20260813)
+    rights = {}
+    for _ in range(200):
+        rights[(f"k{rng.randrange(8)}", rng.randrange(1000))] = rng.random()
+    right_rows = [(k, t, v) for (k, t), v in rights.items()]
+    left_rows = [
+        (i, f"k{rng.randrange(10)}", rng.randrange(1100))  # some keys absent
+        for i in range(150)
+    ]
+    spark.createDataFrame(left_rows, "rid long, k string, t long") \
+        .createOrReplaceTempView("asof_rand_l")
+    spark.createDataFrame(right_rows, "k string, t long, v double") \
+        .createOrReplaceTempView("asof_rand_r")
+
+    out = asof_sql(spark, """
+        SELECT l.rid AS rid, r.t AS rt, r.v AS rv
+        FROM asof_rand_l l ASOF LEFT JOIN asof_rand_r r
+          ON l.k = r.k AND l.t >= r.t
+    """)
+    got = {r["rid"]: (r["rt"], r["rv"]) for r in out.collect()}
+    assert len(got) == len(left_rows)
+    for rid, k, t in left_rows:
+        cands = [(rt, v) for (rk, rt), v in rights.items()
+                 if rk == k and rt <= t]
+        expect = max(cands) if cands else (None, None)
+        assert got[rid] == expect, (rid, k, t)
+
+
 @pytest.mark.parametrize(
     "bad,msg",
     [
