@@ -2,7 +2,8 @@
 ollama_router.py:137-147), against the Spark-backed store.
 
 Verbs: register, create-group, write, get, join, stats, list-features,
-list-groups, route. Store location comes from --db, else the
+list-groups, route, sql (ad-hoc SQL over the store views, with ASOF
+JOIN support). Store location comes from --db, else the
 ``FEATURE_STORE_DB`` env var (the reference's variable,
 feature_store.py:23), else ``~/.blackroad/feature_store_spark``.
 
@@ -184,6 +185,24 @@ def cmd_list_groups(args, store: FeatureStore) -> None:
         print(f"  {g.name} v{g.version} [{g.frequency}] → {feats}")
 
 
+def cmd_sql(args, store: FeatureStore) -> None:
+    """Ad-hoc SQL over the store's views (fs_features / fs_groups /
+    fs_records / fs_history), with ``ASOF [LEFT] JOIN`` support — a
+    statement containing the keyword routes through the
+    `functions/asof_sql.py` front-end, anything else goes straight to
+    ``spark.sql``."""
+    import re as _re
+
+    from blackroad_feature_store_spark.functions.asof_sql import asof_sql
+
+    store.create_views()
+    if _re.search(r"\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", args.query, _re.I):
+        df = asof_sql(store.spark, args.query)
+    else:
+        df = store.spark.sql(args.query)
+    df.show(n=args.max_rows, truncate=False)
+
+
 def cmd_route(args, _store=None) -> None:
     from blackroad_feature_store_spark.functions.router import (
         DEFAULT_BASE_URL,
@@ -314,6 +333,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("list-groups", help="List feature groups")
     p.set_defaults(func=cmd_list_groups)
+
+    p = sub.add_parser(
+        "sql",
+        help="Run SQL over the store views (fs_features/fs_groups/"
+             "fs_records/fs_history); supports ASOF [LEFT] JOIN",
+    )
+    p.add_argument("query", help="SQL statement")
+    p.add_argument(
+        "--max-rows", type=int, default=100,
+        help="rows to display (default 100)",
+    )
+    p.set_defaults(func=cmd_sql)
 
     p = sub.add_parser(
         "route", help="Route an @mention prompt to a local Ollama"

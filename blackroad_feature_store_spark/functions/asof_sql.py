@@ -133,14 +133,22 @@ def asof_sql(spark: SparkSession, query: str) -> DataFrame:
     )
     joined = l2.join(r2, on=conds + [bound], how=how)
 
-    # Top-1 per LEFT ROW: greatest right ts, remaining right columns
-    # as deterministic tiebreakers. Same shape as as_of_join's per-row
-    # branch (operators/asof.py) — Spark plans it as WindowGroupLimit,
-    # so the per-key top-1 happens map-side before the exchange.
+    # Top-1 per LEFT ROW: greatest right ts, remaining ORDERABLE right
+    # columns as deterministic tiebreakers (maps and other unorderable
+    # types are skipped — a records table's feature map must not break
+    # the sort). Same shape as as_of_join's per-row branch
+    # (operators/asof.py) — Spark plans it as WindowGroupLimit, so the
+    # per-key top-1 happens map-side before the exchange.
+    from pyspark.sql import types as T
+
+    orderable = (
+        T.NumericType, T.StringType, T.TimestampType, T.TimestampNTZType,
+        T.DateType, T.BooleanType, T.BinaryType,
+    )
     order = [F.col(f"{ra}__{rts}").desc_nulls_last()] + [
-        F.col(c).desc_nulls_last()
-        for c in r2.columns
-        if c != f"{ra}__{rts}"
+        F.col(f.name).desc_nulls_last()
+        for f in r2.schema.fields
+        if f.name != f"{ra}__{rts}" and isinstance(f.dataType, orderable)
     ]
     top = (
         joined.withColumn(

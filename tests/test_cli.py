@@ -135,3 +135,45 @@ def test_cli_compact_clustered(run):
     out = run("compact", gid, "--cluster-by", "timestamp")
     assert "Compacted 2 record(s)" in out
     assert "compact" in run("history")
+
+
+def test_cli_sql_plain_and_asof(run):
+    run("register", "score", "user", "int")
+    out = run("create-group", "sqlg", "--features", "score",
+              "--entity-key", "user_id")
+    gid = re.search(r"ID: (\S+)", out).group(1)
+    run("write", gid, "u1", json.dumps({"score": 1}),
+        "--timestamp", "2026-01-01T00:00:00")
+    run("write", gid, "u1", json.dumps({"score": 2}),
+        "--timestamp", "2026-02-01T00:00:00")
+
+    # plain SQL over the store views
+    out = run("sql", "SELECT count(*) AS n FROM fs_records")
+    assert re.search(r"\b2\b", out)
+    out = run("sql",
+              "SELECT name FROM fs_features WHERE dtype = 'int'")
+    assert "score" in out
+
+
+def test_cli_sql_asof_join_end_to_end(run, spark):
+    run("register", "v", "user", "int")
+    out = run("create-group", "asofg", "--features", "v",
+              "--entity-key", "user_id")
+    gid = re.search(r"ID: (\S+)", out).group(1)
+    run("write", gid, "e1", json.dumps({"v": 10}),
+        "--timestamp", "2026-01-01T00:00:00")
+    run("write", gid, "e1", json.dumps({"v": 20}),
+        "--timestamp", "2026-03-01T00:00:00")
+    spark.createDataFrame(
+        [("e1", "2026-02-01T00:00:00")], "entity_id string, at string"
+    ).selectExpr("entity_id", "CAST(at AS TIMESTAMP) AS at") \
+        .createOrReplaceTempView("fs_probes")
+
+    out = run("sql", """
+        SELECT p.entity_id AS entity_id,
+               date_format(r.timestamp, 'yyyy-MM-dd') AS matched
+        FROM fs_probes p ASOF LEFT JOIN fs_records r
+          ON p.entity_id = r.entity_id AND p.at >= r.timestamp
+    """)
+    assert "2026-01-01" in out  # Feb probe matches the Jan snapshot
+    assert "2026-03-01" not in out
