@@ -15,11 +15,13 @@ partitioning + shuffle, never by driver-side loops.
 """
 
 from blackroad_feature_store_spark.errors import (
+    ConcurrentModificationError,
     FeatureStoreError,
     GroupExistsError,
     UnknownFeatureError,
     UnknownGroupError,
 )
+from blackroad_feature_store_spark.functions.asof_sql import asof_sql
 from blackroad_feature_store_spark.store import (
     DTYPES,
     FREQ_BATCH,
@@ -30,6 +32,7 @@ from blackroad_feature_store_spark.store import (
 )
 
 __all__ = [
+    "ConcurrentModificationError",
     "DTYPES",
     "FREQ_BATCH",
     "FREQ_STREAMING",
@@ -37,6 +40,7 @@ __all__ = [
     "FeatureGroup",
     "FeatureStore",
     "FeatureStoreError",
+    "asof_sql",
     "GroupExistsError",
     "UnknownFeatureError",
     "UnknownGroupError",
