@@ -125,31 +125,36 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos, width = 8, None
     idat, palette = bytearray(), None
-    while pos + 8 <= len(payload):
-        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + clen]
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
-                raise ValueError(
-                    f"unsupported PNG variant (depth={depth}, "
-                    f"color={color}, interlace={interlace})"
+    try:
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
                 )
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen  # len + type + data + crc
-    if width is None or not idat:
-        raise ValueError("truncated PNG (missing IHDR or IDAT)")
+                if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                    raise ValueError(
+                        f"unsupported PNG variant (depth={depth}, "
+                        f"color={color}, interlace={interlace})"
+                    )
+            elif ctype == b"PLTE":
+                palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + data + crc
+        if width is None or not idat:
+            raise ValueError("truncated PNG (missing IHDR or IDAT)")
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    except (struct.error, zlib.error) as e:
+        # Corrupt chunk framing or pixel stream — same contract as any
+        # other undecodable payload.
+        raise ValueError(f"corrupt PNG payload: {e}") from e
     ch = _PNG_CHANNELS[color]
     stride = width * ch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     if raw.size != (stride + 1) * height:
         raise ValueError("PNG pixel data does not match declared dims")
     raw = raw.reshape(height, stride + 1)

@@ -194,3 +194,35 @@ def test_wav_rejects_garbage():
     for bad in (b"", b"junk", b"RIFF\x00\x00\x00\x00WAVE"):
         with pytest.raises(ValueError):
             C.decode_wav(bad)
+
+
+def test_fuzz_never_crashes():
+    # At 100 TB the decoders see arbitrary corrupt bytes; the contract
+    # is ValueError (decoders) / None (sniffer) — never an unhandled
+    # crash. Random payloads plus truncations/corruptions of real ones.
+    import random
+
+    rng = random.Random(20260813)
+    payloads = [
+        bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 256)))
+        for _ in range(300)
+    ]
+    real_png = C.encode_png(_rgb_gradient(9, 9))
+    t = np.arange(400)
+    real_wav = _wav_bytes(
+        (np.sin(t / 5.0) * 30000).astype("<i2").tobytes(), 8000, 2
+    )
+    for real in (real_png, real_wav):
+        payloads += [real[:n] for n in range(0, len(real), 37)]  # truncate
+        flip = bytearray(real)
+        for i in range(0, len(flip), 11):  # corrupt
+            flip[i] ^= 0xFF
+        payloads.append(bytes(flip))
+    for p in payloads:
+        d = C.sniff_image_dims(p)
+        assert d is None or (len(d) == 2 and all(isinstance(x, int) for x in d))
+        for fn in (C.decode_png, C.decode_wav, C.decode_image):
+            try:
+                fn(p)
+            except ValueError:
+                pass  # the documented failure mode
