@@ -772,8 +772,13 @@ def store_registry_ops(spark: SparkSession, sf: str) -> DataFrame:
         "version",
         F.lit(True).alias("active"),
     )
+    import pandas as pd
+
     checks_df = spark.createDataFrame(
-        [(*c, 0, True) for c in checks],
+        pd.DataFrame(
+            [(*c, 0, True) for c in checks],
+            columns=["kind", "name", "attr1", "attr2", "version", "active"],
+        ),
         "kind string, name string, attr1 string, attr2 string, "
         "version int, active boolean",
     )

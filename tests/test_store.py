@@ -836,3 +836,52 @@ def test_as_of_commit_past_vacuum_watermark_raises(store_with_group):
     # At-or-after the retained version still reads.
     latest_ts = store.history()[0]["ts"]
     assert store.records_df(g.id, as_of_commit=latest_ts).count() == 1
+
+
+# -- bulk registration (round-6: one flush per batch) -----------------------
+
+def test_register_features_bulk_single_flush(store, monkeypatch):
+    # N individual registrations rewrite the registry parquet N times
+    # (O(N^2) bytes over a bulk load); the batch form must flush once.
+    flushes = []
+    orig = FeatureStore._flush_features
+    monkeypatch.setattr(
+        FeatureStore, "_flush_features",
+        lambda self: (flushes.append(1), orig(self))[1],
+    )
+    feats = store.register_features(
+        [{"name": f"f{i}", "entity_type": "user", "dtype": "int"}
+         for i in range(20)]
+    )
+    assert len(feats) == 20
+    assert flushes == [1]
+    assert store.get_feature("f7").dtype == "int"
+
+
+def test_register_features_bulk_invalid_dtype_atomic(store):
+    import pytest as _pytest
+    from blackroad_feature_store_spark.errors import InvalidDtypeError
+
+    with _pytest.raises(InvalidDtypeError):
+        store.register_features([
+            {"name": "ok", "entity_type": "user", "dtype": "int"},
+            {"name": "bad", "entity_type": "user", "dtype": "decimal"},
+        ])
+    # all-or-nothing: nothing from the failed batch landed
+    assert store.get_feature("ok") is None
+    assert store.get_feature("bad") is None
+
+
+def test_register_features_bulk_two_writer_merge(spark, tmp_path):
+    # Batch flush still does the read-merge-write under flock: another
+    # writer's features persisted between our load and our flush survive.
+    a = FeatureStore(spark, str(tmp_path / "s"))
+    b = FeatureStore(spark, str(tmp_path / "s"))
+    a.register_feature("from_a", "user", "int")
+    b.register_features(
+        [{"name": "from_b1", "entity_type": "user", "dtype": "int"},
+         {"name": "from_b2", "entity_type": "user", "dtype": "str"}]
+    )
+    fresh = FeatureStore(spark, str(tmp_path / "s"))
+    names = {f.name for f in fresh.list_features()}
+    assert {"from_a", "from_b1", "from_b2"} <= names
