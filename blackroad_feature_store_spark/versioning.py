@@ -149,13 +149,26 @@ class CommitLog:
         """Newest readable checkpoint with version <= ``at_most``; an
         unreadable one falls back to the next older (checkpoints are
         acceleration only — correctness never depends on them)."""
+        doc = self._load_checkpoint_doc(at_most)
+        if doc is None:
+            return None
+        return doc["version"], doc["entries"]
+
+    def _load_checkpoint_doc(
+        self, at_most: int, need: tuple[str, ...] = ("entries",)
+    ) -> Optional[dict[str, Any]]:
+        """Newest readable checkpoint doc with version <= ``at_most``
+        carrying all keys in ``need`` (older checkpoint formats may
+        lack newer sidecar keys and are skipped for callers that
+        require them)."""
         for v in reversed(self._checkpoint_versions()):
             if v > at_most:
                 continue
             try:
                 with open(os.path.join(self.dir, _checkpoint_name(v))) as fh:
                     doc = json.load(fh)
-                return v, doc["entries"]
+                if all(k in doc for k in need):
+                    return doc
             except (OSError, ValueError, KeyError):
                 continue
         return None
@@ -168,7 +181,15 @@ class CommitLog:
         if version == 0 or version % CHECKPOINT_EVERY != 0:
             return
         try:
-            doc = {"version": version, "entries": self.live_entries(version)}
+            doc = {
+                "version": version,
+                "entries": self.live_entries(version),
+                # Cumulative every-path-ever-added sidecar, extended
+                # incrementally from the previous checkpoint, so vacuum's
+                # referenced_paths() stays O(commits since checkpoint)
+                # instead of an O(full history) manifest walk.
+                "added_paths": sorted(self._added_paths_at(version)),
+            }
             tmp = os.path.join(self.dir, f".tmp-cp-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 json.dump(doc, fh)
@@ -189,14 +210,35 @@ class CommitLog:
         to delete immediately once unretained) from true orphans —
         files in the tree that no manifest references, which may belong
         to an in-flight writer that has absorbed its staging files but
-        not yet committed, and so only die after a grace period. Full
-        log walk, O(commits) — fine at vacuum frequency; checkpoints
-        cannot serve here because they drop removed entries.
+        not yet committed, and so only die after a grace period.
+
+        Live-entry checkpoints alone cannot serve here (they drop
+        removed entries), so each checkpoint also carries a cumulative
+        ``added_paths`` sidecar; replay starts from the newest one and
+        reads only the manifests after it — O(commits since
+        checkpoint), so a 100k-commit history doesn't stall a vacuum.
+        Falls back to the full O(commits) walk when no sidecar-bearing
+        checkpoint exists (pre-sidecar logs).
         """
+        vs = self.versions()
+        if not vs:
+            return set()
+        return self._added_paths_at(vs[-1])
+
+    def _added_paths_at(self, version: int) -> set[str]:
+        """Every path added by any manifest with version <= ``version``,
+        extended incrementally from the newest ``added_paths``-bearing
+        checkpoint at or below it."""
         out: set[str] = set()
+        after = -1
+        cp = self._load_checkpoint_doc(at_most=version, need=("added_paths",))
+        if cp is not None:
+            out.update(cp["added_paths"])
+            after = cp["version"]
         for v in self.versions():
-            for f in self.read(v).get("add", ()):
-                out.add(f if isinstance(f, str) else f["path"])
+            if after < v <= version:
+                for f in self.read(v).get("add", ()):
+                    out.add(f if isinstance(f, str) else f["path"])
         return out
 
     def version_as_of(self, ts: datetime | str) -> Optional[int]:

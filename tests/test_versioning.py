@@ -154,3 +154,47 @@ def test_referenced_paths_covers_removed(tmp_path):
     log.commit("append", add=[{"path": "a", "min_ts": "t"}], remove=[])
     log.commit("compact", add=["b"], remove=["a"])
     assert log.referenced_paths() == {"a", "b"}
+
+
+def test_referenced_paths_reads_only_post_checkpoint_manifests(tmp_path):
+    # The added_paths checkpoint sidecar bounds the vacuum scan: after a
+    # checkpoint at version 20, referenced_paths() must open only the
+    # manifests newer than it — O(new commits), not O(history).
+    log = CommitLog(str(tmp_path / "log"))
+    _fill(log, 25)  # checkpoints at 10 and 20
+
+    opened = []
+    orig_read = CommitLog.read
+    CommitLog.read = lambda self, v: (opened.append(v), orig_read(self, v))[1]
+    try:
+        paths = log.referenced_paths()
+    finally:
+        CommitLog.read = orig_read
+    assert paths == {f"f{i}" for i in range(25)}  # removed ones included
+    assert opened and min(opened) > 2 * CHECKPOINT_EVERY
+
+
+def test_referenced_paths_falls_back_without_sidecar(tmp_path):
+    # Pre-sidecar checkpoints (no added_paths key) can't serve the
+    # vacuum scan; the full manifest walk must still be correct.
+    log = CommitLog(str(tmp_path / "log"))
+    _fill(log, 12)  # checkpoint at 10
+    cp_path = os.path.join(log.dir, _checkpoint_name(CHECKPOINT_EVERY))
+    with open(cp_path) as fh:
+        doc = json.load(fh)
+    del doc["added_paths"]
+    with open(cp_path, "w") as fh:
+        json.dump(doc, fh)
+    assert log.referenced_paths() == {f"f{i}" for i in range(12)}
+
+
+def test_added_paths_sidecar_extends_incrementally(tmp_path):
+    # The version-20 checkpoint is built from the version-10 sidecar +
+    # manifests 11..20, so corrupting checkpoint 10 AFTER 20 exists
+    # must not matter, and the sidecar carries removed-then-gone paths.
+    log = CommitLog(str(tmp_path / "log"))
+    _fill(log, 25)
+    cp20 = os.path.join(log.dir, _checkpoint_name(2 * CHECKPOINT_EVERY))
+    with open(cp20) as fh:
+        doc = json.load(fh)
+    assert set(doc["added_paths"]) == {f"f{i}" for i in range(21)}
