@@ -35,7 +35,9 @@ from blackroad_feature_store_spark.operators.asof import as_of_join, latest_as_o
 from blackroad_feature_store_spark.operators.dedup import (
     embedding_near_duplicates,
     exact_duplicates,
+    incremental_candidate_pairs,
     minhash_candidate_pairs,
+    minhash_signatures,
     ngram_jaccard,
     simhash,
 )
@@ -911,6 +913,33 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bucket self-join on (band, sig) — never all-pairs."""
     docs = load(spark, sf, "documents")
     return minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
+
+
+@q(
+    "dedup_incremental",
+    _SQL_MINHASH_PAIRS
+    + """
+    SELECT id_a, id_b FROM pairs
+    WHERE id_a % 4 = 0 OR id_b % 4 = 0
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental LSH — the daily-ingest dedup path: 3/4 of the corpus
+    is the already-signed signature table; the remaining 1/4 arrives as
+    the new batch, is shingled/hashed alone, and bucket-joins
+    new-vs-existing plus new-vs-new. The signature construction is
+    deterministic per document, so the incremental pair set must equal
+    the full-corpus LSH pairs restricted to pairs touching a new doc —
+    which is exactly what the oracle computes. Per-increment cost is
+    O(|batch| + collisions), independent of corpus size."""
+    docs = load(spark, sf, "documents")
+    existing = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    sigs = minhash_signatures(existing, num_bands=8, shingle_size=3)
+    pairs, _new_sigs = incremental_candidate_pairs(
+        new, sigs, num_bands=8, shingle_size=3
+    )
+    return pairs
 
 
 @q(
