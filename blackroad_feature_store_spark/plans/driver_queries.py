@@ -1437,6 +1437,193 @@ def stream_exec_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_sessionize",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s),
+    agg AS (
+        SELECT user_id, sid,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg
+    QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+    """,
+)
+def stream_exec_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """A GENUINE stateful-streaming execution certified by the oracle:
+    ``readStream`` over events → ``applyInPandasWithState``
+    inactivity-gap sessionization (streaming/stateful.py:102, 30-min
+    gap) → availableNow drain into a memory sink. The drain emits only
+    sessions CLOSED mid-stream (a later event for the same user opened
+    the next session); each user's trailing session stays open in
+    state awaiting the processing-time timeout, which by design never
+    fires during the drain. So the certified contract is: emitted rows
+    == every session except each user's last — exactly what the oracle
+    computes with its lag-gap session assignment + QUALIFY sid <
+    max(sid). Ties in ts cannot straddle a session split (gap 0 < 30
+    min), so tie order is aggregate-invariant and the stream's
+    sort-by-ts fold matches the oracle's (ts, event_id) order."""
+    import uuid as _uuid
+
+    from blackroad_feature_store_spark.streaming.stateful import (
+        drain_and_stop,
+        sessionize_stream,
+    )
+
+    batch = load(spark, sf, "events")
+    src = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    sessions = sessionize_stream(src, gap="30 minutes", ts_col="ts",
+                                 key_col="user_id", value_col="value")
+    sink = f"stream_exec_sessionize_{_uuid.uuid4().hex[:8]}"
+    q_ = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps no-data batches coming forever, so
+    # awaitTermination would hang; bounded drain, see drain_and_stop.
+    drain_and_stop(q_)
+    return spark.table(sink).where("closed").select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+@q(
+    "stream_exec_enrich",
+    """
+    WITH recs AS (
+        SELECT o_custkey, o_totalprice, o_orderstatus,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY epoch_us(o_orderdate) + o_orderkey DESC
+               ) AS rn
+        FROM orders)
+    SELECT c.c_custkey, c.c_name,
+           r.o_totalprice  AS feature_totalprice,
+           r.o_orderstatus AS feature_status
+    FROM customer c
+    LEFT JOIN recs r ON r.o_custkey = c.c_custkey AND r.rn = 1
+    """,
+)
+def stream_exec_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """A GENUINE stream-static enrichment execution certified by the
+    oracle: orders are written through the real FeatureStore (same
+    deterministic record encoding as store_roundtrip_asof), then a
+    ``readStream`` over customers is enriched per micro-batch against
+    the store's entity-latest snapshot via
+    ``streaming/joins.py::enrich_with_features`` — the static side is
+    snapshot-pinned at plan time and BROADCAST, so each micro-batch
+    probes an executor-local hash relation with no per-batch shuffle
+    (the online-inference read path). Left join: customers with no
+    orders keep NULL features. Oracle recomputes entity-latest
+    directly from orders (ts = epoch_us(o_orderdate) + o_orderkey is
+    unique per entity, so top-1 is deterministic)."""
+    import uuid as _uuid
+
+    from blackroad_feature_store_spark.store import FeatureStore
+    from blackroad_feature_store_spark.streaming.joins import (
+        enrich_with_features,
+    )
+
+    fs = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_enrich_"))
+    fs.register_features([
+        {"name": "totalprice", "entity_type": "customer", "dtype": "float"},
+        {"name": "status", "entity_type": "customer", "dtype": "str"},
+    ])
+    g = fs.create_group("orders_enrich", ["totalprice", "status"],
+                        "c_custkey")
+
+    orders = load(spark, sf, "orders")
+    enc = lambda c: F.regexp_extract(  # noqa: E731 — JSON-cell encoder
+        F.to_json(F.struct(F.col(c).alias("v")), {"ignoreNullFields": "false"}),
+        r'^\{"v":(.*)\}$',
+        1,
+    )
+    recs = orders.select(
+        F.expr("uuid()").alias("id"),
+        F.lit(g.id).alias("group_id"),
+        F.col("o_custkey").cast("string").alias("entity_id"),
+        F.map_from_arrays(
+            F.array(F.lit("totalprice"), F.lit("status")),
+            F.array(enc("o_totalprice"), enc("o_orderstatus")),
+        ).alias("feature_values"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.col("o_orderkey")
+        ).alias("timestamp"),
+        F.lit(1).alias("version"),
+    )
+    fs.write_records_df(recs)
+
+    batch = load(spark, sf, "customer")
+    src = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "customer.parquet")
+        .load(sf)
+    )
+    stream = src.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_custkey").cast("string").alias("__ent"),
+    )
+    enriched = enrich_with_features(
+        stream, fs, g.id, "__ent", ["totalprice", "status"]
+    )
+    sink = f"stream_exec_enrich_{_uuid.uuid4().hex[:8]}"
+    q_ = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return spark.table(sink).select(
+        "c_custkey",
+        "c_name",
+        F.col("feature_totalprice").cast("double").alias(
+            "feature_totalprice"
+        ),
+        F.regexp_replace("feature_status", '^"|"$', "").alias(
+            "feature_status"
+        ),
+    )
+
+
+@q(
     "core_asof_sql_join",
     """
     WITH p AS (SELECT user_id, event_id, ts, value FROM events

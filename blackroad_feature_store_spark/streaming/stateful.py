@@ -130,3 +130,34 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def drain_and_stop(query, timeout: int = 120) -> None:
+    """Deterministically drain an availableNow run of a stateful stream,
+    then stop it.
+
+    A query with ``GroupStateTimeout.ProcessingTimeTimeout`` registers
+    wall-clock timers, and Structured Streaming keeps scheduling
+    no-data batches (~1/s) to evaluate them — so ``awaitTermination``
+    NEVER returns even under ``Trigger.AvailableNow``. The source is
+    exhausted once a zero-input progress report follows a data batch;
+    everything the drain will ever emit (timers are minutes of wall
+    clock away) is in the sink at that point, so stopping there is the
+    deterministic equivalent of termination.
+    """
+    import time as _time
+
+    deadline = _time.time() + timeout
+    seen_data = False
+    while _time.time() < deadline:
+        for p in query.recentProgress:
+            if p["numInputRows"] > 0:
+                seen_data = True
+        last = query.lastProgress
+        if seen_data and last is not None and last["numInputRows"] == 0:
+            break
+        if not query.isActive:
+            break
+        _time.sleep(0.5)
+    query.stop()
+    query.awaitTermination(30)

@@ -128,6 +128,7 @@ def test_windowed_counts_streaming_plan(spark, tmp_path):
 def test_stateful_sessionize_stream(spark, tmp_path):
     """applyInPandasWithState sessionizer run as a real stream."""
     from blackroad_feature_store_spark.streaming.stateful import (
+        drain_and_stop,
         sessionize_stream,
     )
 
@@ -158,7 +159,9 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    # ProcessingTimeTimeout schedules no-data batches forever;
+    # awaitTermination would block the full timeout. Bounded drain.
+    drain_and_stop(q)
     rows = spark.sql("SELECT * FROM sess_test").collect()
     # mid-batch close: user 1's first session (2 events, sum 3.0) is
     # emitted; the still-open trailing sessions wait for the timeout
