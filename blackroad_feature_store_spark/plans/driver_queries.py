@@ -584,8 +584,15 @@ def tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
 )
 def tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 (shipping priority) adapted: 3-way join with selective
-    filters on both dimensions, aggregate, top-10. The customer filter
-    broadcasts; only lineitem shuffles."""
+    filters on both dimensions, aggregate, top-10.
+
+    No forced broadcasts: the date filter keeps nearly ALL of orders
+    (TPC-H order dates run 1992-1998), so a broadcast() hint on the
+    orders⋈customer side — however fast at test SF — is a multi-GB
+    executor OOM at cluster scale, the exact defect class Q10 had in
+    round 4. Join strategy is left to AQE, which picks broadcast at
+    small SF from *measured* sizes and hash-join at 100 TB; pinned by
+    tests/test_plans.py::test_q3_no_forced_broadcast."""
     cust = load(spark, sf, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -601,8 +608,7 @@ def tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust),
-                                    orders.o_custkey == cust.c_custkey)),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -170,3 +170,97 @@ def test_json_props_parse_stays_in_scan_stage(spark):
     assert "get_json_object" in plan
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
     assert n_exchanges == 1, plan  # only the groupBy(event_type) shuffle
+
+
+def test_q3_no_forced_broadcast(spark):
+    # orders is nearly unfiltered by Q3's date predicate (TPC-H dates
+    # run 1992-1998): a forced broadcast on the orders⋈customer side
+    # OOMs at cluster scale. Strategy must be AQE's choice: 0 hints.
+    analyzed = (
+        dq.tpch_q3_shipping(spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+# -- catalog-wide sweeps ----------------------------------------------------
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# each crossJoins a BROADCAST side that is one row (balanced-sample
+# class floor, top-k query vector) or centroid-table-sized (IVF) —
+# bounded at any data scale.
+_BNLJ_WHITELIST = {
+    "pipeline_balanced_sample",
+    "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+}
+
+# stream_exec_* queries EXECUTE a stream inside the callable and
+# return a memory-sink scan — nothing to sweep, lots to pay.
+_SWEEP_SKIP_PREFIX = "stream_exec_"
+
+
+def test_catalog_plans_no_cartesian_or_unplanned_bnlj(spark):
+    """Every catalog query's physical plan is free of CartesianProduct
+    and of BroadcastNestedLoopJoin outside the whitelist — the class of
+    plan that silently works at test SF and detonates at 100×."""
+    bad = {}
+    for name, fn in dq.QUERIES.items():
+        if name.startswith(_SWEEP_SKIP_PREFIX):
+            continue
+        plan = dq.QUERIES[name](spark, SF)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_WHITELIST:
+            flags.append("BroadcastNestedLoopJoin")
+        if flags:
+            bad[name] = flags
+    assert not bad, f"scale-hostile plan shapes: {bad}"
+
+
+def test_catalog_source_never_force_broadcasts_fact_tables():
+    """AST lint over the catalog source: no F.broadcast(...) call whose
+    argument derives from a FACT table (orders/lineitem/events/
+    documents/embeddings). Dim tables (region/nation/customer at
+    registry scale) may be hinted; fact-side strategy belongs to AQE.
+    This is the regression wire for the Q10/Q3 forced-broadcast class —
+    reintroducing broadcast(orders) anywhere in the catalog fails here,
+    not in a human plan audit."""
+    import ast
+    import inspect
+
+    src_path = inspect.getsourcefile(dq)
+    with open(src_path) as fh:
+        src = fh.read()
+    tree = ast.parse(src)
+    facts = ("orders", "lineitem", "events", "documents", "embeddings")
+    offenders = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.FunctionDef):
+            continue
+        for call in ast.walk(node):
+            if not (
+                isinstance(call, ast.Call)
+                and isinstance(call.func, ast.Attribute)
+                and call.func.attr == "broadcast"
+            ):
+                continue
+            seg = ast.get_source_segment(src, call) or ""
+            # flag a broadcast whose ARGUMENT text mentions a fact
+            # table load or a variable named after one
+            arg_txt = seg[len("F.broadcast(") :] if seg.startswith(
+                "F.broadcast("
+            ) else seg
+            for t in facts:
+                if f'"{t}"' in arg_txt or arg_txt.strip().startswith(
+                    (f"{t}.", f"{t})", t + ",")
+                ) or arg_txt.strip() == t:
+                    offenders.append((node.name, t, seg[:100]))
+    assert not offenders, f"forced fact-table broadcast: {offenders}"
