@@ -59,41 +59,99 @@ _EQ_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 _INEQ_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*(>=|<=|>|<)\s*(\w+)\.(\w+)\s*$")
 
 
+def _mask_literals(q: str) -> str:
+    """Same-length copy of ``q`` with the CONTENTS of single-quoted SQL
+    string literals replaced by ``x`` (quotes and '' escapes kept, so
+    positions line up). The parser regexes run on the masked text so an
+    ``ASOF JOIN`` or ``l.x``-shaped substring inside a literal can
+    neither trigger the front-end nor be rewritten."""
+    out = []
+    i, n = 0, len(q)
+    in_str = False
+    while i < n:
+        ch = q[i]
+        if in_str and ch == "'" and i + 1 < n and q[i + 1] == "'":
+            out.append("xx")  # '' escape stays inside the literal
+            i += 2
+            continue
+        if ch == "'":
+            in_str = not in_str
+            out.append(ch)
+        else:
+            out.append("x" if in_str else ch)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_alias_quals(text: str, alias: str) -> str:
+    """Rewrite ``alias.col`` → ``alias__col`` outside string literals,
+    case-insensitively (Spark resolves identifiers case-insensitively,
+    so ``FROM t AS P ... SELECT p.x`` is legal SQL and both spellings
+    must rewrite). The replacement uses the FROM-clause alias casing —
+    the prefixed columns were created with it."""
+    masked = _mask_literals(text)
+    out, last = [], 0
+    for mm in re.finditer(rf"\b{re.escape(alias)}\.(\w+)", masked, re.I):
+        out.append(text[last : mm.start()])
+        out.append(f"{alias}__{mm.group(1)}")
+        last = mm.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def asof_sql(spark: SparkSession, query: str) -> DataFrame:
     """Run a SELECT containing one ``ASOF [LEFT] JOIN`` clause."""
-    m = _ASOF_RE.search(query)
+    masked = _mask_literals(query)
+    m = _ASOF_RE.search(masked)
     if not m:
+        asof_kw = re.compile(r"\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", re.I)
+        if asof_kw.search(query) and not asof_kw.search(masked):
+            raise ValueError(
+                "ASOF JOIN appears only inside a string literal — this "
+                "is not an ASOF query; run it through spark.sql directly"
+            )
+        if re.search(r"\bFROM\s*\(", masked, re.I) and asof_kw.search(masked):
+            raise ValueError(
+                "subqueries in FROM are not supported by the ASOF JOIN "
+                "front-end; register the subquery as a temp view "
+                "(df.createOrReplaceTempView) and reference it by name"
+            )
         raise ValueError(
             "no 'FROM <t> <a> ASOF [LEFT] JOIN <t> <a> ON ...' clause "
             "found (both inputs must be named tables/views with aliases)"
         )
     la, ra = m.group("la"), m.group("ra")
-    if la == ra:
+    if la.lower() == ra.lower():
+        # case-insensitive: aliases T and t are the same identifier
         raise ValueError(f"join aliases must differ (both {la!r})")
     how = "left" if (m.group("how") or "").strip().upper() == "LEFT" else "inner"
 
     eqs: list[tuple[str, str]] = []  # (left col, right col)
     ineq: tuple[str, str, bool] | None = None  # (lts, rts, strict)
-    for cond in re.split(r"\bAND\b", m.group("on"), flags=re.I):
+    # Alias matching is case-insensitive, like Spark's identifier
+    # resolution (FROM t AS P ... ON p.x = ... is legal SQL).
+    lal, ral = la.lower(), ra.lower()
+    on_clause = query[m.start("on") : m.end("on")]
+    for cond in re.split(r"\bAND\b", on_clause, flags=re.I):
         em_ = _EQ_RE.match(cond)
         if em_:
             a1, c1, a2, c2 = em_.groups()
-            if {a1, a2} != {la, ra}:
+            if {a1.lower(), a2.lower()} != {lal, ral}:
                 raise ValueError(f"equality must relate {la} and {ra}: {cond!r}")
-            eqs.append((c1, c2) if a1 == la else (c2, c1))
+            eqs.append((c1, c2) if a1.lower() == lal else (c2, c1))
             continue
         im = _INEQ_RE.match(cond)
         if im:
             if ineq is not None:
                 raise ValueError("exactly one inequality condition allowed")
             a1, c1, op, a2, c2 = im.groups()
-            if {a1, a2} != {la, ra}:
+            if {a1.lower(), a2.lower()} != {lal, ral}:
                 raise ValueError(
                     f"inequality must relate {la} and {ra}: {cond!r}"
                 )
             # Normalize to: right_ts (<|<=) left_ts — "latest right at
             # or before the left instant".
-            if a1 == la:  # l.ts OP r.ts
+            if a1.lower() == lal:  # l.ts OP r.ts
                 if op in (">=", ">"):
                     ineq = (c1, c2, op == ">")
                 else:
@@ -163,7 +221,16 @@ def asof_sql(spark: SparkSession, query: str) -> DataFrame:
 
     view = f"__asof_{uuid.uuid4().hex[:12]}"
     top.createOrReplaceTempView(view)
-    outer = query[: m.start()] + f"FROM {view}\n" + m.group("rest")
-    outer = re.sub(rf"\b{la}\.(\w+)", rf"{la}__\1", outer)
-    outer = re.sub(rf"\b{ra}\.(\w+)", rf"{ra}__\1", outer)
-    return spark.sql(outer)
+    try:
+        outer = (
+            query[: m.start()] + f"FROM {view}\n" + query[m.start("rest") :]
+        )
+        outer = _rewrite_alias_quals(outer, la)
+        outer = _rewrite_alias_quals(outer, ra)
+        df = spark.sql(outer)
+    finally:
+        # Analysis has resolved the view into the plan; dropping it
+        # keeps repeated asof_sql calls (CLI sql verb, bench reps,
+        # long sessions) from leaking session-catalog entries.
+        spark.catalog.dropTempView(view)
+    return df

@@ -74,6 +74,12 @@ def sniff_image_dims(payload: bytes) -> Optional[tuple[int, int]]:
                 i += 1
                 continue
             marker = payload[i + 1]
+            if marker == 0xFF:
+                # 0xFF fill/padding byte before a marker — skip it;
+                # treating it as a segment would consume two pad bytes
+                # as a bogus length and derail the walk.
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -190,7 +196,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 3:  # palette -> RGB
         if palette is None:
             raise ValueError("palette PNG without PLTE")
-        img = palette[img[:, :, 0]]
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            # Out-of-range index must be the ValueError the decode
+            # kernels catch — a bare IndexError would kill the job on
+            # one corrupt file ('corrupt input must not kill the
+            # pipeline' contract).
+            raise ValueError(
+                f"palette index {int(idx.max(initial=0))} out of range "
+                f"for PLTE of {len(palette)} entries"
+            )
+        img = palette[idx]
     return img
 
 

@@ -161,3 +161,55 @@ def test_randomized_parity_with_brute_force(spark):
 def test_error_contract(spark, views, bad, msg):
     with pytest.raises(ValueError, match=msg):
         asof_sql(spark, bad)
+
+
+# -- round-6 hardening: literals, alias case, subqueries, view leak ---------
+
+def test_alias_rewrite_is_case_insensitive(spark, views):
+    # FROM declares alias T; the select list says t.sym — legal SQL
+    # (Spark resolves identifiers case-insensitively) and must rewrite.
+    out = asof_sql(spark, """
+        SELECT t.sym AS sym, Q.px AS px
+        FROM asof_t_trades T ASOF JOIN asof_t_quotes q
+          ON T.sym = q.sym AND t.t >= Q.t
+    """)
+    assert ("A", 2.0) in _rows(out)
+
+
+def test_string_literal_containing_qualified_ref_not_rewritten(spark, views):
+    out = asof_sql(spark, """
+        SELECT t.sym AS sym, 'literal t.sym stays' AS note, q.px AS px
+        FROM asof_t_trades t ASOF JOIN asof_t_quotes q
+          ON t.sym = q.sym AND t.t >= q.t
+    """)
+    assert out.select("note").first()["note"] == "literal t.sym stays"
+
+
+def test_asof_only_inside_string_literal_rejected(spark, views):
+    with pytest.raises(ValueError, match="string literal"):
+        asof_sql(
+            spark,
+            "SELECT 'this mentions ASOF JOIN only' AS s FROM asof_t_trades",
+        )
+
+
+def test_subquery_in_from_rejected_clearly(spark, views):
+    with pytest.raises(ValueError, match="subqueries in FROM"):
+        asof_sql(spark, """
+            SELECT t.sym FROM (SELECT * FROM asof_t_trades) t
+            ASOF JOIN asof_t_quotes q ON t.sym = q.sym AND t.t >= q.t
+        """)
+
+
+def test_no_temp_view_leak(spark, views):
+    for _ in range(3):
+        asof_sql(spark, """
+            SELECT t.sym AS sym, q.px AS px
+            FROM asof_t_trades t ASOF JOIN asof_t_quotes q
+              ON t.sym = q.sym AND t.t >= q.t
+        """).collect()
+    leaked = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__asof_")
+    ]
+    assert leaked == []

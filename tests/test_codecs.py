@@ -226,3 +226,47 @@ def test_fuzz_never_crashes():
                 fn(p)
             except ValueError:
                 pass  # the documented failure mode
+
+
+# -- round-6 hardening --------------------------------------------------------
+
+
+def test_png_palette_index_out_of_range_is_valueerror():
+    # Corrupt palette PNG: pixel index 5 vs 3 PLTE entries. Must raise
+    # ValueError (what the decode kernels catch), never IndexError —
+    # one corrupt file must not kill the pipeline.
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 5], [1, 0]], np.uint8)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(t, d):
+        body = t + d
+        return (
+            struct.pack(">I", len(d))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        C.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        C.decode_png(png)
+
+
+def test_sniff_jpeg_with_fill_bytes():
+    # 0xFF padding before a marker is legal JPEG framing; the sniffer
+    # must skip fill bytes, not read pad as a bogus segment length.
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xff\xff"  # fill bytes before the SOF marker
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 240, 320) + b"\x03" + b"\x00" * 10
+        + b"\xff\xd9"
+    )
+    assert C.sniff_image_dims(jpeg) == (320, 240)
