@@ -87,6 +87,9 @@ HEADLINE = [
     "store_pit_precedence",
     "core_histogram",
     "core_asof_sql_join",
+    "dedup_incremental",
+    "stream_exec_sessionize",
+    "stream_exec_enrich",
 ]
 
 
