@@ -90,6 +90,9 @@ HEADLINE = [
     "dedup_incremental",
     "stream_exec_sessionize",
     "stream_exec_enrich",
+    "pipeline_domain_cap",
+    "pipeline_dedup_report",
+    "pipeline_mixture_weights",
 ]
 
 

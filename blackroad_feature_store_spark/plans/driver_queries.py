@@ -3475,6 +3475,126 @@ def core_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "pipeline_domain_cap",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents)
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           min(CASE WHEN rn <= 10 THEN doc_id END) AS min_kept_doc_id
+    FROM ranked GROUP BY source
+    """,
+)
+def pipeline_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain frequency capping — the anti-overrepresentation step
+    every web-scale corpus applies (cap docs per registrable domain so
+    one crawl-heavy site can't dominate training): keep at most N docs
+    per source, chosen deterministically by hash order (stable across
+    runs and partitionings — no rand()). One window shuffle on source;
+    a skewed mega-domain is the operators/skew.py salting case at
+    100 TB. Output is the per-source kept/total audit report."""
+    docs = load(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("source", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = F.when(F.col("rn") <= 10, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.min(F.when(F.col("rn") <= 10, F.col("doc_id"))).alias(
+            "min_kept_doc_id"
+        ),
+    )
+
+
+@q(
+    "pipeline_dedup_report",
+    f"""
+    WITH fp AS (SELECT source, {_SQL_FINGERPRINT} AS f
+                FROM (SELECT source, text FROM documents) u)
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT f) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT f) AS DOUBLE) / count(*), 6)
+               AS dup_rate
+    FROM fp GROUP BY source
+    """,
+)
+def pipeline_dedup_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup AUDIT report: per-source document counts, distinct
+    normalized fingerprints, and duplicate rate — the measurement a
+    pipeline runs before/after `dedup_exact` to decide where the
+    duplication lives. Fingerprint = the same md5(normalized text) as
+    the dedup operators (operators/dedup.py:42). count(DISTINCT) is a
+    two-phase partial aggregation in Spark — no all-rows-to-one-node
+    stage at any scale."""
+    from blackroad_feature_store_spark.operators.text import fingerprint
+
+    docs = load(spark, sf, "documents")
+    fp = docs.select("source", fingerprint(F.col("text")).alias("f"))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("f").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+@q(
+    "pipeline_mixture_weights",
+    """
+    WITH per AS (SELECT lang,
+                        CAST(sum(n_chars) AS BIGINT) AS lang_chars
+                 FROM documents GROUP BY lang)
+    SELECT lang, lang_chars,
+           round(CAST(lang_chars AS DOUBLE)
+                 / sum(lang_chars) OVER (), 6) AS share,
+           round((CAST(sum(lang_chars) OVER () AS DOUBLE)
+                  / count(*) OVER ()) / lang_chars, 6) AS uniform_factor
+    FROM per
+    """,
+)
+def pipeline_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture rebalancing weights: each language's share of the
+    corpus character budget and the up/down-sampling factor that would
+    equalize shares — the knob multilingual training mixes turn. The
+    global window runs over the POST-AGGREGATION frame (one row per
+    language, dozens at most), so the single-partition window is
+    bounded at any corpus scale; the heavy lifting is the map-side
+    combinable sum(n_chars) GROUP BY."""
+    docs = load(spark, sf, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("lang_chars")
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "lang",
+        "lang_chars",
+        F.round(
+            F.col("lang_chars").cast("double") / F.sum("lang_chars").over(w),
+            6,
+        ).alias("share"),
+        F.round(
+            (F.sum("lang_chars").over(w).cast("double")
+             / F.count(F.lit(1)).over(w))
+            / F.col("lang_chars"),
+            6,
+        ).alias("uniform_factor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 # ---------------------------------------------------------------------------
@@ -3522,6 +3642,9 @@ _GATE_PRIORITY: list[str] = [
     "dedup_incremental",
     "stream_exec_sessionize",
     "stream_exec_enrich",
+    "pipeline_domain_cap",
+    "pipeline_dedup_report",
+    "pipeline_mixture_weights",
     # -- keepers: signature paths re-certified every round --
     "core_pit_join",
     "core_asof_top1",
