@@ -93,6 +93,7 @@ HEADLINE = [
     "pipeline_domain_cap",
     "pipeline_dedup_report",
     "pipeline_mixture_weights",
+    "stream_exec_interval_join",
 ]
 
 

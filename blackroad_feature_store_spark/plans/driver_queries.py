@@ -1630,6 +1630,84 @@ def stream_exec_enrich(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_interval_join",
+    """
+    SELECT l.event_id AS click_id,
+           r.event_id AS purchase_id,
+           l.user_id  AS user_id,
+           CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS delay_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_exec_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """A GENUINE stream-stream join execution certified by the oracle:
+    two ``readStream``s over events (clicks and purchases) correlated
+    by `streaming/joins.py::interval_join` — watermarks on both sides
+    plus the event-time range bound make the join state self-cleaning
+    (a click ages out once the purchase-side watermark passes
+    click_ts + 30 min). The conversion-attribution shape. Inner join:
+    every qualifying pair is emitted regardless of watermark (the
+    watermark bounds state and lateness, not matching, and the
+    availableNow drain delivers both sides in full), so the result
+    equals the batch interval join exactly — streaming/batch
+    unification for the stateful-join path, pinned against DuckDB."""
+    import uuid as _uuid
+
+    from blackroad_feature_store_spark.streaming.joins import interval_join
+
+    batch = load(spark, sf, "events")
+
+    def _src():
+        return (
+            spark.readStream.schema(batch.schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf)
+        )
+
+    clicks = _src().where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = _src().where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        max_delay="30 minutes",
+        late_threshold="10 minutes",
+    ).select(  # project BEFORE the sink: dedup the join key column
+        "click_id",
+        "purchase_id",
+        clicks["user_id"].alias("user_id"),
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("delay_us"),
+    )
+    sink = f"stream_exec_interval_{_uuid.uuid4().hex[:8]}"
+    q_ = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return spark.table(sink)
+
+
+@q(
     "core_asof_sql_join",
     """
     WITH p AS (SELECT user_id, event_id, ts, value FROM events
@@ -3645,6 +3723,7 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_domain_cap",
     "pipeline_dedup_report",
     "pipeline_mixture_weights",
+    "stream_exec_interval_join",
     # -- keepers: signature paths re-certified every round --
     "core_pit_join",
     "core_asof_top1",
