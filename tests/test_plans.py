@@ -225,20 +225,11 @@ def test_catalog_plans_no_cartesian_or_unplanned_bnlj(spark):
     assert not bad, f"scale-hostile plan shapes: {bad}"
 
 
-def test_catalog_source_never_force_broadcasts_fact_tables():
-    """AST lint over the catalog source: no F.broadcast(...) call whose
-    argument derives from a FACT table (orders/lineitem/events/
-    documents/embeddings). Dim tables (region/nation/customer at
-    registry scale) may be hinted; fact-side strategy belongs to AQE.
-    This is the regression wire for the Q10/Q3 forced-broadcast class —
-    reintroducing broadcast(orders) anywhere in the catalog fails here,
-    not in a human plan audit."""
+def _fact_broadcast_offenders(src: str) -> list:
+    """AST scan: every ``F.broadcast(...)`` call whose argument derives
+    from a FACT table (by load() literal or variable naming)."""
     import ast
-    import inspect
 
-    src_path = inspect.getsourcefile(dq)
-    with open(src_path) as fh:
-        src = fh.read()
     tree = ast.parse(src)
     facts = ("orders", "lineitem", "events", "documents", "embeddings")
     offenders = []
@@ -263,4 +254,33 @@ def test_catalog_source_never_force_broadcasts_fact_tables():
                     (f"{t}.", f"{t})", t + ",")
                 ) or arg_txt.strip() == t:
                     offenders.append((node.name, t, seg[:100]))
-    assert not offenders, f"forced fact-table broadcast: {offenders}"
+    return offenders
+
+
+def test_catalog_source_never_force_broadcasts_fact_tables():
+    """No F.broadcast(...) whose argument derives from a fact table
+    anywhere in the catalog source. Dim tables (region/nation/customer
+    at registry scale) may be hinted; fact-side strategy belongs to
+    AQE. This is the regression wire for the Q10/Q3 forced-broadcast
+    class — reintroducing broadcast(orders) fails here, not in a human
+    plan audit."""
+    import inspect
+
+    with open(inspect.getsourcefile(dq)) as fh:
+        src = fh.read()
+    assert _fact_broadcast_offenders(src) == []
+
+
+def test_fact_broadcast_lint_catches_reintroduction():
+    """Mutation check: the lint actually fires on the defect it guards
+    against — both the literal-load form and the named-variable form
+    that Q3 shipped with before round 6."""
+    mutants = [
+        'def q(spark, sf):\n'
+        '    return li.join(F.broadcast(load(spark, sf, "orders")), "k")\n',
+        'def q(spark, sf):\n'
+        '    orders = load(spark, sf, "orders").where(F.col("d") < c)\n'
+        '    return li.join(F.broadcast(orders.join(cust, "k")), "k")\n',
+    ]
+    for src in mutants:
+        assert _fact_broadcast_offenders(src), f"lint missed: {src}"
