@@ -157,6 +157,11 @@ def drain_and_stop(query, timeout: int = 120) -> None:
         if seen_data and last is not None and last["numInputRows"] == 0:
             break
         if not query.isActive:
+            # Died rather than drained: surface the stream's own error
+            # instead of silently returning a partial sink.
+            exc = query.exception()
+            if exc is not None:
+                raise exc
             break
         _time.sleep(0.5)
     query.stop()

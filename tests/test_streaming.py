@@ -430,3 +430,47 @@ def test_enrichment_as_of_string_pins_snapshot(spark, tmp_path, streaming_store)
     q.awaitTermination(120)
     row = spark.sql("SELECT * FROM enrich_asof").collect()[0]
     assert row["feature_clicks"] == "5"  # pinned before the Feb update
+
+
+def test_drain_and_stop_propagates_stream_failure(spark, tmp_path):
+    # A stream that dies mid-drain must raise its own error from
+    # drain_and_stop, not silently hand back a partial memory sink.
+    from blackroad_feature_store_spark.streaming.stateful import (
+        drain_and_stop,
+        sessionize_stream,
+    )
+
+    src_dir = str(tmp_path / "bad_sess")
+    spark.createDataFrame(
+        [
+            # two sessions for user 1 → batch 0 EMITS the closed first
+            # session, which forces the poisoned column to evaluate
+            (1, "2026-01-01T00:00:00", 1.0),
+            (1, "2026-01-01T02:00:00", 2.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src_dir)
+    sessions = sessionize_stream(stream, gap="30 minutes")
+    # Poison the sink side: a UDF that throws on the first emitted row.
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType())
+    def boom(x):
+        raise RuntimeError("poisoned sink")
+
+    q = (
+        sessions.withColumn("user_id", boom("user_id"))
+        .writeStream.format("memory")
+        .queryName("bad_sess_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bad_ckpt"))
+        .start()
+    )
+    with pytest.raises(Exception):
+        drain_and_stop(q, timeout=120)
