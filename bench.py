@@ -94,6 +94,8 @@ HEADLINE = [
     "pipeline_dedup_report",
     "pipeline_mixture_weights",
     "stream_exec_interval_join",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
 ]
 
 

@@ -3673,6 +3673,64 @@ def pipeline_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SQL_SOURCE_ROUNDTRIP = """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents GROUP BY lang
+"""
+
+
+@q("source_jsonl_roundtrip", _SQL_SOURCE_ROUNDTRIP)
+def source_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Certifies the JSONL document source end-to-end: documents →
+    written as JSONL → re-landed through
+    ``sources/files.py::read_documents`` (Spark's JSON reader +
+    canonical-shape normalization) → aggregated. The oracle aggregates
+    the ORIGINAL parquet, so any lossy step in the write→read→
+    normalize path (encoding, schema inference, column derivation)
+    breaks the hash — this is the certification that a corpus landed
+    from JSONL is bit-identical to one landed from parquet."""
+    from blackroad_feature_store_spark.sources.files import read_documents
+
+    docs = load(spark, sf, "documents")
+    out_dir = tempfile.mkdtemp(prefix="src_jsonl_") + "/docs"
+    docs.write.mode("overwrite").json(out_dir)
+    landed = read_documents(spark, out_dir, format="jsonl")
+    return landed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@q("source_csv_roundtrip", _SQL_SOURCE_ROUNDTRIP)
+def source_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Same certification for the CSV source path (header inference,
+    quoting/escaping, type coercion back from strings). n_chars is
+    re-derived from the landed text rather than trusted from the CSV —
+    proving the text column itself survived the round trip."""
+    from blackroad_feature_store_spark.sources.files import read_documents
+
+    docs = load(spark, sf, "documents")
+    out_dir = tempfile.mkdtemp(prefix="src_csv_") + "/docs"
+    docs.write.mode("overwrite").option("header", "true").csv(out_dir)
+    landed = read_documents(spark, out_dir, format="csv").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.length("text").alias("n_chars"),  # re-derived, not trusted
+    )
+    return landed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 # ---------------------------------------------------------------------------
@@ -3724,6 +3782,8 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_dedup_report",
     "pipeline_mixture_weights",
     "stream_exec_interval_join",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
     # -- keepers: signature paths re-certified every round --
     "core_pit_join",
     "core_asof_top1",
