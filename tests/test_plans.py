@@ -195,6 +195,7 @@ _BNLJ_WHITELIST = {
     "pipeline_balanced_sample",
     "sim_cosine_topk",
     "sim_cosine_topk_ivf",
+    "tpch_q22_dormant_customers",  # one-row scalar-subquery broadcast
 }
 
 # stream_exec_* queries EXECUTE a stream inside the callable and
