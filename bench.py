@@ -96,6 +96,15 @@ HEADLINE = [
     "stream_exec_interval_join",
     "source_jsonl_roundtrip",
     "source_csv_roundtrip",
+    "pipeline_paragraph_dedup",
+    "drift_psi",
+    "store_changes_feed",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunct_revenue",
+    "tpch_q22_dormant_customers",
 ]
 
 

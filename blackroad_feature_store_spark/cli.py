@@ -23,6 +23,7 @@ from blackroad_feature_store_spark.store import (
     FREQ_BATCH,
     FREQ_STREAMING,
     FeatureStore,
+    decode_value,
 )
 
 DEFAULT_DB = "~/.blackroad/feature_store_spark"
@@ -115,6 +116,26 @@ def cmd_history(args, store: FeatureStore) -> None:
         print(
             f"{e['version']:>5}  {e['op']:<14} {e['files_added']:>6} "
             f"{e['files_removed']:>8}  {e['ts']}"
+        )
+
+
+def cmd_changes(args, store: FeatureStore) -> None:
+    feed = store.records_changes(
+        since_version=args.since,
+        to_version=args.to_version,
+        group_id=args.group,
+    )
+    rows = feed.orderBy("_commit_version", "timestamp", "entity_id").collect()
+    if not rows:
+        print("No changes in range.")
+        return
+    for r in rows:
+        values = {
+            k: decode_value(v) for k, v in (r["feature_values"] or {}).items()
+        }
+        print(
+            f"v{r['_commit_version']}  {r['entity_id']}  "
+            f"{r['timestamp'].isoformat()}  {json.dumps(values, sort_keys=True)}"
         )
 
 
@@ -287,6 +308,21 @@ def build_parser() -> argparse.ArgumentParser:
         "history", help="Record-table commit history (versions, ops)"
     )
     p.set_defaults(func=cmd_history)
+
+    p = sub.add_parser(
+        "changes",
+        help="Change data feed: records inserted after a version cursor",
+    )
+    p.add_argument(
+        "since", type=int,
+        help="exclusive version cursor (-1 for the full history)",
+    )
+    p.add_argument(
+        "--to", dest="to_version", type=int, default=None,
+        help="inclusive upper version (default: latest)",
+    )
+    p.add_argument("--group", default=None, help="restrict to one group id")
+    p.set_defaults(func=cmd_changes)
 
     p = sub.add_parser(
         "compact", help="Rewrite the record table into right-sized files"

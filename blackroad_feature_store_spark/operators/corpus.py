@@ -235,3 +235,66 @@ def pack_sequences(
     return df.withColumn("__start", start).withColumn(
         "bin_id", F.expr(f"__start div {int(budget)}")
     ).drop("__start")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact deduplication with document reassembly —
+    the C4/RefinedWeb-style pass that strips boilerplate repeated
+    across pages (nav bars, footers, license blurbs) while keeping its
+    first occurrence.
+
+    Split each document on ``sep``, keep exactly one copy of every
+    distinct paragraph corpus-wide (the survivor is the earliest
+    ``(id, position)`` — deterministic), and rebuild each document from
+    its surviving paragraphs in their original order. Documents whose
+    every paragraph already appeared elsewhere vanish entirely (same
+    contract as dropping empty docs after cleaning).
+
+    Returns ``id_col`` + ``text`` (reassembled) + ``kept_paras`` +
+    ``total_paras``.
+
+    Scale shape: one explode (narrow), one shuffle on paragraph
+    content for the survivor window, one shuffle back on the doc id
+    for reassembly. The window key leads with a 64-bit hash of the
+    paragraph so key comparison in the sort is one long, not a string
+    compare — the full text tags along only to break hash collisions
+    exactly. No driver materialization, no n² pairs, and hot
+    paragraphs (the same footer a billion times) cost one group each,
+    skew-splittable by AQE.
+    """
+    pos, para = "__para_pos", "__para"
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(pos, para),
+    )
+    w = Window.partitionBy(F.xxhash64(para), F.col(para)).orderBy(
+        id_col, pos
+    )
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_paras")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(pos), F.col(para)))
+                ),
+                lambda s: s[para],
+            ),
+            sep,
+        ).alias("text"),
+    )
+    return rebuilt.join(totals, id_col).select(
+        id_col, "text", "kept_paras", "total_paras"
+    )

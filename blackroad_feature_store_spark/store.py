@@ -776,6 +776,99 @@ class FeatureStore:
         timestamp, operation, and files added/removed per commit."""
         return self._log.history()
 
+    # Commit ops whose added files carry NEW rows. Rewrite ops
+    # ("compact", "delete-entity") re-add pre-existing rows and must
+    # never re-emit through the change feed.
+    _INSERT_OPS = frozenset({"append", "stream-append", "stream-features"})
+
+    def records_changes(
+        self,
+        since_version: int,
+        to_version: Optional[int] = None,
+        group_id: Optional[str] = None,
+    ) -> DataFrame:
+        """Change data feed: every record INSERTED by commits in
+        ``(since_version, to_version]`` — the incremental-consumption
+        primitive (Delta CDF's insert stream) that lets a downstream
+        pipeline refresh derived tables from a cursor instead of
+        rescanning the log.
+
+        Reads ONLY the data files those commits added (the manifests
+        name them — no live-set diffing, no table scan), so the cost is
+        proportional to the new data, not the table: the property that
+        makes daily incremental dedup/training-set refresh viable at
+        100 TB. Each row carries ``_commit_version``. Only insert
+        commits contribute; compaction and delete rewrites re-add
+        pre-existing rows and are skipped (deletions are not surfaced —
+        diff two versioned reads for that). A file already superseded
+        by compaction still serves the feed until vacuum physically
+        reclaims it, at which point the feed raises a clear
+        horizon error instead of a scan failure.
+        """
+        vs = self._log.versions()
+        latest = vs[-1] if vs else None
+        if to_version is None:
+            to_version = latest
+        if latest is None or (
+            since_version != -1 and since_version not in vs
+        ):
+            raise ValueError(
+                f"Record-table version {since_version} does not exist "
+                f"(latest: {latest})"
+            )
+        if to_version not in vs:
+            raise ValueError(
+                f"Record-table version {to_version} does not exist "
+                f"(latest: {latest})"
+            )
+        prefix = f"group_id={group_id}/" if group_id is not None else ""
+        parts: list[DataFrame] = []
+        for v in vs:
+            if not (since_version < v <= to_version):
+                continue
+            m = self._log.read(v)
+            if m.get("op") not in self._INSERT_OPS:
+                continue
+            files = [
+                (f if isinstance(f, str) else f["path"])
+                for f in m.get("add", ())
+            ]
+            if prefix:
+                files = [f for f in files if f.startswith(prefix)]
+            if not files:
+                continue
+            missing = [
+                f
+                for f in files
+                if not os.path.exists(os.path.join(self._records_path, f))
+            ]
+            if missing:
+                raise ValueError(
+                    f"Change feed since version {since_version} is below "
+                    f"the vacuum horizon: {len(missing)} file(s) added by "
+                    f"version {v} were physically reclaimed (first: "
+                    f"{missing[0]!r}). Re-baseline from a snapshot read."
+                )
+            part = (
+                self.spark.read.schema(RECORDS_SCHEMA)
+                .option("basePath", self._records_path)
+                .parquet(
+                    *(os.path.join(self._records_path, f) for f in files)
+                )
+                .withColumn("_commit_version", F.lit(v))
+            )
+            parts.append(part)
+        if not parts:
+            empty = self.spark.createDataFrame([], RECORDS_SCHEMA)
+            out = empty.withColumn("_commit_version", F.lit(None).cast("int"))
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if group_id is not None:
+            out = out.where(F.col("group_id") == F.lit(group_id))
+        return out
+
     def vacuum(
         self, retain_versions: int = 1, orphan_grace_seconds: float = 3600.0
     ) -> int:

@@ -177,3 +177,24 @@ def test_cli_sql_asof_join_end_to_end(run, spark):
     """)
     assert "2026-01-01" in out  # Feb probe matches the Jan snapshot
     assert "2026-03-01" not in out
+
+
+def test_cli_changes_feed(run):
+    import re as _re
+
+    run("register", "age", "user", "int")
+    gid = _re.search(
+        r"ID: (\S+)",
+        run("create-group", "g", "--features", "age",
+            "--entity-key", "user_id"),
+    ).group(1)
+    run("write", gid, "u1", '{"age": 1}')        # version 0
+    run("write", gid, "u2", '{"age": 2}')        # version 1
+    out = run("changes", "0")
+    assert "u2" in out and '{"age": 2}' in out
+    assert "u1" not in out                        # before the cursor
+    assert out.strip().startswith("v1")
+    out = run("changes", "-1")                    # full history
+    assert "u1" in out and "u2" in out
+    out = run("changes", "1")
+    assert "No changes in range." in out

@@ -922,3 +922,91 @@ def test_incremental_candidate_pairs_match_full_recompute(spark):
     assert got == expected
     # The returned signatures extend the table for the next increment.
     assert new_sigs.count() == new.count() * 8  # 8 bands per doc
+
+
+# -- paragraph_dedup --------------------------------------------------------
+
+def test_paragraph_dedup_survivor_and_reassembly(spark):
+    from blackroad_feature_store_spark.operators.corpus import paragraph_dedup
+
+    footer = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha body\n\n" + footer),
+            (2, "beta body\n\n" + footer + "\n\ngamma body"),
+            (3, footer),                      # everything a dup → vanishes
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    # footer survives only in doc 1 (earliest doc, earliest position)
+    assert out[1]["text"] == "alpha body\n\nsubscribe to our newsletter"
+    assert (out[1]["kept_paras"], out[1]["total_paras"]) == (2, 2)
+    # doc 2 loses the footer but keeps its own paragraphs IN ORDER
+    assert out[2]["text"] == "beta body\n\ngamma body"
+    assert (out[2]["kept_paras"], out[2]["total_paras"]) == (2, 3)
+    # doc 3 was pure boilerplate
+    assert 3 not in out
+
+
+def test_paragraph_dedup_within_doc_duplicates(spark):
+    from blackroad_feature_store_spark.operators.corpus import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same\n\nsame\n\nother")], "doc_id int, text string"
+    )
+    row = paragraph_dedup(df).collect()[0]
+    # the SECOND copy inside the same doc is also removed (pos tiebreak)
+    assert row["text"] == "same\n\nother"
+    assert (row["kept_paras"], row["total_paras"]) == (2, 3)
+
+
+# -- population_stability (PSI drift) ---------------------------------------
+
+def test_population_stability_identical_and_shifted(spark):
+    from blackroad_feature_store_spark.operators.stats import (
+        population_stability,
+    )
+
+    rows = []
+    # key "stable": identical uniform spread in both windows
+    for v in range(100):
+        rows.append(("stable", float(v), True))
+        rows.append(("stable", float(v), False))
+    # key "shifted": ref mass in [0,10), current mass in [90,100)
+    for v in range(100):
+        rows.append(("shifted", float(v % 10), True))
+        rows.append(("shifted", 90.0 + (v % 10), False))
+    df = spark.createDataFrame(rows, "k string, value double, ref boolean")
+    out = {
+        r["key"]: r
+        for r in population_stability(
+            df, "value", "k", F.col("ref"), n_bins=10, lo=0.0, hi=100.0
+        ).collect()
+    }
+    assert out["stable"]["n_ref"] == 100 and out["stable"]["n_cur"] == 100
+    assert out["stable"]["psi"] == 0.0          # identical histograms
+    assert out["shifted"]["psi"] > 1.0          # gross drift
+
+
+def test_population_stability_missing_bins_and_clamping(spark):
+    from blackroad_feature_store_spark.operators.stats import (
+        population_stability,
+    )
+
+    # ref all in bin 0; cur all in bin 1; bins 2..4 empty both sides.
+    # Out-of-range values clamp into the edge bins.
+    df = spark.createDataFrame(
+        [("k", -5.0, True)] * 4 + [("k", 25.0, False)] * 4,
+        "k string, value double, ref boolean",
+    )
+    row = population_stability(
+        df, "value", "k", F.col("ref"), n_bins=5, lo=0.0, hi=100.0
+    ).collect()[0]
+    # hand-computed: eps=.5, tot=4, denom=4+2.5=6.5
+    # bin0: pr=4.5/6.5, pc=.5/6.5 ; bin1 mirrored; bins 2-4: equal → 0
+    import math as m
+    p_hi, p_lo = 4.5 / 6.5, 0.5 / 6.5
+    expected = round(2 * (p_hi - p_lo) * m.log(p_hi / p_lo), 6)
+    assert row["psi"] == pytest.approx(expected, abs=1e-6)
+    assert row["n_ref"] == 4 and row["n_cur"] == 4

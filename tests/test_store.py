@@ -885,3 +885,79 @@ def test_register_features_bulk_two_writer_merge(spark, tmp_path):
     fresh = FeatureStore(spark, str(tmp_path / "s"))
     names = {f.name for f in fresh.list_features()}
     assert {"from_a", "from_b1", "from_b2"} <= names
+
+
+# -- change data feed (records_changes) -------------------------------------
+
+def _write_batch(store, gid, tag, n, day):
+    from blackroad_feature_store_spark.store import EntityRecord
+    store.write_features_batch(
+        EntityRecord(
+            group_id=gid, entity_id=f"{tag}{i}",
+            feature_values={"age": i},
+            timestamp=f"2026-02-{day:02d}T00:00:00",
+        )
+        for i in range(n)
+    )
+
+
+def test_records_changes_returns_only_new_commits(store_with_group):
+    store, g = store_with_group
+    _write_batch(store, g.id, "a", 3, 1)          # version 0
+    cursor = store.current_version
+    _write_batch(store, g.id, "b", 2, 2)          # version 1
+    _write_batch(store, g.id, "c", 4, 3)          # version 2
+
+    feed = store.records_changes(since_version=cursor)
+    rows = feed.select("entity_id", "_commit_version").collect()
+    assert len(rows) == 6
+    by_ver = {}
+    for r in rows:
+        by_ver.setdefault(r["_commit_version"], set()).add(r["entity_id"])
+    assert by_ver == {
+        cursor + 1: {"b0", "b1"},
+        cursor + 2: {"c0", "c1", "c2", "c3"},
+    }
+    # full-history feed: since=-1 includes the first commit too
+    assert store.records_changes(since_version=-1).count() == 9
+    # bounded upper cursor
+    assert (
+        store.records_changes(
+            since_version=cursor, to_version=cursor + 1
+        ).count() == 2
+    )
+
+
+def test_records_changes_skips_rewrite_commits(store_with_group):
+    store, g = store_with_group
+    _write_batch(store, g.id, "a", 5, 1)          # v0: insert
+    cursor = store.current_version
+    store.compact_records(g.id)                   # v1: rewrite (no new rows)
+    _write_batch(store, g.id, "b", 2, 2)          # v2: insert
+    store.delete_entity_records(g.id, "a0")       # v3: rewrite
+    feed = store.records_changes(since_version=cursor)
+    ids = {r["entity_id"] for r in feed.select("entity_id").collect()}
+    # only the v2 inserts; neither the compaction's re-added rows nor
+    # the delete rewrite appear
+    assert ids == {"b0", "b1"}
+
+
+def test_records_changes_validates_versions(store_with_group):
+    store, g = store_with_group
+    _write_batch(store, g.id, "a", 2, 1)
+    with pytest.raises(ValueError, match="does not exist"):
+        store.records_changes(since_version=7)
+    with pytest.raises(ValueError, match="does not exist"):
+        store.records_changes(since_version=0, to_version=9)
+
+
+def test_records_changes_raises_below_vacuum_horizon(store_with_group):
+    store, g = store_with_group
+    _write_batch(store, g.id, "a", 3, 1)          # v0
+    _write_batch(store, g.id, "b", 3, 2)          # v1
+    store.compact_records(g.id)                   # v2 supersedes v0/v1 files
+    store.vacuum(retain_versions=1, orphan_grace_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        store.records_changes(since_version=0).count()
+    # a cursor at/after the horizon still works (no reclaimed files in range)
+    assert store.records_changes(since_version=2).count() == 0
