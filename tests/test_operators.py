@@ -1010,3 +1010,114 @@ def test_population_stability_missing_bins_and_clamping(spark):
     expected = round(2 * (p_hi - p_lo) * m.log(p_hi / p_lo), 6)
     assert row["psi"] == pytest.approx(expected, abs=1e-6)
     assert row["n_ref"] == 4 and row["n_cur"] == 4
+
+
+# -- product quantization (IVFADC scale path) -------------------------------
+
+def test_pq_train_and_encode_shapes(spark):
+    from blackroad_feature_store_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=4, k=16)
+    rows = cb.collect()
+    assert len(rows) == 4 * 16
+    assert all(len(r["codeword"]) == 16 for r in rows)      # 64/4 dims
+    assert {r["subspace"] for r in rows} == set(range(4))
+    assert {r["code"] for r in rows} == set(range(16))
+
+    codes = pq_encode(emb, cb)
+    assert codes.count() == emb.count()
+    sample = codes.limit(20).collect()
+    assert all(len(r["codes"]) == 4 for r in sample)
+    assert all(0 <= c < 16 for r in sample for c in r["codes"])
+
+
+def test_pq_encode_exact_on_codeword_composed_vectors(spark):
+    # A vector that IS a concatenation of codewords must encode to
+    # exactly those code ids (distance 0 per subspace).
+    from blackroad_feature_store_spark.operators.similarity import pq_encode
+
+    cb = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]), (0, 1, [0.0, 1.0]),
+            (1, 0, [1.0, 1.0]), (1, 1, [-1.0, 1.0]),
+        ],
+        "subspace int, code int, codeword array<double>",
+    )
+    # unit-normalization scales uniformly, so construct vectors whose
+    # normalized form matches the codewords' directions only if we
+    # disable normalization for the check
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, -1.0, 1.0]), (2, [0.0, 1.0, 1.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(df, cb, normalize=False).collect()
+    }
+    assert out[1] == [0, 1]
+    assert out[2] == [1, 0]
+
+
+def test_pq_topk_recall_scales_with_rerank_and_m(spark):
+    """The two PQ dials behave as designed on the real embeddings:
+    deeper exact re-rank and more subspaces both raise recall@5 vs the
+    brute-force truth. Absolute values measured with these seeds
+    (m=4: .40, m=16: .66 at rerank=4; rerank=8 at m=4: .58)."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pq,
+        pq_train,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rset(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = rset(cosine_topk(emb, queries, k=5))
+    cb4 = pq_train(emb, m=4, k=16)
+    r_low = len(rset(cosine_topk_pq(emb, queries, cb4, k=5, rerank=2))
+                & truth) / len(truth)
+    r_deep = len(rset(cosine_topk_pq(emb, queries, cb4, k=5, rerank=8))
+                 & truth) / len(truth)
+    cb16 = pq_train(emb, m=16, k=16)
+    r_wide = len(rset(cosine_topk_pq(emb, queries, cb16, k=5, rerank=4))
+                 & truth) / len(truth)
+    assert r_deep > r_low          # re-rank depth is a recall dial
+    assert r_wide > r_low          # finer subspaces are a recall dial
+    assert r_deep >= 0.45 and r_wide >= 0.5   # measured .58 / .66
+
+
+def test_variant_semi_structured_path_agrees_with_json_strings(spark):
+    """Spark 4 VARIANT (parse_json → typed variant_get) is the
+    100 TB-preferred semi-structured path (SURVEY §1.5: parse once,
+    binary-encoded thereafter, no repeated string re-parse). Pin that
+    it exists and agrees with the string-path extraction the catalog
+    queries use, so either representation can back `events.props`."""
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    both = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("s_k"),
+        F.try_variant_get(
+            F.parse_json(F.col("props")), "$.k", "long"
+        ).alias("v_k"),
+    )
+    assert both.where(
+        ~F.col("s_k").eqNullSafe(F.col("v_k"))
+    ).count() == 0
+    # typed extraction of a wrong type yields NULL, not an error
+    bad = ev.select(
+        F.try_variant_get(
+            F.parse_json(F.col("props")), "$.k.missing", "long"
+        ).alias("x")
+    )
+    assert bad.where(F.col("x").isNotNull()).count() == 0

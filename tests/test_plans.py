@@ -285,3 +285,29 @@ def test_fact_broadcast_lint_catches_reintroduction():
     ]
     for src in mutants:
         assert _fact_broadcast_offenders(src), f"lint missed: {src}"
+
+
+def test_q6_all_filters_pushed_and_pruned(spark):
+    """TPC-H Q6 is THE pushdown query: ship-date range, discount band,
+    and quantity cap must all reach the parquet reader (row-group
+    pruning via footer min/max does the heavy lifting at 100 TB), and
+    the scan must read only the four columns the query touches."""
+    plan = formatted_plan(dq.tpch_q6_forecast_revenue(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "PushedFilters: []" not in pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[0], (col, pushed[0])
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # l_tax / l_orderkey / flags are untouched — must not be scanned
+    assert read and all(
+        c not in ln for ln in read for c in ("l_tax", "l_returnflag")
+    )
+
+
+def test_q4_exists_lowers_to_left_semi(spark):
+    """The EXISTS subquery must plan as LEFT SEMI (per-key
+    short-circuit, lineitem never widens the output), not as an inner
+    join + dedup."""
+    plan = formatted_plan(dq.tpch_q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
