@@ -116,19 +116,32 @@ def quality_features(text: Column) -> dict[str, Column]:
 
 def quality_score(text: Column) -> Column:
     """Composite 0..1 quality score: weighted blend of the signals a
-    pipeline would threshold on. Deterministic, portable arithmetic."""
+    pipeline would threshold on.
+
+    The blend runs in DECIMAL over the published (rounded-to-6) ratios:
+    exact, order-independent arithmetic, so the score is identical on
+    any engine. A double blend of raw ratios can land exactly on a
+    round(,6) half-boundary and flip in the last digit per engine —
+    observed at sf0.1 (5 docs in 5000)."""
     q = quality_features(text)
+
+    def d6(c: Column) -> Column:
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    one = F.lit(1).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
     in_range = (
-        F.when((q["n_tokens"] >= 10) & (q["n_tokens"] <= 100000), 1.0)
-        .otherwise(0.0)
+        F.when((q["n_tokens"] >= 10) & (q["n_tokens"] <= 100000), one)
+        .otherwise(zero)
     )
+    w = lambda x: F.lit(x).cast("decimal(2,1)")  # noqa: E731
     return F.round(
-        0.4 * q["alpha_ratio"]
-        + 0.3 * F.least(q["stopword_ratio"] * 5, F.lit(1.0))
-        + 0.2 * in_range
-        + 0.1 * (1.0 - F.least(q["punct_ratio"] * 10, F.lit(1.0))),
+        w(0.4) * d6(q["alpha_ratio"])
+        + w(0.3) * F.least(d6(q["stopword_ratio"]) * 5, one)
+        + w(0.2) * in_range
+        + w(0.1) * (one - F.least(d6(q["punct_ratio"]) * 10, one)),
         6,
-    )
+    ).cast("double")
 
 
 # PII patterns, deliberately restricted to syntax shared by Java regex

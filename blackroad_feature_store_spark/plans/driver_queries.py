@@ -397,16 +397,23 @@ def core_router_triggers(spark: SparkSession, sf: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
            event_type,
            count(*) AS n,
-           round(sum(value), 6) AS sum_value,
-           round(avg(value), 6) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
 )
 def core_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Beyond-reference: event-time rollup (the hypertable-style
-    continuous aggregate). Partial+final hash agg over the scan."""
+    continuous aggregate). Partial+final hash agg over the scan.
+
+    Sums go through DECIMAL(18,6) (order-independent) with ONE double
+    division for the mean — a raw double sum's last ulp depends on
+    partial-aggregation order, and at sf0.1 one hour bucket landed
+    exactly on a round(,6) boundary and flipped between engines."""
     ev = load(spark, sf, "events")
+    dsum = F.sum(F.col("value").cast("decimal(18,6)"))
     return ev.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
             "hour"
@@ -414,8 +421,10 @@ def core_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        dsum.cast("double").alias("sum_value"),
+        F.round(dsum.cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_value"
+        ),
     )
 
 
@@ -1163,12 +1172,27 @@ _SQL_PROFILE_BASE = f"""
              {_SQL_FINGERPRINT} AS fingerprint
       FROM raw),
     scored AS (
+      -- quality is blended in DECIMAL over the published (rounded)
+      -- ratios: double arithmetic here can land a document exactly on
+      -- a round(,6) boundary and flip per engine (seen at sf0.1).
+      -- least() coerces DECIMAL→DOUBLE in DuckDB, so the caps are
+      -- CASE expressions, which preserve the decimal type.
       SELECT *,
-             round(0.4 * alpha_ratio
-                 + 0.3 * least(stopword_ratio * 5, 1.0)
+             CAST(round(
+                 0.4 * CAST(alpha_ratio AS DECIMAL(18,6))
+                 + 0.3 * (CASE WHEN CAST(stopword_ratio AS DECIMAL(18,6)) * 5
+                                    < CAST(1 AS DECIMAL(18,6))
+                               THEN CAST(stopword_ratio AS DECIMAL(18,6)) * 5
+                               ELSE CAST(1 AS DECIMAL(18,6)) END)
                  + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 100000
-                               THEN 1.0 ELSE 0.0 END)
-                 + 0.1 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS quality
+                               THEN CAST(1 AS DECIMAL(18,6))
+                               ELSE CAST(0 AS DECIMAL(18,6)) END)
+                 + 0.1 * (CAST(1 AS DECIMAL(18,6))
+                          - (CASE WHEN CAST(punct_ratio AS DECIMAL(18,6)) * 10
+                                       < CAST(1 AS DECIMAL(18,6))
+                                  THEN CAST(punct_ratio AS DECIMAL(18,6)) * 10
+                                  ELSE CAST(1 AS DECIMAL(18,6)) END)), 6)
+             AS DOUBLE) AS quality
       FROM prof)
 """
 

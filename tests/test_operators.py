@@ -1121,3 +1121,39 @@ def test_variant_semi_structured_path_agrees_with_json_strings(spark):
         ).alias("x")
     )
     assert bad.where(F.col("x").isNotNull()).count() == 0
+
+
+def test_paragraph_dedup_random_corpora_match_brute_force(spark):
+    """Property check (seeded): on random corpora drawn from a small
+    paragraph vocabulary (forcing heavy cross-document collisions), the
+    operator's output equals a sequential-scan reference
+    implementation: global first-occurrence survivorship, in-order
+    reassembly, all-dup documents vanish."""
+    import random as _random
+
+    from blackroad_feature_store_spark.operators.corpus import paragraph_dedup
+
+    rng = _random.Random(20260814)
+    vocab = [f"para {i} body" for i in range(12)]
+    for trial in range(3):
+        docs = []
+        for doc_id in range(rng.randrange(4, 10)):
+            n = rng.randrange(1, 6)
+            docs.append(
+                (doc_id, "\n\n".join(rng.choice(vocab) for _ in range(n)))
+            )
+        seen: set[str] = set()
+        expected = {}
+        for doc_id, text in sorted(docs):
+            paras = text.split("\n\n")
+            kept = [p for p in paras if p not in seen and not seen.add(p)]
+            if kept:
+                expected[doc_id] = (
+                    "\n\n".join(kept), len(kept), len(paras)
+                )
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["kept_paras"], r["total_paras"])
+            for r in paragraph_dedup(df).collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -961,3 +961,52 @@ def test_records_changes_raises_below_vacuum_horizon(store_with_group):
         store.records_changes(since_version=0).count()
     # a cursor at/after the horizon still works (no reclaimed files in range)
     assert store.records_changes(since_version=2).count() == 0
+
+
+def test_records_changes_random_op_sequences_match_ledger(store_with_group):
+    """Property check (seeded): over random interleavings of appends,
+    compactions, and entity deletes, the feed from ANY cursor equals
+    the ledger of inserts made by append commits after it — rewrites
+    never re-emit, regardless of where they land in the history."""
+    import random as _random
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    rng = _random.Random(20260814)
+    ledger = []  # (version, entity_id) per inserted record
+    serial = 0
+    for _ in range(8):
+        op = rng.choice(["append", "append", "append", "compact", "delete"])
+        if op == "append":
+            n = rng.randrange(1, 4)
+            recs = []
+            for _i in range(n):
+                serial += 1
+                recs.append(
+                    EntityRecord(
+                        group_id=g.id,
+                        entity_id=f"e{serial}",
+                        feature_values={"age": serial},
+                        timestamp=f"2026-03-{(serial % 27) + 1:02d}T00:00:00",
+                    )
+                )
+            store.write_features_batch(recs)
+            v = store.current_version
+            ledger += [(v, r.entity_id) for r in recs]
+        elif op == "compact" and store.current_version is not None:
+            store.compact_records(g.id)
+        elif op == "delete" and serial:
+            store.delete_entity_records(g.id, f"e{rng.randrange(serial) + 1}")
+    latest = store.current_version
+    for cursor in sorted({-1, 0, latest // 2, latest}):
+        if cursor > latest:
+            continue
+        got = sorted(
+            (r["_commit_version"], r["entity_id"])
+            for r in store.records_changes(since_version=cursor)
+            .select("_commit_version", "entity_id")
+            .collect()
+        )
+        expected = sorted((v, e) for v, e in ledger if v > cursor)
+        assert got == expected, f"cursor {cursor}"
