@@ -267,10 +267,17 @@ def paragraph_dedup(
     paragraphs (the same footer a billion times) cost one group each,
     skew-splittable by AQE.
     """
+    import re as _re
+
     pos, para = "__para_pos", "__para"
+    # F.split takes a Java regex; sep is a LITERAL separator (the
+    # reassembly side joins it literally) — escape it, or a sep like
+    # "||" would split into single characters.
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias(pos, para),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            pos, para
+        ),
     )
     w = Window.partitionBy(F.xxhash64(para), F.col(para)).orderBy(
         id_col, pos

@@ -492,12 +492,54 @@ def pq_train(
     )
 
 
+def _pq_meta(codebooks: DataFrame) -> tuple[int, int]:
+    """(m, sub_d) from a codebook table — one tiny driver action."""
+    agg = codebooks.agg(
+        (F.max("subspace") + 1).alias("m"),
+        F.size(F.first("codeword")).alias("sd"),
+    ).first()
+    if agg is None or agg["m"] is None:
+        raise ValueError("empty codebooks")
+    return agg["m"], agg["sd"]
+
+
+def _check_pq_dim(df: DataFrame, vec_col: str, m: int, sub_d: int,
+                  what: str) -> None:
+    """Vectors must be exactly m·sub_d dims: F.slice past the end would
+    silently yield short subvectors, NULL distances, and garbage codes."""
+    first = df.select(vec_col).first()
+    if first is not None and first[0] is not None and len(first[0]) != m * sub_d:
+        raise ValueError(
+            f"{what} dimension {len(first[0])} does not match codebooks "
+            f"(m={m} × sub_d={sub_d} = {m * sub_d})"
+        )
+
+
+def _pq_subvectors(
+    df: DataFrame, out_id: str, vec: Column, m: int, sub_d: int
+) -> DataFrame:
+    """Explode to one row per (id, subspace) carrying the subvector
+    slice — the shared front half of encoding and ADC table build."""
+    return df.select(
+        F.col(out_id),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        vec.alias("__v"),
+    ).select(
+        out_id,
+        "subspace",
+        F.slice(F.col("__v"), F.col("subspace") * sub_d + 1, sub_d).alias(
+            "__sub"
+        ),
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    _meta: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` nearest-codeword ids (L2 per
     subspace) → ``(id, codes array<int>)``.
@@ -507,24 +549,21 @@ def pq_encode(
     code))`` — deterministic tie-break toward the lower code id), one
     to reassemble the code array. ~m·k fused-codegen distance rows per
     vector, no shuffle wider than (id, subspace)."""
-    agg = codebooks.agg(
-        (F.max("subspace") + 1).alias("m"), F.size(F.first("codeword")).alias("sd")
-    ).first()
-    m, sub_d = agg["m"], agg["sd"]
-    sub = df.select(
-        F.col(id_col),
-        (_unit(vec_col) if normalize else F.col(vec_col).cast("array<double>"))
-        .alias("__v"),
-    ).select(
+    m, sub_d = _meta if _meta is not None else _pq_meta(codebooks)
+    _check_pq_dim(df, vec_col, m, sub_d, "corpus vector")
+    sub = _pq_subvectors(
+        df.select(
+            F.col(id_col),
+            (
+                _unit(vec_col)
+                if normalize
+                else F.col(vec_col).cast("array<double>")
+            ).alias("__nv"),
+        ),
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
-        F.col("__v").alias("__v"),
-    ).select(
-        id_col,
-        "subspace",
-        F.slice(
-            F.col("__v"), F.col("subspace") * sub_d + 1, sub_d
-        ).alias("__sub"),
+        F.col("__nv"),
+        m,
+        sub_d,
     )
     d2 = F.aggregate(
         F.zip_with(
@@ -578,33 +617,22 @@ def cosine_topk_pq(
     only ``rerank·k`` survivors per query ever touch raw vectors
     again. Candidate quality (and thus recall) is the m/k dial, paid
     in bytes-per-vector exactly as in a FAISS deployment."""
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    m, sub_d = _pq_meta(codebooks)
+    codes = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, _meta=(m, sub_d)
+    )
     qn = queries.select(
         F.col(query_id_col).alias("__qid"), _unit(vec_col).alias("__qv")
     )
-    agg = codebooks.agg(
-        (F.max("subspace") + 1).alias("m"), F.size(F.first("codeword")).alias("sd")
-    ).first()
-    m, sub_d = agg["m"], agg["sd"]
+    _check_pq_dim(qn, "__qv", m, sub_d, "query vector")
     qtab = (
-        qn.select(
-            "__qid",
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
-            "__qv",
-        )
-        .select(
-            "__qid",
-            "subspace",
-            F.slice(
-                F.col("__qv"), F.col("subspace") * sub_d + 1, sub_d
-            ).alias("__qsub"),
-        )
+        _pq_subvectors(qn, "__qid", F.col("__qv"), m, sub_d)
         .join(F.broadcast(codebooks), "subspace")
         .select(
             "__qid",
             "subspace",
             "code",
-            dot(F.col("__qsub"), F.col("codeword")).alias("__part"),
+            dot(F.col("__sub"), F.col("codeword")).alias("__part"),
         )
     )
     cc = codes.select(

@@ -157,15 +157,20 @@ def population_stability(
 
     Conventional reading: <0.1 stable, 0.1–0.25 drifting, >0.25 action.
 
-    Returns one row per key: ``(key, n_ref, n_cur, psi)``.
+    Returns one row per key: ``(key, n_ref, n_cur, psi)``. NULL values
+    are excluded — Spark's ``greatest(NULL, 0)`` would otherwise fold
+    them into bin 0 as phantom mass, so a null-rate difference between
+    windows would masquerade as value drift (monitor null rates as
+    their own metric; a key whose values are all NULL has no PSI row).
 
     Scale shape: one map-side-combinable ``groupBy(key, bin)`` with
     conditional counts — a single shuffle of #keys × #bins rows — then
-    the bin frame is completed with ``explode(sequence(...))`` (missing
-    bins MUST contribute their smoothed term; aggregating only observed
-    bins biases PSI low) and collapsed per key. No driver loop, no
-    per-key jobs; 10k features × 20 bins is 200k post-agg rows at any
-    corpus size.
+    the bin frame is completed with ``explode(sequence(...))`` over the
+    keys already present in the aggregated counts (missing bins MUST
+    contribute their smoothed term; aggregating only observed bins
+    biases PSI low) and collapsed per key. No driver loop, no second
+    scan of the input, no per-key jobs; 10k features × 20 bins is 200k
+    post-agg rows at any corpus size.
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
@@ -177,15 +182,21 @@ def population_stability(
         F.lit(n_bins - 1),
     ).cast("int")
     counts = (
-        df.select(F.col(key_col).alias("key"), bucket.alias("bin"), is_ref.alias("__ref"))
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"), bucket.alias("bin"),
+            is_ref.alias("__ref"),
+        )
         .groupBy("key", "bin")
         .agg(
             F.sum(F.col("__ref").cast("long")).alias("n_ref"),
             F.sum((~F.col("__ref")).cast("long")).alias("n_cur"),
         )
     )
+    # Key set from the aggregated counts (#keys × #bins rows), not a
+    # second full scan of the raw input.
     frame = (
-        df.select(F.col(key_col).alias("key"))
+        counts.select("key")
         .distinct()
         .select("key", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"))
     )

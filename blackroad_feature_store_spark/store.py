@@ -778,8 +778,13 @@ class FeatureStore:
 
     # Commit ops whose added files carry NEW rows. Rewrite ops
     # ("compact", "delete-entity") re-add pre-existing rows and must
-    # never re-emit through the change feed.
-    _INSERT_OPS = frozenset({"append", "stream-append", "stream-features"})
+    # never re-emit through the change feed. "migrate" (version 0
+    # adopting a pre-versioning store's files) IS an insert: those rows
+    # have never been through the log, and a full-history feed
+    # (since_version=-1) must include them.
+    _INSERT_OPS = frozenset(
+        {"append", "stream-append", "stream-features", "migrate"}
+    )
 
     def records_changes(
         self,
@@ -809,9 +814,19 @@ class FeatureStore:
         latest = vs[-1] if vs else None
         if to_version is None:
             to_version = latest
-        if latest is None or (
-            since_version != -1 and since_version not in vs
-        ):
+        if latest is None:
+            if since_version == -1:
+                # Empty store + full-history cursor: an empty feed, not
+                # an error — the cursor value is valid.
+                empty = self.spark.createDataFrame([], RECORDS_SCHEMA)
+                return empty.withColumn(
+                    "_commit_version", F.lit(None).cast("int")
+                )
+            raise ValueError(
+                f"Record-table version {since_version} does not exist "
+                f"(latest: {latest})"
+            )
+        if since_version != -1 and since_version not in vs:
             raise ValueError(
                 f"Record-table version {since_version} does not exist "
                 f"(latest: {latest})"

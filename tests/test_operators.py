@@ -1157,3 +1157,67 @@ def test_paragraph_dedup_random_corpora_match_brute_force(spark):
             for r in paragraph_dedup(df).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_population_stability_excludes_nulls(spark):
+    # NULL values must not become phantom mass in bin 0: a null-rate
+    # difference between windows is not value drift.
+    from blackroad_feature_store_spark.operators.stats import (
+        population_stability,
+    )
+
+    rows = (
+        [("k", 5.0, True)] * 10 + [("k", 5.0, False)] * 10
+        + [("k", None, True)] * 50            # nulls only on the ref side
+    )
+    df = spark.createDataFrame(rows, "k string, value double, ref boolean")
+    row = population_stability(
+        df, "value", "k", F.col("ref"), n_bins=5, lo=0.0, hi=10.0
+    ).collect()[0]
+    assert row["n_ref"] == 10 and row["n_cur"] == 10   # nulls not counted
+    assert row["psi"] == 0.0                           # identical histograms
+    # a key with ONLY null values has no PSI row at all
+    df2 = spark.createDataFrame(
+        [("dead", None, True)], "k string, value double, ref boolean"
+    )
+    assert population_stability(
+        df2, "value", "k", F.col("ref"), n_bins=5, lo=0.0, hi=10.0
+    ).count() == 0
+
+
+def test_paragraph_dedup_literal_separator_with_regex_metachars(spark):
+    from blackroad_feature_store_spark.operators.corpus import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha||beta"), (2, "beta||gamma")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in paragraph_dedup(df, sep="||").collect()
+    }
+    # "||" must split literally (as a regex it matches empty string and
+    # shreds the text into characters)
+    assert out[1]["text"] == "alpha||beta"
+    assert out[2]["text"] == "gamma"        # beta deduped into doc 1
+    assert (out[2]["kept_paras"], out[2]["total_paras"]) == (1, 2)
+
+
+def test_pq_dimension_mismatch_raises(spark):
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=4, k=4)                  # trained at d=64
+    short = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="does not match codebooks"):
+        pq_encode(short, cb)
+    with pytest.raises(ValueError, match="query vector"):
+        cosine_topk_pq(
+            emb,
+            short.selectExpr("vec_id AS query_id", "embedding"),
+            cb,
+        )

@@ -1010,3 +1010,35 @@ def test_records_changes_random_op_sequences_match_ledger(store_with_group):
         )
         expected = sorted((v, e) for v, e in ledger if v > cursor)
         assert got == expected, f"cursor {cursor}"
+
+
+def test_records_changes_empty_store_full_history_is_empty(store):
+    # -1 is the documented full-history cursor: valid on a store with
+    # no commits yet (empty feed, not an error).
+    assert store.records_changes(since_version=-1).count() == 0
+    with pytest.raises(ValueError, match="does not exist"):
+        store.records_changes(since_version=0)
+
+
+def test_records_changes_includes_migrate_commit(spark, tmp_path):
+    # A pre-versioning store adopted via the "migrate" version-0 commit:
+    # those rows have never been through the log, so a full-history
+    # feed must include them.
+    import os
+    import shutil
+
+    base = str(tmp_path / "legacy")
+    a = FeatureStore(spark, base)
+    a.register_feature("age", "user", "int")
+    g = a.create_group("g", ["age"], "user_id")
+    a.write_features(g.id, "u1", {"age": 1}, timestamp="2026-01-01T00:00:00")
+    # strip the commit log → a legacy unversioned layout
+    shutil.rmtree(os.path.join(base, "_versions"))
+    b = FeatureStore(spark, base)   # re-open runs _migrate_unversioned
+    hist = b.history()
+    assert hist[-1]["op"] == "migrate"
+    feed = b.records_changes(since_version=-1)
+    rows = feed.select("entity_id", "_commit_version").collect()
+    assert [(r["entity_id"], r["_commit_version"]) for r in rows] == [
+        ("u1", 0)
+    ]
