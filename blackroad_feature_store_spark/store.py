@@ -1209,6 +1209,75 @@ class FeatureStore:
             df = df.where(F.col("group_id") == F.lit(group_id))
         return df
 
+    def typed_records_df(
+        self,
+        group_id: str,
+        version: Optional[int] = None,
+        as_of_commit: datetime | str | None = None,
+    ) -> DataFrame:
+        """Typed WIDE view of a group's records — one column per
+        declared feature, cast from the canonical JSON map cells per
+        the registry dtype (the SURVEY §1.5 layer over the map-column
+        storage: parse once at view construction, downstream plans see
+        real types and never re-touch JSON).
+
+        Casts are dtype-directed and best-effort, matching the
+        reference's advisory typing (dtypes are never enforced on
+        write — feature_store.py:322-370): ``int``→bigint,
+        ``float``→double, ``bool``→boolean, ``str``→string (JSON-
+        decoded, escapes intact), ``list``→array<string>; a cell that
+        cannot coerce reads as NULL rather than failing the scan. A
+        feature deactivated or deleted from the registry falls back to
+        the decoded-string form. Open schema survives alongside:
+        undeclared keys land in an ``_extras`` map column instead of
+        being dropped.
+
+        Same snapshot semantics as :meth:`records_df` (``version=`` /
+        ``as_of_commit=`` pin the table version).
+        """
+        g = self._require_group(group_id)
+        df = self.records_df(
+            group_id, version=version, as_of_commit=as_of_commit
+        )
+
+        def _decode_str(cell):
+            # JSON-decode a scalar by parsing it as a 1-element array:
+            # handles quotes, escapes, and unicode exactly (from_json
+            # does not accept bare atomic schemas for malformed input).
+            return F.from_json(
+                F.concat(F.lit("["), cell, F.lit("]")), "array<string>"
+            )[0]
+
+        cols = [
+            F.col("id"),
+            F.col("entity_id"),
+            F.col("timestamp"),
+            F.col("version"),
+        ]
+        for name in g.features:
+            cell = F.element_at("feature_values", name)
+            feat = self._features.get(name)
+            dtype = feat.dtype if feat is not None else "str"
+            if dtype == "int":
+                typed = cell.try_cast("long")
+            elif dtype == "float":
+                typed = cell.try_cast("double")
+            elif dtype == "bool":
+                typed = cell.try_cast("boolean")
+            elif dtype == "list":
+                typed = F.from_json(cell, "array<string>")
+            else:
+                typed = _decode_str(cell)
+            cols.append(typed.alias(name))
+        declared = F.array(*[F.lit(n) for n in g.features])
+        cols.append(
+            F.map_filter(
+                F.col("feature_values"),
+                lambda k, _v: ~F.array_contains(declared, k),
+            ).alias("_extras")
+        )
+        return df.select(*cols)
+
     def get_features(
         self,
         group_id: str,

@@ -1042,3 +1042,53 @@ def test_records_changes_includes_migrate_commit(spark, tmp_path):
     assert [(r["entity_id"], r["_commit_version"]) for r in rows] == [
         ("u1", 0)
     ]
+
+
+# -- typed wide view --------------------------------------------------------
+
+def test_typed_records_df_casts_by_registry_dtype(spark, tmp_path):
+    store = FeatureStore(spark, str(tmp_path / "fs"))
+    store.register_feature("age", "user", "int")
+    store.register_feature("score", "user", "float")
+    store.register_feature("active", "user", "bool")
+    store.register_feature("city", "user", "str")
+    store.register_feature("tags", "user", "list")
+    g = store.create_group(
+        "wide", ["age", "score", "active", "city", "tags"], "user_id"
+    )
+    store.write_features(
+        g.id, "u1",
+        {"age": 30, "score": 1.5, "active": True,
+         "city": 'Li"s\nbon', "tags": ["a", "b"],
+         "undeclared": 7},                      # open schema
+        timestamp="2026-01-01T00:00:00",
+    )
+    store.write_features(
+        g.id, "u2",
+        {"age": "not-a-number", "city": None},  # dtypes are advisory
+        timestamp="2026-01-02T00:00:00",
+    )
+    wide = store.typed_records_df(g.id)
+    types = dict(wide.dtypes)
+    assert types["age"] == "bigint" and types["score"] == "double"
+    assert types["active"] == "boolean" and types["city"] == "string"
+    assert types["tags"] == "array<string>"
+    assert types["_extras"] == "map<string,string>"
+
+    rows = {r["entity_id"]: r for r in wide.collect()}
+    u1 = rows["u1"]
+    assert u1["age"] == 30 and u1["score"] == 1.5 and u1["active"] is True
+    assert u1["city"] == 'Li"s\nbon'            # escapes round-trip
+    assert u1["tags"] == ["a", "b"]
+    assert u1["_extras"] == {"undeclared": "7"}
+    u2 = rows["u2"]
+    assert u2["age"] is None                    # uncoercible → NULL, no error
+    assert u2["city"] is None
+    assert u2["_extras"] == {}
+
+    # snapshot semantics piggyback on records_df
+    v0 = store.current_version
+    store.write_features(g.id, "u3", {"age": 1},
+                         timestamp="2026-01-03T00:00:00")
+    assert store.typed_records_df(g.id, version=v0).count() == 2
+    assert store.typed_records_df(g.id).count() == 3
