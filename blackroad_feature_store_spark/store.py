@@ -1091,13 +1091,23 @@ class FeatureStore:
         surface is queryable with ``spark.sql`` — ``{prefix}features``,
         ``{prefix}groups``, ``{prefix}records``, plus
         ``{prefix}history`` (the record-table commit log: version, ts,
-        op, files added/removed — Delta's DESCRIBE HISTORY shape).
-        Views are lazy where possible: each query re-reads current
-        registry/record state; the history view is a snapshot taken
-        here (re-run create_views to refresh it)."""
+        op, files added/removed — Delta's DESCRIBE HISTORY shape) and
+        one typed wide view per group,
+        ``{prefix}wide_<group_name>_v<version>`` (non-alphanumeric
+        name characters become ``_``). Views are lazy where possible:
+        each query re-reads current registry/record state; the history
+        view is a snapshot taken here (re-run create_views to refresh
+        it)."""
         self.features_df().createOrReplaceTempView(f"{prefix}features")
         self.groups_df().createOrReplaceTempView(f"{prefix}groups")
         self.records_df().createOrReplaceTempView(f"{prefix}records")
+        for g in self._groups.values():
+            safe = "".join(
+                c if c.isalnum() else "_" for c in g.name
+            )
+            self.typed_records_df(g.id).createOrReplaceTempView(
+                f"{prefix}wide_{safe}_v{g.version}"
+            )
         hist = self.history()
         self.spark.createDataFrame(
             [

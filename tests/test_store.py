@@ -534,6 +534,11 @@ def test_sql_views(store_with_group):
     ).collect()
     assert len(hist) == 1 and hist[0]["op"] == "append"
     assert hist[0]["files_added"] >= 1
+    # typed wide view: per group, registry-typed columns from pure SQL
+    wide = spark.sql(
+        "SELECT entity_id, age FROM fs_wide_user_demographics_v1"
+    ).first()
+    assert wide["entity_id"] == "u1" and wide["age"] == 30  # bigint, not "30"
 
 
 # -- manifest file statistics / data skipping -------------------------------
