@@ -39,8 +39,11 @@ Query semantics preserved bit-for-bit from the reference (see tests):
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import logging
+import math
 import os
 import uuid
 from dataclasses import dataclass, field
@@ -240,6 +243,75 @@ def _file_ts_stats(path: str) -> tuple[Optional[str], Optional[str]]:
         # Stats are an optimization: an unreadable footer must never
         # fail a write, it just makes this file unskippable.
         return None, None
+
+
+# --- per-file entity-id bloom index (Delta bloom-filter-index analogue) ---
+#
+# A point lookup (get_features / records_df(entity_id=...)) on a 100 TB
+# table must not open every file of the entity's group partition: min/max
+# ts stats don't help an equality predicate on a high-cardinality id. The
+# write path therefore records a small bloom filter over each file's
+# distinct entity_ids in its manifest add-entry; the read path drops any
+# file whose bloom proves the id absent — driver-side, from the commit
+# log alone, before the scan starts. False positives only cost an extra
+# file read (the row predicate still applies); false negatives cannot
+# occur. Blooms are capped so manifests stay small: a file with more
+# distinct ids than the cap gets no bloom and is simply unskippable
+# (production table formats move large blooms to sidecar index files;
+# the inline form keeps this log single-file-atomic).
+
+_BLOOM_K = 7  # optimal for ~10 bits/key (FP ~1%)
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_MAX_BITS = 1 << 17  # 16 KiB of bits -> ~21 KB base64 per entry cap
+
+
+def _bloom_positions(value: str, m: int, k: int = _BLOOM_K) -> list[int]:
+    """Double hashing (Kirsch-Mitzenmacher): k positions from one
+    128-bit blake2b digest. Deterministic across processes — unlike
+    ``hash()`` — so blooms written by one writer prune on any reader."""
+    d = hashlib.blake2b(value.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _file_entity_bloom(path: str) -> Optional[dict[str, Any]]:
+    """Bloom over the distinct ``entity_id`` values of one parquet file
+    (None when the column is absent/empty or the file is too distinct
+    for the inline size cap). Reads just the one narrow column."""
+    try:
+        tbl = pq.ParquetFile(path).read(columns=["entity_id"])
+        distinct = {v for v in tbl["entity_id"].to_pylist() if v is not None}
+        if not distinct:
+            return None
+        m = 1 << max(6, math.ceil(math.log2(len(distinct) * _BLOOM_BITS_PER_KEY)))
+        if m > _BLOOM_MAX_BITS:
+            return None
+        bits = bytearray(m // 8)
+        for v in distinct:
+            for pos in _bloom_positions(v, m):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        return {"m": m, "k": _BLOOM_K, "bits": base64.b64encode(bytes(bits)).decode()}
+    except Exception:
+        # The bloom is an optimization; a write must never fail over it.
+        return None
+
+
+def _bloom_maybe_contains(bloom: Any, value: str) -> bool:
+    """False only when the bloom PROVES absence. Any malformed/missing
+    bloom reads as "maybe present" — pruning must stay safe against
+    manifests written by older versions or corrupted entries."""
+    try:
+        m, k = int(bloom["m"]), int(bloom["k"])
+        bits = base64.b64decode(bloom["bits"])
+        if m <= 0 or not 0 < k <= 64 or len(bits) * 8 < m:
+            return True
+        return all(
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in _bloom_positions(value, m, k)
+        )
+    except Exception:
+        return True
 
 
 class FeatureStore:
@@ -714,7 +786,11 @@ class FeatureStore:
                 dst = os.path.join(self._records_path, rel)
                 os.rename(os.path.join(src_dir, f), dst)
                 lo, hi = _file_ts_stats(dst)
-                added.append({"path": rel, "min_ts": lo, "max_ts": hi})
+                entry: dict[str, Any] = {"path": rel, "min_ts": lo, "max_ts": hi}
+                bloom = _file_entity_bloom(dst)
+                if bloom is not None:
+                    entry["entity_bloom"] = bloom
+                added.append(entry)
         return added
 
     def _migrate_unversioned(self) -> None:
@@ -1134,6 +1210,7 @@ class FeatureStore:
         version: Optional[int] = None,
         as_of_commit: datetime | str | None = None,
         ts_lte: datetime | None = None,
+        entity_id: Optional[str] = None,
     ) -> DataFrame:
         """The record table at a pinned version (snapshot read).
 
@@ -1144,8 +1221,10 @@ class FeatureStore:
         ``as_of_commit=`` the latest version committed at or before a
         wall-clock instant (Delta's `VERSION AS OF` / `TIMESTAMP AS
         OF`). Filtering by ``group_id`` prunes the file list to one
-        partition directory driver-side (the Spark analogue of the
-        reference's (group_id, entity_id) index, feature_store.py:190).
+        partition directory driver-side; ``entity_id=`` additionally
+        drops every file whose manifest bloom proves the id absent
+        (together, the Spark analogue of the reference's
+        (group_id, entity_id) index, feature_store.py:190).
 
         An empty store reads as an empty DataFrame; any real read error
         (corruption, permissions) propagates rather than silently
@@ -1206,6 +1285,21 @@ class FeatureStore:
                 for e in entries
                 if e.get("min_ts") is None or e["min_ts"] <= cutoff
             ]
+        if entity_id is not None:
+            # Bloom-index skipping: an equality lookup on a
+            # high-cardinality id is invisible to min/max stats, so each
+            # add-entry carries a bloom over the file's distinct
+            # entity_ids; files the bloom proves id-free drop here,
+            # driver-side. Entries without a bloom stay in (safe), and
+            # the row-level predicate below still applies — a bloom
+            # false positive costs one extra file read, never a wrong
+            # result.
+            entries = [
+                e
+                for e in entries
+                if "entity_bloom" not in e
+                or _bloom_maybe_contains(e["entity_bloom"], str(entity_id))
+            ]
         files = [e["path"] for e in entries]
         if not files:
             df = self.spark.createDataFrame([], RECORDS_SCHEMA)
@@ -1217,6 +1311,8 @@ class FeatureStore:
             )
         if group_id is not None:
             df = df.where(F.col("group_id") == F.lit(group_id))
+        if entity_id is not None:
+            df = df.where(F.col("entity_id") == F.lit(str(entity_id)))
         return df
 
     def typed_records_df(
@@ -1309,12 +1405,14 @@ class FeatureStore:
         """
         self._require_group(group_id)
         as_of_dt = _coerce_ts(as_of)
-        # ts_lte prunes whole files from the manifest stats before the
-        # scan even starts; the row-level predicate below still applies.
+        # ts_lte and entity_id prune whole files from the manifest
+        # stats/bloom before the scan even starts; the row-level
+        # predicates still apply inside records_df.
         df = self.records_df(
-            group_id, version=table_version, ts_lte=as_of_dt
-        ).where(
-            F.col("entity_id") == F.lit(str(entity_id))
+            group_id,
+            version=table_version,
+            ts_lte=as_of_dt,
+            entity_id=str(entity_id),
         )
         if as_of_dt is not None:
             df = df.where(F.col("timestamp") <= F.lit(as_of_dt))

@@ -614,6 +614,93 @@ def test_manifest_stats_survive_compaction(store_with_group):
     }
 
 
+def test_entity_bloom_skips_files_on_point_lookup(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    # Three commits over disjoint entity populations -> three file sets
+    # whose manifest blooms don't share ids.
+    for batch, ids in enumerate([("a1", "a2"), ("b1", "b2"), ("c1", "c2")]):
+        store.write_features_batch(
+            [
+                EntityRecord(g.id, e, {"age": batch}, datetime(2026, 1, batch + 1))
+                for e in ids
+            ]
+        )
+    entries = store._log.live_entries()
+    assert all("entity_bloom" in e for e in entries)
+
+    all_files = set(store.records_df(g.id).inputFiles())
+    pruned = set(store.records_df(g.id, entity_id="b1").inputFiles())
+    # Only the one commit that wrote b1 survives the bloom prune
+    # (deterministic: blake2b positions never flake between runs).
+    assert len(all_files) >= 3
+    assert len(pruned) == 1
+    # Pruning never changes the answer.
+    assert store.get_features(g.id, "b1") == {"age": 1}
+    # An id in NO file prunes the scan to nothing driver-side...
+    assert store.records_df(g.id, entity_id="zz").inputFiles() == []
+    # ...and the point read still returns the contract's None.
+    assert store.get_features(g.id, "zz") is None
+
+
+def test_entity_bloom_reads_every_file_holding_the_entity(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    # u1 appears in commits 1 and 3; commit 2 is other entities only.
+    store.write_features_batch(
+        [EntityRecord(g.id, "u1", {"age": 1}, datetime(2026, 1, 1))]
+    )
+    store.write_features_batch(
+        [EntityRecord(g.id, "u9", {"age": 9}, datetime(2026, 1, 2))]
+    )
+    store.write_features_batch(
+        [EntityRecord(g.id, "u1", {"age": 3}, datetime(2026, 1, 3))]
+    )
+    files = store.records_df(g.id, entity_id="u1").inputFiles()
+    assert len(files) == 2
+    rows = store.records_df(g.id, entity_id="u1").count()
+    assert rows == 2
+    assert store.get_features(g.id, "u1") == {"age": 3}
+
+
+def test_entity_bloom_malformed_or_absent_is_unskippable():
+    from blackroad_feature_store_spark.store import (
+        _bloom_maybe_contains,
+        _file_entity_bloom,
+    )
+
+    # Corrupt/garbage blooms must read as "maybe present", never prune.
+    assert _bloom_maybe_contains(None, "x") is True
+    assert _bloom_maybe_contains({"m": 64}, "x") is True
+    assert _bloom_maybe_contains({"m": 64, "k": 7, "bits": "!!"}, "x") is True
+    assert _bloom_maybe_contains({"m": -1, "k": 7, "bits": "AA=="}, "x") is True
+    # Unreadable file -> no bloom, not an exception.
+    assert _file_entity_bloom("/nonexistent/file.parquet") is None
+
+
+def test_entity_bloom_survives_compaction(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    for day, e in enumerate(["u1", "u2", "u3"], start=1):
+        store.write_features_batch(
+            [EntityRecord(g.id, e, {"age": day}, datetime(2026, 1, day))]
+        )
+    store.compact_records(g.id)
+    entries = store._log.live_entries()
+    # Rewritten files get fresh blooms from the same write path.
+    assert entries and all("entity_bloom" in e for e in entries)
+    assert store.get_features(g.id, "u2") == {"age": 2}
+
+
 def test_clustered_compaction_keeps_files_skippable(store_with_group):
     from datetime import datetime
 
