@@ -3927,6 +3927,55 @@ def store_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "store_mv_incremental",
+    """
+    SELECT CAST(o_custkey AS VARCHAR) AS entity_id,
+           count(*) AS n_records,
+           min(o_orderdate) AS first_ts,
+           max(o_orderdate) AS last_ts
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def store_mv_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (`store.py::refresh_entity_rollup`): orders land in THREE append
+    commits; the per-entity rollup is refreshed after commit 0 (full
+    build) and again after commits 1-2 — the second refresh consumes
+    ONLY the change feed from the stored cursor and merges it into the
+    persisted rollup (cost ∝ new rows + entity count, never a table
+    rescan — the refresh a 100 TB store runs nightly). The oracle is
+    the full-history GROUP BY the merge must equal."""
+    from blackroad_feature_store_spark.store import FeatureStore
+
+    fs = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_mv_"))
+    fs.register_feature("totalprice", "order", "float")
+    g = fs.create_group("orders_mv", ["totalprice"], "cust_id")
+    orders = load(spark, sf, "orders")
+    enc = lambda c: F.regexp_extract(  # noqa: E731 — JSON-cell encoder
+        F.to_json(F.struct(F.col(c).alias("v")), {"ignoreNullFields": "false"}),
+        r'^\{"v":(.*)\}$',
+        1,
+    )
+    for b in range(3):
+        recs = orders.where(F.col("o_orderkey") % 3 == b).select(
+            F.expr("uuid()").alias("id"),
+            F.lit(g.id).alias("group_id"),
+            F.col("o_custkey").cast("string").alias("entity_id"),
+            F.map_from_arrays(
+                F.array(F.lit("totalprice")), F.array(enc("o_totalprice"))
+            ).alias("feature_values"),
+            F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+            F.lit(1).alias("version"),
+        )
+        fs.write_records_df(recs)
+        if b == 0:
+            fs.refresh_entity_rollup("orders_rollup", g.id)
+    mv = fs.refresh_entity_rollup("orders_rollup", g.id)
+    return mv.select("entity_id", "n_records", "first_ts", "last_ts")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H widening (round 6): the classic analytics shapes not yet in the
 # catalog — single-table pushdown agg (Q6), EXISTS semi-join (Q4),

@@ -960,6 +960,132 @@ class FeatureStore:
             out = out.where(F.col("group_id") == F.lit(group_id))
         return out
 
+    # ------------------------------------------------------------------
+    # data plane: incremental materialized rollup (change-feed consumer)
+    # ------------------------------------------------------------------
+
+    def _mv_dir(self, name: str) -> str:
+        if not name or any(c in name for c in "/\\."):
+            raise ValueError(f"Invalid materialized-view name: {name!r}")
+        return os.path.join(self.base_path, "_materialized", name)
+
+    def _mv_state(self, name: str) -> Optional[dict[str, Any]]:
+        try:
+            with open(os.path.join(self._mv_dir(name), "cursor.json")) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def read_entity_rollup(self, name: str) -> DataFrame:
+        """The materialized per-entity rollup as last refreshed (a
+        snapshot read — concurrent refreshes write new data dirs and
+        flip the cursor, they never mutate the dir a reader holds)."""
+        state = self._mv_state(name)
+        if state is None:
+            raise ValueError(
+                f"Materialized view {name!r} has never been refreshed"
+            )
+        return self.spark.read.parquet(
+            os.path.join(self._mv_dir(name), state["data"])
+        )
+
+    def refresh_entity_rollup(self, name: str, group_id: str) -> DataFrame:
+        """Incrementally maintain a per-entity rollup — ``n_records``,
+        ``first_ts``, ``last_ts`` per ``entity_id`` — as a materialized
+        table under ``<base>/_materialized/<name>``.
+
+        The refresh consumes :meth:`records_changes` from the view's
+        stored cursor: cost is (aggregate the NEW rows) + (merge into
+        the existing rollup, ∝ entity count) — never a rescan of the
+        record table. That asymmetry is the point at 100 TB: a daily
+        refresh over a year of history touches one day of data. The
+        delta merge is only sound for insert-only histories, so any
+        shrinking commit since the cursor (``delete-entity``) forces a
+        full recompute at the pinned snapshot; compaction commits
+        re-add existing rows and are already invisible to the feed.
+
+        Each refresh writes a fresh data dir ``v<version>`` and flips
+        ``cursor.json`` atomically (readers keep their snapshot; a
+        crash mid-refresh leaves the old cursor valid). Two concurrent
+        refreshes race benignly: both compute the same content for the
+        same table version. Returns the refreshed rollup DataFrame.
+        """
+        self._require_group(group_id)
+        latest = self._log.latest_version()
+        mv_dir = self._mv_dir(name)
+        state = self._mv_state(name)
+        if latest is None or (state is not None and state["version"] == latest):
+            if state is not None:
+                return self.read_entity_rollup(name)
+            if latest is None:
+                raise ValueError(
+                    "Cannot refresh a rollup over an empty record table"
+                )
+        agg_cols = [
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("timestamp").alias("first_ts"),
+            F.max("timestamp").alias("last_ts"),
+        ]
+        shrinking = state is not None and any(
+            self._log.read(v).get("op") == "delete-entity"
+            for v in self._log.versions()
+            if state["version"] < v <= latest
+        )
+        if state is None or shrinking:
+            merged = (
+                self.records_df(group_id, version=latest)
+                .groupBy("entity_id")
+                .agg(*agg_cols)
+            )
+        else:
+            delta = (
+                self.records_changes(
+                    state["version"], to_version=latest, group_id=group_id
+                )
+                .groupBy("entity_id")
+                .agg(*agg_cols)
+            )
+            old = self.read_entity_rollup(name)
+            # least/greatest skip NULLs in Spark, so a key present on
+            # only one side keeps that side's bounds.
+            merged = (
+                old.alias("o")
+                .join(delta.alias("d"), "entity_id", "full_outer")
+                .select(
+                    "entity_id",
+                    (
+                        F.coalesce(F.col("o.n_records"), F.lit(0))
+                        + F.coalesce(F.col("d.n_records"), F.lit(0))
+                    ).alias("n_records"),
+                    F.least("o.first_ts", "d.first_ts").alias("first_ts"),
+                    F.greatest("o.last_ts", "d.last_ts").alias("last_ts"),
+                )
+            )
+        data_rel = f"v{latest:08d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(mv_dir, data_rel)
+        merged.write.mode("overwrite").parquet(out_dir)
+        os.makedirs(mv_dir, exist_ok=True)
+        tmp = os.path.join(mv_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": latest, "data": data_rel, "group_id": group_id}, fh
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(mv_dir, "cursor.json"))
+        # Best-effort GC of data dirs older than the one just superseded
+        # (keep the previous dir: a reader may still hold it).
+        import shutil
+
+        dirs = sorted(
+            d
+            for d in os.listdir(mv_dir)
+            if d.startswith("v") and os.path.isdir(os.path.join(mv_dir, d))
+        )
+        for d in dirs[:-2]:
+            shutil.rmtree(os.path.join(mv_dir, d), ignore_errors=True)
+        return self.read_entity_rollup(name)
+
     def vacuum(
         self, retain_versions: int = 1, orphan_grace_seconds: float = 3600.0
     ) -> int:

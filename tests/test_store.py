@@ -701,6 +701,86 @@ def test_entity_bloom_survives_compaction(store_with_group):
     assert store.get_features(g.id, "u2") == {"age": 2}
 
 
+def test_entity_rollup_incremental_matches_full_recompute(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    store.write_features_batch(
+        [
+            EntityRecord(g.id, "a", {"age": 1}, datetime(2026, 1, 1)),
+            EntityRecord(g.id, "b", {"age": 2}, datetime(2026, 1, 2)),
+        ]
+    )
+    store.refresh_entity_rollup("roll", g.id)  # cursor at v0
+    store.write_features_batch(
+        [
+            EntityRecord(g.id, "a", {"age": 3}, datetime(2026, 2, 1)),
+            EntityRecord(g.id, "c", {"age": 4}, datetime(2026, 2, 2)),
+        ]
+    )
+    store.write_features_batch(
+        [EntityRecord(g.id, "a", {"age": 5}, datetime(2026, 3, 1))]
+    )
+    mv = store.refresh_entity_rollup("roll", g.id)  # delta merge v1-v2
+    got = {
+        r["entity_id"]: (r["n_records"], r["first_ts"], r["last_ts"])
+        for r in mv.collect()
+    }
+    assert got == {
+        "a": (3, datetime(2026, 1, 1), datetime(2026, 3, 1)),
+        "b": (1, datetime(2026, 1, 2), datetime(2026, 1, 2)),
+        "c": (1, datetime(2026, 2, 2), datetime(2026, 2, 2)),
+    }
+    # A refresh with no new commits is a no-op snapshot read.
+    assert store.refresh_entity_rollup("roll", g.id).count() == 3
+
+
+def test_entity_rollup_compaction_never_doubles(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    store.write_features_batch(
+        [EntityRecord(g.id, "a", {"age": 1}, datetime(2026, 1, 1))]
+    )
+    store.refresh_entity_rollup("roll", g.id)
+    store.write_features_batch(
+        [EntityRecord(g.id, "a", {"age": 2}, datetime(2026, 1, 2))]
+    )
+    # Compaction rewrites BOTH rows into fresh files; the feed must not
+    # re-emit them, so the incremental merge stays at 2, not 4.
+    store.compact_records(g.id)
+    mv = store.refresh_entity_rollup("roll", g.id)
+    assert mv.collect()[0]["n_records"] == 2
+
+
+def test_entity_rollup_delete_forces_full_recompute(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    store.write_features_batch(
+        [
+            EntityRecord(g.id, "a", {"age": 1}, datetime(2026, 1, 1)),
+            EntityRecord(g.id, "b", {"age": 2}, datetime(2026, 1, 2)),
+        ]
+    )
+    store.refresh_entity_rollup("roll", g.id)
+    store.delete_entity_records(g.id, "a")
+    mv = store.refresh_entity_rollup("roll", g.id)
+    got = {r["entity_id"]: r["n_records"] for r in mv.collect()}
+    assert got == {"b": 1}
+    # And errors are the contract's, not scan failures:
+    with pytest.raises(ValueError, match="never been refreshed"):
+        store.read_entity_rollup("other")
+    with pytest.raises(ValueError, match="Invalid materialized-view name"):
+        store.refresh_entity_rollup("../evil", g.id)
+
+
 def test_clustered_compaction_keeps_files_skippable(store_with_group):
     from datetime import datetime
 
