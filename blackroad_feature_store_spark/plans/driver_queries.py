@@ -4288,6 +4288,372 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "tpch_q7_volume_shipping",
+    """
+    WITH shipping AS (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00')
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the two-role dimension pattern —
+    nation joins the fact chain TWICE (supplier side and customer
+    side), with an OR across the pair so both trade directions survive
+    one plan. Both nation sides are tiny broadcasts; the only shuffles
+    are the fact-chain joins on their keys and the final 3-key agg.
+    Nation names adapted to the synthetic NATION_<k> domain."""
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("volume").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "tpch_q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%green%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): the widest join chain in the
+    catalog — lineitem against three dims + orders, grouped by supplier
+    nation × order year. Adapted: the testdata has no partsupp, so
+    supply cost is proxied by p_retailprice × quantity (keeps the
+    profit = revenue − cost two-term decimal algebra and the plan
+    shape: the p_name LIKE filter prunes part BEFORE the join, and the
+    part join halves the fact rows early). All arithmetic in exact
+    DECIMAL until the final double cast."""
+    li = load(spark, sf, "lineitem")
+    part = (
+        load(spark, sf, "part")
+        .where(F.col("p_name").like("%green%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit").cast("double").alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@q(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT OUTER join with the
+    filter INSIDE the join condition (a WHERE would silently turn it
+    inner and drop zero-order customers — the classic outer-join trap
+    this query exists to test), then two stacked aggregations. The
+    second groupBy runs on the per-customer frame (≤ |customer| rows);
+    count(o_orderkey) counts only matched rows, so no-order customers
+    land in the c_count=0 bucket. Adapted: the o_comment NOT LIKE
+    filter becomes an o_orderpriority exclusion (no comment column)."""
+    cust = load(spark, sf, "customer").select("c_custkey")
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@q(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): aggregate-then-select-the-max — the
+    canonical "view + scalar subquery" shape. The Spark plan computes
+    the quarter's per-supplier revenue ONCE and finds the max with a
+    global window over that already-aggregated frame (≤ |supplier|
+    rows — an empty-frame window at any scale, vs re-running the fact
+    aggregation as a subquery). Revenue stays exact DECIMAL through
+    the max comparison, so ties are bit-exact in both engines."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("total_rev")
+        )
+        .withColumn(
+            "max_rev",
+            F.max("total_rev").over(
+                Window.partitionBy()
+            ),
+        )
+        .where(F.col("total_rev") == F.col("max_rev"))
+    )
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.supplier_no)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH pavg AS (
+        SELECT l_partkey AS a_partkey,
+               0.2 * avg(l_quantity) AS qty_threshold
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND p_size <= 10
+      AND l_quantity < qty_threshold
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery (per-part average quantity), hand-decorrelated to the
+    aggregate-join form Catalyst itself would rewrite to — one
+    per-part aggregation of the fact, joined back on partkey. The
+    threshold stays in DOUBLE: quantities are small integers, so the
+    partial sums are exact in IEEE double and 0.2·avg is deterministic
+    across partition orders in both engines. p_size <= 10 substitutes
+    the absent p_container filter."""
+    li = load(spark, sf, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    part = (
+        load(spark, sf, "part")
+        .where((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pavg, li.l_partkey == pavg.a_partkey)
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@q(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the
+    EXISTS + NOT-EXISTS double correlation — a semi join AND an anti
+    join against the same fact table, both on the order key. Adapted:
+    "late" is l_shipdate > o_orderdate + 90 days (no
+    receipt/commit-date columns), and the late test inside both
+    subqueries uses the outer order's date, so the anti side joins the
+    precomputed late-lines frame. Both subquery sides reduce to
+    (orderkey, suppkey) pairs before joining — the shuffles carry two
+    narrow columns, not lineitem rows."""
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    l1 = li.join(orders, li.l_orderkey == orders.o_orderkey).where(late)
+    pairs = li.select(
+        F.col("l_orderkey").alias("p_orderkey"),
+        F.col("l_suppkey").alias("p_suppkey"),
+    ).dropDuplicates()
+    l1 = l1.join(
+        pairs,
+        (F.col("l_orderkey") == F.col("p_orderkey"))
+        & (F.col("l_suppkey") != F.col("p_suppkey")),
+        "left_semi",
+    )
+    late_pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(late)
+        .select(
+            F.col("l_orderkey").alias("q_orderkey"),
+            F.col("l_suppkey").alias("q_suppkey"),
+        )
+        .dropDuplicates()
+    )
+    l1 = l1.join(
+        late_pairs,
+        (F.col("l_orderkey") == F.col("q_orderkey"))
+        & (F.col("l_suppkey") != F.col("q_suppkey")),
+        "left_anti",
+    )
+    return (
+        l1.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 # ---------------------------------------------------------------------------
@@ -4351,12 +4717,14 @@ _GATE_PRIORITY: list[str] = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunct_revenue",
     "tpch_q22_dormant_customers",
-    # -- keepers: the three signature paths re-certified every round
-    # (everything displaced below the 50-query window holds a green
-    # CORRECTNESS row from rounds 1-5) --
-    "core_pit_join",
-    "core_asof_top1",
-    "store_roundtrip_asof",
+    # -- new round-6 session-3 queries (certified on first appearance;
+    # the three keepers they displace — core_pit_join, core_asof_top1,
+    # store_roundtrip_asof — hold green rows from every prior round;
+    # tpch_q7/q9/q15/q17 wait below the window for the next rotation
+    # with two-SF local-oracle evidence) --
+    "store_mv_incremental",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_supplier",
 ]
 
 
