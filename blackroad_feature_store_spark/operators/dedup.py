@@ -297,6 +297,69 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster only — pairwise comparison
+    never crosses cluster boundaries, which is what replaces the O(n²)
+    all-pairs cosine with Σ O(|cluster|²) and makes embedding dedup
+    feasible on a 100 TB corpus (size k ~ √n so clusters stay bounded;
+    pass `similarity.train_centroids` output, or any (centroid_id,
+    vec) frame — a deterministic sample keeps the result
+    oracle-reproducible).
+
+    Within a cluster, a row is dropped when some other member with
+    cosine > ``threshold`` outranks it; rank = LOWEST
+    cosine-to-centroid first (the paper keeps the example farthest
+    from the centroid — the least prototypical, most
+    diversity-preserving member), ties by id. The rule is one-shot
+    (dominators need not themselves survive), matching the paper's
+    single pass over each cluster's similarity matrix. Returns the
+    surviving rows: input columns + ``centroid_id`` +
+    ``centroid_sim``.
+
+    Plan shape: broadcast centroid assignment (no shuffle), then ONE
+    self equi-join shuffled on centroid_id. Per-row norms are computed
+    once before the join.
+    """
+    from blackroad_feature_store_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_norm_col="__norm",
+        keep_sim_col="__csim",
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    outranks = (F.col("b.__csim") < F.col("a.__csim")) | (
+        (F.col("b.__csim") == F.col("a.__csim"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    )
+    sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id")) & outranks,
+        )
+        .where(F.round(sim, 6) > threshold)
+        .select(F.col(f"a.{id_col}"))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        *df.columns, "centroid_id", F.col("__csim").alias("centroid_sim")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_col_a: str = "id_a",

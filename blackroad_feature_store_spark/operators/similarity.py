@@ -272,6 +272,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     keep_norm_col: str | None = None,
+    keep_sim_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, centroid
     id as tiebreak) — the coarse quantizer of an IVF index.
@@ -281,7 +282,9 @@ def ivf_assign(
     until someone aggregates the inverted lists. Returns the input
     columns + ``centroid_id``; pass ``keep_norm_col`` to also keep the
     per-row vector norm (already computed for assignment) so downstream
-    scoring never re-evaluates it per candidate pair.
+    scoring never re-evaluates it per candidate pair, and
+    ``keep_sim_col`` to keep the winning centroid cosine (rounded to
+    6 — semantic_dedup ranks cluster members by it).
     """
     c = F.broadcast(
         centroids.select(
@@ -306,7 +309,7 @@ def ivf_assign(
     )
     extra = (
         [F.col("__vnorm").alias(keep_norm_col)] if keep_norm_col else []
-    )
+    ) + ([F.col("__sim").alias(keep_sim_col)] if keep_sim_col else [])
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

@@ -4654,6 +4654,53 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_semantic",
+    f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 16),
+    assign_scored AS (
+        SELECT c.vec_id, c.label, k.cid,
+               {_sql_cos('c.embedding', 'k.cvec')} AS sim
+        FROM embeddings c CROSS JOIN cents k),
+    assigned AS (
+        SELECT vec_id, label, cid, sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM assign_scored) WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a
+        JOIN assigned b ON a.cid = b.cid
+         AND (b.sim < a.sim OR (b.sim = a.sim AND b.vec_id < a.vec_id))
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {_sql_cos('ea.embedding', 'eb.embedding')} > 0.3)
+    SELECT vec_id, label, cid AS centroid_id, sim AS centroid_sim
+    FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic dedup (`operators/dedup.py::semantic_dedup`):
+    cluster the embedding space (16 deterministic-sample centroids so
+    the oracle replays the index; production swaps in
+    `train_centroids`), then one-shot-prune intra-cluster members
+    whose cosine to a farther-from-centroid member exceeds τ=0.3. The
+    oracle replays the exact assignment (round-6 cosine, centroid-id
+    tiebreak), the outranking rule, and the strict-> threshold."""
+    from blackroad_feature_store_spark.operators.dedup import semantic_dedup
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    centroids = (
+        load(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    out = semantic_dedup(emb, centroids, threshold=0.3)
+    return out.select("vec_id", "label", "centroid_id", "centroid_sim")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 # ---------------------------------------------------------------------------

@@ -1221,3 +1221,67 @@ def test_pq_dimension_mismatch_raises(spark):
             short.selectExpr("vec_id AS query_id", "embedding"),
             cb,
         )
+
+
+# -- semantic dedup (SemDeDup) ---------------------------------------------
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    from blackroad_feature_store_spark.operators.dedup import semantic_dedup
+
+    # Two well-separated clusters on orthogonal axes. In cluster X:
+    # ids 10/11 are near-identical (cos≈1), 12 is distinct; 11 is
+    # slightly farther from the centroid than 10, so 11 must survive
+    # and 10 must drop. Cluster Y has no dups.
+    rows = [
+        (10, [1.0, 0.02, 0.0]),
+        (11, [1.0, 0.3, 0.0]),    # same direction-ish, farther from c0
+        (12, [0.2, 1.0, 0.0]),    # same cluster, not a dup of 10/11
+        (20, [0.0, 0.0, 1.0]),
+        (21, [0.1, 0.0, 0.9]),    # cos(20,21)≈0.994 — dup of 20
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0]), (1, [0.0, 0.0, 1.0])],
+        "centroid_id int, embedding array<double>",
+    )
+    out = semantic_dedup(df, cents, threshold=0.9)
+    got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+    # 10 dropped (11 outranks it: cos(11,c0)≈0.971 < cos(10,c0)≈0.9996
+    # and cos(10,11)≈0.963 > τ); 20 dropped (21 outranks:
+    # cos(21,c1)≈0.994 < 1.0 and cos(20,21)≈0.994 > τ).
+    assert set(got) == {11, 12, 21}
+    assert got[11] == 0 and got[12] == 0 and got[21] == 1
+
+
+def test_semantic_dedup_no_surviving_dup_pair_and_one_shot(spark):
+    from blackroad_feature_store_spark.operators.dedup import (
+        embedding_near_duplicates,
+        semantic_dedup,
+    )
+
+    # Random-ish deterministic vectors; the invariant that must hold
+    # for ANY input: no two survivors in the same cluster are still a
+    # dup pair (if they were, the farther-from-centroid one would have
+    # outranked and dropped the other).
+    import itertools
+
+    rows = [
+        (i, [((i * 7 + j * 13) % 10) / 10.0 + 0.1 for j in range(4)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(4)],
+        "centroid_id int, embedding array<double>",
+    )
+    out = semantic_dedup(df, cents, threshold=0.999)
+    kept = out.select("vec_id", "centroid_id", "embedding")
+    # survivors ⊆ input, and at least one row was actually dropped
+    n_kept = kept.count()
+    assert 0 < n_kept < 30
+    # no surviving intra-cluster pair above the threshold
+    pairs = embedding_near_duplicates(
+        kept, id_col="vec_id", block_col="centroid_id", threshold=0.999
+    ).where("cosine > 0.999")
+    assert pairs.count() == 0
