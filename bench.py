@@ -105,6 +105,14 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunct_revenue",
     "tpch_q22_dormant_customers",
+    "store_mv_incremental",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier",
+    "dedup_semantic",
 ]
 
 

@@ -70,6 +70,7 @@ def start_ingest(
     value_cols: list[str],
     checkpoint: str,
     trigger_available_now: bool = False,
+    refresh_rollup: str | None = None,
 ):
     """Start (or one-shot drain, with availableNow) a streaming append
     into the store's record table.
@@ -83,6 +84,14 @@ def start_ingest(
     parquet streaming sink can't give this over a versioned table: its
     files would bypass the manifest (invisible to readers, reclaimed
     by vacuum).
+
+    ``refresh_rollup`` names a materialized entity rollup
+    (:meth:`FeatureStore.refresh_entity_rollup`) to advance after each
+    committed batch: the refresh consumes the change feed from the
+    rollup's own cursor, so its cost tracks the batch size and a
+    replayed (skipped) batch leaves the rollup untouched — the
+    serving-side aggregate stays continuously fresh without any
+    table rescan.
     """
     import os as _os
 
@@ -106,6 +115,8 @@ def start_ingest(
             meta={"stream_id": stream_id, "batch_id": batch_id},
         )
         store._note_stream_commit(stream_id, batch_id)
+        if refresh_rollup is not None:
+            store.refresh_entity_rollup(refresh_rollup, group_id)
 
     writer = (
         shaped.writeStream.foreachBatch(_commit_batch)

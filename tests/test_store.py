@@ -701,6 +701,30 @@ def test_entity_bloom_survives_compaction(store_with_group):
     assert store.get_features(g.id, "u2") == {"age": 2}
 
 
+def test_entity_clustered_compaction_bloom_prunes_to_one_file(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    # 12 tiny writes, entities interleaved across them — before
+    # compaction a point lookup may touch many files.
+    store.write_features_batch(
+        [
+            EntityRecord(g.id, f"u{m % 4}", {"age": m}, datetime(2026, 1, m + 1))
+            for m in range(12)
+        ]
+    )
+    # OPTIMIZE clustered on entity_id: each rewritten file holds a
+    # contiguous entity range, so its bloom covers few distinct ids —
+    # clustering is what makes the bloom index selective at scale.
+    store.compact_records(g.id, target_rows_per_file=3, cluster_by=["entity_id"])
+    files = store.records_df(g.id, entity_id="u2").inputFiles()
+    assert len(files) == 1
+    rows = store.records_df(g.id, entity_id="u2").count()
+    assert rows == 3  # m = 2, 6, 10
+
+
 def test_entity_rollup_incremental_matches_full_recompute(store_with_group):
     from datetime import datetime
 

@@ -76,6 +76,45 @@ def test_streaming_ingest_then_asof_read(spark, tmp_path, streaming_store):
     assert st["features"]["city"]["null_count"] == 1
 
 
+def test_streaming_ingest_refreshes_rollup_per_batch(
+    spark, tmp_path, streaming_store
+):
+    fs, g = streaming_store
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            ("u1", "2026-01-01T00:00:00", 3, "Oslo"),
+            ("u1", "2026-02-01T00:00:00", 7, "Oslo"),
+            ("u2", "2026-01-15T00:00:00", 1, "Bergen"),
+        ],
+        "user_id string, ts string, clicks int, city string",
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "user_id string, ts string, clicks int, city string"
+    ).parquet(src_dir)
+    q = start_ingest(
+        fs,
+        g.id,
+        stream,
+        entity_col="user_id",
+        ts_col="ts",
+        value_cols=["clicks", "city"],
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+        refresh_rollup="live",
+    )
+    q.awaitTermination(120)
+    # The rollup was advanced inside the stream's foreachBatch — it is
+    # already fresh WITHOUT any post-hoc refresh call.
+    got = {
+        r["entity_id"]: r["n_records"]
+        for r in fs.read_entity_rollup("live").collect()
+    }
+    assert got == {"u1": 2, "u2": 1}
+    # A second no-new-data refresh is a no-op snapshot read.
+    assert fs.refresh_entity_rollup("live", g.id).count() == 2
+
+
 def test_streaming_requires_streaming_group(spark, tmp_path):
     fs = FeatureStore(spark, str(tmp_path / "fs2"))
     fs.register_feature("x", "user", "int")
