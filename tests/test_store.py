@@ -684,6 +684,38 @@ def test_entity_bloom_malformed_or_absent_is_unskippable():
     assert _file_entity_bloom("/nonexistent/file.parquet") is None
 
 
+def test_entity_bloom_property_no_false_negatives(tmp_path):
+    # Property check (seeded-random, repo style): for ANY set of
+    # entity ids written to a parquet file, every member must read as
+    # "maybe present" — a false negative would silently drop data from
+    # a point lookup. Also sanity-check the FP rate is an index, not a
+    # pass-through (absent ids mostly prune).
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blackroad_feature_store_spark.store import (
+        _bloom_maybe_contains,
+        _file_entity_bloom,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(10):
+        n = rng.choice([1, 3, 17, 200, 1500])
+        members = {f"e{rng.randrange(10**9)}" for _ in range(n)}
+        path = str(tmp_path / f"t{trial}.parquet")
+        pq.write_table(
+            pa.table({"entity_id": list(members) * 2}), path
+        )
+        bloom = _file_entity_bloom(path)
+        assert bloom is not None
+        assert all(_bloom_maybe_contains(bloom, m) for m in members)
+        absent = [f"x{rng.randrange(10**9)}" for _ in range(500)]
+        fp = sum(_bloom_maybe_contains(bloom, a) for a in absent)
+        assert fp < 50  # ~1% expected at 10 bits/key; 10% is the wire
+
+
 def test_entity_bloom_survives_compaction(store_with_group):
     from datetime import datetime
 
