@@ -113,6 +113,8 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier",
     "dedup_semantic",
+    "tpch_q8_market_share",
+    "tpch_q16_supplier_count",
 ]
 
 

@@ -139,6 +139,17 @@ def cmd_changes(args, store: FeatureStore) -> None:
         )
 
 
+def cmd_rollup(args, store: FeatureStore) -> None:
+    mv = store.refresh_entity_rollup(args.name, args.group_id)
+    rows = mv.orderBy("entity_id").collect()
+    print(f"✓ Rollup '{args.name}' refreshed: {len(rows)} entities.")
+    for r in rows[: args.limit]:
+        print(
+            f"{r['entity_id']}  n={r['n_records']}  "
+            f"first={r['first_ts'].isoformat()}  last={r['last_ts'].isoformat()}"
+        )
+
+
 def cmd_compact(args, store: FeatureStore) -> None:
     n = store.compact_records(
         group_id=args.group_id,
@@ -323,6 +334,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--group", default=None, help="restrict to one group id")
     p.set_defaults(func=cmd_changes)
+
+    p = sub.add_parser(
+        "rollup",
+        help="Refresh (incrementally) and print a materialized "
+             "per-entity rollup for a group",
+    )
+    p.add_argument("name", help="rollup name (cursor + data persist under it)")
+    p.add_argument("group_id")
+    p.add_argument(
+        "--limit", type=int, default=20, help="max entities to print"
+    )
+    p.set_defaults(func=cmd_rollup)
 
     p = sub.add_parser(
         "compact", help="Rewrite the record table into right-sized files"

@@ -4655,6 +4655,144 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "tpch_q8_market_share",
+    """
+    WITH base AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           count(*) AS n_lines
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the nested-aggregation share
+    pattern over the longest dimension chain — customer-side
+    nation→region filters WHERE the revenue counts, supplier-side
+    nation labels WHO earned it, and the share is a CASE-conditional
+    sum over the same single-pass aggregate (no second scan). Region
+    and both nation roles are broadcast-sized; the decimal volume sums
+    convert to double only at the final division."""
+    li = load(spark, sf, "lineitem")
+    part = (
+        load(spark, sf, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf, "nation")
+    region = (
+        load(spark, sf, "region")
+        .where(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    base = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n1_region") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    target = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(target / F.sum("volume").cast("double"), 6).alias(
+                "mkt_share"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "tpch_q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT) per
+    3-key group with a NOT-IN exclusion subquery. Adapted: partsupp is
+    absent, so the part↔supplier relation comes from lineitem, and the
+    complaints exclusion becomes s_acctbal < 0. The excluded-supplier
+    set is dim-sized → broadcast anti join (s_suppkey is non-null, so
+    NOT IN ≡ anti join without the null trap); the distinct runs as a
+    two-phase partial aggregate on (brand, type, size, suppkey)."""
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        load(spark, sf, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@q(
     "dedup_semantic",
     f"""
     WITH cents AS (SELECT vec_id AS cid, embedding AS cvec

@@ -198,3 +198,21 @@ def test_cli_changes_feed(run):
     assert "u1" in out and "u2" in out
     out = run("changes", "1")
     assert "No changes in range." in out
+
+
+def test_cli_rollup(run):
+    run("register", "age", "user", "int")
+    out = run("create-group", "g", "--features", "age",
+              "--entity-key", "user_id")
+    gid = re.search(r"ID: ([a-f0-9-]+)", out).group(1)
+    run("write", gid, "u1", '{"age": 1}')
+    run("write", gid, "u1", '{"age": 2}')
+    run("write", gid, "u2", '{"age": 3}')
+    out = run("rollup", "daily", gid)
+    assert "refreshed: 2 entities" in out
+    assert re.search(r"u1\s+n=2", out)
+    assert re.search(r"u2\s+n=1", out)
+    # second invocation: separate process, cursor + data reload from
+    # disk; no new commits -> same snapshot
+    out = run("rollup", "daily", gid)
+    assert "refreshed: 2 entities" in out
