@@ -4792,6 +4792,301 @@ def tpch_q16_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H widening III (round 6, session 4): the final four shapes —
+# Q2 (correlated-min supplier selection), Q11 (group agg vs global
+# scalar threshold over the same derived table), Q12 (derived-category
+# pivot over a fact-fact join), Q20 (double-nested IN semi joins with a
+# correlated quantity test). With these the catalog covers the plan
+# shape of all 22 TPC-H queries. partsupp is absent from the testdata,
+# so the part↔supplier relation and its costs/quantities derive from
+# lineitem (the actual supply events) — each query keeps its defining
+# plan shape.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eur AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost,
+               s_acctbal, s_name, n_name
+        FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           round(ps_supplycost, 6) AS supplycost
+    FROM part JOIN eur ON p_partkey = ps_partkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eur e2
+                           WHERE e2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier): the correlated-min shape —
+    for each qualifying part, keep only the European supplier(s)
+    matching the per-part minimum cost. Adapted: no partsupp, so the
+    supply relation is the distinct (part, supplier) pairs observed in
+    lineitem and supplycost is the minimum unit price ever charged
+    (min of identical doubles — bit-exact in both engines). The
+    correlated subquery is decorrelated to a per-part window min over
+    the Europe-filtered frame — computed ONCE, not per outer row; the
+    region/nation/supplier dims broadcast, and the equality join to
+    the size/type-filtered part prunes before the final sort."""
+    li = load(spark, sf, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        )
+    )
+    supp = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn(
+            "min_cost",
+            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
+        )
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+    )
+    part = (
+        load(spark, sf, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        eur.join(part, eur.ps_partkey == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("ps_supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@q(
+    "tpch_q11_important_stock",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey)
+    SELECT ps_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM ps
+    WHERE CAST(value AS DOUBLE) * 1000.0
+          > (SELECT CAST(sum(value) AS DOUBLE) FROM ps)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per-part value vs a
+    global scalar threshold computed from the SAME derived table.
+    Adapted: value = Σ extendedprice×quantity over one nation's
+    suppliers (no partsupp availqty). The per-part aggregation runs
+    ONCE; the global total is a window sum over the already-aggregated
+    frame (≤ |part| rows) instead of a second scan of the fact. Sums
+    accumulate in exact DECIMAL so partial-agg order cannot move the
+    threshold comparison; the compare is done on the (identical)
+    doubles both engines cast from those exact decimals."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf, "nation").where(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    ps = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("value")
+        )
+    )
+    ps = ps.withColumn(
+        "total", F.sum("value").over(Window.partitionBy())
+    )
+    return (
+        ps.where(
+            F.col("value").cast("double") * 1000.0
+            > F.col("total").cast("double")
+        )
+        .select(
+            "ps_partkey", F.col("value").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@q(
+    "tpch_q12_shipping_priority_modes",
+    """
+    SELECT ship_mode,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM (SELECT l_orderkey, l_shipdate,
+                 CASE l_linenumber % 3 WHEN 0 THEN 'MAIL'
+                      WHEN 1 THEN 'SHIP' ELSE 'AIR' END AS ship_mode
+          FROM lineitem) l
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE ship_mode IN ('MAIL', 'SHIP')
+      AND l_shipdate > o_orderdate + INTERVAL 21 DAY
+      AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY ship_mode ORDER BY ship_mode
+    """,
+)
+def tpch_q12_shipping_priority_modes(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): fact-fact join
+    with a conditional-sum pivot per ship mode. Adapted: the testdata
+    has no l_shipmode/receiptdate, so the mode is a deterministic
+    derived category (linenumber mod 3 — computed identically in both
+    engines) and "late delivery" is shipdate > orderdate + 21 days.
+    The defining shape survives: the mode and year filters prune the
+    fact before the orderkey shuffle join, and the two CASE sums run
+    as one partial+final aggregate pass (no second scan per bucket)."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.when(F.col("l_linenumber") % 3 == 0, "MAIL")
+        .when(F.col("l_linenumber") % 3 == 1, "SHIP")
+        .otherwise("AIR")
+        .alias("ship_mode"),
+    )
+    li = li.where(
+        F.col("ship_mode").isin("MAIL", "SHIP")
+        & (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 21 DAYS")
+        )
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+@q(
+    "tpch_q20_part_promotion",
+    """
+    WITH shipped AS (
+        SELECT l_partkey AS e_partkey, l_suppkey AS e_suppkey,
+               sum(l_quantity) AS total_qty,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+                         AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+                        THEN l_quantity ELSE 0 END) AS recent_qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+      AND s_suppkey IN (
+          SELECT e_suppkey FROM shipped
+          WHERE e_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+            AND total_qty >= 60
+            AND recent_qty > 0.5 * total_qty)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): the double-nested IN —
+    suppliers who, for some 'small%' part they supply, shipped more
+    than half that part's lifetime quantity in 1999 (proxy for the
+    availqty > half-of-shipped test; partsupp is absent). Both INs
+    lower to LEFT SEMI joins: part filters shipped on partkey
+    (broadcast — part is a dim), the qualifying supplier-key set then
+    semi-joins supplier. Quantities are small integers, so the double
+    sums are IEEE-exact and the 0.5× comparison is deterministic.
+    The quantity floor (≥ 60) keeps the test meaningful on pairs with
+    more than a couple of lineitems."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    recent = (
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("e_partkey"),
+        F.col("l_suppkey").alias("e_suppkey"),
+    ).agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum(F.when(recent, F.col("l_quantity")).otherwise(0.0)).alias(
+            "recent_qty"
+        ),
+    )
+    small_parts = (
+        load(spark, sf, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        shipped.join(
+            small_parts,
+            shipped.e_partkey == small_parts.p_partkey,
+            "left_semi",
+        )
+        .where(
+            (F.col("total_qty") >= 60)
+            & (F.col("recent_qty") > 0.5 * F.col("total_qty"))
+        )
+        .select("e_suppkey")
+    )
+    supp = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load(spark, sf, "nation").where(
+        F.col("n_name") == "NATION_9"
+    ).select("n_nationkey")
+    return (
+        supp.join(nation, supp.s_nationkey == F.col("n_nationkey"))
+        .join(qualifying, supp.s_suppkey == qualifying.e_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 @q(
     "dedup_semantic",
     f"""

@@ -196,6 +196,9 @@ _BNLJ_WHITELIST = {
     "sim_cosine_topk",
     "sim_cosine_topk_ivf",
     "tpch_q22_dormant_customers",  # one-row scalar-subquery broadcast
+    # centroid assignment crossJoins the broadcast centroid frame
+    # (bounded at any corpus size), same as sim_cosine_topk_ivf
+    "dedup_semantic",
 }
 
 # stream_exec_* queries EXECUTE a stream inside the callable and
