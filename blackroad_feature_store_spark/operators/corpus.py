@@ -305,3 +305,104 @@ def paragraph_dedup(
     return rebuilt.join(totals, id_col).select(
         id_col, "text", "kept_paras", "total_paras"
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-substring coverage (the span-level
+    dedup signal of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", and the ``dup_ngram`` quality
+    filters of Gopher/RefinedWeb): for every document, the fraction of
+    its tokens covered by some word ``n``-gram that also occurs in at
+    least one OTHER document. Exact-duplicate detection finds whole
+    copied documents; THIS finds boilerplate and quotation spans
+    pasted across documents — the usual next filter in a 100 TB
+    corpus pipeline (drop or trim docs with high ``dup_frac``).
+
+    Returns one row per input document: ``(id_col, n_tokens,
+    dup_tokens, dup_frac)`` with ``dup_frac = round(dup_tokens /
+    n_tokens, 6)`` (NULL when the document has no tokens).
+
+    Scale shape (deliberate, in order):
+
+    1. n-grams are materialized INSIDE the token array
+       (``transform`` + ``posexplode``), so the generate emits narrow
+       ``(id, start, gram)`` rows — the full token array is never
+       exploded per window.
+    2. "gram appears in ≥2 distinct docs" is a window
+       ``min(id) != max(id)`` over ``partitionBy(gram)`` — ONE
+       shuffle, no groupBy+join back. (Production corpora can cut
+       shuffle width further by keying on ``xxhash64(gram)``; the
+       string key keeps the operator engine-portable for the oracle.)
+    3. Covered-token counting merges overlapping windows per document
+       with a gaps-and-islands pass (running max of span end, ordered
+       by start) instead of exploding ``n`` positions per duplicated
+       window — no row inflation, one sort inside the per-document
+       partition.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__nt", F.size("__t")
+    )
+    grams = (
+        base.where(F.col("__nt") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nt") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+                )
+            ).alias("__pos", "__gram"),
+        )
+        .select(
+            id_col,
+            (F.col("__pos") + 1).alias("__start"),
+            (F.col("__pos") + n).alias("__end"),
+            "__gram",
+        )
+    )
+    wg = Window.partitionBy("__gram")
+    dup_windows = grams.withColumn(
+        "__dup",
+        F.min(id_col).over(wg) != F.max(id_col).over(wg),
+    ).where(F.col("__dup"))
+    # gaps-and-islands: merge overlapping [start, end] spans per doc
+    wd = Window.partitionBy(id_col).orderBy("__start")
+    prev_end = F.max("__end").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = dup_windows.withColumn(
+        "__new_island",
+        F.when(
+            prev_end.isNull() | (F.col("__start") > prev_end), 1
+        ).otherwise(0),
+    ).withColumn("__island", F.sum("__new_island").over(wd))
+    islands = spans.groupBy(id_col, "__island").agg(
+        (F.max("__end") - F.min("__start") + 1).alias("__covered")
+    )
+    cov = islands.groupBy(id_col).agg(
+        F.sum("__covered").alias("dup_tokens")
+    )
+    return base.join(cov, id_col, "left").select(
+        id_col,
+        F.col("__nt").alias("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("dup_tokens"),
+        F.when(
+            F.col("__nt") > 0,
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("__nt"),
+                6,
+            ),
+        ).alias("dup_frac"),
+    )

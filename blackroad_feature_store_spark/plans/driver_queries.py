@@ -3699,6 +3699,54 @@ def pipeline_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "pipeline_dup_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+    grams AS (
+        SELECT doc_id, i AS start,
+               array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+        FROM sized, UNNEST(range(1, nt - 3)) AS u(i)
+        WHERE nt >= 5),
+    dup AS (SELECT gram FROM grams
+            GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    dwin AS (SELECT g.doc_id, g.start FROM grams g JOIN dup USING (gram)),
+    cov AS (
+        SELECT doc_id, count(DISTINCT p) AS dup_tokens
+        FROM dwin, UNNEST(range(start, start + 5)) AS v(p)
+        GROUP BY doc_id)
+    SELECT s.doc_id, s.nt AS n_tokens,
+           COALESCE(c.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN s.nt > 0
+                THEN round(COALESCE(c.dup_tokens, 0) * 1.0 / s.nt, 6)
+           END AS dup_frac
+    FROM sized s LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def pipeline_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level cross-document dedup signal
+    (`operators/corpus.py::duplicated_ngram_spans` — Lee et al. 2021 /
+    RefinedWeb dup_ngram coverage): per document, the fraction of
+    tokens covered by a 5-gram that also appears in another document.
+    The Spark side marks duplicated grams with ONE shuffle (window
+    min≠max over gram) and merges overlapping spans with a
+    gaps-and-islands pass; the oracle is an INDEPENDENT formulation
+    (groupBy-having + distinct exploded positions) — same semantics,
+    different algorithm, so agreement certifies the operator rather
+    than replaying it."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        duplicated_ngram_spans,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return duplicated_ngram_spans(docs, n=5)
+
+
 _SQL_SOURCE_ROUNDTRIP = """
     SELECT lang,
            count(*) AS n_docs,

@@ -1285,3 +1285,69 @@ def test_semantic_dedup_no_surviving_dup_pair_and_one_shot(spark):
         kept, id_col="vec_id", block_col="centroid_id", threshold=0.999
     ).where("cosine > 0.999")
     assert pairs.count() == 0
+
+
+# -- duplicated_ngram_spans -------------------------------------------------
+
+
+def test_dup_ngram_spans_coverage_and_overlap_merge(spark):
+    from blackroad_feature_store_spark.operators.corpus import (
+        duplicated_ngram_spans,
+    )
+
+    # docs 1 and 2 share the 6-token run "a b c d e f": two
+    # overlapping 5-gram windows [1,5] and [2,6] that must merge into
+    # one 6-token island, not 10 counted positions. doc 3 is unique.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f x y z w"),
+            (2, "p q a b c d e f r s"),
+            (3, "entirely different tokens with no overlap here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicated_ngram_spans(df, n=5).collect()}
+    assert out[1]["n_tokens"] == 10
+    assert out[1]["dup_tokens"] == 6
+    assert out[1]["dup_frac"] == 0.6
+    assert out[2]["dup_tokens"] == 6
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_dup_ngram_spans_short_and_within_doc_repeat(spark):
+    from blackroad_feature_store_spark.operators.corpus import (
+        duplicated_ngram_spans,
+    )
+
+    # doc 10 is shorter than n -> no grams, zero coverage (still one
+    # output row). doc 11 repeats a 5-gram WITHIN itself only -> a
+    # within-doc repeat is NOT a cross-doc duplicate (min==max doc id).
+    df = spark.createDataFrame(
+        [
+            (10, "too short"),
+            (11, "a b c d e GAP a b c d e"),
+            (12, "nothing shared with others whatsoever in this one"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicated_ngram_spans(df, n=5).collect()}
+    assert out[10]["n_tokens"] == 2 and out[10]["dup_tokens"] == 0
+    assert out[11]["dup_tokens"] == 0
+    assert out[12]["dup_tokens"] == 0
+
+
+def test_dup_ngram_spans_case_and_whitespace_normalized(spark):
+    from blackroad_feature_store_spark.operators.corpus import (
+        duplicated_ngram_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The Quick Brown Fox Jumps"),
+            (2, "  the   quick brown fox JUMPS  "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicated_ngram_spans(df, n=5).collect()}
+    assert out[1]["dup_tokens"] == 5 and out[1]["dup_frac"] == 1.0
+    assert out[2]["dup_tokens"] == 5 and out[2]["dup_frac"] == 1.0
