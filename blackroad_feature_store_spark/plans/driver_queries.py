@@ -3805,6 +3805,60 @@ def source_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("source_orc_roundtrip", _SQL_SOURCE_ROUNDTRIP)
+def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Same certification for the ORC source path (the other columnar
+    format legacy Hive/Hadoop corpora arrive in — typed storage, so
+    unlike CSV nothing is re-derived: the landed columns themselves
+    must be bit-identical to the parquet originals)."""
+    from blackroad_feature_store_spark.sources.files import (
+        read_documents,
+        write_documents,
+    )
+
+    docs = load(spark, sf, "documents")
+    out_dir = tempfile.mkdtemp(prefix="src_orc_") + "/docs"
+    write_documents(docs, out_dir, format="orc")
+    landed = read_documents(spark, out_dir, format="orc")
+    return landed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@q(
+    "source_text_roundtrip",
+    """
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT text) AS n_distinct_texts
+    FROM documents
+    """,
+)
+def source_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Certifies the raw-text source mode (one document per line — the
+    common one-example-per-line layout): documents → written as plain
+    text lines → re-landed via ``read_documents(format="text")``,
+    which derives doc_id from xxhash64(text) and n_chars from the
+    landed text. The oracle aggregates the ORIGINAL corpus, so the
+    counts/characters/distinct-text cardinality only match if every
+    line survived byte-for-byte. (The testdata corpus is single-line
+    per document; multi-line docs belong in JSONL/parquet.)"""
+    from blackroad_feature_store_spark.sources.files import read_documents
+
+    docs = load(spark, sf, "documents")
+    out_dir = tempfile.mkdtemp(prefix="src_text_") + "/docs"
+    docs.select("text").write.mode("overwrite").text(out_dir)
+    landed = read_documents(spark, out_dir, format="text")
+    return landed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+
+
 @q(
     "pipeline_paragraph_dedup",
     """
