@@ -155,6 +155,7 @@ def cmd_compact(args, store: FeatureStore) -> None:
         group_id=args.group_id,
         target_rows_per_file=args.target_rows,
         cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        zorder=args.zorder,
     )
     print(f"✓ Compacted {n} record(s).")
 
@@ -359,6 +360,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--cluster-by", default=None,
         help="comma-separated columns to range-cluster the rewrite on "
              "(keeps files skippable via manifest stats)",
+    )
+    p.add_argument(
+        "--zorder", action="store_true",
+        help="interleave multi-column clustering (Z-order) so files "
+             "stay skippable on every clustered column, not just the "
+             "first",
     )
     p.set_defaults(func=cmd_compact)
 

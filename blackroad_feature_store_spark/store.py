@@ -1167,6 +1167,7 @@ class FeatureStore:
         group_id: Optional[str] = None,
         target_rows_per_file: int = 1_000_000,
         cluster_by: Optional[list[str]] = None,
+        zorder: bool = False,
     ) -> int:
         """Rewrite the record log into right-sized files.
 
@@ -1176,6 +1177,16 @@ class FeatureStore:
         the compacted files get *disjoint* timestamp ranges, so the
         manifest min/max stats keep as-of reads skipping files even
         after compaction merges many small writes.
+
+        ``zorder=True`` switches the multi-column case from
+        lexicographic to Z-order clustering
+        (:func:`operators.util.zorder_key` — Delta's ``OPTIMIZE ...
+        ZORDER BY``): with ``cluster_by=["entity_id", "timestamp"]``
+        lexicographic layout makes entity point-lookups perfect but
+        leaves every file spanning the full time range; the interleaved
+        key gives every file locality in BOTH columns, so the bloom
+        index AND the ts min/max stats stay selective after one
+        compaction.
 
         The reference-parity single-record ``write_features`` emits one
         tiny parquet file per call; at any real ingest rate that is a
@@ -1205,7 +1216,18 @@ class FeatureStore:
         if n == 0:
             return 0
         files = max(1, math.ceil(n / target_rows_per_file))
-        if cluster_by:
+        if cluster_by and zorder and len(cluster_by) > 1:
+            from blackroad_feature_store_spark.operators.util import (
+                zorder_key,
+            )
+
+            rewritten = (
+                zorder_key(df, list(cluster_by))
+                .repartitionByRange(files, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        elif cluster_by:
             rewritten = df.repartitionByRange(
                 files, *cluster_by
             ).sortWithinPartitions(*cluster_by)

@@ -1351,3 +1351,58 @@ def test_dup_ngram_spans_case_and_whitespace_normalized(spark):
     out = {r["doc_id"]: r for r in duplicated_ngram_spans(df, n=5).collect()}
     assert out[1]["dup_tokens"] == 5 and out[1]["dup_frac"] == 1.0
     assert out[2]["dup_tokens"] == 5 and out[2]["dup_frac"] == 1.0
+
+
+# -- zorder_key -------------------------------------------------------------
+
+
+def test_zorder_key_interleaves_and_colocates(spark):
+    from blackroad_feature_store_spark.operators.util import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], ["x", "y"]
+    )
+    out = zorder_key(df, ["x", "y"], bits=4)
+    rows = {(r["x"], r["y"]): r["__zkey"] for r in out.collect()}
+    # Deterministic: a second evaluation produces identical keys.
+    rows2 = {(r["x"], r["y"]): r["__zkey"] for r in out.collect()}
+    assert rows == rows2
+    # Buckets are mostly distinct (quantile boundaries may merge a few
+    # adjacent grid values — exact bijection is not the contract).
+    assert len(set(rows.values())) > 150
+    # The interleave must use bits from BOTH columns: walking keys in
+    # order must not be lexicographic on (x, y) or (y, x).
+    by_key = [xy for xy, _ in sorted(rows.items(), key=lambda kv: kv[1])]
+    assert by_key != sorted(rows)
+    assert by_key != sorted(rows, key=lambda t: (t[1], t[0]))
+    # Quadrant locality: the low-low quadrant's keys all sit below the
+    # high-high quadrant's keys (what makes range files skippable in
+    # both dimensions at once).
+    low = max(rows[(x, y)] for x in range(8) for y in range(8))
+    high = min(rows[(x, y)] for x in range(8, 16) for y in range(8, 16))
+    assert low < high
+
+
+def test_zorder_key_nulls_and_strings(spark):
+    from blackroad_feature_store_spark.operators.util import zorder_key
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None), (None, 4.0)],
+        ["k", "v"],
+    )
+    out = zorder_key(df, ["k", "v"], bits=4).collect()
+    assert len(out) == 4  # nulls never drop rows
+    keys = {(r["k"], r["v"]): r["__zkey"] for r in out}
+    assert all(k is not None for k in keys.values())
+    # helper columns are dropped
+    assert set(out[0].asDict()) == {"k", "v", "__zkey"}
+
+
+def test_zorder_key_bit_budget_enforced(spark):
+    import pytest
+
+    from blackroad_feature_store_spark.operators.util import zorder_key
+
+    df = spark.createDataFrame([(1,) * 8], [f"c{i}" for i in range(8)])
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key(df, [f"c{i}" for i in range(8)], bits=8)

@@ -1320,3 +1320,103 @@ def test_typed_records_df_casts_by_registry_dtype(spark, tmp_path):
                          timestamp="2026-01-03T00:00:00")
     assert store.typed_records_df(g.id, version=v0).count() == 2
     assert store.typed_records_df(g.id).count() == 3
+
+
+# -- z-order compaction -----------------------------------------------------
+
+
+def test_zorder_compaction_skips_on_both_dimensions(store_with_group):
+    from datetime import datetime, timedelta
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    # 8 entities x 8 days, independent dimensions, written shuffled.
+    recs = [
+        EntityRecord(
+            g.id,
+            f"e{e}",
+            {"age": e * 10 + d},
+            datetime(2026, 3, 1) + timedelta(days=d),
+        )
+        for e in range(8)
+        for d in range(8)
+    ]
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(recs)
+    for i in range(0, 64, 16):
+        store.write_features_batch(recs[i : i + 16])
+
+    n = store.compact_records(
+        g.id,
+        target_rows_per_file=16,
+        cluster_by=["entity_id", "timestamp"],
+        zorder=True,
+    )
+    assert n == 64
+    all_files = set(store.records_df(g.id).inputFiles())
+    assert len(all_files) >= 4
+
+    # Dimension 1: entity point lookup prunes via the bloom index.
+    ent_files = set(store.records_df(g.id, entity_id="e3").inputFiles())
+    assert 0 < len(ent_files) < len(all_files)
+    # Dimension 2: an early as-of cutoff prunes via ts min/max stats.
+    ts_files = set(
+        store.records_df(g.id, ts_lte=datetime(2026, 3, 2)).inputFiles()
+    )
+    assert 0 < len(ts_files) < len(all_files)
+
+    # Pruning never changes answers.
+    assert store.get_features(g.id, "e3")["age"] == 37
+    assert (
+        store.records_df(g.id, ts_lte=datetime(2026, 3, 2))
+        .where("timestamp <= timestamp'2026-03-02'")
+        .count()
+        == 16
+    )
+
+
+def test_zorder_vs_linear_clustering_on_second_dimension(store_with_group):
+    """Lexicographic (entity, ts) clustering leaves every file spanning
+    the full time range — the second dimension gains nothing. The same
+    compaction with zorder=True must prune time-sliced reads."""
+    from datetime import datetime, timedelta
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    recs = [
+        EntityRecord(
+            g.id,
+            f"e{e}",
+            {"age": e},
+            datetime(2026, 3, 1) + timedelta(days=d),
+        )
+        for e in range(8)
+        for d in range(8)
+    ]
+    store.write_features_batch(recs)
+
+    store.compact_records(
+        g.id, target_rows_per_file=16, cluster_by=["entity_id", "timestamp"]
+    )
+    all_linear = set(store.records_df(g.id).inputFiles())
+    linear_ts = set(
+        store.records_df(g.id, ts_lte=datetime(2026, 3, 2)).inputFiles()
+    )
+    # every file holds >= 2 full entity histories -> no ts pruning
+    assert linear_ts == all_linear
+
+    store.compact_records(
+        g.id,
+        target_rows_per_file=16,
+        cluster_by=["entity_id", "timestamp"],
+        zorder=True,
+    )
+    all_z = set(store.records_df(g.id).inputFiles())
+    z_ts = set(
+        store.records_df(g.id, ts_lte=datetime(2026, 3, 2)).inputFiles()
+    )
+    assert 0 < len(z_ts) < len(all_z)
