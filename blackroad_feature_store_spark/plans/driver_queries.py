@@ -3747,6 +3747,72 @@ def pipeline_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     return duplicated_ngram_spans(docs, n=5)
 
 
+@q(
+    "core_bucketed_join",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def core_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-located fact⋈fact join via bucketed tables
+    (`sources/bucketed.py`): orders and lineitem are written ONCE
+    bucketed+sorted on the order key, after which the join runs with
+    ZERO shuffle exchanges — the scan partitioning satisfies the
+    join's distribution requirement. This is the layout a nightly
+    100 TB orders⋈lineitem pipeline uses to amortize its biggest
+    shuffle into the ingest write. The function self-certifies: it
+    raises if the planned join is not shuffle-free (the merge hint
+    pins SortMergeJoin so a small-SF broadcast can't mask a lost
+    bucketing). The oracle joins the original parquet — identical
+    results prove the bucketed write/read round trip is lossless."""
+    from blackroad_feature_store_spark.sources.bucketed import (
+        is_shuffle_free_join,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(
+        orders, "bj_orders", base + "/orders", ["o_orderkey"], 8
+    )
+    write_bucketed(
+        lineitem, "bj_lineitem", base + "/lineitem", ["l_orderkey"], 8
+    )
+    bo = read_bucketed(spark, "bj_orders")
+    bl = read_bucketed(spark, "bj_lineitem")
+    joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+    if not is_shuffle_free_join(joined):
+        raise AssertionError(
+            "bucketed orders ⋈ lineitem planned a shuffle exchange"
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _SQL_SOURCE_ROUNDTRIP = """
     SELECT lang,
            count(*) AS n_docs,

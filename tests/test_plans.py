@@ -314,3 +314,66 @@ def test_q4_exists_lowers_to_left_semi(spark):
     plan = formatted_plan(dq.tpch_q4_order_priority(spark, SF))
     assert "LeftSemi" in plan
     assert "Distinct" not in plan
+
+
+def test_bucketed_join_is_shuffle_free_as_sort_merge(spark, tmp_path):
+    """The bucketing certificate must hold for a true SortMergeJoin,
+    not be masked by a small-SF broadcast: with broadcast disabled
+    entirely, the bucketed⋈bucketed join must still plan with no
+    shuffle exchange, and a plain parquet read of the SAME files must
+    reintroduce the exchange (metadata, not data, carries bucketing)."""
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.sources.bucketed import (
+        is_shuffle_free_join,
+        read_bucketed,
+        write_bucketed,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    sf = "/root/testdata/sf0.001"
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        orders, "t_bj_orders", str(tmp_path / "o"), ["o_orderkey"], 4
+    )
+    write_bucketed(
+        li, "t_bj_lineitem", str(tmp_path / "l"), ["l_orderkey"], 4
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo = read_bucketed(spark, "t_bj_orders")
+        bl = read_bucketed(spark, "t_bj_lineitem")
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert is_shuffle_free_join(j)
+        assert "Bucketed: true" in plan
+        # same files, no catalog metadata -> the shuffle comes back
+        po = spark.read.parquet(str(tmp_path / "o"))
+        pl = spark.read.parquet(str(tmp_path / "l"))
+        pj = po.join(pl, po.o_orderkey == pl.l_orderkey)
+        assert not is_shuffle_free_join(pj)
+        # correctness unaffected by layout
+        assert j.count() == pj.count()
+        # bucket pruning: an equality filter on the bucket key reads
+        # one bucket, not four (autoBucketedScan downgrades a lone
+        # filtered scan to a plain one, hiding the pruning — pin it
+        # off for the check)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            one = bo.where(F.col("o_orderkey") == 7)
+            p1 = one._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 1 out of 4" in p1
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true",
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bj_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bj_lineitem")
