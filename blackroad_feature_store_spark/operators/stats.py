@@ -227,3 +227,54 @@ def population_stability(
             ),
         )
     )
+
+
+def hll_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lgk: int = 12,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Per-key mergeable distinct-count sketches (Apache DataSketches
+    HLL via Spark's ``hll_sketch_agg``): one ~2^lgk-byte binary per
+    key, persistable next to the data.
+
+    This is how a 100 TB pipeline maintains distinct counts
+    incrementally: sketch each ingest partition (day, source, shard)
+    ONCE at write time, then answer "distinct over any subset/range"
+    by unioning the relevant sketches with :func:`hll_rollup` —
+    seconds over kilobytes instead of a full rescan. Unlike
+    ``approx_count_distinct`` (whose HLL±± state is internal to one
+    aggregation), these sketches are first-class values: storable,
+    unionable across jobs, and re-aggregatable to any coarser
+    grouping without revisiting the raw data.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias(sketch_col)
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    sketch_col: str = "sketch",
+    estimate_col: str = "approx_distinct",
+) -> DataFrame:
+    """Union per-detail-key sketches up to a coarser grouping and
+    estimate. Input is :func:`hll_sketches` output (possibly read back
+    from storage, possibly from many different jobs); ``keys`` is any
+    subset of its key columns — pass ``[]`` for a grand total.
+
+    Estimates carry standard HLL error (~1.6%/sqrt(2^lgk) — about 2.5%
+    at lgk=12) and the union path may differ from a direct sketch of
+    the union by a further hair (DataSketches promotes HLL_4 state to
+    HLL_8 when unioning), so treat results as approximate by contract;
+    the tests pin a 3% envelope against exact counts.
+    """
+    agg = F.hll_sketch_estimate(
+        F.hll_union_agg(F.col(sketch_col), F.lit(False))
+    ).alias(estimate_col)
+    if keys:
+        return sketches.groupBy(*keys).agg(agg)
+    return sketches.agg(agg)

@@ -3979,6 +3979,56 @@ def pipeline_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stats_hll_distinct",
+    """
+    SELECT source,
+           count(DISTINCT text) AS n_distinct,
+           1 AS sketch_within_3pct
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def stats_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches
+    (`operators/stats.py::hll_sketches/hll_rollup` — DataSketches HLL):
+    per-(source, lang) sketches are unioned up to per-source and the
+    estimate is checked against the exact distinct IN-QUERY. The
+    emitted ``sketch_within_3pct`` column is the certification: the
+    oracle pins it to 1, so an estimate drifting past the 3% envelope
+    (or a broken sketch merge) hash-fails the gate. This is the
+    incremental pattern a 100 TB corpus uses for distinct counting —
+    sketch at ingest, union kilobytes at query time, never rescan."""
+    from blackroad_feature_store_spark.operators.stats import (
+        hll_rollup,
+        hll_sketches,
+    )
+
+    docs = load(spark, sf, "documents").select("source", "lang", "text")
+    detail = hll_sketches(docs, ["source", "lang"], "text", lgk=12)
+    rolled = hll_rollup(detail, ["source"])
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("n_distinct")
+    )
+    return (
+        exact.join(rolled, "source")
+        .select(
+            "source",
+            "n_distinct",
+            F.when(
+                F.abs(
+                    F.col("approx_distinct") - F.col("n_distinct")
+                )
+                / F.col("n_distinct")
+                <= 0.03,
+                1,
+            )
+            .otherwise(0)
+            .alias("sketch_within_3pct"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "drift_psi",
     """
     WITH b AS (

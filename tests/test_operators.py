@@ -1406,3 +1406,62 @@ def test_zorder_key_bit_budget_enforced(spark):
     df = spark.createDataFrame([(1,) * 8], [f"c{i}" for i in range(8)])
     with pytest.raises(ValueError, match="<= 63"):
         zorder_key(df, [f"c{i}" for i in range(8)], bits=8)
+
+
+# -- hll sketches / rollup --------------------------------------------------
+
+
+def test_hll_rollup_matches_exact_within_envelope(spark):
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.operators.stats import (
+        hll_rollup,
+        hll_sketches,
+    )
+
+    # 4 sources x 3 shards; values overlap across shards so the union
+    # must dedupe, not add.
+    df = spark.range(12000).selectExpr(
+        "concat('s', id % 4) AS source",
+        "id % 3 AS shard",
+        "concat('v', id % 2000) AS value",  # 2000 distinct overall
+    )
+    detail = hll_sketches(df, ["source", "shard"], "value")
+    per_source = {
+        r["source"]: r["approx_distinct"]
+        for r in hll_rollup(detail, ["source"]).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source")
+        .agg(F.countDistinct("value").alias("n"))
+        .collect()
+    }
+    for s, est in per_source.items():
+        assert abs(est - exact[s]) / exact[s] <= 0.03, (s, est, exact[s])
+    # grand total over all sketches
+    total = hll_rollup(detail, []).collect()[0]["approx_distinct"]
+    assert abs(total - 2000) / 2000 <= 0.03
+
+
+def test_hll_sketches_survive_persistence_roundtrip(spark, tmp_path):
+    """The whole point of first-class sketches: write them, read them
+    back in another job, union with fresh ones — estimates unchanged."""
+    from blackroad_feature_store_spark.operators.stats import (
+        hll_rollup,
+        hll_sketches,
+    )
+
+    day1 = spark.range(1000).selectExpr(
+        "'d1' AS day", "concat('u', id) AS user"
+    )
+    day2 = spark.range(500, 1500).selectExpr(
+        "'d2' AS day", "concat('u', id) AS user"
+    )
+    hll_sketches(day1, ["day"], "user").write.mode("overwrite").parquet(
+        str(tmp_path / "sk")
+    )
+    stored = spark.read.parquet(str(tmp_path / "sk"))
+    combined = stored.unionByName(hll_sketches(day2, ["day"], "user"))
+    est = hll_rollup(combined, []).collect()[0]["approx_distinct"]
+    assert abs(est - 1500) / 1500 <= 0.03  # 1500 true distinct users
