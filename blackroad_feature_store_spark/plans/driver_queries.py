@@ -2499,6 +2499,67 @@ def pipeline_train_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_split_leakage",
+    _SQL_MINHASH_PAIRS
+    + """
+    , sp AS (
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 4) AS INT) % 100 < 90
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM documents)
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN sp sa ON p.id_a = sa.doc_id
+    JOIN sp sb ON p.id_b = sb.doc_id
+    GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """,
+)
+def pipeline_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate candidate pairs broken down
+    by the train/holdout assignment of BOTH ends — the check that a
+    holdout set isn't contaminated by near-copies of training docs
+    (the eval-inflation failure mode split hashing alone cannot
+    prevent, since near-dups hash independently). Composes the
+    deterministic md5 split of pipeline_train_split with the LSH
+    candidate generation of dedup_minhash_pairs; any row with
+    split_a != split_b is leakage to remediate (drop the holdout
+    member or re-split by cluster). The pair frame is LSH-bucketed
+    (never all-pairs) and the split map is a narrow projection of the
+    corpus, so the audit costs one extra broadcast-sized join per side
+    at any corpus scale."""
+    docs = load(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 90, F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
+    sa = sp.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+@q(
     "pipeline_balanced_sample",
     """
     WITH sized AS (
