@@ -133,3 +133,68 @@ def as_of_join(
     )
     s = F.broadcast(spine) if broadcast_spine else spine
     return s.join(latest, on=on_cols, how=how)
+
+
+def gapfill_locf(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step: str = "INTERVAL 1 HOUR",
+    bucket_trunc: str = "hour",
+) -> DataFrame:
+    """Regularize an irregular time series per key: bucket, fill the
+    missing buckets, carry the last observation forward (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``, Pandas' ``resample().ffill()``
+    — the step every feature pipeline needs between raw events and a
+    fixed-frequency model input).
+
+    Per key the grid spans [min bucket, max bucket] of that key's OWN
+    observations (no global range — a key active for a day never emits
+    a year of gap rows). Output per (key, bucket):
+    ``bucket_value`` (the aggregated observation, NULL on gaps),
+    ``filled_value`` (LOCF), ``is_gap`` (1 on synthesized rows).
+
+    Scale shape: one aggregation to buckets (map-side combinable), a
+    per-key min/max (same shuffle key, AQE-coalesced), the grid
+    generated by ``sequence()`` + ``explode`` INSIDE each key's row —
+    no crossJoin against a calendar table — and one window sort per
+    key for the forward fill. Grid size is Σ per-key span/step; keys
+    partition independently, so a 100 TB corpus fills in parallel.
+    Sums run through DECIMAL so partial-agg order can't move the
+    filled values.
+    """
+    ks = list(keys)
+    obs = df.groupBy(
+        *ks, F.date_trunc(bucket_trunc, F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("bucket_value")
+    )
+    rng = obs.groupBy(*ks).agg(
+        F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
+    )
+    grid = rng.select(
+        *ks,
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"), F.expr(step))
+        ).alias("bucket"),
+    )
+    j = grid.join(obs, [*ks, "bucket"], "left")
+    w = (
+        Window.partitionBy(*ks)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        *ks,
+        "bucket",
+        F.round("bucket_value", 6).alias("bucket_value"),
+        F.round(
+            F.last("bucket_value", ignorenulls=True).over(w), 6
+        ).alias("filled_value"),
+        F.when(F.col("bucket_value").isNull(), 1)
+        .otherwise(0)
+        .alias("is_gap"),
+    )

@@ -4078,6 +4078,53 @@ def pipeline_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "core_gapfill_locf",
+    """
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS bucket_value
+        FROM events WHERE user_id < 30 GROUP BY 1, 2),
+    rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+            FROM obs GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(b0, b1, INTERVAL 1 HOUR))
+                        AS bucket
+             FROM rng),
+    j AS (SELECT g.user_id, g.bucket, o.bucket_value
+          FROM grid g LEFT JOIN obs o USING (user_id, bucket))
+    SELECT user_id,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           round(bucket_value, 6) AS bucket_value,
+           round(last_value(bucket_value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS filled_value,
+           CASE WHEN bucket_value IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM j
+    """,
+)
+def core_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series regularization (`operators/asof.py::gapfill_locf`):
+    hourly buckets per user over each user's own active span, missing
+    hours synthesized and filled by last-observation-carried-forward —
+    TimescaleDB's time_bucket_gapfill+locf / pandas resample().ffill()
+    as distributed column algebra (sequence-explode grid per key, one
+    window sort for the fill, DECIMAL-disciplined sums)."""
+    from blackroad_feature_store_spark.operators.asof import gapfill_locf
+
+    ev = load(spark, sf, "events").where(F.col("user_id") < 30)
+    out = gapfill_locf(ev, ["user_id"], "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "bucket_value",
+        "filled_value",
+        "is_gap",
+    )
+
+
+@q(
     "stats_hll_distinct",
     """
     SELECT source,

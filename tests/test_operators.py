@@ -1501,3 +1501,37 @@ def test_cosine_topk_gemm_empty_queries_raises(spark):
         cosine_topk_gemm(df, df.where("vec_id < 0").selectExpr(
             "vec_id AS query_id", "embedding"
         ))
+
+
+# -- gapfill_locf ------------------------------------------------------------
+
+
+def test_gapfill_locf_fills_gaps_and_carries_forward(spark):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.operators.asof import gapfill_locf
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2026, 1, 1, 0, 10), 1.0),
+            ("a", datetime(2026, 1, 1, 0, 50), 2.0),   # same bucket as above
+            ("a", datetime(2026, 1, 1, 3, 5), 7.0),    # hours 1-2 are gaps
+            ("b", datetime(2026, 1, 1, 5, 0), 4.0),    # single observation
+        ],
+        "k string, ts timestamp, v double",
+    )
+    rows = {
+        (r["k"], str(r["bucket"])): r
+        for r in gapfill_locf(df, ["k"], "ts", "v").collect()
+    }
+    # a: grid 00..03 -> 4 rows; b: 1 row
+    assert len(rows) == 5
+    r0 = rows[("a", "2026-01-01 00:00:00")]
+    assert r0["bucket_value"] == 3.0 and r0["is_gap"] == 0
+    r1 = rows[("a", "2026-01-01 01:00:00")]
+    assert r1["bucket_value"] is None and r1["is_gap"] == 1
+    assert r1["filled_value"] == 3.0  # carried forward
+    r3 = rows[("a", "2026-01-01 03:00:00")]
+    assert r3["bucket_value"] == 7.0 and r3["filled_value"] == 7.0
+    rb = rows[("b", "2026-01-01 05:00:00")]
+    assert rb["bucket_value"] == 4.0 and rb["is_gap"] == 0
