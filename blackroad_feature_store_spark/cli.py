@@ -124,6 +124,7 @@ def cmd_changes(args, store: FeatureStore) -> None:
         since_version=args.since,
         to_version=args.to_version,
         group_id=args.group,
+        include_deletes=args.include_deletes,
     )
     rows = feed.orderBy("_commit_version", "timestamp", "entity_id").collect()
     if not rows:
@@ -133,9 +134,13 @@ def cmd_changes(args, store: FeatureStore) -> None:
         values = {
             k: decode_value(v) for k, v in (r["feature_values"] or {}).items()
         }
+        tag = (
+            f"  [{r['_change_type']}]" if args.include_deletes else ""
+        )
         print(
             f"v{r['_commit_version']}  {r['entity_id']}  "
-            f"{r['timestamp'].isoformat()}  {json.dumps(values, sort_keys=True)}"
+            f"{r['timestamp'].isoformat()}  "
+            f"{json.dumps(values, sort_keys=True)}{tag}"
         )
 
 
@@ -334,6 +339,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="inclusive upper version (default: latest)",
     )
     p.add_argument("--group", default=None, help="restrict to one group id")
+    p.add_argument(
+        "--include-deletes", action="store_true",
+        help="also surface rows removed by delete-entity commits "
+             "(adds a _change_type column)",
+    )
     p.set_defaults(func=cmd_changes)
 
     p = sub.add_parser(

@@ -4292,6 +4292,59 @@ def store_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "store_changes_deletes",
+    """
+    WITH sel AS (SELECT o_orderkey, o_orderdate FROM orders
+                 WHERE o_orderkey % 50 = 0),
+    m AS (SELECT min(o_orderkey) AS victim FROM sel)
+    SELECT CAST(o_orderkey AS VARCHAR) AS entity_id,
+           'insert' AS _change_type,
+           0 AS _commit_version
+    FROM sel
+    UNION ALL
+    SELECT CAST(victim AS VARCHAR), 'delete', 1 FROM m
+    """,
+)
+def store_changes_deletes(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete-stream certification
+    (`store.py::records_changes(include_deletes=True)`): one append
+    commit (v0), then a GDPR-style ``delete_entity_records`` of the
+    lowest entity (v1 — a rewrite commit). The full-history feed must
+    surface every v0 row tagged 'insert' AND exactly the erased
+    entity's row tagged 'delete' with the rewrite's commit version —
+    computed as removed-files minus added-files on the record id, cost
+    ∝ the rewritten partition. This is Delta CDF's delete stream: the
+    signal a downstream index/cache needs to retract rows without
+    diffing snapshots."""
+    from blackroad_feature_store_spark.store import FeatureStore
+
+    fs = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_cdfdel_"))
+    fs.register_feature("totalprice", "order", "float")
+    g = fs.create_group("orders_cdf_del", ["totalprice"], "order_id")
+    enc = lambda c: F.regexp_extract(  # noqa: E731 — JSON-cell encoder
+        F.to_json(F.struct(F.col(c).alias("v")), {"ignoreNullFields": "false"}),
+        r'^\{"v":(.*)\}$',
+        1,
+    )
+    sel = load(spark, sf, "orders").where(F.col("o_orderkey") % 50 == 0)
+    recs = sel.select(
+        F.expr("uuid()").alias("id"),
+        F.lit(g.id).alias("group_id"),
+        F.col("o_orderkey").cast("string").alias("entity_id"),
+        F.map_from_arrays(
+            F.array(F.lit("totalprice")), F.array(enc("o_totalprice"))
+        ).alias("feature_values"),
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        F.lit(1).alias("version"),
+    )
+    fs.write_records_df(recs)
+    victim = str(sel.agg(F.min("o_orderkey")).collect()[0][0])
+    fs.delete_entity_records(g.id, victim)
+    feed = fs.records_changes(since_version=-1, include_deletes=True)
+    return feed.select("entity_id", "_change_type", "_commit_version")
+
+
+@q(
     "store_mv_incremental",
     """
     SELECT CAST(o_custkey AS VARCHAR) AS entity_id,

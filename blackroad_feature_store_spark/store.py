@@ -867,6 +867,7 @@ class FeatureStore:
         since_version: int,
         to_version: Optional[int] = None,
         group_id: Optional[str] = None,
+        include_deletes: bool = False,
     ) -> DataFrame:
         """Change data feed: every record INSERTED by commits in
         ``(since_version, to_version]`` — the incremental-consumption
@@ -880,11 +881,20 @@ class FeatureStore:
         makes daily incremental dedup/training-set refresh viable at
         100 TB. Each row carries ``_commit_version``. Only insert
         commits contribute; compaction and delete rewrites re-add
-        pre-existing rows and are skipped (deletions are not surfaced —
-        diff two versioned reads for that). A file already superseded
+        pre-existing rows and are skipped. A file already superseded
         by compaction still serves the feed until vacuum physically
         reclaims it, at which point the feed raises a clear
         horizon error instead of a scan failure.
+
+        ``include_deletes=True`` adds a ``_change_type`` column
+        ('insert' / 'delete') and surfaces the rows REMOVED by
+        ``delete-entity`` commits in the range (Delta CDF's delete
+        stream): per delete commit, removed-files minus added-files
+        anti-joined on the record ``id`` — cost ∝ the rewritten
+        partition, and only while the pre-delete files survive vacuum
+        (below the horizon the same re-baseline error raises).
+        Compaction commits never emit either way: their file churn is
+        row-preserving by construction.
         """
         vs = self._log.versions()
         latest = vs[-1] if vs else None
@@ -895,9 +905,14 @@ class FeatureStore:
                 # Empty store + full-history cursor: an empty feed, not
                 # an error — the cursor value is valid.
                 empty = self.spark.createDataFrame([], RECORDS_SCHEMA)
-                return empty.withColumn(
+                empty = empty.withColumn(
                     "_commit_version", F.lit(None).cast("int")
                 )
+                if include_deletes:
+                    empty = empty.withColumn(
+                        "_change_type", F.lit(None).cast("string")
+                    )
+                return empty
             raise ValueError(
                 f"Record-table version {since_version} does not exist "
                 f"(latest: {latest})"
@@ -913,21 +928,14 @@ class FeatureStore:
                 f"(latest: {latest})"
             )
         prefix = f"group_id={group_id}/" if group_id is not None else ""
-        parts: list[DataFrame] = []
-        for v in vs:
-            if not (since_version < v <= to_version):
-                continue
-            m = self._log.read(v)
-            if m.get("op") not in self._INSERT_OPS:
-                continue
+
+        def _paths(entries) -> list[str]:
             files = [
-                (f if isinstance(f, str) else f["path"])
-                for f in m.get("add", ())
+                (f if isinstance(f, str) else f["path"]) for f in entries
             ]
-            if prefix:
-                files = [f for f in files if f.startswith(prefix)]
-            if not files:
-                continue
+            return [f for f in files if f.startswith(prefix)] if prefix else files
+
+        def _check_horizon(files: list[str], v: int, verb: str) -> None:
             missing = [
                 f
                 for f in files
@@ -936,22 +944,60 @@ class FeatureStore:
             if missing:
                 raise ValueError(
                     f"Change feed since version {since_version} is below "
-                    f"the vacuum horizon: {len(missing)} file(s) added by "
+                    f"the vacuum horizon: {len(missing)} file(s) {verb} by "
                     f"version {v} were physically reclaimed (first: "
                     f"{missing[0]!r}). Re-baseline from a snapshot read."
                 )
-            part = (
+
+        def _read(files: list[str]) -> DataFrame:
+            return (
                 self.spark.read.schema(RECORDS_SCHEMA)
                 .option("basePath", self._records_path)
                 .parquet(
                     *(os.path.join(self._records_path, f) for f in files)
                 )
-                .withColumn("_commit_version", F.lit(v))
             )
-            parts.append(part)
+
+        parts: list[DataFrame] = []
+        for v in vs:
+            if not (since_version < v <= to_version):
+                continue
+            m = self._log.read(v)
+            op = m.get("op")
+            if op in self._INSERT_OPS:
+                files = _paths(m.get("add", ()))
+                if not files:
+                    continue
+                _check_horizon(files, v, "added")
+                part = _read(files).withColumn("_commit_version", F.lit(v))
+                if include_deletes:
+                    part = part.withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                parts.append(part)
+            elif include_deletes and op == "delete-entity":
+                removed = _paths(m.get("remove", ()))
+                if not removed:
+                    continue
+                added = _paths(m.get("add", ()))
+                _check_horizon(removed, v, "removed")
+                _check_horizon(added, v, "added")
+                old = _read(removed)
+                if added:
+                    survivors = _read(added).select("id")
+                    old = old.join(survivors, "id", "left_anti")
+                parts.append(
+                    old.withColumn("_commit_version", F.lit(v)).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
         if not parts:
             empty = self.spark.createDataFrame([], RECORDS_SCHEMA)
             out = empty.withColumn("_commit_version", F.lit(None).cast("int"))
+            if include_deletes:
+                out = out.withColumn(
+                    "_change_type", F.lit(None).cast("string")
+                )
         else:
             out = parts[0]
             for p in parts[1:]:

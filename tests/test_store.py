@@ -1420,3 +1420,74 @@ def test_zorder_vs_linear_clustering_on_second_dimension(store_with_group):
         store.records_df(g.id, ts_lte=datetime(2026, 3, 2)).inputFiles()
     )
     assert 0 < len(z_ts) < len(all_z)
+
+
+def test_records_changes_include_deletes_surfaces_removed_rows(
+    store_with_group,
+):
+    store, g = store_with_group
+    _write_batch(store, g.id, "a", 3, 1)                   # v0: a0 a1 a2
+    _write_batch(store, g.id, "b", 2, 2)                   # v1: b0 b1
+    store.delete_entity_records(g.id, "a1")                # v2: rewrite
+    feed = store.records_changes(since_version=-1, include_deletes=True)
+    rows = feed.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type["insert"]) == 5
+    deletes = by_type["delete"]
+    assert [r["entity_id"] for r in deletes] == ["a1"]
+    assert deletes[0]["_commit_version"] == 2
+    # Without the flag the schema and content are unchanged (5 inserts,
+    # no _change_type column).
+    plain = store.records_changes(since_version=-1)
+    assert "_change_type" not in plain.columns
+    assert plain.count() == 5
+
+
+def test_records_changes_include_deletes_remove_only_commit(
+    store_with_group,
+):
+    """Deleting the LAST entity in a partition commits remove-only
+    (no rewrite files) — every removed row must surface as a delete."""
+    store, g = store_with_group
+    _write_batch(store, g.id, "solo", 2, 1)
+    store.delete_entity_records(g.id, "solo0")
+    store.delete_entity_records(g.id, "solo1")  # partition now empty
+    feed = store.records_changes(since_version=-1, include_deletes=True)
+    deletes = sorted(
+        r["entity_id"]
+        for r in feed.where("_change_type = 'delete'").collect()
+    )
+    assert deletes == ["solo0", "solo1"]
+
+
+def test_records_changes_include_deletes_skips_compaction(store_with_group):
+    store, g = store_with_group
+    _write_batch(store, g.id, "a", 3, 1)
+    _write_batch(store, g.id, "b", 3, 2)
+    cursor = store.current_version
+    store.compact_records(g.id, target_rows_per_file=10)
+    feed = store.records_changes(
+        since_version=cursor, include_deletes=True
+    )
+    # Compaction preserves rows: no inserts, no deletes.
+    assert feed.count() == 0
+
+
+def test_records_changes_deletes_below_vacuum_horizon_raise(
+    store_with_group,
+):
+    store, g = store_with_group
+    _write_batch(store, g.id, "a", 3, 1)
+    store.delete_entity_records(g.id, "a0")
+    _write_batch(store, g.id, "b", 2, 2)
+    _write_batch(store, g.id, "c", 2, 3)
+    _write_batch(store, g.id, "d", 2, 4)
+    store.vacuum(retain_versions=2, orphan_grace_seconds=0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuum horizon"):
+        store.records_changes(
+            since_version=-1, include_deletes=True
+        ).count()
