@@ -115,6 +115,19 @@ HEADLINE = [
     "dedup_semantic",
     "tpch_q8_market_share",
     "tpch_q16_supplier_count",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_modes",
+    "tpch_q20_part_promotion",
+    "pipeline_dup_spans",
+    "source_orc_roundtrip",
+    "source_text_roundtrip",
+    "core_bucketed_join",
+    "stats_hll_distinct",
+    "sim_cosine_topk_gemm",
+    "pipeline_split_leakage",
+    "core_gapfill_locf",
+    "store_changes_deletes",
 ]
 
 

@@ -406,3 +406,110 @@ def duplicated_ngram_spans(
             ),
         ).alias("dup_frac"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The rewrite half of span-level dedup (Lee et al. 2021 §4:
+    remove all but ONE occurrence of every duplicated token span,
+    rather than dropping whole documents): for each word ``n``-gram
+    occurring more than once in the corpus (cross- OR within-document),
+    the first occurrence by (doc, position) survives; every token
+    covered only by non-surviving duplicated windows is deleted and
+    each document's text is reassembled from its remaining tokens.
+
+    Returns ``(id_col, text, n_tokens, n_removed)`` — one row per
+    input document (``text`` may become empty for pure-boilerplate
+    docs; whitespace is normalized to single spaces by reassembly, and
+    matching is case-insensitive while reassembly preserves original
+    token casing).
+
+    Scale shape: same single gram shuffle as
+    :func:`duplicated_ngram_spans` (window count + first-occurrence
+    over ``partitionBy(gram)``), then the drop set explodes only the
+    REMOVED windows' positions and the rebuild is one
+    sort-within-group aggregation per document. No all-pairs step
+    anywhere.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__nt", F.size("__t")
+    )
+    low = F.transform(F.col("__t"), lambda x: F.lower(x))
+    grams = (
+        base.where(F.col("__nt") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nt") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(low, i, n)),
+                )
+            ).alias("__pos", "__gram"),
+        )
+        .select(
+            id_col,
+            (F.col("__pos") + 1).alias("__start"),
+            (F.col("__pos") + n).alias("__end"),
+            "__gram",
+        )
+    )
+    wg = Window.partitionBy("__gram")
+    marked = grams.select(
+        id_col,
+        "__start",
+        "__end",
+        (F.count(F.lit(1)).over(wg) >= 2).alias("__dup"),
+        (
+            F.min(F.struct(F.col(id_col), F.col("__start"))).over(wg)
+            == F.struct(F.col(id_col), F.col("__start"))
+        ).alias("__keeper"),
+    )
+    drop_pos = (
+        marked.where(F.col("__dup") & ~F.col("__keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__end"))
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    exploded = base.select(
+        id_col,
+        "__nt",
+        F.posexplode("__t").alias("__pos0", "__tok"),
+    ).select(
+        id_col, "__nt", (F.col("__pos0") + 1).alias("__p"), "__tok"
+    )
+    kept = exploded.join(drop_pos, [id_col, "__p"], "left_anti")
+    rebuilt = kept.groupBy(id_col, "__nt").agg(
+        F.count(F.lit(1)).alias("__kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return (
+        base.select(id_col, "__nt")
+        .join(rebuilt.drop("__nt"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("__nt").alias("n_tokens"),
+            (F.col("__nt") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

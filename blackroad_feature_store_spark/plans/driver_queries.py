@@ -3912,6 +3912,70 @@ def core_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "pipeline_span_removal",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+    grams AS (
+        SELECT doc_id, i AS start, i + 4 AS fin,
+               array_to_string(
+                   list_transform(list_slice(t, i, i + 4),
+                                  x -> lower(x)), ' ') AS gram
+        FROM sized, UNNEST(range(1, nt - 3)) AS u(i)
+        WHERE nt >= 5),
+    marked AS (
+        SELECT doc_id, start, fin,
+               count(*) OVER (PARTITION BY gram) >= 2 AS dup,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, start) = 1 AS keeper
+        FROM grams),
+    dropp AS (
+        SELECT DISTINCT doc_id, p
+        FROM marked, UNNEST(range(start, fin + 1)) AS v(p)
+        WHERE dup AND NOT keeper),
+    tokrows AS (
+        SELECT doc_id, u.p, t[u.p] AS tok
+        FROM sized, UNNEST(range(1, nt + 1)) AS u(p)),
+    kept AS (
+        SELECT k.doc_id, k.p, k.tok FROM tokrows k
+        ANTI JOIN dropp d ON k.doc_id = d.doc_id AND k.p = d.p),
+    reb AS (
+        SELECT doc_id, count(*) AS kept_n,
+               string_agg(tok, ' ' ORDER BY p) AS text
+        FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, md5(COALESCE(r.text, '')) AS text_md5,
+           s.nt AS n_tokens,
+           s.nt - COALESCE(r.kept_n, 0) AS n_removed
+    FROM sized s LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def pipeline_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """The rewrite half of span dedup
+    (`operators/corpus.py::remove_duplicated_spans` — Lee et al. 2021
+    remove-all-but-one): every duplicated 5-gram keeps its first
+    (doc, position) occurrence, covered tokens elsewhere are deleted,
+    documents reassembled in token order. The oracle replays keeper
+    selection and reassembly exactly; text is md5-pinned so the full
+    rewritten corpus round-trips through the value hash."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        remove_duplicated_spans,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    out = remove_duplicated_spans(docs, n=5)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_tokens",
+        "n_removed",
+    )
+
+
 _SQL_SOURCE_ROUNDTRIP = """
     SELECT lang,
            count(*) AS n_docs,

@@ -1535,3 +1535,44 @@ def test_gapfill_locf_fills_gaps_and_carries_forward(spark):
     assert r3["bucket_value"] == 7.0 and r3["filled_value"] == 7.0
     rb = rows[("b", "2026-01-01 05:00:00")]
     assert rb["bucket_value"] == 4.0 and rb["is_gap"] == 0
+
+
+def test_remove_duplicated_spans_keeps_first_occurrence(spark):
+    from blackroad_feature_store_spark.operators.corpus import (
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f x y z"),        # first occurrence: kept
+            (2, "p q a b c d e f r"),        # copy removed
+            (3, "unique words only here nothing shared"),
+            (4, "a b c d e"),                # whole doc is a dup gram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(df, n=5).collect()
+    }
+    assert out[1]["text"] == "a b c d e f x y z"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "p q r" and out[2]["n_removed"] == 6
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 5
+
+
+def test_remove_duplicated_spans_within_doc_and_case(spark):
+    from blackroad_feature_store_spark.operators.corpus import (
+        remove_duplicated_spans,
+    )
+
+    # Within-doc repeat: second occurrence removed, first kept.
+    # Case-insensitive matching, original casing preserved on keep.
+    df = spark.createDataFrame(
+        [(1, "A B C D E gap a b c d e")],
+        ["doc_id", "text"],
+    )
+    r = remove_duplicated_spans(df, n=5).collect()[0]
+    assert r["text"] == "A B C D E gap"
+    assert r["n_removed"] == 5
