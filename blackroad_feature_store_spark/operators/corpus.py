@@ -513,3 +513,83 @@ def remove_duplicated_spans(
             .alias("n_removed"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the
+    perplexity-proxy quality filter (CCNet/Gopher filter documents
+    whose LM score says "not like the reference corpus"; here the
+    corpus itself is the model, so the score reads as typicality:
+    boilerplate scores high, gibberish low).
+
+    Model: add-one-smoothed bigram MLE over lowercase alpha tokens,
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with ``V`` = number of
+    distinct first-tokens. Per document: ``n_bigrams`` and
+    ``avg_logprob`` (mean natural log probability; higher = more
+    typical of the corpus).
+
+    Cross-engine determinism: each bigram's log-prob is rounded to 6
+    decimals FIRST and the per-document mean then accumulates in exact
+    DECIMAL, so partial-aggregation order cannot move the result (a
+    raw double sum of logs would hash-differ between engines).
+
+    Scale shape: two count aggregations (bigram and unigram tables,
+    both map-side combinable, vocabulary-sized results), V as a window
+    over the already-aggregated unigram frame, one join of the bigram
+    stream against each count table (vocab tables broadcast when small,
+    sort-merge at web scale — the standard LM-counting topology), one
+    final per-document aggregation.
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__nt", F.size("__t")
+    )
+    bi = base.where(F.col("__nt") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__nt") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("w1"),
+                    F.element_at(F.col("__t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    c1 = c1.withColumn(
+        "__v", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    lp = F.round(
+        F.log(
+            (F.col("__c12") + 1)
+            / (F.col("__c1") + F.col("__v")).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(id_col, lp.alias("__lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        # exact decimal sum -> double -> divide: decimal DIVISION
+        # scales differ across engines, double division does not
+        F.round(
+            F.sum("__lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )
+    return base.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_logprob",
+    )

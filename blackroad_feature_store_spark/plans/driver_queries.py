@@ -3913,6 +3913,54 @@ def core_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                   x -> x <> '') AS t
+        FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+    bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM sized, UNNEST(range(1, nt)) AS u(i)
+           WHERE nt >= 2),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT count(*) AS v FROM c1),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln((c12.c12 + 1)
+                             / CAST(c1.c1 + v.v AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        CROSS JOIN v),
+    per AS (SELECT doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(lp) AS DOUBLE) / count(*), 6)
+                       AS avg_logprob
+            FROM scored GROUP BY 1)
+    SELECT s.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           p.avg_logprob
+    FROM sized s LEFT JOIN per p USING (doc_id)
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-proxy quality scoring
+    (`operators/corpus.py::bigram_logprob` — the CCNet-style LM
+    filter): corpus-trained add-one bigram model, per-document mean
+    log-probability. Each bigram's log-prob is rounded BEFORE the
+    decimal per-doc accumulation, so the only cross-engine float op is
+    a single ln per distinct bigram — partial-agg order can't move
+    the hash."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        bigram_logprob,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return bigram_logprob(docs)
+
+
+@q(
     "pipeline_span_removal",
     """
     WITH toks AS (

@@ -1576,3 +1576,33 @@ def test_remove_duplicated_spans_within_doc_and_case(spark):
     r = remove_duplicated_spans(df, n=5).collect()[0]
     assert r["text"] == "A B C D E gap"
     assert r["n_removed"] == 5
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from blackroad_feature_store_spark.operators.corpus import bigram_logprob
+
+    # Corpus: bigrams (x,y) and (x,z). c1(x)=2, V=1 (distinct first
+    # tokens = {x}), each c12=1 -> p = (1+1)/(2+1) = 2/3.
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x z"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    expect = round(math.log(2.0 / 3.0), 6)
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["avg_logprob"] == pytest.approx(expect, abs=1e-9)
+    assert out[2]["avg_logprob"] == pytest.approx(expect, abs=1e-9)
+    # fewer than 2 tokens -> no bigrams, NULL score, row still present
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
+
+
+def test_bigram_logprob_boilerplate_scores_higher(spark):
+    from blackroad_feature_store_spark.operators.corpus import bigram_logprob
+
+    rows = [(i, "the quick brown fox jumps") for i in range(8)]
+    rows.append((99, "zq xv qk vj wq"))  # gibberish: unseen bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(df).collect()}
+    assert out[0] > out[99]  # typical text above gibberish
