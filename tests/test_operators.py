@@ -1606,3 +1606,93 @@ def test_bigram_logprob_boilerplate_scores_higher(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(df).collect()}
     assert out[0] > out[99]  # typical text above gibberish
+
+
+def test_dup_ngram_spans_random_corpora_match_brute_force(spark):
+    """Randomized parity: operator output == a pure-Python reference
+    on small random corpora (tiny alphabet so collisions actually
+    happen). Deterministic seeds — no flakes."""
+    import random
+
+    from blackroad_feature_store_spark.operators.corpus import (
+        duplicated_ngram_spans,
+    )
+
+    N = 3
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        docs = [
+            (
+                d,
+                " ".join(
+                    rng.choice("abcde") for _ in range(rng.randint(1, 14))
+                ),
+            )
+            for d in range(8)
+        ]
+
+        # brute force
+        toks = {d: t.split() for d, t in docs}
+        occ = {}
+        for d, ts in toks.items():
+            for i in range(len(ts) - N + 1):
+                occ.setdefault(tuple(ts[i : i + N]), []).append((d, i))
+        covered = {d: set() for d in toks}
+        for gram, sites in occ.items():
+            if len({d for d, _ in sites}) >= 2:
+                for d, i in sites:
+                    covered[d].update(range(i, i + N))
+        want = {
+            d: (len(ts), len(covered[d])) for d, ts in toks.items()
+        }
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+            for r in duplicated_ngram_spans(df, n=N).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_remove_duplicated_spans_random_corpora_match_brute_force(spark):
+    import random
+
+    from blackroad_feature_store_spark.operators.corpus import (
+        remove_duplicated_spans,
+    )
+
+    N = 3
+    for seed in (2, 11):
+        rng = random.Random(seed)
+        docs = [
+            (
+                d,
+                " ".join(
+                    rng.choice("abc") for _ in range(rng.randint(1, 12))
+                ),
+            )
+            for d in range(6)
+        ]
+        toks = {d: t.split() for d, t in docs}
+        occ = {}
+        for d, ts in toks.items():
+            for i in range(len(ts) - N + 1):
+                occ.setdefault(tuple(ts[i : i + N]), []).append((d, i))
+        drop = {d: set() for d in toks}
+        for gram, sites in occ.items():
+            if len(sites) >= 2:
+                for d, i in sorted(sites)[1:]:  # keeper = first (doc, pos)
+                    drop[d].update(range(i, i + N))
+        want = {
+            d: " ".join(
+                t for i, t in enumerate(ts) if i not in drop[d]
+            )
+            for d, ts in toks.items()
+        }
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_duplicated_spans(df, n=N).collect()
+        }
+        assert got == want, f"seed {seed}"
