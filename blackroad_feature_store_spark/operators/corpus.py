@@ -568,13 +568,19 @@ def bigram_logprob(
     c1 = c1.withColumn(
         "__v", F.count(F.lit(1)).over(Window.partitionBy())
     )
+    # ln() is the one transcendental in the engine's oracle surface:
+    # libm implementations differ in the last ulp, so a 6dp rounding
+    # can flip on a boundary (observed: 2/5000 docs at sf0.1).
+    # Quantizing at 4dp shrinks the flip window 100x while keeping
+    # far more resolution than a quality threshold needs; the per-doc
+    # mean then accumulates exactly in DECIMAL.
     lp = F.round(
         F.log(
             (F.col("__c12") + 1)
             / (F.col("__c1") + F.col("__v")).cast("double")
         ),
-        6,
-    ).cast("decimal(18,6)")
+        4,
+    ).cast("decimal(18,4)")
     scored = (
         bi.join(c12, ["w1", "w2"])
         .join(c1, "w1")

@@ -3931,8 +3931,8 @@ def core_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     scored AS (
         SELECT b.doc_id,
                CAST(round(ln((c12.c12 + 1)
-                             / CAST(c1.c1 + v.v AS DOUBLE)), 6)
-                    AS DECIMAL(18,6)) AS lp
+                             / CAST(c1.c1 + v.v AS DOUBLE)), 4)
+                    AS DECIMAL(18,4)) AS lp
         FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         CROSS JOIN v),
     per AS (SELECT doc_id, count(*) AS n_bigrams,

@@ -1590,7 +1590,7 @@ def test_bigram_logprob_hand_computed(spark):
         ["doc_id", "text"],
     )
     out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
-    expect = round(math.log(2.0 / 3.0), 6)
+    expect = round(math.log(2.0 / 3.0), 4)
     assert out[1]["n_bigrams"] == 1
     assert out[1]["avg_logprob"] == pytest.approx(expect, abs=1e-9)
     assert out[2]["avg_logprob"] == pytest.approx(expect, abs=1e-9)
