@@ -1696,3 +1696,50 @@ def test_remove_duplicated_spans_random_corpora_match_brute_force(spark):
             for r in remove_duplicated_spans(df, n=N).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+# -- observe-based quality metrics ------------------------------------------
+
+
+def test_observe_quality_matches_direct_aggregates(spark):
+    from blackroad_feature_store_spark.operators.quality import (
+        observe_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (4, None), (5, 2.0)],
+        "id long, price double",
+    )
+    observed, obs = observe_quality(
+        df,
+        null_cols=["price"],
+        constraints={"neg_price": F.col("price") < 0},
+    )
+    # Rows unchanged; metrics ride the same action.
+    out = observed.where("id != 99").collect()
+    assert len(out) == 5
+    got = obs.get
+    assert got["n_rows"] == 5
+    assert got["null_price"] == 2
+    assert got["neg_price"] == 1
+
+
+def test_observe_quality_rides_downstream_plan_without_extra_scan(spark):
+    from blackroad_feature_store_spark.operators.quality import (
+        observe_quality,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    observed, obs = observe_quality(
+        docs,
+        null_cols=["lang"],
+        constraints={"empty_text": F.length("text") == 0},
+    )
+    # Build a real aggregation ON TOP of the observed frame: the
+    # metrics must be computed by that same job.
+    agg = observed.groupBy("source").count().collect()
+    assert len(agg) > 0
+    got = obs.get
+    assert got["n_rows"] == docs.count()
+    assert got["empty_text"] == 0
