@@ -52,13 +52,22 @@ def observe_quality(
     null_cols: list[str] | None = None,
     constraints: Mapping[str, Column] | None = None,
     name: str = "quality",
-) -> tuple[DataFrame, Observation]:
+) -> tuple[DataFrame, Observation | None]:
     """Attach quality metrics to ``df``'s plan without changing its
-    rows. Returns ``(observed_df, observation)`` — run any action on
+    rows.
+
+    Batch: returns ``(observed_df, observation)`` — run any action on
     ``observed_df`` (or anything built on it), then read
     ``observation.get`` for the metric dict. One scan, two outputs.
+
+    Streaming: ``Observation`` objects are batch-only, so the metrics
+    are registered under ``name`` instead (second element is None) and
+    arrive per micro-batch in
+    ``StreamingQueryProgress.observedMetrics[name]``.
     """
-    obs = Observation(name)
     metrics = quality_checks(df, null_cols, constraints)
+    if df.isStreaming:
+        return df.observe(name, *metrics.values()), None
+    obs = Observation(name)
     observed = df.observe(obs, *metrics.values())
     return observed, obs

@@ -513,3 +513,55 @@ def test_drain_and_stop_propagates_stream_failure(spark, tmp_path):
     )
     with pytest.raises(Exception):
         drain_and_stop(q, timeout=120)
+
+
+def test_observe_quality_metrics_per_microbatch(spark, tmp_path):
+    """`observe_quality` on a STREAMING frame: the metrics arrive in
+    every micro-batch's StreamingQueryProgress.observedMetrics — the
+    live data-quality hook, costing the stream no extra pass."""
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.operators.quality import (
+        observe_quality,
+    )
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -4.0), (4, 2.0)],
+        "id long, price double",
+    ).write.parquet(src_dir)
+
+    stream = spark.readStream.schema("id long, price double").parquet(
+        src_dir
+    )
+    observed, _obs = observe_quality(
+        stream,
+        null_cols=["price"],
+        constraints={"neg_price": F.col("price") < 0},
+        name="stream_quality",
+    )
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("obs_sink")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt_obs")
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    # Collect observed metrics across all progress reports.
+    metrics = {}
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if isinstance(p, dict) else None
+        if om and "stream_quality" in om:
+            m = om["stream_quality"]
+            metrics["n_rows"] = metrics.get("n_rows", 0) + m["n_rows"]
+            metrics["null_price"] = (
+                metrics.get("null_price", 0) + m["null_price"]
+            )
+            metrics["neg_price"] = (
+                metrics.get("neg_price", 0) + m["neg_price"]
+            )
+    assert metrics == {"n_rows": 4, "null_price": 1, "neg_price": 1}
+    assert spark.table("obs_sink").count() == 4
