@@ -1282,6 +1282,38 @@ class FeatureStore:
         self._stage_and_commit(rewritten, op="compact", remove=old_files)
         return n
 
+    def maybe_compact(
+        self,
+        group_id: Optional[str] = None,
+        max_files: int = 64,
+        target_rows_per_file: int = 1_000_000,
+        cluster_by: Optional[list[str]] = None,
+        zorder: bool = False,
+    ) -> int:
+        """Policy-gated compaction: rewrite only when the live file
+        count (for the group's partition, or the whole log) exceeds
+        ``max_files`` — the auto-OPTIMIZE loop an ingest pipeline calls
+        after each batch without thinking about it. The trigger check
+        is driver-side from the commit log alone (no file listing, no
+        scan), so calling it every batch costs nothing until it fires.
+        Returns rows compacted, or 0 when below threshold.
+        """
+        v = self._log.latest_version()
+        if v is None:
+            return 0
+        files = self._log.live_files(v)
+        if group_id is not None:
+            prefix = f"group_id={group_id}/"
+            files = [f for f in files if f.startswith(prefix)]
+        if len(files) <= max_files:
+            return 0
+        return self.compact_records(
+            group_id,
+            target_rows_per_file=target_rows_per_file,
+            cluster_by=cluster_by,
+            zorder=zorder,
+        )
+
     def delete_entity_records(self, group_id: str, entity_id: str) -> int:
         """Physically remove every record of one entity from a group's
         partition — the right-to-erasure path an append-only log still

@@ -1491,3 +1491,26 @@ def test_records_changes_deletes_below_vacuum_horizon_raise(
         store.records_changes(
             since_version=-1, include_deletes=True
         ).count()
+
+
+def test_maybe_compact_fires_only_over_threshold(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    for i in range(5):  # 5 commits -> 5 files
+        store.write_features_batch(
+            [EntityRecord(g.id, f"e{i}", {"age": i}, datetime(2026, 1, 1))]
+        )
+    # Below threshold: no rewrite, no new commit.
+    v_before = store.current_version
+    assert store.maybe_compact(g.id, max_files=8) == 0
+    assert store.current_version == v_before
+    # Over threshold: compacts everything in the partition.
+    assert store.maybe_compact(g.id, max_files=3) == 5
+    assert store.current_version == v_before + 1
+    files = set(store.records_df(g.id).inputFiles())
+    assert len(files) == 1
+    # Data unchanged.
+    assert store.get_features(g.id, "e3") == {"age": 3}
