@@ -128,6 +128,8 @@ HEADLINE = [
     "pipeline_split_leakage",
     "core_gapfill_locf",
     "store_changes_deletes",
+    "pipeline_span_removal",
+    "text_bigram_logprob",
 ]
 
 
