@@ -1743,3 +1743,55 @@ def test_observe_quality_rides_downstream_plan_without_extra_scan(spark):
     got = obs.get
     assert got["n_rows"] == docs.count()
     assert got["empty_text"] == 0
+
+
+def test_gapfill_locf_random_series_match_pandas_resample(spark):
+    """Randomized parity against pandas' own resample('h').sum() +
+    ffill — an independent reference implementation of the same
+    contract. Deterministic seeds."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from blackroad_feature_store_spark.operators.asof import gapfill_locf
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        rows = []
+        for key in ("a", "b", "c"):
+            t0 = datetime(2026, 1, 1)
+            for _ in range(rng.randint(1, 25)):
+                ts = t0 + timedelta(minutes=rng.randint(0, 60 * 72))
+                rows.append((key, ts, float(rng.randint(1, 9))))
+        sdf = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        got = {
+            (r["k"], str(r["bucket"])): (
+                r["bucket_value"],
+                r["filled_value"],
+                r["is_gap"],
+            )
+            for r in gapfill_locf(sdf, ["k"], "ts", "v").collect()
+        }
+
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+        want = {}
+        for key, grp in pdf.groupby("k"):
+            obs = grp.set_index("ts")["v"].resample("h").sum()
+            # pandas fills absent buckets with 0.0 sum; recover gaps
+            # from the observation count per bucket instead
+            counts = grp.set_index("ts")["v"].resample("h").count()
+            lo = grp["ts"].min().floor("h")
+            hi = grp["ts"].max().floor("h")
+            obs = obs[(obs.index >= lo) & (obs.index <= hi)]
+            counts = counts[(counts.index >= lo) & (counts.index <= hi)]
+            vals = obs.where(counts > 0)
+            filled = vals.ffill()
+            for ts_i in vals.index:
+                bv = vals[ts_i]
+                want[(key, str(ts_i))] = (
+                    None if pd.isna(bv) else round(bv, 6),
+                    None if pd.isna(filled[ts_i]) else round(filled[ts_i], 6),
+                    1 if pd.isna(bv) else 0,
+                )
+        assert got == want, f"seed {seed}"
