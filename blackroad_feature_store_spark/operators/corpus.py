@@ -599,3 +599,120 @@ def bigram_logprob(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "avg_logprob",
     )
+
+
+def _bigram_stream(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, w1, w2) bigram stream over lowercase alpha tokens — the
+    shared tokenization of bigram_logprob and dsir_select."""
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "
+        ),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__nt", F.size("__t")
+    )
+    return base.where(F.col("__nt") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__nt") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("w1"),
+                    F.element_at(F.col("__t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(
+        id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    pick the ``k`` corpus documents whose n-gram distribution looks
+    most like a small high-quality ``target`` set. Importance weight =
+    mean bigram log-likelihood under the TARGET model minus under the
+    CORPUS model (length-normalized log ratio; DSIR's hashed-n-gram
+    features specialized to bigrams); selection is deterministic
+    top-k (weight desc, id) rather than Gumbel resampling, so the
+    result is reproducible and oracle-checkable.
+
+    Both models are add-one-smoothed bigram MLEs (see
+    :func:`bigram_logprob`); bigrams/first-tokens unseen by a model
+    fall back to its smoothing floor ``1/(0+V)``. Per-bigram log-probs
+    are quantized at 4dp before exact DECIMAL accumulation (the ln
+    libm-ulp discipline), and the final top-k lowers to Spark's
+    distributed TakeOrdered — per-partition top-k then a single merge,
+    never a global sort of the corpus.
+
+    Vocabulary sizes are driver-side scalars (one map-side-combined
+    count over each model's vocab frame — hyperparameter-sized, not a
+    data-path collect).
+    """
+    corpus_bi = _bigram_stream(corpus, id_col, text_col)
+    target_bi = _bigram_stream(target, id_col, text_col)
+
+    def model(bi):
+        c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        v = c1.count()
+        return c12, c1, v
+
+    t12, t1, tv = model(target_bi)
+    s12, s1, sv = model(corpus_bi)
+
+    def lp(c12_col, c1_col, v):
+        return F.round(
+            F.log(
+                (F.coalesce(c12_col, F.lit(0)) + 1)
+                / (F.coalesce(c1_col, F.lit(0)) + F.lit(v)).cast("double")
+            ),
+            4,
+        ).cast("decimal(18,4)")
+
+    scored = (
+        corpus_bi.join(
+            t12.select(
+                F.col("w1"), F.col("w2"), F.col("c12").alias("__t12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(t1.select(F.col("w1"), F.col("c1").alias("__t1")), "w1", "left")
+        .join(
+            s12.select(
+                F.col("w1"), F.col("w2"), F.col("c12").alias("__s12")
+            ),
+            ["w1", "w2"],
+        )
+        .join(s1.select(F.col("w1"), F.col("c1").alias("__s1")), "w1")
+        .select(
+            id_col,
+            lp(F.col("__t12"), F.col("__t1"), tv).alias("__lp_t"),
+            lp(F.col("__s12"), F.col("__s1"), sv).alias("__lp_s"),
+        )
+    )
+    weights = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("__lp_t").cast("double") / F.count(F.lit(1))
+            - F.sum("__lp_s").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("weight"),
+    )
+    return (
+        weights.orderBy(F.desc("weight"), F.col(id_col))
+        .limit(k)
+        .select(id_col, "n_bigrams", "weight")
+    )

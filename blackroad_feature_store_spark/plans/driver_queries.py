@@ -3961,6 +3961,65 @@ def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_dsir_select",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                   x -> x <> '') AS t
+        FROM documents),
+    sized AS (SELECT doc_id, lang, t, len(t) AS nt FROM toks),
+    bi AS (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+           FROM sized, UNNEST(range(1, nt)) AS u(i) WHERE nt >= 2),
+    s12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+    s1 AS (SELECT w1, count(*) AS c FROM bi GROUP BY 1),
+    sv AS (SELECT count(*) AS v FROM s1),
+    tbi AS (SELECT * FROM bi WHERE lang = 'en'),
+    t12 AS (SELECT w1, w2, count(*) AS c FROM tbi GROUP BY 1, 2),
+    t1 AS (SELECT w1, count(*) AS c FROM tbi GROUP BY 1),
+    tv AS (SELECT count(*) AS v FROM t1),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln((COALESCE(t12.c, 0) + 1)
+                             / CAST(COALESCE(t1.c, 0) + tv.v AS DOUBLE)),
+                          4) AS DECIMAL(18,4)) AS lpt,
+               CAST(round(ln((s12.c + 1)
+                             / CAST(s1.c + sv.v AS DOUBLE)),
+                          4) AS DECIMAL(18,4)) AS lps
+        FROM bi b
+        LEFT JOIN t12 ON b.w1 = t12.w1 AND b.w2 = t12.w2
+        LEFT JOIN t1 ON b.w1 = t1.w1
+        JOIN s12 ON b.w1 = s12.w1 AND b.w2 = s12.w2
+        JOIN s1 ON b.w1 = s1.w1
+        CROSS JOIN tv CROSS JOIN sv),
+    w AS (SELECT doc_id, count(*) AS n_bigrams,
+                 round(CAST(sum(lpt) AS DOUBLE) / count(*)
+                       - CAST(sum(lps) AS DOUBLE) / count(*), 6)
+                     AS weight
+          FROM scored GROUP BY 1)
+    SELECT doc_id, n_bigrams, weight FROM w
+    ORDER BY weight DESC, doc_id LIMIT 50
+    """,
+)
+def pipeline_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection
+    (`operators/corpus.py::dsir_select` — Xie et al. 2023): rank the
+    corpus by mean bigram log-likelihood ratio between an
+    English-target model and the corpus model, keep the deterministic
+    top-50. The smoke contract is visible in the result itself: the
+    selected ids should be overwhelmingly the target language's
+    documents. Spark's top-k lowers to distributed TakeOrdered (no
+    global sort); the oracle replays both add-one models and the
+    ratio exactly."""
+    from blackroad_feature_store_spark.operators.corpus import dsir_select
+
+    docs = load(spark, sf, "documents").select("doc_id", "text", "lang")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_select(docs.select("doc_id", "text"), target, k=50)
+
+
+@q(
     "pipeline_span_removal",
     """
     WITH toks AS (

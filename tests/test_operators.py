@@ -1795,3 +1795,37 @@ def test_gapfill_locf_random_series_match_pandas_resample(spark):
                     1 if pd.isna(bv) else 0,
                 )
         assert got == want, f"seed {seed}"
+
+
+def test_dsir_select_prefers_target_like_documents(spark):
+    from blackroad_feature_store_spark.operators.corpus import dsir_select
+
+    # corpus: 6 "english-ish" docs sharing bigrams with the target,
+    # 6 "other" docs; target = 3 more english-ish docs (disjoint ids).
+    eng = "the cat sat on the mat and the dog ran"
+    other = "zork blap quux flim zam borp glarp nix"
+    corpus = spark.createDataFrame(
+        [(i, eng + f" extra{i}") for i in range(6)]
+        + [(10 + i, other + f" extra{i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100 + i, eng) for i in range(3)], ["doc_id", "text"]
+    )
+    top = [r["doc_id"] for r in dsir_select(corpus, target, k=6).collect()]
+    assert sorted(top) == [0, 1, 2, 3, 4, 5]
+
+
+def test_dsir_select_deterministic_and_k_bounded(spark):
+    from blackroad_feature_store_spark.operators.corpus import dsir_select
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i % 4}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(99, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    a = [(r["doc_id"], r["weight"]) for r in dsir_select(corpus, target, 5).collect()]
+    b = [(r["doc_id"], r["weight"]) for r in dsir_select(corpus, target, 5).collect()]
+    assert a == b and len(a) == 5
