@@ -1,0 +1,163 @@
+"""Byte-pair-encoding tokenizer training and encoding.
+
+The division of labor mirrors how BPE is actually trained on web-scale
+corpora (Sennrich et al. 2016; GPT-2's tokenizer pipeline): the corpus
+pass — reducing N documents to a word-frequency dictionary — is the
+100 TB part and runs as ONE Spark aggregation (map-side combinable,
+result is word-TYPE-sized, not token-sized); the merge loop itself
+operates on that dictionary, which fits on the driver by construction
+(a ``min_freq`` floor bounds it — hapax legomena can't influence
+merges anyway). Encoding then returns to Spark: an Arrow-batched
+kernel applies the learned merge ranks per word, with the merge table
+broadcast.
+
+Determinism: pair counting uses exact integers; ties on pair frequency
+break lexicographically, so the merge sequence is a pure function of
+the word-count dictionary (same corpus → same tokenizer, any
+partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus pass: lowercase alpha word frequencies."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(
+                            F.lower(F.col(text_col)), "[^a-z]+", " "
+                        ),
+                        " ",
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 200,
+    min_freq: int = 2,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns the ordered merge list (rank = position). Words rarer than
+    ``min_freq`` are excluded from training (this is what keeps the
+    driver-side dictionary bounded on an unbounded corpus — and
+    matches practice: merges are decided by mass, which rare words
+    don't have).
+    """
+    counts = {
+        r["word"]: r["freq"]
+        for r in word_counts(df, text_col)
+        .where(F.col("freq") >= min_freq)
+        .collect()
+    }
+    # symbol sequences per word, classic BPE
+    seqs: dict[str, tuple[str, ...]] = {
+        w: tuple(w) + (END,) for w in counts
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_freq: dict[tuple[str, str], int] = {}
+        for w, seq in seqs.items():
+            f = counts[w]
+            for a, b in zip(seq, seq[1:]):
+                pair_freq[(a, b)] = pair_freq.get((a, b), 0) + f
+        if not pair_freq:
+            break
+        # deterministic argmax: max frequency, then lexicographic pair
+        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_freq[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        new_seqs = {}
+        for w, seq in seqs.items():
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge application to one word (the
+    standard BPE inference loop)."""
+    seq = list(word) + [END]
+    while len(seq) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(seq, seq[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return seq
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents with a trained merge list: one Arrow-batched
+    kernel, merge table broadcast, output ``(id, tokens array,
+    n_tokens)``. Unseen words fall back to characters — BPE's
+    open-vocabulary property."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(ranks)
+
+    import re
+
+    word_re = re.compile(r"[a-z]+")
+
+    def kernel(batches):
+        r = bc.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            out_ids, out_toks = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for w in word_re.findall(str(text).lower()):
+                    if w not in cache:
+                        cache[w] = encode_word(w, r)
+                    toks.extend(cache[w])
+                out_ids.append(i)
+                out_toks.append(toks)
+            yield pd.DataFrame(
+                {id_col: out_ids, "tokens": out_toks}
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, tokens array<string>"
+    )
+    return out.select(
+        id_col, "tokens", F.size("tokens").alias("n_tokens")
+    )

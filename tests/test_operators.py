@@ -1829,3 +1829,59 @@ def test_dsir_select_deterministic_and_k_bounded(spark):
     a = [(r["doc_id"], r["weight"]) for r in dsir_select(corpus, target, 5).collect()]
     b = [(r["doc_id"], r["weight"]) for r in dsir_select(corpus, target, 5).collect()]
     assert a == b and len(a) == 5
+
+
+# -- BPE tokenizer ----------------------------------------------------------
+
+
+def test_bpe_train_classic_example(spark):
+    """Sennrich et al.'s worked example: corpus {low:5, lower:2,
+    newest:6, widest:3}. With </w> markers the first merges must build
+    'est</w>' (mass 9) before anything from 'low' (mass 7)."""
+    from blackroad_feature_store_spark.operators.bpe import bpe_train
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = bpe_train(df, num_merges=4, min_freq=1)
+    # highest-mass pair first: (e,s) freq 9; then (es,t) 9; then
+    # (est,</w>) 9; then (l,o) 7.
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    assert merges[3] == ("l", "o")
+
+
+def test_bpe_encode_roundtrip_and_open_vocab(spark):
+    from blackroad_feature_store_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "hello hello hello world world")], ["doc_id", "text"]
+    )
+    merges = bpe_train(corpus, num_merges=50, min_freq=1)
+    test = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello unseen")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(test, merges).collect()}
+    # fully-merged known words -> one token each (with </w> folded in)
+    assert out[1]["tokens"] == ["hello</w>", "world</w>"]
+    # unseen word decomposes but never fails, and concatenating its
+    # pieces reconstructs the word + marker (lossless)
+    unseen = [t for t in out[2]["tokens"] if not t.startswith("hello")]
+    assert "".join(unseen) == "unseen</w>"
+
+
+def test_bpe_train_deterministic_across_partitionings(spark):
+    from blackroad_feature_store_spark.operators.bpe import bpe_train
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    a = bpe_train(docs, num_merges=30)
+    b = bpe_train(docs.repartition(7), num_merges=30)
+    assert a == b and len(a) == 30
