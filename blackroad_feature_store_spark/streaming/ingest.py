@@ -71,6 +71,7 @@ def start_ingest(
     checkpoint: str,
     trigger_available_now: bool = False,
     refresh_rollup: str | None = None,
+    auto_compact_max_files: int | None = None,
 ):
     """Start (or one-shot drain, with availableNow) a streaming append
     into the store's record table.
@@ -92,6 +93,17 @@ def start_ingest(
     replayed (skipped) batch leaves the rollup untouched — the
     serving-side aggregate stays continuously fresh without any
     table rescan.
+
+    ``auto_compact_max_files`` turns on the continuous auto-OPTIMIZE
+    loop: after each committed batch,
+    :meth:`FeatureStore.maybe_compact` runs with that threshold — a
+    commit-log-only check that costs nothing until the partition's
+    live file count exceeds it, at which point the small per-batch
+    files are rewritten into right-sized ones. This is what keeps a
+    long-running per-batch-commit stream from degrading reads with
+    thousands of tiny files. Compaction commits are invisible to the
+    change feed, so a concurrent ``refresh_rollup`` never
+    double-counts.
     """
     import os as _os
 
@@ -117,6 +129,10 @@ def start_ingest(
         store._note_stream_commit(stream_id, batch_id)
         if refresh_rollup is not None:
             store.refresh_entity_rollup(refresh_rollup, group_id)
+        if auto_compact_max_files is not None:
+            store.maybe_compact(
+                group_id, max_files=auto_compact_max_files
+            )
 
     writer = (
         shaped.writeStream.foreachBatch(_commit_batch)

@@ -565,3 +565,50 @@ def test_observe_quality_metrics_per_microbatch(spark, tmp_path):
             )
     assert metrics == {"n_rows": 4, "null_price": 1, "neg_price": 1}
     assert spark.table("obs_sink").count() == 4
+
+
+def test_streaming_ingest_auto_compacts_over_threshold(
+    spark, tmp_path, streaming_store
+):
+    """auto_compact_max_files: many tiny per-batch commits must get
+    folded into right-sized files by the in-stream OPTIMIZE loop —
+    and the data must be byte-identical afterward."""
+    fs, g = streaming_store
+    src_dir = str(tmp_path / "src_ac")
+    # maxFilesPerTrigger=1 -> one micro-batch (=commit =file) per file
+    rows = [
+        (f"u{i}", f"2026-01-0{1 + i % 5}T00:00:00", i, "X")
+        for i in range(6)
+    ]
+    for i, r in enumerate(rows):
+        spark.createDataFrame(
+            [r], "user_id string, ts string, clicks int, city string"
+        ).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(
+            "user_id string, ts string, clicks int, city string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = start_ingest(
+        fs,
+        g.id,
+        stream,
+        entity_col="user_id",
+        ts_col="ts",
+        value_cols=["clicks", "city"],
+        checkpoint=str(tmp_path / "ckpt_ac"),
+        trigger_available_now=True,
+        auto_compact_max_files=3,
+    )
+    q.awaitTermination(120)
+    files = set(fs.records_df(g.id).inputFiles())
+    # 6 single-row commits with threshold 3: the loop compacted at
+    # least once, so live files ≪ commits.
+    assert len(files) <= 4
+    ops = [h["op"] for h in fs.history()]
+    assert "compact" in ops
+    # Data intact after compaction(s).
+    assert fs.records_df(g.id).count() == 6
+    assert fs.get_features(g.id, "u3") == {"clicks": 3, "city": "X"}
