@@ -130,6 +130,7 @@ HEADLINE = [
     "store_changes_deletes",
     "pipeline_span_removal",
     "text_bigram_logprob",
+    "pipeline_dsir_select",
 ]
 
 

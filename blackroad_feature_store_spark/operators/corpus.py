@@ -716,3 +716,58 @@ def dsir_select(
         .limit(k)
         .select(id_col, "n_bigrams", "weight")
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+) -> DataFrame:
+    """Flag documents containing any blocklisted token (the
+    keyword-filter stage of corpus cleaning — profanity/adult/spam
+    term lists a la C4's badwords filter). Matching is on lowercase
+    alpha TOKENS, not substrings, so 'class' never trips an 'ass'
+    entry — the false-positive class that plagues substring filters.
+
+    Returns ``df`` + ``blocked`` (bool) + ``n_blocked_terms`` (distinct
+    blocklisted tokens present). The blocklist is broadcast (term
+    lists are KBs, corpora are TBs): the corpus is scanned once and
+    never shuffled, same shape as :func:`decontaminate`.
+    """
+    terms = F.broadcast(
+        blocklist.select(
+            F.lower(F.col(term_col)).alias("__term")
+        ).distinct()
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(
+                            F.lower(F.col(text_col)), "[^a-z]+", " "
+                        ),
+                        " ",
+                    ),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("__term"),
+    )
+    hits = (
+        toks.join(terms, "__term", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_blocked_terms"))
+    )
+    return df.join(F.broadcast(hits), id_col, "left").select(
+        *df.columns,
+        F.coalesce(F.col("n_blocked_terms") > 0, F.lit(False)).alias(
+            "blocked"
+        ),
+        F.coalesce(F.col("n_blocked_terms"), F.lit(0)).alias(
+            "n_blocked_terms"
+        ),
+    )

@@ -3961,6 +3961,45 @@ def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_blocklist",
+    """
+    WITH bl(term) AS (VALUES ('slow'), ('broken'), ('nosuchterm')),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                   x -> x <> ''))) AS term
+        FROM documents),
+    hits AS (
+        SELECT t.doc_id, count(*) AS n_blocked_terms
+        FROM toks t JOIN bl USING (term)
+        GROUP BY t.doc_id)
+    SELECT d.doc_id, d.source,
+           COALESCE(h.n_blocked_terms > 0, FALSE) AS blocked,
+           COALESCE(h.n_blocked_terms, 0) AS n_blocked_terms
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def pipeline_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """Token blocklist filter
+    (`operators/corpus.py::blocklist_filter` — C4-badwords-style
+    keyword stage): whole-token matching (no substring false
+    positives), blocklist broadcast so the corpus scans once with no
+    shuffle. The demo list includes a term absent from the corpus —
+    the output must show it contributing nothing."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        blocklist_filter,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+    bl = spark.createDataFrame(
+        [("slow",), ("broken",), ("nosuchterm",)], ["term"]
+    )
+    out = blocklist_filter(docs, bl)
+    return out.select("doc_id", "source", "blocked", "n_blocked_terms")
+
+
+@q(
     "pipeline_dsir_select",
     """
     WITH toks AS (

@@ -1885,3 +1885,25 @@ def test_bpe_train_deterministic_across_partitionings(spark):
     a = bpe_train(docs, num_merges=30)
     b = bpe_train(docs.repartition(7), num_merges=30)
     assert a == b and len(a) == 30
+
+
+def test_blocklist_filter_token_not_substring(spark):
+    from blackroad_feature_store_spark.operators.corpus import (
+        blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this class is fine"),        # 'class' contains 'ass'
+            (2, "you Ass clown"),             # exact token, any case
+            (3, "bad and worse words bad"),   # repeated term counts once
+            (4, "clean text entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    bl = spark.createDataFrame([("ass",), ("bad",), ("worse",)], ["term"])
+    out = {r["doc_id"]: r for r in blocklist_filter(docs, bl).collect()}
+    assert not out[1]["blocked"]          # substring must NOT match
+    assert out[2]["blocked"] and out[2]["n_blocked_terms"] == 1
+    assert out[3]["blocked"] and out[3]["n_blocked_terms"] == 2
+    assert not out[4]["blocked"] and out[4]["n_blocked_terms"] == 0
