@@ -165,6 +165,25 @@ def cmd_compact(args, store: FeatureStore) -> None:
     print(f"✓ Compacted {n} record(s).")
 
 
+def cmd_tag(args, store: FeatureStore) -> None:
+    v = store.tag_version(args.name, version=args.version)
+    print(f"✓ Tag '{args.name}' -> version {v}.")
+
+
+def cmd_tags(args, store: FeatureStore) -> None:
+    tags = store.list_tags()
+    if not tags:
+        print("No tags.")
+        return
+    for name, v in tags.items():
+        print(f"{name}  version {v}")
+
+
+def cmd_untag(args, store: FeatureStore) -> None:
+    store.delete_tag(args.name)
+    print(f"✓ Tag '{args.name}' deleted.")
+
+
 def cmd_vacuum(args, store: FeatureStore) -> None:
     n = store.vacuum(
         retain_versions=args.retain,
@@ -325,6 +344,25 @@ def build_parser() -> argparse.ArgumentParser:
         "history", help="Record-table commit history (versions, ops)"
     )
     p.set_defaults(func=cmd_history)
+
+    p = sub.add_parser(
+        "tag", help="Pin a named tag to a record-table version"
+    )
+    p.add_argument("name")
+    p.add_argument(
+        "--version", type=int, default=None,
+        help="version to pin (default: current)",
+    )
+    p.set_defaults(func=cmd_tag)
+
+    p = sub.add_parser("tags", help="List version tags")
+    p.set_defaults(func=cmd_tags)
+
+    p = sub.add_parser(
+        "untag", help="Delete a version tag (releases its vacuum pin)"
+    )
+    p.add_argument("name")
+    p.set_defaults(func=cmd_untag)
 
     p = sub.add_parser(
         "changes",

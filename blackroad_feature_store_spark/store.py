@@ -1132,6 +1132,76 @@ class FeatureStore:
             shutil.rmtree(os.path.join(mv_dir, d), ignore_errors=True)
         return self.read_entity_rollup(name)
 
+    # ------------------------------------------------------------------
+    # data plane: named version tags (Iceberg-style refs)
+    # ------------------------------------------------------------------
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self.base_path, "_versions", "_tags")
+
+    def _tag_path(self, name: str) -> str:
+        if not name or any(c in name for c in "/\\.") or name.startswith("_"):
+            raise ValueError(f"Invalid tag name: {name!r}")
+        return os.path.join(self._tags_dir(), f"{name}.json")
+
+    def tag_version(self, name: str, version: Optional[int] = None) -> int:
+        """Pin a named tag to a table version (Iceberg's tags: a
+        human-meaningful ref — 'training-2026-08', 'audit-q3' — that
+        survives vacuum). Defaults to the current version. Re-tagging
+        an existing name moves it (atomic replace). Tagged versions
+        are protected from :meth:`vacuum` regardless of
+        ``retain_versions``, so the dataset a model was trained on
+        stays reproducible for as long as the tag lives."""
+        vs = self._log.versions()
+        if version is None:
+            version = vs[-1] if vs else None
+        if version is None or version not in vs:
+            raise ValueError(
+                f"Record-table version {version} does not exist"
+            )
+        wm = self._vacuum_watermark()
+        if wm is not None and version < wm:
+            # Files below the watermark may already be reclaimed — a
+            # tag there would pin a hole, not a snapshot.
+            raise ValueError(
+                f"Version {version} is below the vacuum watermark "
+                f"({wm}); it can no longer be pinned"
+            )
+        path = self._tag_path(name)
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": version, "created": _utcnow().isoformat()}, fh
+            )
+        os.replace(tmp, path)
+        return version
+
+    def list_tags(self) -> dict[str, int]:
+        """All tags as {name: version} (unreadable files skipped)."""
+        out: dict[str, int] = {}
+        try:
+            names = os.listdir(self._tags_dir())
+        except OSError:
+            return out
+        for f in sorted(names):
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._tags_dir(), f)) as fh:
+                    out[f[:-5]] = int(json.load(fh)["version"])
+            except (OSError, ValueError, KeyError, TypeError):
+                continue
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        """Remove a tag (the version becomes vacuumable again by the
+        normal retention rule)."""
+        try:
+            os.unlink(self._tag_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"Tag {name!r} does not exist")
+
     def vacuum(
         self, retain_versions: int = 1, orphan_grace_seconds: float = 3600.0
     ) -> int:
@@ -1160,8 +1230,16 @@ class FeatureStore:
 
         vs = self._log.versions()
         retained_versions = vs[-max(1, retain_versions):]
+        # Tagged versions are pinned (Iceberg's tag-protection rule):
+        # their file sets stay reachable no matter how small
+        # retain_versions is. The WATERMARK however stays the retention
+        # horizon: tags form readable islands below it (records_df
+        # admits exactly-tagged versions), while untagged versions
+        # below the horizon keep the clear vacuumed error.
+        tagged = set(self.list_tags().values()) & set(vs)
+        protect = sorted(set(retained_versions) | tagged)
         retained: set[str] = set()
-        for v in retained_versions:
+        for v in protect:
             retained.update(self._log.live_files(v))
         if retained_versions:
             self._write_vacuum_watermark(retained_versions[0])
@@ -1437,8 +1515,12 @@ class FeatureStore:
         as_of_commit: datetime | str | None = None,
         ts_lte: datetime | None = None,
         entity_id: Optional[str] = None,
+        tag: Optional[str] = None,
     ) -> DataFrame:
         """The record table at a pinned version (snapshot read).
+        ``tag=`` reads the version a named tag pins
+        (:meth:`tag_version`) — 'give me exactly what
+        training-2026-08 saw'.
 
         The file set comes from the commit log, resolved once here —
         concurrent commits cannot change the files under a running
@@ -1456,6 +1538,15 @@ class FeatureStore:
         (corruption, permissions) propagates rather than silently
         looking like zero records.
         """
+        if tag is not None:
+            if version is not None or as_of_commit is not None:
+                raise ValueError(
+                    "pass tag= alone, not with version=/as_of_commit="
+                )
+            tags = self.list_tags()
+            if tag not in tags:
+                raise ValueError(f"Tag {tag!r} does not exist")
+            version = tags[tag]
         if version is not None and as_of_commit is not None:
             raise ValueError("pass version= or as_of_commit=, not both")
         if version is not None and version not in self._log.versions():
@@ -1468,7 +1559,13 @@ class FeatureStore:
             )
         if version is not None:
             wm = self._vacuum_watermark()
-            if wm is not None and version < wm:
+            if (
+                wm is not None
+                and version < wm
+                # a tagged version below the horizon is a protected
+                # island — its files survived vacuum by the tag rule
+                and version not in set(self.list_tags().values())
+            ):
                 raise ValueError(
                     f"Record-table version {version} was vacuumed; "
                     f"earliest time-travelable version is {wm}"

@@ -216,3 +216,17 @@ def test_cli_rollup(run):
     # disk; no new commits -> same snapshot
     out = run("rollup", "daily", gid)
     assert "refreshed: 2 entities" in out
+
+
+def test_cli_tag_verbs(run):
+    run("register", "age", "user", "int")
+    out = run("create-group", "g", "--features", "age",
+              "--entity-key", "user_id")
+    gid = re.search(r"ID: ([a-f0-9-]+)", out).group(1)
+    run("write", gid, "u1", '{"age": 30}')
+    assert "version 0" in run("tag", "baseline")
+    assert "baseline  version 0" in run("tags")
+    run("write", gid, "u2", '{"age": 31}')
+    assert "version 1" in run("tag", "baseline")  # retag moves it
+    assert "deleted" in run("untag", "baseline")
+    assert "No tags." in run("tags")

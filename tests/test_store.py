@@ -1514,3 +1514,56 @@ def test_maybe_compact_fires_only_over_threshold(store_with_group):
     assert len(files) == 1
     # Data unchanged.
     assert store.get_features(g.id, "e3") == {"age": 3}
+
+
+# -- version tags ------------------------------------------------------------
+
+
+def test_tag_pins_version_and_survives_vacuum(store_with_group):
+    store, g = store_with_group
+    _write_batch(store, g.id, "a", 2, 1)                    # v0
+    store.tag_version("training-set")                       # pins v0
+    _write_batch(store, g.id, "b", 2, 2)                    # v1
+    store.compact_records(g.id, target_rows_per_file=10)    # v2 rewrite
+    _write_batch(store, g.id, "c", 2, 3)                    # v3
+    # retention alone would reclaim v0's files...
+    store.vacuum(retain_versions=1, orphan_grace_seconds=0)
+    # ...but the tag protects them: the tagged read still works and
+    # returns exactly the v0 state.
+    tagged = store.records_df(g.id, tag="training-set")
+    assert sorted(r["entity_id"] for r in tagged.collect()) == ["a0", "a1"]
+    assert store.list_tags() == {"training-set": 0}
+    # untagged time travel below the watermark still errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuum"):
+        store.records_df(g.id, version=1).count()
+    # dropping the tag releases the pin; next vacuum reclaims
+    store.delete_tag("training-set")
+    store.vacuum(retain_versions=1, orphan_grace_seconds=0)
+    with _pytest.raises(ValueError, match="vacuum|not.*exist"):
+        store.records_df(g.id, tag="training-set").count()
+
+
+def test_tag_validation_and_retag(store_with_group):
+    import pytest as _pytest
+
+    store, g = store_with_group
+    with _pytest.raises(ValueError, match="does not exist"):
+        store.tag_version("t")  # empty store
+    _write_batch(store, g.id, "a", 1, 1)
+    store.tag_version("t")
+    _write_batch(store, g.id, "b", 1, 2)
+    assert store.tag_version("t") == 1  # retag moves the ref
+    assert store.list_tags()["t"] == 1
+    with _pytest.raises(ValueError, match="Invalid tag name"):
+        store.tag_version("../escape")
+    with _pytest.raises(ValueError, match="does not exist"):
+        store.tag_version("nope", version=99)
+    with _pytest.raises(ValueError, match="alone"):
+        store.records_df(g.id, tag="t", version=0)
+    # tagging below the vacuum watermark is rejected
+    _write_batch(store, g.id, "c", 1, 3)
+    store.vacuum(retain_versions=1, orphan_grace_seconds=0)
+    with _pytest.raises(ValueError, match="watermark"):
+        store.tag_version("old", version=0)
