@@ -39,3 +39,7 @@ class ConcurrentModificationError(FeatureStoreError):
     snapshot. This is Delta Lake's published conflict-detection
     contract for DELETE/OPTIMIZE racing each other; the reference gets
     linear history for free from SQLite (feature_store.py:178-186)."""
+
+
+class ConstraintViolationError(FeatureStoreError):
+    """A write batch contained rows violating a table CHECK constraint."""

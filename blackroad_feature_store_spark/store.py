@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from blackroad_feature_store_spark.errors import (
+    ConstraintViolationError,
     GroupExistsError,
     InvalidDtypeError,
     UnknownFeatureError,
@@ -733,6 +734,110 @@ class FeatureStore:
     # data plane: commit-log plumbing (versioning.py)
     # ------------------------------------------------------------------
 
+    # ------------------------------------------------------------------
+    # data plane: CHECK constraints (Delta-style write-time contracts)
+    # ------------------------------------------------------------------
+
+    def _constraints_path(self, group_id: str) -> str:
+        return os.path.join(
+            self.base_path, "_constraints", f"{group_id}.json"
+        )
+
+    def add_constraint(self, group_id: str, name: str, expr: str) -> None:
+        """Attach a CHECK constraint (a boolean SQL expression over the
+        record columns — ``entity_id``, ``timestamp``,
+        ``feature_values`` map, ...) to a group. Every subsequent
+        append into that group validates the batch BEFORE its commit:
+        a violating batch raises :class:`ConstraintViolationError` and
+        nothing lands — Delta's ``ALTER TABLE ADD CONSTRAINT CHECK``
+        contract. Validation costs one extra aggregation over the
+        incoming BATCH (all constraints folded into a single pass),
+        never a table scan.
+
+        A check evaluating to NULL counts as a VIOLATION (strict
+        reading — unparseable values don't sneak through). Under
+        Spark 4's default ANSI mode use ``TRY_CAST`` in expressions
+        (a plain ``CAST`` of a malformed value throws instead of
+        yielding the NULL this rule is designed to catch).
+        """
+        self._require_group(group_id)
+        if not name or any(c in name for c in "/\\"):
+            raise ValueError(f"Invalid constraint name: {name!r}")
+        # analysis-validate the expression against the record schema NOW
+        # so a typo fails at definition time, not at first write
+        try:
+            self.spark.createDataFrame([], RECORDS_SCHEMA).where(
+                F.expr(expr)
+            ).schema
+        except Exception as e:  # noqa: BLE001 — surface analysis error
+            raise ValueError(
+                f"Constraint expression does not analyze: {expr!r} ({e})"
+            ) from None
+        path = self._constraints_path(group_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        current = self.list_constraints(group_id)
+        current[name] = expr
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(current, fh)
+        os.replace(tmp, path)
+
+    def list_constraints(self, group_id: str) -> dict[str, str]:
+        try:
+            with open(self._constraints_path(group_id)) as fh:
+                return dict(json.load(fh))
+        except (OSError, ValueError):
+            return {}
+
+    def drop_constraint(self, group_id: str, name: str) -> None:
+        current = self.list_constraints(group_id)
+        if name not in current:
+            raise ValueError(f"Constraint {name!r} does not exist")
+        del current[name]
+        path = self._constraints_path(group_id)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(current, fh)
+        os.replace(tmp, path)
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """One aggregation pass over the batch counting violations of
+        every constrained group's checks; raises listing each violated
+        constraint and its row count."""
+        cons_dir = os.path.join(self.base_path, "_constraints")
+        try:
+            gids = [f[:-5] for f in os.listdir(cons_dir) if f.endswith(".json")]
+        except OSError:
+            return
+        aggs, labels = [], []
+        for gid in sorted(gids):
+            for name, expr in sorted(self.list_constraints(gid).items()):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            (F.col("group_id") == gid)
+                            & ~F.coalesce(F.expr(expr), F.lit(False)),
+                            1,
+                        ).otherwise(0)
+                    ).alias(f"__c{len(labels)}")
+                )
+                labels.append((gid, name))
+        if not aggs:
+            return
+        row = df.agg(*aggs).collect()[0]
+        bad = [
+            (gid, name, row[i])
+            for i, (gid, name) in enumerate(labels)
+            if row[i]
+        ]
+        if bad:
+            detail = "; ".join(
+                f"{name} ({n} row(s), group {gid})" for gid, name, n in bad
+            )
+            raise ConstraintViolationError(
+                f"Write rejected by CHECK constraint(s): {detail}"
+            )
+
     def _stage_and_commit(
         self,
         df: DataFrame,
@@ -752,6 +857,12 @@ class FeatureStore:
         """
         import shutil
         import tempfile as _tf
+
+        if op in self._INSERT_OPS and op != "migrate":
+            # New rows must honor the groups' CHECK constraints; rewrite
+            # ops (compact/delete-entity) re-add already-validated rows
+            # and migrate adopts pre-versioning data as-is.
+            self._enforce_constraints(df)
 
         stage = _tf.mkdtemp(prefix="fs_stage_", dir=self.base_path)
         try:

@@ -1567,3 +1567,87 @@ def test_tag_validation_and_retag(store_with_group):
     store.vacuum(retain_versions=1, orphan_grace_seconds=0)
     with _pytest.raises(ValueError, match="watermark"):
         store.tag_version("old", version=0)
+
+
+# -- CHECK constraints -------------------------------------------------------
+
+
+def test_check_constraint_rejects_bad_batch_atomically(store_with_group):
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.errors import (
+        ConstraintViolationError,
+    )
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    store.add_constraint(
+        g.id, "age_nonneg", "TRY_CAST(feature_values['age'] AS INT) >= 0"
+    )
+    store.add_constraint(g.id, "has_entity", "entity_id IS NOT NULL")
+    v_before = store.current_version
+    import pytest as _pytest
+
+    with _pytest.raises(ConstraintViolationError, match="age_nonneg"):
+        store.write_features_batch(
+            [
+                EntityRecord(g.id, "ok", {"age": 5}, datetime(2026, 1, 1)),
+                EntityRecord(g.id, "bad", {"age": -1}, datetime(2026, 1, 1)),
+            ]
+        )
+    # nothing landed — the whole batch rolled back
+    assert store.current_version == v_before
+    assert store.get_features(g.id, "ok") is None
+    # clean batch goes through
+    store.write_features_batch(
+        [EntityRecord(g.id, "ok", {"age": 5}, datetime(2026, 1, 1))]
+    )
+    assert store.get_features(g.id, "ok") == {"age": 5}
+    # compaction re-adds existing rows without re-validation cost
+    store.compact_records(g.id, target_rows_per_file=10)
+    assert store.get_features(g.id, "ok") == {"age": 5}
+
+
+def test_check_constraint_definition_contract(store_with_group):
+    import pytest as _pytest
+
+    store, g = store_with_group
+    with _pytest.raises(ValueError, match="does not analyze"):
+        store.add_constraint(g.id, "broken", "no_such_column > 0")
+    with _pytest.raises(ValueError, match="not found|Unknown"):
+        store.add_constraint("nope", "c", "entity_id IS NOT NULL")
+    store.add_constraint(g.id, "c1", "entity_id IS NOT NULL")
+    assert store.list_constraints(g.id) == {"c1": "entity_id IS NOT NULL"}
+    store.drop_constraint(g.id, "c1")
+    assert store.list_constraints(g.id) == {}
+    with _pytest.raises(ValueError, match="does not exist"):
+        store.drop_constraint(g.id, "c1")
+
+
+def test_check_constraint_null_result_counts_as_violation(
+    store_with_group,
+):
+    """A CHECK evaluating to NULL (e.g. cast failure) must REJECT, not
+    silently pass — the strict reading that protects downstream
+    consumers from unparseable values."""
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.errors import (
+        ConstraintViolationError,
+    )
+    from blackroad_feature_store_spark.store import EntityRecord
+
+    store, g = store_with_group
+    store.add_constraint(
+        g.id, "age_int", "TRY_CAST(feature_values['age'] AS INT) >= 0"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ConstraintViolationError, match="age_int"):
+        store.write_features_batch(
+            [
+                EntityRecord(
+                    g.id, "u1", {"age": "not-a-number"}, datetime(2026, 1, 1)
+                )
+            ]
+        )
