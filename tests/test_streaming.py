@@ -612,3 +612,67 @@ def test_streaming_ingest_auto_compacts_over_threshold(
     # Data intact after compaction(s).
     assert fs.records_df(g.id).count() == 6
     assert fs.get_features(g.id, "u3") == {"clicks": 3, "city": "X"}
+
+
+def test_stream_stream_interval_join_left_outer_emits_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer interval join EXECUTED: an impression with no
+    conversion must emit with NULLs — but only after the global
+    watermark passes its matching horizon. A second wave of far-future
+    events on BOTH streams advances the watermark (it is the MIN
+    across sources); the advancers themselves stay pending."""
+    from blackroad_feature_store_spark.streaming.joins import interval_join
+
+    imp_dir, conv_dir = str(tmp_path / "imp_lo"), str(tmp_path / "conv_lo")
+    spark.createDataFrame(
+        [("u1", "2026-01-01T00:00:00", "ad_a"),
+         ("u2", "2026-01-01T00:01:00", "ad_b")],
+        "user string, imp_ts string, ad string",
+    ).write.parquet(imp_dir)
+    spark.createDataFrame(
+        [("u1", "2026-01-01T00:03:00")],
+        "user string, conv_ts string",
+    ).write.parquet(conv_dir)
+    # wave 2: watermark advancers hours ahead, one per side
+    spark.createDataFrame(
+        [("adv", "2026-01-01T06:00:00", "ad_z")],
+        "user string, imp_ts string, ad string",
+    ).write.mode("append").parquet(imp_dir)
+    spark.createDataFrame(
+        [("adv2", "2026-01-01T06:00:00")],
+        "user string, conv_ts string",
+    ).write.mode("append").parquet(conv_dir)
+
+    imps = (
+        spark.readStream.schema("user string, imp_ts string, ad string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(imp_dir)
+        .withColumn("imp_ts", F.col("imp_ts").cast("timestamp"))
+    )
+    convs = (
+        spark.readStream.schema("user string, conv_ts string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(conv_dir)
+        .withColumn("conv_ts", F.col("conv_ts").cast("timestamp"))
+    )
+    joined = interval_join(
+        imps, convs, key="user", left_ts="imp_ts", right_ts="conv_ts",
+        max_delay="5 minutes", late_threshold="1 minute", how="leftOuter",
+    ).select(imps["user"], "ad", "conv_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_lojoin_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        r["user"]: r for r in spark.sql("SELECT * FROM ss_lojoin_out").collect()
+    }
+    assert rows["u1"]["conv_ts"] is not None          # matched pair
+    assert rows["u2"]["conv_ts"] is None              # watermark-evicted NULL
+    # the far-future advancer's own horizon hasn't passed: still pending
+    assert "adv" not in rows
