@@ -198,3 +198,74 @@ def gapfill_locf(
         .otherwise(0)
         .alias("is_gap"),
     )
+
+
+def as_of_join_pandas(
+    spine: DataFrame,
+    records: DataFrame,
+    on: str | Sequence[str],
+    as_of_col: str,
+    ts_col: str = "timestamp",
+    tiebreakers: Sequence[str] = ("id",),
+    tolerance: str | None = None,
+) -> DataFrame:
+    """The per-row point-in-time join on the pandas ``merge_asof``
+    path — same contract as :func:`as_of_join` with a per-row
+    ``as_of`` column and ``how="left"``, different execution: instead
+    of range-join + per-spine-row window top-1 (which materializes
+    every candidate (spine, record) pair before pruning), both sides
+    cogroup-shuffle ONCE on the key and each group runs pandas'
+    O(n log n) sort + linear merge — no pair blow-up. The win grows
+    with snapshot depth per entity; the window form wins when groups
+    are tiny and the Python worker round-trip dominates. Both produce
+    identical rows (ties resolved to max ``tiebreakers`` at equal
+    timestamps, matching the window's DESC ordering; pinned by a
+    randomized parity test).
+
+    ``tolerance`` accepts a pandas-Timedelta string ("90 days"):
+    matches older than ``as_of - tolerance`` become NULLs, inclusive
+    at the boundary, same as the window form.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if as_of_col not in spine.columns:
+        raise ValueError(f"spine has no column {as_of_col!r}")
+    payload = [c for c in records.columns if c not in on_cols]
+    overlap = set(payload) & set(spine.columns)
+    if overlap:
+        raise ValueError(
+            f"column collision between spine and records: {sorted(overlap)}"
+        )
+    spine_cols = list(spine.columns)
+    out_schema = T.StructType(
+        [spine.schema[c] for c in spine_cols]
+        + [records.schema[c] for c in payload]
+    )
+    sort_rec = [ts_col] + [t for t in tiebreakers if t in records.columns]
+    tol = pd.Timedelta(tolerance) if tolerance is not None else None
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(as_of_col, kind="mergesort")
+        if right.empty:
+            out = left.copy()
+            for c in payload:
+                out[c] = None
+            return out[spine_cols + payload]
+        right = right.sort_values(sort_rec, kind="mergesort")
+        merged = pd.merge_asof(
+            left,
+            right[payload],
+            left_on=as_of_col,
+            right_on=ts_col,
+            direction="backward",
+            tolerance=tol,
+        )
+        return merged[spine_cols + payload]
+
+    return (
+        spine.groupBy(*on_cols)
+        .cogroup(records.groupBy(*on_cols))
+        .applyInPandas(lambda lk, rk: fn(lk, rk), out_schema)
+    )

@@ -102,3 +102,60 @@ def test_statistics_match_brute_force(random_store):
         assert s["min"] == min(vals)
         assert s["max"] == max(vals)
         assert s["mean"] == round(sum(vals) / len(vals), 6)
+
+
+def test_as_of_join_pandas_matches_window_form_randomized(spark):
+    """The merge_asof execution strategy must produce row-identical
+    results to the range-join+window form on random per-row-cutoff
+    workloads, including timestamp ties (max-id wins), entities with
+    no records, and tolerance bounds. Deterministic seeds."""
+    import random
+    from datetime import datetime, timedelta
+
+    from blackroad_feature_store_spark.operators.asof import (
+        as_of_join,
+        as_of_join_pandas,
+    )
+
+    for seed, tol in ((5, None), (12, "36 hours")):
+        rng = random.Random(seed)
+        t0 = datetime(2026, 1, 1)
+        recs = []
+        rid = 0
+        for e in range(8):
+            for _ in range(rng.randint(0, 10)):
+                recs.append(
+                    (
+                        f"r{rid:03d}",
+                        f"e{e}",
+                        rng.randint(0, 99),
+                        t0 + timedelta(hours=rng.randint(0, 240)),
+                    )
+                )
+                rid += 1
+        # force timestamp ties on one entity: the max id must win
+        recs.append(("r900", "e0", 111, t0 + timedelta(hours=5)))
+        recs.append(("r901", "e0", 222, t0 + timedelta(hours=5)))
+        records = spark.createDataFrame(
+            recs, "id string, entity string, val int, timestamp timestamp"
+        )
+        spine = spark.createDataFrame(
+            [
+                (f"e{e}", t0 + timedelta(hours=rng.randint(0, 240)))
+                for e in range(10)  # e8/e9 have no records at all
+                for _ in range(3)
+            ],
+            "entity string, cutoff timestamp",
+        )
+        tol_kw = {"tolerance": tol} if tol else {}
+        a = as_of_join(
+            spine, records, on="entity", ts_col="timestamp",
+            as_of="cutoff", **tol_kw,
+        ).select("entity", "cutoff", "id", "val", "timestamp")
+        b = as_of_join_pandas(
+            spine, records, on="entity", as_of_col="cutoff",
+            ts_col="timestamp", **tol_kw,
+        ).select("entity", "cutoff", "id", "val", "timestamp")
+        ka = sorted(map(tuple, a.collect()))
+        kb = sorted(map(tuple, b.collect()))
+        assert ka == kb, f"seed {seed} tol {tol}"

@@ -676,3 +676,37 @@ def test_stream_stream_interval_join_left_outer_emits_after_watermark(
     assert rows["u2"]["conv_ts"] is None              # watermark-evicted NULL
     # the far-future advancer's own horizon hasn't passed: still pending
     assert "adv" not in rows
+
+
+def test_streaming_ingest_enforces_check_constraints(
+    spark, tmp_path, streaming_store
+):
+    """Constraints guard EVERY insert path: a streaming micro-batch
+    with a violating row must fail the batch (surfacing the
+    ConstraintViolationError through the stream) and leave nothing
+    committed."""
+    fs, g = streaming_store
+    fs.add_constraint(g.id, "clicks_nonneg",
+                      "TRY_CAST(feature_values['clicks'] AS INT) >= 0")
+    src_dir = str(tmp_path / "src_cc")
+    spark.createDataFrame(
+        [("u1", "2026-01-01T00:00:00", -5, "X")],
+        "user_id string, ts string, clicks int, city string",
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "user_id string, ts string, clicks int, city string"
+    ).parquet(src_dir)
+    q = start_ingest(
+        fs, g.id, stream,
+        entity_col="user_id", ts_col="ts",
+        value_cols=["clicks", "city"],
+        checkpoint=str(tmp_path / "ckpt_cc"),
+        trigger_available_now=True,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="clicks_nonneg"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    assert fs.records_df(g.id).count() == 0  # nothing landed
