@@ -241,6 +241,60 @@ def core_pit_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "core_pit_join_pandas",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           l.o_totalprice  AS pit_totalprice,
+           l.o_orderstatus AS pit_status
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, o_totalprice, o_orderstatus
+        FROM orders
+        WHERE o_orderdate <= TIMESTAMP '{ASOF_CUTOFF}'
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ) l ON c.c_custkey = l.o_custkey
+    """,
+)
+def core_pit_join_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 on the merge_asof execution path
+    (`operators/asof.py::as_of_join_pandas`): cogroup shuffle + pandas
+    linear merge per entity instead of range-join + window top-1 —
+    no candidate-pair blow-up when entities have deep snapshot
+    histories. Shares core_pit_join's oracle, so the gate proves the
+    two strategies are value-identical (including the orderkey
+    tiebreak at equal timestamps)."""
+    from blackroad_feature_store_spark.operators.asof import (
+        as_of_join_pandas,
+    )
+
+    spine = (
+        load(spark, sf, "customer")
+        .select("c_custkey", "c_name")
+        .withColumn("cutoff", F.lit(ASOF_CUTOFF).cast("timestamp"))
+    )
+    recs = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus",
+    )
+    joined = as_of_join_pandas(
+        spine,
+        recs,
+        on="c_custkey",
+        as_of_col="cutoff",
+        ts_col="o_orderdate",
+        tiebreakers=("o_orderkey",),
+    )
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        F.col("o_totalprice").alias("pit_totalprice"),
+        F.col("o_orderstatus").alias("pit_status"),
+    )
+
+
+@q(
     "core_group_stats",
     """
     SELECT o_orderstatus AS status,
