@@ -251,8 +251,12 @@ def cmd_sql(args, store: FeatureStore) -> None:
     import re as _re
 
     from blackroad_feature_store_spark.functions.asof_sql import asof_sql
+    from blackroad_feature_store_spark.functions.sql_udfs import (
+        register_sql_functions,
+    )
 
     store.create_views()
+    register_sql_functions(store.spark)  # fs_fingerprint & friends
     if _re.search(r"\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", args.query, _re.I):
         df = asof_sql(store.spark, args.query)
     else:

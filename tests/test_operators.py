@@ -1907,3 +1907,68 @@ def test_blocklist_filter_token_not_substring(spark):
     assert out[2]["blocked"] and out[2]["n_blocked_terms"] == 1
     assert out[3]["blocked"] and out[3]["n_blocked_terms"] == 2
     assert not out[4]["blocked"] and out[4]["n_blocked_terms"] == 0
+
+
+# -- SQL UDF surface --------------------------------------------------------
+
+
+def test_sql_udfs_match_column_functions(spark):
+    """The SQL UDF macros must agree with the DataFrame originals on
+    the real corpus — parity pinned so neither side can drift."""
+    from blackroad_feature_store_spark.functions.sql_udfs import (
+        register_sql_functions,
+    )
+    from blackroad_feature_store_spark.operators.text import (
+        bpe_token_count,
+        fingerprint,
+        token_count,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    names = register_sql_functions(spark)
+    assert {"fs_fingerprint", "fs_token_count", "fs_bpe_token_count"} <= set(
+        names
+    )
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    docs.createOrReplaceTempView("udf_docs")
+    via_sql = {
+        r["doc_id"]: (r["fp"], r["tc"], r["btc"])
+        for r in spark.sql(
+            "SELECT doc_id, fs_fingerprint(text) AS fp, "
+            "fs_token_count(text) AS tc, "
+            "fs_bpe_token_count(text) AS btc FROM udf_docs"
+        ).collect()
+    }
+    via_col = {
+        r["doc_id"]: (r["fp"], r["tc"], r["btc"])
+        for r in docs.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fp"),
+            token_count(F.col("text")).alias("tc"),
+            bpe_token_count(F.col("text")).alias("btc"),
+        ).collect()
+    }
+    assert via_sql == via_col
+
+
+def test_sql_udfs_inline_into_plan(spark):
+    """SQL UDFs are macros: the call must inline (the plan shows the
+    underlying expression, no opaque UDF node) so pushdown and codegen
+    still apply."""
+    from blackroad_feature_store_spark.functions.sql_udfs import (
+        register_sql_functions,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    register_sql_functions(spark)
+    load(spark, "/root/testdata/sf0.001", "documents").createOrReplaceTempView(
+        "udf_docs2"
+    )
+    df = spark.sql(
+        "SELECT fs_token_count(text) AS n FROM udf_docs2 "
+        "WHERE fs_alpha_ratio(text) > 0.5"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "regexp_replace" in plan  # the macro body, inlined
+    assert df.count() > 0
