@@ -165,6 +165,31 @@ def cmd_compact(args, store: FeatureStore) -> None:
     print(f"✓ Compacted {n} record(s).")
 
 
+def cmd_describe(args, store: FeatureStore) -> None:
+    """One-screen operational summary of the store."""
+    feats = store.list_features()
+    groups = store.list_groups()
+    hist = store.history()
+    tags = store.list_tags()
+    v = store.current_version
+    files = store._log.live_files(v) if v is not None else []
+    print(f"Store: {store.base_path}")
+    print(f"Features: {len(feats)}   Groups: {len(groups)}")
+    print(
+        f"Record table: version {v if v is not None else '—'}, "
+        f"{len(hist)} commit(s), {len(files)} live file(s)"
+    )
+    if tags:
+        print("Tags: " + ", ".join(f"{n}→v{ver}" for n, ver in tags.items()))
+    for g in groups:
+        cons = store.list_constraints(g.id)
+        extra = f", {len(cons)} constraint(s)" if cons else ""
+        print(
+            f"  group {g.name} v{g.version} [{g.id}] "
+            f"features={','.join(g.features)}{extra}"
+        )
+
+
 def cmd_tag(args, store: FeatureStore) -> None:
     v = store.tag_version(args.name, version=args.version)
     print(f"✓ Tag '{args.name}' -> version {v}.")
@@ -348,6 +373,11 @@ def build_parser() -> argparse.ArgumentParser:
         "history", help="Record-table commit history (versions, ops)"
     )
     p.set_defaults(func=cmd_history)
+
+    p = sub.add_parser(
+        "describe", help="One-screen store summary (groups, versions, tags)"
+    )
+    p.set_defaults(func=cmd_describe)
 
     p = sub.add_parser(
         "tag", help="Pin a named tag to a record-table version"

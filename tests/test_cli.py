@@ -230,3 +230,17 @@ def test_cli_tag_verbs(run):
     assert "version 1" in run("tag", "baseline")  # retag moves it
     assert "deleted" in run("untag", "baseline")
     assert "No tags." in run("tags")
+
+
+def test_cli_describe(run):
+    run("register", "age", "user", "int")
+    out = run("create-group", "g", "--features", "age",
+              "--entity-key", "user_id")
+    gid = re.search(r"ID: ([a-f0-9-]+)", out).group(1)
+    run("write", gid, "u1", '{"age": 1}')
+    run("tag", "snap")
+    out = run("describe")
+    assert "Features: 1" in out and "Groups: 1" in out
+    assert "version 0, 1 commit(s), 1 live file(s)" in out
+    assert "snap→v0" in out
+    assert f"group g v1 [{gid}] features=age" in out
