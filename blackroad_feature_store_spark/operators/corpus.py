@@ -771,3 +771,88 @@ def blocklist_filter(
             "n_blocked_terms"
         ),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranked search over the corpus — the curation-side
+    "find documents about X" primitive (inspect near-dups, audit a
+    topic's coverage, build seed sets for :func:`dsir_select`).
+
+    Standard BM25 with the +1 idf smoothing
+    (``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``), lowercase alpha
+    tokens, query terms deduplicated. Returns the deterministic top-k
+    ``(id, score, n_hit_terms)`` (ties by id).
+
+    Scale shape: tf/df/doclen are the same two counting aggregations
+    every search index build runs (map-side combinable, vocabulary- or
+    corpus-×-terms-sized); the QUERY's term rows are broadcast, so
+    scoring touches only postings of query terms — never the full
+    term table; final top-k lowers to distributed TakeOrdered.
+    Determinism: idf (the one transcendental) is quantized at 6dp,
+    each term's score contribution at 6dp DECIMAL, so the per-doc sum
+    is exact and engine-portable.
+    """
+    import re as _re
+
+    q_terms = sorted(
+        {t for t in _re.split(r"[^a-z]+", query.lower()) if t}
+    )
+    if not q_terms:
+        raise ValueError("bm25_search: query has no alpha tokens")
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "
+        ),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__dl", F.size("__t")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["sdl"] / max(stats["n"], 1)
+    terms = base.select(
+        id_col, "__dl", F.explode("__t").alias("__term")
+    ).where(F.col("__term").isin(q_terms))
+    tf = terms.groupBy(id_col, "__dl", "__term").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.round(
+        F.log(
+            1
+            + (F.lit(float(n_docs)) - F.col("__df") + 0.5)
+            / (F.col("__df") + 0.5)
+        ),
+        6,
+    )
+    contrib = F.round(
+        idf
+        * (F.col("__tf") * (k1 + 1))
+        / (
+            F.col("__tf")
+            + k1 * (1 - b + b * F.col("__dl") / F.lit(float(avgdl)))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = tf.join(F.broadcast(dfreq), "__term").select(
+        id_col, contrib.alias("__c")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("double").alias("score"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -4054,6 +4054,55 @@ def pipeline_blocklist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "text_bm25_search",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                   x -> x <> '') AS t
+        FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+    g AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*)
+              AS avgdl FROM base),
+    terms AS (SELECT doc_id, dl, unnest(t) AS term FROM base),
+    qt AS (SELECT term, dl, doc_id FROM terms
+           WHERE term IN ('slow', 'join', 'memory')),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           FROM qt GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   round(ln(1 + (g.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5)),
+                         6)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * tf.dl / g.avgdl)),
+                   6) AS DECIMAL(18,6)) AS c
+        FROM tf JOIN dfq USING (term) CROSS JOIN g),
+    agg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score,
+                   count(*) AS n_hit_terms
+            FROM scored GROUP BY 1)
+    SELECT doc_id, score, n_hit_terms FROM agg
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 ranked search
+    (`operators/corpus.py::bm25_search`): the two classic counting
+    aggregations (tf per doc×term, df per term) restricted to the
+    broadcast query terms, idf quantized at 6dp (the libm-ln
+    discipline), per-term contributions accumulated in exact DECIMAL,
+    deterministic top-10. Query: 'slow join memory' over the
+    documents corpus."""
+    from blackroad_feature_store_spark.operators.corpus import bm25_search
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return bm25_search(docs, "slow join memory", k=10)
+
+
+@q(
     "pipeline_dsir_select",
     """
     WITH toks AS (

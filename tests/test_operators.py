@@ -1972,3 +1972,43 @@ def test_sql_udfs_inline_into_plan(spark):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "regexp_replace" in plan  # the macro body, inlined
     assert df.count() > 0
+
+
+def test_bm25_search_ranks_relevance_and_validates(spark):
+    from blackroad_feature_store_spark.operators.corpus import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),          # high tf for 'spark'
+            (2, "spark engine with extra padding words here"),  # longer doc
+            (3, "completely unrelated text tokens"),
+            (4, "spark"),                              # short, pure hit
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_search(df, "Spark!", k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids                       # no hit terms -> no row
+    assert ids[0] in (1, 4)                   # tf/length tradeoff tops
+    assert ids.index(2) > 0                   # diluted doc ranks lower
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="no alpha tokens"):
+        bm25_search(df, "123 !!!")
+
+
+def test_bm25_search_multi_term_accumulates(spark):
+    from blackroad_feature_store_spark.operators.corpus import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha delta"),
+            (3, "beta gamma gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bm25_search(df, "alpha beta", k=10).collect()}
+    assert out[1]["n_hit_terms"] == 2         # both query terms present
+    assert out[2]["n_hit_terms"] == 1
+    assert out[3]["n_hit_terms"] == 1
