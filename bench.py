@@ -131,6 +131,8 @@ HEADLINE = [
     "pipeline_span_removal",
     "text_bigram_logprob",
     "pipeline_dsir_select",
+    "pipeline_blocklist",
+    "text_bm25_search",
 ]
 
 

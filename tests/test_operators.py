@@ -2012,3 +2012,26 @@ def test_bm25_search_multi_term_accumulates(spark):
     assert out[1]["n_hit_terms"] == 2         # both query terms present
     assert out[2]["n_hit_terms"] == 1
     assert out[3]["n_hit_terms"] == 1
+
+
+def test_read_documents_schema_evolution_across_files(spark, tmp_path):
+    """A corpus directory written over time gains columns (lang added
+    later): the parquet source with mergeSchema must land BOTH eras
+    into the canonical shape, null-filling the era that lacked the
+    column."""
+    from blackroad_feature_store_spark.sources.files import read_documents
+
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "old era doc")], "doc_id long, text string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "new era doc", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(d)
+    docs = read_documents(
+        spark, d, format="parquet", options={"mergeSchema": "true"}
+    )
+    rows = {r["doc_id"]: r for r in docs.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
+    assert rows[1]["n_chars"] == len("old era doc")
