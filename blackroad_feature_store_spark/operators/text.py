@@ -207,3 +207,60 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(t))
         .withColumn("bpe_tokens", bpe_token_count(t))
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_punct_ratio: float = 0.1,
+    min_alpha_token_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021 §A1.1, as also used by
+    RefinedWeb/Dolma): a document passes iff it clears EVERY cheap
+    structural check — token-count band, mean token length band,
+    symbol-to-character ceiling, minimum fraction of alphabetic
+    tokens, minimum stopword evidence. Returns one row per document
+    with each rule's verdict (1 pass / 0 fail) and the composite
+    ``pass_all`` — keep the per-rule columns, because at corpus scale
+    you tune thresholds by looking at marginal failure counts, not a
+    single opaque bit.
+
+    All signals are exact integer counts and round(,6) rationals over
+    them (engine-portable); one narrow projection, no shuffle — at
+    100 TB this runs at scan speed.
+    """
+    t = F.col(text_col)
+    q = quality_features(t)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    alpha_tok_frac = F.when(
+        F.size(toks) > 0,
+        F.round(
+            F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+            / F.size(toks),
+            6,
+        ),
+    )
+    rules = {
+        "r_token_count": (q["n_tokens"] >= min_tokens)
+        & (q["n_tokens"] <= max_tokens),
+        "r_mean_token_len": (q["mean_token_len"] >= min_mean_token_len)
+        & (q["mean_token_len"] <= max_mean_token_len),
+        "r_punct": q["punct_ratio"] <= max_punct_ratio,
+        "r_alpha_tokens": alpha_tok_frac >= min_alpha_token_frac,
+        "r_stopwords": stopword_hits(t, "en") >= min_stopword_hits,
+    }
+    cols = [
+        F.coalesce(cond, F.lit(False)).cast("int").alias(name)
+        for name, cond in rules.items()
+    ]
+    out = df.select(F.col(id_col), *cols)
+    pass_all = F.lit(1)
+    for name in rules:
+        pass_all = pass_all * F.col(name)
+    return out.withColumn("pass_all", pass_all)

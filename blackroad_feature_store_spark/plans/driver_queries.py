@@ -1290,6 +1290,55 @@ _SQL_PROFILE_BASE = f"""
 
 
 @q(
+    "pipeline_gopher_rules",
+    f"""
+    WITH {_SQL_PROFILE_BASE},
+    tok2 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+    alpha AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) > 0 THEN
+                   round(len(list_filter(tk,
+                             x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                         / len(tk), 6)
+               END AS atf
+        FROM tok2),
+    rules AS (
+        SELECT p.doc_id,
+               CASE WHEN p.n_tokens BETWEEN 20 AND 100000
+                    THEN 1 ELSE 0 END AS r_token_count,
+               CASE WHEN p.mean_token_len >= 3.0
+                     AND p.mean_token_len <= 10.0
+                    THEN 1 ELSE 0 END AS r_mean_token_len,
+               CASE WHEN p.punct_ratio <= 0.1 THEN 1 ELSE 0 END AS r_punct,
+               CASE WHEN COALESCE(a.atf >= 0.8, FALSE)
+                    THEN 1 ELSE 0 END AS r_alpha_tokens,
+               CASE WHEN r.n_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords
+        FROM prof p JOIN alpha a USING (doc_id)
+        JOIN raw r USING (doc_id))
+    SELECT doc_id, r_token_count, r_mean_token_len, r_punct,
+           r_alpha_tokens, r_stopwords,
+           r_token_count * r_mean_token_len * r_punct
+               * r_alpha_tokens * r_stopwords AS pass_all
+    FROM rules
+    """,
+)
+def pipeline_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher rule battery
+    (`operators/text.py::gopher_rules` — Rae et al. 2021 §A1.1): every
+    cheap structural check as its own verdict column plus the
+    composite, over the real corpus. All signals are exact counts and
+    round(,6) rationals — the oracle replays each rule bit-for-bit."""
+    from blackroad_feature_store_spark.operators.text import gopher_rules
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return gopher_rules(docs)
+
+
+@q(
     "text_quality_profile",
     f"""
     WITH {_SQL_PROFILE_BASE}

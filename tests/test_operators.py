@@ -2035,3 +2035,29 @@ def test_read_documents_schema_evolution_across_files(spark, tmp_path):
     assert set(rows) == {1, 2}
     assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
     assert rows[1]["n_chars"] == len("old era doc")
+
+
+def test_gopher_rules_individual_verdicts(spark):
+    from blackroad_feature_store_spark.operators.text import gopher_rules
+
+    ok = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through a field of tall grass to find the way home "
+        "in time for dinner with all of the other animals nearby"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, ok),                                   # passes everything
+            (2, "too short"),                          # fails token count
+            (3, "the " + "!@#$%^&*() " * 30),          # fails punct ratio
+            (4, ("12345 67890 " * 15) + "the of and"), # fails alpha tokens
+            (5, " ".join(["zyxwvu"] * 40)),            # fails stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["pass_all"] == 1
+    assert out[2]["r_token_count"] == 0 and out[2]["pass_all"] == 0
+    assert out[3]["r_punct"] == 0 and out[3]["pass_all"] == 0
+    assert out[4]["r_alpha_tokens"] == 0 and out[4]["pass_all"] == 0
+    assert out[5]["r_stopwords"] == 0 and out[5]["pass_all"] == 0
