@@ -133,6 +133,7 @@ HEADLINE = [
     "pipeline_dsir_select",
     "pipeline_blocklist",
     "text_bm25_search",
+    "pipeline_gopher_rules",
 ]
 
 
