@@ -856,3 +856,58 @@ def bm25_search(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 90,
+    num_bands: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Leakage-free train/holdout assignment: split by NEAR-DUP
+    CLUSTER, not by document. Per-document hash splitting (the
+    standard md5-bucket rule) lets near-duplicate pairs straddle the
+    boundary — the eval-inflation leak a split-leakage audit measures.
+    Here every document inherits its LSH-connected-component's id
+    (singletons are their own cluster) and the md5 bucket is computed
+    on the CLUSTER id, so an entire near-dup family lands on one side
+    by construction: cross-split candidate pairs are IMPOSSIBLE, not
+    merely rare.
+
+    Returns ``(id_col, cluster_id, split)``. Cost over plain splitting
+    is the dedup pipeline the corpus runs anyway (LSH candidates +
+    iterative components); the split itself stays a narrow projection.
+    """
+    from blackroad_feature_store_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(
+        df, num_bands=num_bands, shingle_size=shingle_size
+    )
+    clusters = duplicate_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    assigned = df.select(id_col).join(clusters, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("cluster_id").cast("string")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    return assigned.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train")).otherwise(
+            F.lit("holdout")
+        ),
+    )

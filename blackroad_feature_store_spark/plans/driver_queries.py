@@ -2217,6 +2217,64 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_cluster_split",
+    _SQL_MINHASH_PAIRS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+             FROM reach GROUP BY a),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                         1, 4) AS INT) % 100 < 90
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM assigned
+    """,
+)
+def pipeline_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-FREE splitting
+    (`operators/corpus.py::cluster_aware_split`) — the remedy for what
+    pipeline_split_leakage measures: the md5 bucket is computed on the
+    near-dup CLUSTER id (singletons = own cluster), so a near-dup
+    family can never straddle the boundary. The query self-certifies:
+    it raises if ANY LSH candidate pair crosses splits before
+    returning the per-doc assignment the oracle replays (recursive-CTE
+    components + the same md5 rule)."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        cluster_aware_split,
+    )
+
+    docs = load(spark, sf, "documents")
+    out = cluster_aware_split(docs)
+    pairs = minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
+    sa = out.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = out.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    crossing = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    if crossing:
+        raise AssertionError(
+            f"cluster-aware split leaked {crossing} cross-split pair(s)"
+        )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+@q(
     "core_set_ops",
     """
     SELECT c_custkey, 'both' AS src FROM (

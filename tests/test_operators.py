@@ -2061,3 +2061,28 @@ def test_gopher_rules_individual_verdicts(spark):
     assert out[3]["r_punct"] == 0 and out[3]["pass_all"] == 0
     assert out[4]["r_alpha_tokens"] == 0 and out[4]["pass_all"] == 0
     assert out[5]["r_stopwords"] == 0 and out[5]["pass_all"] == 0
+
+
+def test_cluster_aware_split_never_leaks(spark):
+    from blackroad_feature_store_spark.operators.corpus import (
+        cluster_aware_split,
+    )
+    from blackroad_feature_store_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = cluster_aware_split(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()                   # every doc assigned
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    pairs = minhash_candidate_pairs(docs).collect()
+    for p in pairs:
+        # same cluster -> same side, always
+        assert cluster_of[p["id_a"]] == cluster_of[p["id_b"]]
+        assert split_of[p["id_a"]] == split_of[p["id_b"]]
+    # and the split is still roughly the requested 90/10
+    n_train = sum(1 for s in split_of.values() if s == "train")
+    assert 0.75 <= n_train / len(split_of) <= 0.99
