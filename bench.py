@@ -134,6 +134,7 @@ HEADLINE = [
     "pipeline_blocklist",
     "text_bm25_search",
     "pipeline_gopher_rules",
+    "pipeline_cluster_split",
 ]
 
 
