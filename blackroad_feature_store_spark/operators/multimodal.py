@@ -289,3 +289,128 @@ def resize_images(
             )
 
     return assets.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+DHASH_SCHEMA = "asset_id long, dhash long"
+
+
+def image_dhash(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual difference-hash per image asset — the standard
+    near-duplicate signature for images (dHash: grayscale → 9×8
+    resample → 64 horizontal-gradient sign bits). Re-encoded,
+    resized, or slightly-edited copies land within a few bits of each
+    other, which exact sha256 dedup can never see.
+
+    ``fake=True`` derives a deterministic 64-bit stand-in from the
+    payload digest (same output shape, oracle-replicable);
+    ``fake=False`` REALLY decodes (:func:`codecs.decode_image` — PIL
+    when importable, pure-PNG fallback) and computes the true dHash;
+    undecodable payloads yield NULL and simply drop out of pair
+    generation — a corrupt file never kills the pipeline.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs
+
+        for pdf in batches:
+            out = []
+            for b in pdf["content"]:
+                p = bytes(b)
+                if fake:
+                    d = hashlib.sha256(p).digest()
+                    out.append(
+                        int.from_bytes(d[:8], "big", signed=True)
+                    )
+                    continue
+                try:
+                    img = codecs.decode_image(p)
+                except ValueError:
+                    out.append(None)
+                    continue
+                gray = (
+                    img.astype(np.float64).mean(axis=2)
+                    if img.ndim == 3
+                    else img.astype(np.float64)
+                )
+                small = codecs.resize_nearest(
+                    gray.astype(np.uint8), 9, 8
+                ).astype(np.int16)
+                bits = (small[:, 1:] > small[:, :-1]).flatten()
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                # to signed 64-bit
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def dhash_duplicate_pairs(
+    hashes: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    id_col: str = "asset_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance, at scale:
+    the 64-bit hash splits into ``bands`` equal bands; candidates
+    share at least one exact band (a self equi-join on (band index,
+    band value) — never all-pairs), then the true distance filter
+    ``bit_count(a XOR b) <= max_distance`` verifies. Pigeonhole: with
+    ``max_distance < bands`` a true pair ALWAYS shares an intact band,
+    so recall is exact, not probabilistic (the simhash trick applied
+    to image signatures).
+    """
+    if not 64 % bands == 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col)
+    )
+    banded = h.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, hash_col, "__b.band", "__b.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("distance"),
+        )
+        .where(F.col("distance") <= max_distance)
+        .distinct()
+    )

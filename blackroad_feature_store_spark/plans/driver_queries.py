@@ -1421,6 +1421,42 @@ def mm_asset_metadata(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "mm_dhash_pairs",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS INT) AS distance
+    FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def mm_dhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash near-dup pair generation
+    (`operators/multimodal.py::{image_dhash,dhash_duplicate_pairs}`):
+    the banded self-join over 16-bit hash bands with the
+    bit_count-XOR verify, run at max_distance=0 over the asset-wrapped
+    corpus (documents ∪ re-keyed documents so every asset has exactly
+    one duplicate). At distance 0 the contract is exact — pairs ⇔
+    identical payloads ⇔ equal text — so the oracle needs no hash
+    replay, just the text self-join. The REAL pixel-dHash distance
+    behavior (re-encodes at 0 bits, edits within a few bits, corrupt
+    payloads NULLed out) is pinned by the PNG-decoding pytest."""
+    from blackroad_feature_store_spark.operators.multimodal import (
+        dhash_duplicate_pairs,
+        image_dhash,
+    )
+
+    docs = load(spark, sf, "documents")
+    u = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    assets = documents_as_assets(u)
+    hashes = image_dhash(assets, fake=True)
+    return dhash_duplicate_pairs(hashes, max_distance=0)
+
+
+@q(
     "mm_frame_samples",
     """
     SELECT doc_id AS asset_id,

@@ -2093,3 +2093,63 @@ def test_cluster_aware_split_never_leaks(spark):
     n_train_cl = sum(1 for s in clusters.values() if s == "train")
     assert 0.6 <= n_train_cl / len(clusters) <= 1.0
     assert len(clusters) > 10  # the corpus isn't ONE cluster
+
+
+# -- image dHash near-dup ---------------------------------------------------
+
+
+def _png_assets(spark):
+    import numpy as np
+
+    from blackroad_feature_store_spark.operators import codecs as C
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:4, :4] = 255  # small corner edit
+    different = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(C.encode_png(base))),
+        (2, bytearray(C.encode_png(base))),       # exact re-encode
+        (3, bytearray(C.encode_png(near))),       # near duplicate
+        (4, bytearray(C.encode_png(different))),  # unrelated
+        (5, bytearray(b"not an image at all")),   # corrupt
+    ]
+    return spark.createDataFrame(
+        rows, "asset_id long, content binary"
+    )
+
+
+def test_image_dhash_real_decode_and_near_dup_pairs(spark):
+    from blackroad_feature_store_spark.operators.multimodal import (
+        dhash_duplicate_pairs,
+        image_dhash,
+    )
+
+    assets = _png_assets(spark)
+    hashes = {r["asset_id"]: r["dhash"] for r in image_dhash(assets, fake=False).collect()}
+    assert hashes[1] == hashes[2]           # identical pixels -> identical hash
+    assert hashes[5] is None                # corrupt -> NULL, no crash
+    d13 = bin((hashes[1] ^ hashes[3]) & ((1 << 64) - 1)).count("1")
+    d14 = bin((hashes[1] ^ hashes[4]) & ((1 << 64) - 1)).count("1")
+    assert d13 < d14                        # edit closer than unrelated
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in dhash_duplicate_pairs(
+            image_dhash(assets, fake=False), max_distance=max(3, d13)
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs                  # near dup found via banding
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_image_dhash_fake_path_deterministic(spark):
+    from blackroad_feature_store_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    assets = _png_assets(spark)
+    a = {r["asset_id"]: r["dhash"] for r in image_dhash(assets).collect()}
+    b = {r["asset_id"]: r["dhash"] for r in image_dhash(assets).collect()}
+    assert a == b and a[1] == a[2] and a[1] != a[4]
