@@ -2153,3 +2153,53 @@ def test_image_dhash_fake_path_deterministic(spark):
     a = {r["asset_id"]: r["dhash"] for r in image_dhash(assets).collect()}
     b = {r["asset_id"]: r["dhash"] for r in image_dhash(assets).collect()}
     assert a == b and a[1] == a[2] and a[1] != a[4]
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Brute-force BM25 (straight from the Robertson formula) on a
+    small corpus must equal the distributed implementation."""
+    import math
+
+    from blackroad_feature_store_spark.operators.corpus import bm25_search
+
+    corpus = {
+        1: "spark makes big data processing fast",
+        2: "pandas makes small data processing easy",
+        3: "fast data pipelines need fast engines",
+        4: "gardening tips for spring flowers",
+    }
+    query_terms = ["fast", "data"]
+    docs_tokens = {d: t.split() for d, t in corpus.items()}
+    N = len(corpus)
+    avgdl = sum(len(t) for t in docs_tokens.values()) / N
+    k1, b = 1.2, 0.75
+    dfreq = {
+        q: sum(1 for t in docs_tokens.values() if q in t)
+        for q in query_terms
+    }
+    want = {}
+    for d, toks in docs_tokens.items():
+        score, hits = 0.0, 0
+        for q in query_terms:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = round(
+                math.log(1 + (N - dfreq[q] + 0.5) / (dfreq[q] + 0.5)), 6
+            )
+            contrib = round(
+                idf * (tf * (k1 + 1))
+                / (tf + k1 * (1 - b + b * len(toks) / avgdl)),
+                6,
+            )
+            score += contrib
+        if hits:
+            want[d] = (round(score, 10), hits)
+
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (round(r["score"], 10), r["n_hit_terms"])
+        for r in bm25_search(df, "fast data", k=10).collect()
+    }
+    assert got == want
