@@ -865,6 +865,7 @@ def cluster_aware_split(
     train_pct: int = 90,
     num_bands: int = 8,
     shingle_size: int = 3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-free train/holdout assignment: split by NEAR-DUP
     CLUSTER, not by document. Per-document hash splitting (the
@@ -879,15 +880,18 @@ def cluster_aware_split(
     Returns ``(id_col, cluster_id, split)``. Cost over plain splitting
     is the dedup pipeline the corpus runs anyway (LSH candidates +
     iterative components); the split itself stays a narrow projection.
+    Pass ``pairs=`` to reuse an already-computed candidate frame (the
+    corpus pipeline usually has one) instead of regenerating it.
     """
     from blackroad_feature_store_spark.operators.dedup import (
         duplicate_clusters,
         minhash_candidate_pairs,
     )
 
-    pairs = minhash_candidate_pairs(
-        df, num_bands=num_bands, shingle_size=shingle_size
-    )
+    if pairs is None:
+        pairs = minhash_candidate_pairs(
+            df, num_bands=num_bands, shingle_size=shingle_size
+        )
     clusters = duplicate_clusters(pairs).select(
         F.col("doc_id").alias(id_col), "cluster_id"
     )

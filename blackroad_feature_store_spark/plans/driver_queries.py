@@ -2289,8 +2289,9 @@ def pipeline_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load(spark, sf, "documents")
-    out = cluster_aware_split(docs)
     pairs = minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
+    pairs.persist()
+    out = cluster_aware_split(docs, pairs=pairs)
     sa = out.select(
         F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
     )
@@ -2303,6 +2304,7 @@ def pipeline_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .count()
     )
+    pairs.unpersist()
     if crossing:
         raise AssertionError(
             f"cluster-aware split leaked {crossing} cross-split pair(s)"
