@@ -264,3 +264,76 @@ def gopher_rules(
     for name in rules:
         pass_all = pass_all * F.col(name)
     return out.withColumn("pass_all", pass_all)
+
+
+def hash_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Cheap deterministic text embeddings via the hashing trick
+    (HashingTF + L2 norm, built from column algebra): lowercase alpha
+    tokens hash into ``dim`` buckets (md5-derived — engine-portable,
+    not seed-dependent), bucket counts become the vector, L2
+    normalized so dot products ARE cosine similarities.
+
+    This is the glue between the text corpus and every embedding
+    operator in the engine (cosine top-k, LSH/IVF/PQ ANN,
+    SemDeDup/embedding near-dup): no external model needed to run the
+    full similarity stack on raw documents. Lexical, not semantic —
+    but deterministic, reproducible, and good enough for near-dup
+    blocking and topic-ish clustering.
+
+    Shape: one explode + one aggregation per document; the vector is
+    assembled with ``map_from_entries`` + a fixed-order ``transform``
+    over bucket indices, and the norm is computed in that same fixed
+    order — no float-order nondeterminism anywhere.
+    """
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "
+        ),
+        lambda x: x != "",
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10)
+        .cast("long")
+        % dim
+    ).cast("int")
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .select(id_col, bucket.alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__b"), F.col("__n")))
+            ).alias("__m")
+        )
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    unit = F.transform(
+        vec, lambda x: (x / F.col("__norm")).cast("float")
+    )
+    out = (
+        counts.withColumn("__vec", vec)
+        .withColumn("__norm", norm)
+        .where(F.col("__norm") > 0)
+        .withColumn(out_col, unit)
+        .select(id_col, out_col)
+    )
+    # docs with zero alpha tokens get no row (no direction to embed)
+    return out

@@ -2203,3 +2203,56 @@ def test_bm25_matches_pure_python_reference(spark):
         for r in bm25_search(df, "fast data", k=10).collect()
     }
     assert got == want
+
+
+# -- hash embeddings --------------------------------------------------------
+
+
+def test_hash_embedding_unit_norm_and_determinism(spark):
+    import math
+
+    from blackroad_feature_store_spark.operators.text import hash_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark data engine"),
+            (2, "spark data engine"),          # identical text
+            (3, "Spark  DATA   engine!!"),     # normalization-equal
+            (4, "gardening flowers soil"),     # disjoint vocabulary
+            (5, "12345 !!! ???"),              # no alpha tokens
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: list(r["embedding"]) for r in hash_embedding(df, dim=32).collect()}
+    assert 5 not in rows                       # nothing to embed -> no row
+    for v in rows.values():
+        assert math.sqrt(sum(x * x for x in v)) == pytest.approx(1.0, abs=1e-6)
+    assert rows[1] == rows[2] == rows[3]
+    cos = sum(a * b for a, b in zip(rows[1], rows[4]))
+    assert abs(cos) < 0.3                      # disjoint vocab ~ orthogonal
+
+
+def test_hash_embedding_feeds_similarity_stack(spark):
+    """End-to-end composition: raw documents -> hash embeddings ->
+    the engine's exact top-k. Near-identical texts must be each
+    other's nearest neighbors."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from blackroad_feature_store_spark.operators.text import hash_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "completely different subject matter entirely"),
+            (4, "quantum chromodynamics lattice simulations"),
+        ],
+        ["doc_id", "text"],
+    )
+    emb = hash_embedding(df, dim=64).withColumnRenamed("doc_id", "vec_id")
+    queries = emb.where("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    top = cosine_topk(emb, queries, k=1).collect()
+    assert top[0]["neighbor_id"] == 2
