@@ -1339,6 +1339,62 @@ def pipeline_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "text_hash_embedding_profile",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                   x -> x <> '')) AS term
+        FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64
+                      AS INT) AS bucket
+          FROM toks),
+    cnt AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+    SELECT doc_id,
+           count(*) AS n_buckets_used,
+           CAST(sum(n * n) AS BIGINT) AS l2norm_sq,
+           CAST(sum(bucket * n) AS BIGINT) AS checksum
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_hash_embedding_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Certification of the hashing-trick embedding construction
+    (`operators/text.py::hash_embedding`): per document, the exact
+    integer profile of the bucketed vector — buckets used, squared
+    L2 norm, index-weighted checksum — replayed bit-for-bit by the
+    oracle's md5-bucket SQL. (Similarity BEHAVIOR over these vectors
+    is pytest-pinned; float cosine values aren't hash-comparable
+    cross-engine, the integer construction is.)"""
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "), " "
+        ),
+        lambda x: x != "",
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10)
+        .cast("long")
+        % 64
+    ).cast("int")
+    cnt = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(toks).alias("__tok"))
+        .select("doc_id", bucket.alias("__b"))
+        .groupBy("doc_id", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(F.col("__n") * F.col("__n"))
+        .cast("long")
+        .alias("l2norm_sq"),
+        F.sum(F.col("__b") * F.col("__n")).cast("long").alias("checksum"),
+    )
+
+
+@q(
     "text_quality_profile",
     f"""
     WITH {_SQL_PROFILE_BASE}
