@@ -135,6 +135,8 @@ HEADLINE = [
     "text_bm25_search",
     "pipeline_gopher_rules",
     "pipeline_cluster_split",
+    "mm_dhash_pairs",
+    "text_hash_embedding_profile",
 ]
 
 
