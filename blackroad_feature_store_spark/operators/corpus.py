@@ -820,9 +820,15 @@ def bm25_search(
         F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl")
     ).collect()[0]
     n_docs, avgdl = stats["n"], stats["sdl"] / max(stats["n"], 1)
+    # filter INSIDE the token array before exploding: the generate
+    # emits only query-term occurrences, not the whole corpus's tokens
     terms = base.select(
-        id_col, "__dl", F.explode("__t").alias("__term")
-    ).where(F.col("__term").isin(q_terms))
+        id_col,
+        "__dl",
+        F.explode(
+            F.filter(F.col("__t"), lambda x: x.isin(*q_terms))
+        ).alias("__term"),
+    )
     tf = terms.groupBy(id_col, "__dl", "__term").agg(
         F.count(F.lit(1)).alias("__tf")
     )
