@@ -42,6 +42,7 @@ def _fold(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
     gap_us: int,
+    event_time: bool = False,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
 
@@ -84,7 +85,12 @@ def _fold(
         s += float(v)
 
     state.update((start_us, last_us, n, s))
-    state.setTimeoutDuration(gap_us // 1000)  # µs → ms of quiet time
+    if event_time:
+        # close when the WATERMARK passes last_seen + gap: event-time
+        # semantics, independent of wall clock (deterministic drains)
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+    else:
+        state.setTimeoutDuration(gap_us // 1000)  # µs → ms of quiet
 
     if out:
         yield pd.DataFrame(
@@ -105,6 +111,8 @@ def sessionize_stream(
     ts_col: str = "ts",
     key_col: str = "user_id",
     value_col: str = "value",
+    event_time: bool = False,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Inactivity-gap sessionization over a stream.
 
@@ -112,6 +120,17 @@ def sessionize_stream(
     trailing sessions when the key times out after ``gap`` of quiet).
     Use on a batch DataFrame for testing via availableNow + memory
     sink — the same code path the production stream runs.
+
+    ``event_time=True`` switches the trailing-session close from a
+    processing-time timer to an EVENT-TIME one: a watermark
+    (``watermark_delay``) is applied to ``ts_col`` and a session
+    closes when the watermark passes ``last_seen + gap`` — fully
+    deterministic in the data (a replayed stream closes the same
+    sessions at the same points, no wall-clock dependence), and state
+    cleanup is driven by the same watermark that bounds lateness.
+    The processing-time default suits live dashboards (quiet keys
+    flush even when no data flows); event-time suits replayable
+    pipelines.
     """
     n, unit = gap.split()
     mult = {"minute": 60, "minutes": 60, "second": 1, "seconds": 1,
@@ -123,12 +142,19 @@ def sessionize_stream(
         F.col(ts_col).cast("timestamp").alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
+    if event_time:
+        shaped = shaped.withWatermark("ts", watermark_delay)
+        conf = GroupStateTimeout.EventTimeTimeout
+    else:
+        conf = GroupStateTimeout.ProcessingTimeTimeout
     return shaped.groupBy("user_id").applyInPandasWithState(
-        lambda key, pdfs, state: _fold(key, pdfs, state, gap_us),
+        lambda key, pdfs, state: _fold(
+            key, pdfs, state, gap_us, event_time
+        ),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )
 
 

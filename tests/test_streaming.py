@@ -710,3 +710,68 @@ def test_streaming_ingest_enforces_check_constraints(
         if q.exception() is not None:
             raise q.exception()
     assert fs.records_df(g.id).count() == 0  # nothing landed
+
+
+def test_sessionize_event_time_timeout_closes_by_watermark(
+    spark, tmp_path
+):
+    """Event-time sessionization EXECUTED: u1's trailing session must
+    close because the WATERMARK (advanced by a later event) passed
+    last_seen + gap — no wall-clock involved; the advancer's own
+    session stays open."""
+    from blackroad_feature_store_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "sess_et")
+    # wave 1: u1 has two bursts separated by > gap (30 min)
+    spark.createDataFrame(
+        [
+            (1, "2026-01-01T00:00:00", 1.0),
+            (1, "2026-01-01T00:05:00", 2.0),
+            (1, "2026-01-01T01:00:00", 3.0),   # new session (55m gap)
+        ],
+        "user_id long, ts string, value double",
+    ).coalesce(1).write.mode("append").parquet(src)  # ONE file = one batch
+    # wave 2: far-future advancer on another key pushes the watermark
+    # beyond u1's last_seen + gap + delay
+    spark.createDataFrame(
+        [(99, "2026-01-01T06:00:00", 0.0)],
+        "user_id long, ts string, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sessions = sessionize_stream(
+        stream, gap="30 minutes", event_time=True,
+        watermark_delay="1 minute",
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_et_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_et"))
+        .start()
+    )
+    # Unlike processing-time timers, event-time timeouts never schedule
+    # wall-clock batches: availableNow terminates on its own.
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM sess_et_out ORDER BY user_id, session_start"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # u1: the mid-batch close AND the watermark-timeout close
+    assert len(by_user[1]) == 2
+    first, second = by_user[1]
+    assert first["n_events"] == 2 and first["sum_value"] == 3.0
+    assert second["n_events"] == 1 and second["sum_value"] == 3.0
+    assert second["closed"] is True
+    # the advancer's session is still open: nothing emitted for u99
+    assert 99 not in by_user
