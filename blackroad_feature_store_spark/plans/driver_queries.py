@@ -1786,6 +1786,93 @@ def stream_exec_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_sessionize_et",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s),
+    agg AS (
+        SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, sid),
+    wm AS (SELECT max(ts) AS mx FROM events)
+    SELECT user_id,
+           strftime(t0, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events, sum_value
+    FROM agg CROSS JOIN wm
+    QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+         OR epoch_us(t1) + 1800000000 <= epoch_us(mx) - 60000000
+    """,
+)
+def stream_exec_sessionize_et(spark: SparkSession, sf: str) -> DataFrame:
+    """The EVENT-TIME variant of the executed sessionization
+    (`streaming/stateful.py::sessionize_stream(event_time=True)`):
+    trailing sessions close when the WATERMARK passes last_seen + gap,
+    so unlike the processing-time drain the emitted set includes every
+    user's final session whose quiet period the final watermark
+    (max event time − 1 min delay) has already covered. The oracle
+    pins exactly that richer contract: lag-gap sessions where the
+    session is non-last OR end + 30 min ≤ watermark. Event-time
+    timers schedule no wall-clock batches, so the availableNow run
+    terminates on its own — no bounded drain needed."""
+    import uuid as _uuid
+
+    from blackroad_feature_store_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    batch = load(spark, sf, "events")
+    src = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    sessions = sessionize_stream(
+        src,
+        gap="30 minutes",
+        ts_col="ts",
+        key_col="user_id",
+        value_col="value",
+        event_time=True,
+        watermark_delay="1 minute",
+    )
+    sink = f"stream_exec_sessionize_et_{_uuid.uuid4().hex[:8]}"
+    q_ = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(180)
+    return spark.table(sink).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+@q(
     "stream_exec_enrich",
     """
     WITH recs AS (
