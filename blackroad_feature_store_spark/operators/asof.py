@@ -35,6 +35,7 @@ def latest_as_of(
     as_of: datetime | str | Column | None = None,
     tiebreakers: Sequence[str] = ("id",),
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Top-1 snapshot per key: the newest row with ``ts_col <= as_of``.
 
@@ -48,22 +49,46 @@ def latest_as_of(
     semantics: a stale snapshot is treated as no snapshot. The bound
     is a second pushdown-able range predicate, so at scale it PRUNES
     the scan rather than adding work.
+
+    ``direction="forward"`` flips the operator into LABEL extraction:
+    the EARLIEST row with ``ts_col >= as_of`` per key (ties by
+    ascending tiebreakers), with ``tolerance`` bounding how far ahead
+    to look — "the next purchase within 7 days of the cutoff", the
+    standard forward-label join of supervised training sets.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     df = records
     if tolerance is not None and as_of is None:
         raise ValueError("tolerance requires as_of")
+    if direction == "forward" and as_of is None:
+        raise ValueError("direction='forward' requires as_of")
     if as_of is not None:
         as_of_expr = as_of if isinstance(as_of, Column) else F.lit(as_of)
-        df = df.where(F.col(ts_col) <= as_of_expr)
-        if tolerance is not None:
-            df = df.where(
-                F.col(ts_col)
-                >= as_of_expr.cast("timestamp")
-                - F.expr(f"INTERVAL {tolerance}")
-            )
-    order = [F.col(ts_col).desc()] + [
-        F.col(c).desc() for c in tiebreakers if c in df.columns
-    ]
+        if direction == "backward":
+            df = df.where(F.col(ts_col) <= as_of_expr)
+            if tolerance is not None:
+                df = df.where(
+                    F.col(ts_col)
+                    >= as_of_expr.cast("timestamp")
+                    - F.expr(f"INTERVAL {tolerance}")
+                )
+        else:  # forward: the EARLIEST record at or after the cutoff
+            df = df.where(F.col(ts_col) >= as_of_expr)
+            if tolerance is not None:
+                df = df.where(
+                    F.col(ts_col)
+                    <= as_of_expr.cast("timestamp")
+                    + F.expr(f"INTERVAL {tolerance}")
+                )
+    if direction == "backward":
+        order = [F.col(ts_col).desc()] + [
+            F.col(c).desc() for c in tiebreakers if c in df.columns
+        ]
+    else:
+        order = [F.col(ts_col).asc()] + [
+            F.col(c).asc() for c in tiebreakers if c in df.columns
+        ]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -295,6 +295,57 @@ def core_pit_join_pandas(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "core_asof_forward_label",
+    f"""
+    SELECT c.c_custkey,
+           l.o_orderkey    AS label_orderkey,
+           l.o_totalprice  AS label_totalprice
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{ASOF_CUTOFF}'
+          AND o_orderdate <= TIMESTAMP '{ASOF_CUTOFF}'
+                             + INTERVAL 90 DAY
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+    ) l ON c.c_custkey = l.o_custkey
+    """,
+)
+def core_asof_forward_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward-label extraction
+    (`operators/asof.py::latest_as_of(direction="forward")`): per
+    customer, the FIRST order at or after the cutoff within a 90-day
+    horizon — "did the entity convert within N days", the supervised
+    label every churn/propensity training set joins next to its
+    point-in-time features. Same one-window shape as the backward
+    as-of (both range predicates push to the scan), ascending order
+    and tiebreak."""
+    from blackroad_feature_store_spark.operators.asof import latest_as_of
+
+    spine = load(spark, sf, "customer").select("c_custkey")
+    recs = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey", "o_orderdate", "o_totalprice",
+    )
+    first_after = latest_as_of(
+        recs,
+        keys=["c_custkey"],
+        ts_col="o_orderdate",
+        as_of=F.lit(ASOF_CUTOFF).cast("timestamp"),
+        tiebreakers=("o_orderkey",),
+        tolerance="90 days",
+        direction="forward",
+    )
+    return spine.join(first_after, "c_custkey", "left").select(
+        "c_custkey",
+        F.col("o_orderkey").alias("label_orderkey"),
+        F.col("o_totalprice").alias("label_totalprice"),
+    )
+
+
+@q(
     "core_group_stats",
     """
     SELECT o_orderstatus AS status,

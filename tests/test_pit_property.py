@@ -159,3 +159,54 @@ def test_as_of_join_pandas_matches_window_form_randomized(spark):
         ka = sorted(map(tuple, a.collect()))
         kb = sorted(map(tuple, b.collect()))
         assert ka == kb, f"seed {seed} tol {tol}"
+
+
+def test_latest_as_of_forward_direction_brute_force(spark):
+    """Forward (label) direction vs a brute-force reference: earliest
+    record >= cutoff within tolerance, ascending-id tiebreak."""
+    import random
+    from datetime import datetime, timedelta
+
+    from blackroad_feature_store_spark.operators.asof import latest_as_of
+
+    rng = random.Random(9)
+    t0 = datetime(2026, 1, 1)
+    cutoff = t0 + timedelta(hours=100)
+    recs = []
+    for e in range(6):
+        for i in range(rng.randint(0, 12)):
+            recs.append(
+                (
+                    f"r{e}_{i:02d}",
+                    f"e{e}",
+                    t0 + timedelta(hours=rng.randint(0, 200)),
+                )
+            )
+    # forced tie exactly at the cutoff: min id must win (ASC tiebreak)
+    recs.append(("r9_a", "e0", cutoff))
+    recs.append(("r9_b", "e0", cutoff))
+    df = spark.createDataFrame(recs, "id string, entity string, timestamp timestamp")
+
+    got = {
+        r["entity"]: r["id"]
+        for r in latest_as_of(
+            df, ["entity"], as_of=cutoff, direction="forward",
+            tolerance="50 hours",
+        ).collect()
+    }
+    want = {}
+    for rid, e, ts in recs:
+        if not (cutoff <= ts <= cutoff + timedelta(hours=50)):
+            continue
+        cur = want.get(e)
+        if cur is None or (ts, rid) < cur[1]:
+            want[e] = (rid, (ts, rid))
+    assert got == {e: v[0] for e, v in want.items()}
+    assert got["e0"] == "r9_a"  # the tie broke ascending
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires as_of"):
+        latest_as_of(df, ["entity"], direction="forward")
+    with _pytest.raises(ValueError, match="backward|forward"):
+        latest_as_of(df, ["entity"], as_of=cutoff, direction="sideways")
