@@ -137,6 +137,8 @@ HEADLINE = [
     "pipeline_cluster_split",
     "mm_dhash_pairs",
     "text_hash_embedding_profile",
+    "stream_exec_sessionize_et",
+    "core_asof_forward_label",
 ]
 
 
