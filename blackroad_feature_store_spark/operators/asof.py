@@ -107,8 +107,11 @@ def as_of_join(
     how: str = "left",
     broadcast_spine: bool = False,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Join each spine row to the latest record snapshot as of a time.
+    """Join each spine row to the latest record snapshot as of a time
+    (``direction="forward"``: to the EARLIEST record at/after it — the
+    label join; global-cutoff form only).
 
     * ``as_of`` a literal → one global cutoff (the reference CLI case).
     * ``as_of`` = a column name present in ``spine`` → per-row cutoff
@@ -124,6 +127,11 @@ def as_of_join(
     """
     on_cols = [on] if isinstance(on, str) else list(on)
 
+    if direction != "backward" and isinstance(as_of, str) and as_of in spine.columns:
+        raise ValueError(
+            "direction='forward' supports the global-cutoff form only "
+            "(per-row forward labels: call latest_as_of per cutoff)"
+        )
     if isinstance(as_of, str) and as_of in spine.columns:
         # Per-row as-of: range-join then per-spine-row top-1.
         spine_keyed = spine.withColumn(
@@ -154,7 +162,8 @@ def as_of_join(
         return out
 
     latest = latest_as_of(
-        records, on_cols, ts_col, as_of, tiebreakers, tolerance=tolerance
+        records, on_cols, ts_col, as_of, tiebreakers,
+        tolerance=tolerance, direction=direction,
     )
     s = F.broadcast(spine) if broadcast_spine else spine
     return s.join(latest, on=on_cols, how=how)
