@@ -176,6 +176,7 @@ def gapfill_locf(
     value_col: str,
     step: str = "INTERVAL 1 HOUR",
     bucket_trunc: str = "hour",
+    fill: str = "locf",
 ) -> DataFrame:
     """Regularize an irregular time series per key: bucket, fill the
     missing buckets, carry the last observation forward (TimescaleDB's
@@ -189,22 +190,36 @@ def gapfill_locf(
     ``bucket_value`` (the aggregated observation, NULL on gaps),
     ``filled_value`` (LOCF), ``is_gap`` (1 on synthesized rows).
 
+    ``fill="interp"`` linearly interpolates gaps between the
+    surrounding observations instead of carrying the last one forward
+    (pandas ``resample().interpolate()``): each gap row gets
+    ``v0 + (v1 - v0) * (t - t0) / (t1 - t0)`` from the nearest
+    observed buckets on each side. Interior gaps only — a grid always
+    starts and ends on observations, so no extrapolation arises.
+
     Scale shape: one aggregation to buckets (map-side combinable), a
     per-key min/max (same shuffle key, AQE-coalesced), the grid
     generated by ``sequence()`` + ``explode`` INSIDE each key's row —
     no crossJoin against a calendar table — and one window sort per
-    key for the forward fill. Grid size is Σ per-key span/step; keys
-    partition independently, so a 100 TB corpus fills in parallel.
-    Sums run through DECIMAL so partial-agg order can't move the
-    filled values.
+    key for the fill (two passes for interp: previous and next
+    observation). Grid size is Σ per-key span/step; keys partition
+    independently, so a 100 TB corpus fills in parallel. Sums run
+    through DECIMAL so partial-agg order can't move the filled
+    values.
     """
+    if fill not in ("locf", "interp"):
+        raise ValueError(f"fill must be locf|interp: {fill!r}")
     ks = list(keys)
+    dec_sum = F.sum(F.col(value_col).cast("decimal(18,6)"))
     obs = df.groupBy(
         *ks, F.date_trunc(bucket_trunc, F.col(ts_col)).alias("bucket")
     ).agg(
-        F.sum(F.col(value_col).cast("decimal(18,6)"))
-        .cast("double")
-        .alias("bucket_value")
+        dec_sum.cast("double").alias("bucket_value"),
+        # exact 6dp decimal twin of bucket_value: interp arithmetic
+        # runs on THIS (exact numerator, one double division at the
+        # end) so FMA/codegen ulp differences between engines cannot
+        # flip the rounded output
+        dec_sum.cast("decimal(18,6)").alias("__bvd"),
     )
     rng = obs.groupBy(*ks).agg(
         F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
@@ -216,18 +231,60 @@ def gapfill_locf(
         ).alias("bucket"),
     )
     j = grid.join(obs, [*ks, "bucket"], "left")
-    w = (
+    w_back = (
         Window.partitionBy(*ks)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    if fill == "locf":
+        filled = F.last("bucket_value", ignorenulls=True).over(w_back)
+    else:
+        w_fwd = (
+            Window.partitionBy(*ks)
+            .orderBy("bucket")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        obs_ts = F.when(
+            F.col("bucket_value").isNotNull(), F.col("bucket")
+        ).cast("long")
+        t0 = F.last(obs_ts, ignorenulls=True).over(w_back)
+        v0 = F.last("__bvd", ignorenulls=True).over(w_back)
+        t1 = F.first(obs_ts, ignorenulls=True).over(w_fwd)
+        v1 = F.first("__bvd", ignorenulls=True).over(w_fwd)
+        t = F.col("bucket").cast("long")
+        # (v0*(t1-t) + v1*(t-t0)) / (t1-t0): numerator exact in
+        # DECIMAL over integer-second deltas. The quotient lands on
+        # exact 6dp half-points for round data (2dp values, hour
+        # grids), where Spark's decimal-rendering HALF_UP and a
+        # binary-double round() disagree — so the 6dp rounding is
+        # done HERE in exact integer arithmetic (half away from
+        # zero), engine-portably; the division back by 1e6 is exact
+        # in both engines.
+        num_i = (v0 * (t1 - t) + v1 * (t - t0)) * 1_000_000
+        num_i = num_i.cast("long")
+        den = t1 - t0
+        pos = F.expr(
+            "(2 * __num_i + __den) DIV (2 * __den)"
+        )
+        interp6 = F.when(
+            F.col("__num_i") >= 0, pos
+        ).otherwise(-(
+            F.expr("(2 * -__num_i + __den) DIV (2 * __den)")
+        ))
+        filled = F.when(
+            F.col("bucket_value").isNotNull(), F.col("bucket_value")
+        ).otherwise(F.col("__interp6") / F.lit(1_000_000.0))
+    if fill == "interp":
+        j = (
+            j.withColumn("__num_i", num_i)
+            .withColumn("__den", den)
+            .withColumn("__interp6", interp6)
+        )
     return j.select(
         *ks,
         "bucket",
         F.round("bucket_value", 6).alias("bucket_value"),
-        F.round(
-            F.last("bucket_value", ignorenulls=True).over(w), 6
-        ).alias("filled_value"),
+        F.round(filled, 6).alias("filled_value"),
         F.when(F.col("bucket_value").isNull(), 1)
         .otherwise(0)
         .alias("is_gap"),

@@ -4777,6 +4777,80 @@ def core_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "core_gapfill_interp",
+    """
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS bucket_value
+        FROM events WHERE user_id < 30 GROUP BY 1, 2),
+    rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+            FROM obs GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(b0, b1, INTERVAL 1 HOUR))
+                        AS bucket
+             FROM rng),
+    j AS (SELECT g.user_id, g.bucket, o.bucket_value,
+                 CAST(o.bucket_value AS DECIMAL(18,6)) AS bvd
+          FROM grid g LEFT JOIN obs o USING (user_id, bucket)),
+    w AS (
+        SELECT user_id, bucket, bucket_value,
+               last_value(CASE WHEN bucket_value IS NOT NULL
+                               THEN CAST(epoch(bucket) AS BIGINT)
+                          END IGNORE NULLS) OVER back AS t0,
+               last_value(bvd IGNORE NULLS) OVER back AS v0,
+               first_value(CASE WHEN bucket_value IS NOT NULL
+                                THEN CAST(epoch(bucket) AS BIGINT)
+                           END IGNORE NULLS) OVER fwd AS t1,
+               first_value(bvd IGNORE NULLS) OVER fwd AS v1
+        FROM j
+        WINDOW back AS (PARTITION BY user_id ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW),
+               fwd AS (PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING)),
+    calc AS (
+        SELECT *,
+               CAST((v0 * (t1 - CAST(epoch(bucket) AS BIGINT))
+                     + v1 * (CAST(epoch(bucket) AS BIGINT) - t0))
+                    * 1000000 AS BIGINT) AS num_i,
+               t1 - t0 AS den
+        FROM w)
+    SELECT user_id,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           round(bucket_value, 6) AS bucket_value,
+           CASE WHEN bucket_value IS NOT NULL
+                THEN round(bucket_value, 6)
+                ELSE (CASE WHEN num_i >= 0
+                           THEN (2 * num_i + den) // (2 * den)
+                           ELSE -((2 * -num_i + den) // (2 * den))
+                      END) / 1000000.0 END AS filled_value,
+           CASE WHEN bucket_value IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM calc
+    """,
+)
+def core_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-interpolation gap filling
+    (`operators/asof.py::gapfill_locf(fill="interp")` — pandas
+    ``resample().interpolate()``): gaps take the line between the
+    surrounding observations. Same single-sort-per-key plan as LOCF
+    with one extra (reverse-frame) window pass; all arithmetic over
+    identical doubles, deterministic in both engines."""
+    from blackroad_feature_store_spark.operators.asof import gapfill_locf
+
+    ev = load(spark, sf, "events").where(F.col("user_id") < 30)
+    out = gapfill_locf(ev, ["user_id"], "ts", "value", fill="interp")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "bucket_value",
+        "filled_value",
+        "is_gap",
+    )
+
+
+@q(
     "stats_hll_distinct",
     """
     SELECT source,

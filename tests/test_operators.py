@@ -2256,3 +2256,37 @@ def test_hash_embedding_feeds_similarity_stack(spark):
     )
     top = cosine_topk(emb, queries, k=1).collect()
     assert top[0]["neighbor_id"] == 2
+
+
+def test_gapfill_interp_matches_pandas_interpolate(spark):
+    """fill='interp' vs pandas resample('h').sum() + interpolate() on
+    random series — independent reference, deterministic seed."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from blackroad_feature_store_spark.operators.asof import gapfill_locf
+
+    rng = random.Random(21)
+    rows = []
+    for key in ("a", "b"):
+        t0 = datetime(2026, 1, 1)
+        for _ in range(rng.randint(2, 20)):
+            ts = t0 + timedelta(minutes=rng.randint(0, 60 * 48))
+            rows.append((key, ts, float(rng.randint(1, 9))))
+    sdf = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        (r["k"], str(r["bucket"])): r["filled_value"]
+        for r in gapfill_locf(sdf, ["k"], "ts", "v", fill="interp").collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    for key, grp in pdf.groupby("k"):
+        obs = grp.set_index("ts")["v"].resample("h").sum()
+        counts = grp.set_index("ts")["v"].resample("h").count()
+        lo, hi = grp["ts"].min().floor("h"), grp["ts"].max().floor("h")
+        vals = obs.where(counts > 0)[(obs.index >= lo) & (obs.index <= hi)]
+        interp = vals.interpolate(method="linear")
+        for ts_i, want in interp.items():
+            assert got[(key, str(ts_i))] == round(want, 6), (key, ts_i)
