@@ -139,6 +139,7 @@ HEADLINE = [
     "text_hash_embedding_profile",
     "stream_exec_sessionize_et",
     "core_asof_forward_label",
+    "core_gapfill_interp",
 ]
 
 
