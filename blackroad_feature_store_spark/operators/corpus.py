@@ -921,3 +921,54 @@ def cluster_aware_split(
             F.lit("holdout")
         ),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic:
+    Efraimidis–Spirakis (2006) — each row gets key ``u^(1/w)`` for a
+    uniform ``u``, and the k largest keys are the sample, giving
+    inclusion probability proportional to weight. ``u`` is not
+    ``rand()`` but an md5-derived uniform of ``(id, seed)``, so the
+    sample is a pure function of the data — re-runs, retries, and
+    engines all draw the SAME sample (the reproducibility every
+    training-data pipeline needs), and a new ``seed`` is a fresh
+    draw. Quality-weighted corpus subsetting is the canonical use:
+    ``weight = quality_score`` keeps good documents preferentially
+    without hard thresholds.
+
+    Rows with weight <= 0 or NULL are excluded (zero mass). Keys are
+    quantized at 12dp with an id tiebreak, so the top-k boundary
+    cannot flip on last-ulp pow() differences. Selection lowers to
+    distributed TakeOrdered — per-partition top-k, no global sort.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0  # (0, 1]: (x+1) / (2^32 + 1)
+    key = F.round(
+        F.pow(u, 1.0 / F.col(weight_col)), 12
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )

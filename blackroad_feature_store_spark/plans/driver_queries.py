@@ -4442,6 +4442,39 @@ def text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_weighted_sample",
+    """
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+                                    1, 8) AS BIGINT) + 1.0)
+               / 4294967297.0 AS uu
+        FROM documents)
+    SELECT doc_id, n_chars FROM u
+    ORDER BY round(pow(uu, 1.0 / n_chars), 12) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (`operators/corpus.py::weighted_sample` — Efraimidis–Spirakis with
+    md5-derived uniforms): a length-proportional 50-document draw
+    (weight = n_chars, the token-budget-proportional sample). Same
+    data + seed ⇒ same sample on any engine or partitioning; the
+    oracle replays key construction exactly (keys quantized at 12dp
+    with an id tiebreak, so a last-ulp pow() cannot move the top-k
+    boundary). Membership is compared, not the keys themselves."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", k=50).select(
+        "doc_id", "n_chars"
+    )
+
+
+@q(
     "pipeline_dsir_select",
     """
     WITH toks AS (

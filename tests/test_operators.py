@@ -2290,3 +2290,29 @@ def test_gapfill_interp_matches_pandas_interpolate(spark):
         interp = vals.interpolate(method="linear")
         for ts_i, want in interp.items():
             assert got[(key, str(ts_i))] == round(want, 6), (key, ts_i)
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from blackroad_feature_store_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    # 200 docs: half weight 10, half weight 1 -> the heavy half must
+    # dominate a k=50 sample (E-S inclusion ∝ weight).
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 100 else 1.0) for i in range(200)],
+        ["doc_id", "w"],
+    )
+    a = [r["doc_id"] for r in weighted_sample(df, "w", k=50).collect()]
+    b = [r["doc_id"] for r in weighted_sample(df, "w", k=50).collect()]
+    assert a == b                      # same data+seed -> same sample
+    heavy = sum(1 for i in a if i < 100)
+    assert heavy >= 40                 # ~10x weight -> heavy dominates
+    c = [r["doc_id"] for r in weighted_sample(df, "w", k=50, seed=7).collect()]
+    assert c != a                      # new seed -> fresh draw
+    # weight <= 0 / NULL rows can never be sampled
+    df2 = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+        "doc_id long, w double",
+    )
+    assert [r["doc_id"] for r in weighted_sample(df2, "w", k=10).collect()] == [1]
