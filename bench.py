@@ -140,6 +140,7 @@ HEADLINE = [
     "stream_exec_sessionize_et",
     "core_asof_forward_label",
     "core_gapfill_interp",
+    "pipeline_weighted_sample",
 ]
 
 
