@@ -260,8 +260,18 @@ def gapfill_locf(
         # done HERE in exact integer arithmetic (half away from
         # zero), engine-portably; the division back by 1e6 is exact
         # in both engines.
-        num_i = (v0 * (t1 - t) + v1 * (t - t0)) * 1_000_000
-        num_i = num_i.cast("long")
+        # Guarded to gap rows only: on observed rows t1==t0 makes the
+        # eagerly-computed __interp6 a DIV-by-zero (an error under
+        # Spark ANSI mode even though the outer when() never reads
+        # it), so the numerator stays NULL there. The numerator stays
+        # DECIMAL end-to-end (precision 38 — no long cast of
+        # value×delta×1e6, which silently overflowed for large values
+        # times multi-month deltas); only the DIV quotient ≈ value×1e6
+        # lands in a long, bounding |value| at ~9.2e12.
+        num_i = F.when(
+            F.col("bucket_value").isNull(),
+            (v0 * (t1 - t) + v1 * (t - t0)) * 1_000_000,
+        )
         den = t1 - t0
         pos = F.expr(
             "(2 * __num_i + __den) DIV (2 * __den)"

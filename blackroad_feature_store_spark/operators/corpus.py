@@ -41,6 +41,7 @@ def decontaminate(
     benchmark: DataFrame,
     text_col: str = "text",
     n: int = 5,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Flag training documents sharing any word ``n``-gram with the
     benchmark set (eval-set contamination, GPT-3 appendix-C style).
@@ -48,7 +49,18 @@ def decontaminate(
     Returns ``train`` plus a boolean ``contaminated`` column. The
     benchmark's distinct shingles are broadcast — the training corpus
     is never shuffled, so this runs at scan speed on any corpus size.
+
+    ``id_col`` names the UNIQUE document-id column used to join the
+    hit set back onto ``train`` (defaults to the first column for
+    backward compatibility); a non-unique id would duplicate rows in
+    the left join, so it must identify rows one-to-one.
     """
+    if id_col is None:
+        id_col = train.columns[0]
+    if id_col not in train.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in train columns {train.columns}"
+        )
     bench_shingles = (
         benchmark.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("__shingle")
@@ -68,11 +80,9 @@ def decontaminate(
     # the training corpus ever shuffles it.
     return train.join(
         F.broadcast(
-            hits.select(train.columns[0]).withColumn(
-                "contaminated", F.lit(True)
-            )
+            hits.select(id_col).withColumn("contaminated", F.lit(True))
         ),
-        train.columns[0],
+        id_col,
         "left",
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
 
@@ -419,8 +429,10 @@ def remove_duplicated_spans(
     rather than dropping whole documents): for each word ``n``-gram
     occurring more than once in the corpus (cross- OR within-document),
     the first occurrence by (doc, position) survives; every token
-    covered only by non-surviving duplicated windows is deleted and
-    each document's text is reassembled from its remaining tokens.
+    covered ONLY by non-surviving duplicated windows (i.e. not also
+    inside any surviving keeper window of the same document) is
+    deleted and each document's text is reassembled from its
+    remaining tokens.
 
     Returns ``(id_col, text, n_tokens, n_removed)`` — one row per
     input document (``text`` may become empty for pure-boilerplate
@@ -471,6 +483,21 @@ def remove_duplicated_spans(
             == F.struct(F.col(id_col), F.col("__start"))
         ).alias("__keeper"),
     )
+    # Positions covered by the surviving (keeper) window of ANY gram
+    # stay — only tokens covered EXCLUSIVELY by non-surviving windows
+    # are deleted (Lee et al. keep one full occurrence: in
+    # 'a a a a a a' with n=5 the keeper [1,5] protects positions 2-5
+    # from the removed window [2,6], leaving the 5-token kept span).
+    keep_cov = (
+        marked.where(F.col("__dup") & F.col("__keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__end"))
+            ).alias("__p"),
+        )
+        .distinct()
+    )
     drop_pos = (
         marked.where(F.col("__dup") & ~F.col("__keeper"))
         .select(
@@ -480,6 +507,7 @@ def remove_duplicated_spans(
             ).alias("__p"),
         )
         .distinct()
+        .join(keep_cov, [id_col, "__p"], "left_anti")
     )
     exploded = base.select(
         id_col,

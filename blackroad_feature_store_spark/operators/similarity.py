@@ -736,8 +736,13 @@ def cosine_topk_gemm(
             for j in range(nq):
                 s = S[:, j].copy()
                 s[ids == b_qids[j]] = -np.inf  # self-match exclusion
-                top = np.argpartition(-s, kk - 1)[:kk]
-                keep = top[np.isfinite(s[top])]
+                # Select per-batch survivors by the SAME key the final
+                # ranking uses — (round(score, 6) desc, neighbor_id
+                # asc) — so a rounded-score tie straddling the kk-th
+                # slot keeps the lower id exactly like cosine_topk.
+                r = np.round(s, 6)
+                order = np.lexsort((ids, -r))
+                keep = order[np.isfinite(s[order])][:kk]
                 out_q.extend([b_qids[j]] * len(keep))
                 out_n.extend(ids[keep])
                 out_s.extend(s[keep])

@@ -2861,7 +2861,7 @@ def core_percentiles(spark: SparkSession, sf: str) -> DataFrame:
                      AS INT) % 100 < 90
                 THEN 'train' ELSE 'holdout' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source, split
     """,
@@ -3452,7 +3452,7 @@ def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 23 == 0)
     train = docs.where(F.col("doc_id") % 23 != 0)
     return (
-        decontaminate(train, bench, n=5)
+        decontaminate(train, bench, n=5, id_col="doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_train"),
@@ -3497,9 +3497,10 @@ def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
              regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS t3
       FROM step2)
     SELECT lang, count(*) AS n_docs,
-           sum(n_email) AS emails, sum(n_ip) AS ips,
-           sum(n_number) AS numbers,
-           sum(len(t0) - len(t3)) AS chars_redacted
+           CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_ip) AS BIGINT) AS ips,
+           CAST(sum(n_number) AS BIGINT) AS numbers,
+           CAST(sum(len(t0) - len(t3)) AS BIGINT) AS chars_redacted
     FROM step3 GROUP BY lang
     """,
 )
@@ -3655,7 +3656,7 @@ def text_outlier_docs(spark: SparkSession, sf: str) -> DataFrame:
                                   AND CURRENT ROW) - n_tok AS start
           FROM t)
     SELECT source, CAST(start // 256 AS BIGINT) AS bin_id,
-           count(*) AS n_docs, sum(n_tok) AS bin_tokens
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
     FROM c GROUP BY source, bin_id
     """,
 )
@@ -3925,7 +3926,7 @@ def core_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -3945,6 +3946,53 @@ def core_json_props(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+@q(
+    "core_oracle_canary",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_region,
+           CAST(sum(r_regionkey) AS BIGINT) AS sum_key,
+           round(sum(r_regionkey) / 7.0, 6) AS div_round,
+           CAST('0x' || substr(md5('canary'), 1, 4) AS INT) AS hex_probe,
+           CAST(len(regexp_extract_all('a1b22c333x4', '[0-9]+')) AS BIGINT)
+             AS n_matches,
+           CAST(json_extract_string('{"k": 41}', '$.k') AS BIGINT)
+             AS json_probe
+    FROM region
+    """,
+)
+def core_oracle_canary(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-divergence canary: a one-row probe of every construct the
+    DuckDB oracle layer has ever disagreed on (integer-sum width — the
+    r6 HUGEINT render divergence — hex-string casts, regex match
+    counting, JSON scalar extraction, round-6 double division). Every
+    value is a literal or a 5-row region aggregate, so a red row here
+    localizes an environment/renderer shift rather than an operator
+    bug. Expected: (5, 10, 1.428571, hex16(md5('canary')[:4]), 4, 41).
+    """
+    r = load(spark, sf, "region")
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n_region"),
+        F.sum("r_regionkey").cast("long").alias("sum_key"),
+        F.round(F.sum("r_regionkey") / F.lit(7.0), 6).alias("div_round"),
+    )
+    return agg.select(
+        "n_region",
+        "sum_key",
+        "div_round",
+        F.conv(F.substring(F.md5(F.lit("canary")), 1, 4), 16, 10)
+        .cast("int")
+        .alias("hex_probe"),
+        F.size(
+            F.regexp_extract_all(F.lit("a1b22c333x4"), F.lit("[0-9]+"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_matches"),
+        F.get_json_object(F.lit('{"k": 41}'), "$.k")
+        .cast("long")
+        .alias("json_probe"),
     )
 
 
@@ -4555,10 +4603,17 @@ def pipeline_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
                row_number() OVER (PARTITION BY gram
                                   ORDER BY doc_id, start) = 1 AS keeper
         FROM grams),
-    dropp AS (
+    keepcov AS (
         SELECT DISTINCT doc_id, p
         FROM marked, UNNEST(range(start, fin + 1)) AS v(p)
-        WHERE dup AND NOT keeper),
+        WHERE dup AND keeper),
+    dropp AS (
+        SELECT nk.doc_id, nk.p
+        FROM (SELECT DISTINCT doc_id, p
+              FROM marked, UNNEST(range(start, fin + 1)) AS v(p)
+              WHERE dup AND NOT keeper) nk
+        ANTI JOIN keepcov kc
+          ON nk.doc_id = kc.doc_id AND nk.p = kc.p),
     tokrows AS (
         SELECT doc_id, u.p, t[u.p] AS tok
         FROM sized, UNNEST(range(1, nt + 1)) AS u(p)),
@@ -6126,10 +6181,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     "tpch_q12_shipping_priority_modes",
     """
     SELECT ship_mode,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM (SELECT l_orderkey, l_shipdate,
                  CASE l_linenumber % 3 WHEN 0 THEN 'MAIL'
                       WHEN 1 THEN 'SHIP' ELSE 'AIR' END AS ship_mode

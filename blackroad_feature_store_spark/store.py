@@ -783,11 +783,22 @@ class FeatureStore:
         os.replace(tmp, path)
 
     def list_constraints(self, group_id: str) -> dict[str, str]:
+        # Only an ABSENT file means "no constraints". A corrupted or
+        # unreadable _constraints/<group>.json must surface — silently
+        # returning {} here would disable CHECK enforcement for the
+        # group and let writes that should be rejected land unnoticed.
         try:
             with open(self._constraints_path(group_id)) as fh:
                 return dict(json.load(fh))
-        except (OSError, ValueError):
+        except FileNotFoundError:
             return {}
+        except (OSError, ValueError) as e:
+            raise RuntimeError(
+                f"Constraint file for group {group_id!r} is unreadable "
+                f"or corrupt ({e}); refusing to silently disable CHECK "
+                "enforcement. Repair or delete "
+                f"{self._constraints_path(group_id)}"
+            ) from e
 
     def drop_constraint(self, group_id: str, name: str) -> None:
         current = self.list_constraints(group_id)

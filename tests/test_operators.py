@@ -574,7 +574,7 @@ def test_decontaminate_flags_ngram_overlap(spark):
     )
     out = {
         r["doc_id"]: r["contaminated"]
-        for r in decontaminate(train, bench, n=5).collect()
+        for r in decontaminate(train, bench, n=5, id_col="doc_id").collect()
     }
     assert out == {1: True, 2: False, 3: False, 4: False}
     # the benchmark side must be broadcast: corpus never shuffles
@@ -1578,6 +1578,21 @@ def test_remove_duplicated_spans_within_doc_and_case(spark):
     assert r["n_removed"] == 5
 
 
+def test_remove_duplicated_spans_keeper_overlap_protected(spark):
+    from blackroad_feature_store_spark.operators.corpus import (
+        remove_duplicated_spans,
+    )
+
+    # Self-overlapping repeat: 'a a a a a a' (n=5) has keeper [1,5]
+    # and removed window [2,6]. Positions 2-5 sit inside the KEPT
+    # occurrence, so only position 6 is deleted — one full occurrence
+    # survives (Lee et al. 2021 semantics), not a single token.
+    df = spark.createDataFrame([(1, "a a a a a a")], ["doc_id", "text"])
+    r = remove_duplicated_spans(df, n=5).collect()[0]
+    assert r["text"] == "a a a a a"
+    assert r["n_removed"] == 1
+
+
 def test_bigram_logprob_hand_computed(spark):
     import math
 
@@ -1679,13 +1694,18 @@ def test_remove_duplicated_spans_random_corpora_match_brute_force(spark):
             for i in range(len(ts) - N + 1):
                 occ.setdefault(tuple(ts[i : i + N]), []).append((d, i))
         drop = {d: set() for d in toks}
+        keep_cov = {d: set() for d in toks}
         for gram, sites in occ.items():
             if len(sites) >= 2:
-                for d, i in sorted(sites)[1:]:  # keeper = first (doc, pos)
+                kd, ki = sorted(sites)[0]  # keeper = first (doc, pos)
+                keep_cov[kd].update(range(ki, ki + N))
+                for d, i in sorted(sites)[1:]:
                     drop[d].update(range(i, i + N))
         want = {
             d: " ".join(
-                t for i, t in enumerate(ts) if i not in drop[d]
+                t
+                for i, t in enumerate(ts)
+                if i not in (drop[d] - keep_cov[d])
             )
             for d, ts in toks.items()
         }
@@ -2290,6 +2310,44 @@ def test_gapfill_interp_matches_pandas_interpolate(spark):
         interp = vals.interpolate(method="linear")
         for ts_i, want in interp.items():
             assert got[(key, str(ts_i))] == round(want, 6), (key, ts_i)
+
+
+def test_gapfill_interp_ansi_and_large_values(spark):
+    """The interp arithmetic must (a) never divide by zero on observed
+    rows under Spark ANSI mode (the when() guard keeps __interp6 NULL
+    there), and (b) survive large value × multi-month-gap products that
+    previously overflowed the long numerator into a silent NULL."""
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.operators.asof import gapfill_locf
+
+    rows = [
+        ("c", datetime(2026, 1, 1), 1e9),
+        ("c", datetime(2026, 3, 2), 2e9),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = {
+            str(r["bucket"]): r["filled_value"]
+            for r in gapfill_locf(
+                df,
+                ["k"],
+                "ts",
+                "v",
+                step="INTERVAL 30 DAY",
+                bucket_trunc="day",
+                fill="interp",
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    # 1e9 * 2.6e6 s * 1e6 would overflow a long numerator; the decimal
+    # path interpolates the 30-day midpoint exactly.
+    assert out["2026-01-31 00:00:00"] == 1.5e9
+    assert out["2026-01-01 00:00:00"] == 1e9
+    assert out["2026-03-02 00:00:00"] == 2e9
 
 
 def test_weighted_sample_proportional_and_deterministic(spark):

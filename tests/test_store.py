@@ -1624,6 +1624,28 @@ def test_check_constraint_definition_contract(store_with_group):
         store.drop_constraint(g.id, "c1")
 
 
+def test_corrupt_constraint_file_surfaces_instead_of_disabling(
+    store_with_group,
+):
+    """A corrupted _constraints/<group>.json must raise, not silently
+    return {} — returning {} would disable CHECK enforcement and let
+    writes that should be rejected land without any signal."""
+    import pytest as _pytest
+
+    store, g = store_with_group
+    store.add_constraint(g.id, "c1", "entity_id IS NOT NULL")
+    path = store._constraints_path(g.id)
+    with open(path, "w") as fh:
+        fh.write("{not json")
+    with _pytest.raises(RuntimeError, match="unreadable or corrupt"):
+        store.list_constraints(g.id)
+    # absent file still means "no constraints"
+    import os as _os
+
+    _os.remove(path)
+    assert store.list_constraints(g.id) == {}
+
+
 def test_check_constraint_null_result_counts_as_violation(
     store_with_group,
 ):
