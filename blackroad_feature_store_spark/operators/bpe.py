@@ -51,19 +51,28 @@ def bpe_train(
     num_merges: int = 200,
     min_freq: int = 2,
     text_col: str = "text",
+    max_words: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
     Returns the ordered merge list (rank = position). Words rarer than
-    ``min_freq`` are excluded from training (this is what keeps the
-    driver-side dictionary bounded on an unbounded corpus — and
-    matches practice: merges are decided by mass, which rare words
-    don't have).
+    ``min_freq`` are excluded from training, and the dictionary is
+    HARD-capped at the ``max_words`` highest-mass word types (ties
+    broken lexicographically, so the cap is deterministic under any
+    partitioning). ``min_freq`` alone does not bound the driver
+    dictionary on a web-scale corpus — the number of word types with
+    freq ≥ 2 grows with the corpus — so the cap is what makes the
+    collect O(max_words) regardless of input size. The top-N-by-mass
+    cut runs distributed (sort + limit → Spark TakeOrdered, never a
+    full-dictionary collect) and matches practice: merges are decided
+    by mass, which tail types don't have.
     """
     counts = {
         r["word"]: r["freq"]
         for r in word_counts(df, text_col)
         .where(F.col("freq") >= min_freq)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(max_words)
         .collect()
     }
     # symbol sequences per word, classic BPE

@@ -65,18 +65,32 @@ def minhash_signatures(
     text_col: str = "text",
     num_bands: int = 8,
     shingle_size: int = 3,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """Banded MinHash signatures: one row per (id, band, signature).
 
-    signature(band) = min over shingles of md5(band || ':' || shingle)
-    — a distinct deterministic hash function per band, portable across
-    engines.
+    Each band concatenates ``rows_per_band`` independent minhashes:
+    minimum_i(band) = min over shingles of md5(band || '.' || i || ':'
+    || shingle), and signature(band) = md5(min_0 || '|' || min_1 ...)
+    — distinct deterministic hash functions per (band, row), portable
+    across engines (md5 is md5 everywhere; min over hex strings is
+    lexicographic in every engine).
+
+    ``rows_per_band`` ≥ 2 is what gives LSH its S-curve: with r rows
+    a pair collides in a band with probability J^r, so P(candidate) =
+    1 − (1 − J^r)^bands. At r=1 the curve is so flat that mildly
+    similar pairs (J≈0.3 → 94% at 8 bands) flood the candidate set;
+    r=2 drops that to ~53% while J≥0.8 pairs still collide with
+    ≥99.9% probability — candidate volume tracks true near-dups, the
+    property that keeps the downstream pair verification linear at
+    100 TB.
 
     Plan shape (tuned for 100 TB): explode shingles once, then ONE
-    groupBy(id) computing all band minima as separate aggregate
-    columns — map-side combine collapses each partition to one row per
-    doc BEFORE the exchange, so shuffle volume is |docs| rows of
-    num_bands hashes instead of |shingles| × num_bands rows (the naive
+    groupBy(id) computing all num_bands × rows_per_band minima as
+    separate aggregate columns — map-side combine collapses each
+    partition to one row per doc BEFORE the exchange, so shuffle
+    volume is |docs| rows of hashes instead of |shingles| ×
+    num_bands × rows_per_band rows (the naive
     explode-bands-then-aggregate shape).
     """
     shingled = df.select(
@@ -87,17 +101,26 @@ def minhash_signatures(
     )
     per_band = shingled.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(
-                f"__sig{b}"
-            )
+            F.min(
+                F.md5(F.concat(F.lit(f"{b}.{i}:"), F.col("shingle")))
+            ).alias(f"__m{b}_{i}")
             for b in range(num_bands)
+            for i in range(rows_per_band)
         ]
     )
+    band_sig = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"__m{b}_{i}") for i in range(rows_per_band)]
+            )
+        )
+        for b in range(num_bands)
+    ]
     # Unpivot to the canonical (id, band, sig) long form.
     stack = F.explode(
         F.map_from_arrays(
             F.array(*[F.lit(b) for b in range(num_bands)]),
-            F.array(*[F.col(f"__sig{b}") for b in range(num_bands)]),
+            F.array(*band_sig),
         )
     ).alias("band", "sig")
     return per_band.select(id_col, stack)
@@ -110,14 +133,19 @@ def minhash_candidate_pairs(
     num_bands: int = 8,
     shingle_size: int = 3,
     max_bucket: int | None = None,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """LSH candidate pairs: ids sharing any band signature (a < b).
 
     The self-join keys on (band, sig) — the LSH bucket — so only
     colliding documents are ever compared. ``max_bucket`` drops
-    degenerate buckets (boilerplate shingles) before the join.
+    degenerate buckets (boilerplate shingles) before the join;
+    ``rows_per_band`` sets the S-curve sharpness (see
+    :func:`minhash_signatures`).
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_bands, shingle_size)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_bands, shingle_size, rows_per_band
+    )
     if max_bucket is not None:
         bucket_sizes = sigs.groupBy("band", "sig").agg(
             F.count(F.lit(1)).alias("bs")
@@ -472,6 +500,7 @@ def incremental_candidate_pairs(
     text_col: str = "text",
     num_bands: int = 8,
     shingle_size: int = 3,
+    rows_per_band: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental LSH: near-dup candidates for a NEW batch of
     documents against an already-signed corpus — the daily-ingest path
@@ -486,7 +515,7 @@ def incremental_candidate_pairs(
     O(|new batch| + collisions), independent of corpus size.
     """
     new_sigs = minhash_signatures(
-        new_docs, id_col, text_col, num_bands, shingle_size
+        new_docs, id_col, text_col, num_bands, shingle_size, rows_per_band
     )
     n = new_sigs.alias("n")
     e = existing_sigs.alias("e")

@@ -1019,7 +1019,8 @@ _SQL_SHINGLES = r"""
 _SQL_MINHASH_PAIRS = f"""
     WITH {_SQL_SHINGLES},
     bands AS (SELECT doc_id, band,
-                     min(md5(band || ':' || shingle)) AS sig
+                     md5(min(md5(band || '.0:' || shingle)) || '|' ||
+                         min(md5(band || '.1:' || shingle))) AS sig
               FROM sh CROSS JOIN
                    (SELECT unnest(generate_series(0, 7)) AS band)
               GROUP BY doc_id, band),

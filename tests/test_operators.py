@@ -62,14 +62,58 @@ def test_exact_duplicates(docs):
 # -- minhash / LSH -------------------------------------------------------------
 
 
-def test_minhash_pairs_include_near_dups(docs):
+def test_minhash_pairs_include_near_dups(docs, spark):
     pairs = {
         (r["id_a"], r["id_b"])
         for r in minhash_candidate_pairs(docs, num_bands=8).collect()
     }
     assert (1, 2) in pairs  # identical docs always collide on every band
-    assert (1, 3) in pairs  # 1-word-different docs share most shingles
     assert all(a < b for a, b in pairs)
+    # A STRONG near-dup (1 word of 20 changed, J≈0.74) must be found:
+    # with r=2 rows per band P(candidate) ≈ 1-(1-J²)^8 ≈ 0.996.
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango"
+    )
+    d2 = spark.createDataFrame(
+        [(1, base), (2, base.replace("kilo", "changed"))],
+        "doc_id long, text string",
+    )
+    assert {(1, 2)} == {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(d2, num_bands=8).collect()
+    }
+
+
+def test_minhash_r2_banding_sharper_than_r1(spark):
+    """The r=2 S-curve suppresses mildly-similar pairs that r=1 floods
+    in: on a corpus of documents sharing a minority of shingles
+    (J≈0.3-0.4 pairwise), r=2 emits strictly fewer candidate pairs
+    than r=1, while exact duplicates survive both."""
+    rows = []
+    # 12 docs: common 4-word prefix, distinct 8-word tails → every
+    # pair shares the prefix shingles only (J well under 0.5)
+    for i in range(12):
+        tail = " ".join(f"tok{i}_{j}" for j in range(8))
+        rows.append((i, f"common prefix words here {tail}"))
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r1 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            df, num_bands=8, rows_per_band=1
+        ).collect()
+    }
+    r2 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            df, num_bands=8, rows_per_band=2
+        ).collect()
+    }
+    assert (0, 100) in r1 and (0, 100) in r2  # exact dup always found
+    assert len(r2) < len(r1)                  # sharper curve: fewer
+    assert r2 <= r1                           # r=2 is a refinement
 
 
 def test_minhash_max_bucket_drops_degenerate(spark):
@@ -1905,6 +1949,41 @@ def test_bpe_train_deterministic_across_partitionings(spark):
     a = bpe_train(docs, num_merges=30)
     b = bpe_train(docs.repartition(7), num_merges=30)
     assert a == b and len(a) == 30
+
+
+def test_bpe_train_max_words_caps_dictionary_by_mass(spark):
+    """The driver dictionary is hard-capped at the max_words
+    highest-mass word types. Capping to the worked example's top word
+    types must reproduce the merges those types alone imply, a cap
+    wider than the vocabulary must change nothing, and the cap must be
+    deterministic (freq ties break lexicographically) under
+    repartitioning."""
+    from blackroad_feature_store_spark.operators.bpe import bpe_train
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    # cap wider than the 4-type vocabulary: identical merges
+    assert bpe_train(df, num_merges=4, min_freq=1, max_words=100) == \
+        bpe_train(df, num_merges=4, min_freq=1)
+    # cap to the top-2 types by mass (newest:6, low:5) — merges must
+    # come from those two alone. Without widest's mass every pair in
+    # 'newest' ties at 6, so the lexicographic tiebreak runs
+    # (e,s) → (e,w) → (es,t) → (est,</w>) — a different sequence from
+    # the full-vocabulary example, proving the cap actually dropped
+    # the tail types.
+    merges = bpe_train(df, num_merges=4, min_freq=1, max_words=2)
+    assert merges == [
+        ("e", "s"),
+        ("e", "w"),
+        ("es", "t"),
+        ("est", "</w>"),
+    ]
+    # deterministic under partitioning with the cap active
+    assert merges == bpe_train(
+        df.repartition(5), num_merges=4, min_freq=1, max_words=2
+    )
 
 
 def test_blocklist_filter_token_not_substring(spark):
