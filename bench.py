@@ -141,6 +141,27 @@ HEADLINE = [
     "core_asof_forward_label",
     "core_gapfill_interp",
     "pipeline_weighted_sample",
+    # -- completing catalog coverage (mostly sub-second registry /
+    # scalar-function shapes; benched so no query is unmeasured) --
+    "core_scan_filter_project",
+    "core_dim_join_ordered",
+    "core_point_lookup",
+    "core_lookup_composite",
+    "core_global_top1",
+    "core_json_values",
+    "core_string_fns",
+    "core_date_arith",
+    "core_rollup",
+    "core_set_ops",
+    "core_semi_anti",
+    "core_router_triggers",
+    "core_pit_join_pandas",
+    "core_oracle_canary",
+    "core_uuid_shape",
+    "core_current_ts_shape",
+    "store_bitemporal",
+    "mm_frame_samples",
+    "text_lang_confusion",
 ]
 
 

@@ -4,13 +4,15 @@ Five families, each a pure DataFrame pipeline:
 
 * **Exact** — hash-groupBy on a normalized fingerprint. One shuffle on
   the hash; at 100 TB this is the cheapest possible dedup.
-* **MinHash / LSH** — banded min-shingle signatures. We use the
-  portable construction min(md5(band || ':' || shingle)) per band: an
-  engine-independent MinHash (md5 is md5 everywhere; the min over hex
-  strings is lexicographic in every engine), so the DuckDB oracle can
-  reproduce candidate pairs bit-for-bit. Candidates come from a
-  self-equi-join on (band, signature) — the LSH bucket join — NOT an
-  all-pairs comparison, so cost scales with bucket sizes, not n².
+* **MinHash / LSH** — banded min-shingle signatures via
+  Kirsch–Mitzenmacher double hashing: md5(shingle) ONCE, split into
+  two 56-bit halves (h1, h2); hash j is (h1 + j·h2) mod 2^56, and a
+  band's signature concatenates the minima of its rows_per_band
+  hashes. Engine-independent (md5 / hex→int / modular arithmetic are
+  identical everywhere), so the DuckDB oracle reproduces candidate
+  pairs bit-for-bit. Candidates come from a self-equi-join on
+  (band, signature) — the LSH bucket join — NOT an all-pairs
+  comparison, so cost scales with bucket sizes, not n².
 * **SimHash** — 16-bit signature from per-token md5 nibbles; documents
   agreeing on all 16 bits are near-dup candidates. Same portability
   rationale.
@@ -69,12 +71,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """Banded MinHash signatures: one row per (id, band, signature).
 
-    Each band concatenates ``rows_per_band`` independent minhashes:
-    minimum_i(band) = min over shingles of md5(band || '.' || i || ':'
-    || shingle), and signature(band) = md5(min_0 || '|' || min_1 ...)
-    — distinct deterministic hash functions per (band, row), portable
-    across engines (md5 is md5 everywhere; min over hex strings is
-    lexicographic in every engine).
+    Hash family (Kirsch–Mitzenmacher double hashing, the standard
+    minhash construction in e.g. datasketch): each shingle is md5'd
+    ONCE, the digest split into two 56-bit integers (h1, h2), and the
+    j-th hash is g_j = (h1 + j·h2) mod 2^56. Band ``b`` takes the
+    minima of its ``rows_per_band`` hashes (j = b·r … b·r+r−1) and
+    joins them with '|' into the band signature. Engine-portable: md5,
+    hex-substring → integer, and nonnegative modular arithmetic are
+    identical in every engine, so the DuckDB oracle reproduces
+    signatures bit-for-bit. One md5 per shingle (instead of
+    bands × rows) is what keeps the signature pass scan-bound.
 
     ``rows_per_band`` ≥ 2 is what gives LSH its S-curve: with r rows
     a pair collides in a band with probability J^r, so P(candidate) =
@@ -92,27 +98,42 @@ def minhash_signatures(
     volume is |docs| rows of hashes instead of |shingles| ×
     num_bands × rows_per_band rows (the naive
     explode-bands-then-aggregate shape).
+
+    Overflow bound: h1, h2 < 2^56 and j < 16, so h1 + j·h2 < 2^60 —
+    exact in a 64-bit long in both engines.
     """
+    h = F.md5(F.col("shingle"))
     shingled = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_size)).alias(
             "shingle"
         ),
+    ).select(
+        id_col,
+        F.conv(F.substring(h, 1, 14), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring(h, 15, 14), 16, 10).cast("long").alias("__h2"),
     )
+    mod = F.lit(1 << 56)
     per_band = shingled.groupBy(id_col).agg(
         *[
             F.min(
-                F.md5(F.concat(F.lit(f"{b}.{i}:"), F.col("shingle")))
+                (
+                    F.col("__h1")
+                    + F.lit(b * rows_per_band + i) * F.col("__h2")
+                )
+                % mod
             ).alias(f"__m{b}_{i}")
             for b in range(num_bands)
             for i in range(rows_per_band)
         ]
     )
     band_sig = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"__m{b}_{i}") for i in range(rows_per_band)]
-            )
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"__m{b}_{i}").cast("string")
+                for i in range(rows_per_band)
+            ],
         )
         for b in range(num_bands)
     ]

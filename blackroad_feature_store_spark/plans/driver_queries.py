@@ -1018,10 +1018,17 @@ _SQL_SHINGLES = r"""
 
 _SQL_MINHASH_PAIRS = f"""
     WITH {_SQL_SHINGLES},
+    hs AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h1,
+                  CAST('0x' || substr(md5(shingle), 15, 14) AS BIGINT) AS h2
+           FROM sh),
     bands AS (SELECT doc_id, band,
-                     md5(min(md5(band || '.0:' || shingle)) || '|' ||
-                         min(md5(band || '.1:' || shingle))) AS sig
-              FROM sh CROSS JOIN
+                     CAST(min((h1 + (band * 2) * h2)
+                              % 72057594037927936) AS VARCHAR)
+                     || '|' ||
+                     CAST(min((h1 + (band * 2 + 1) * h2)
+                              % 72057594037927936) AS VARCHAR) AS sig
+              FROM hs CROSS JOIN
                    (SELECT unnest(generate_series(0, 7)) AS band)
               GROUP BY doc_id, band),
     pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
