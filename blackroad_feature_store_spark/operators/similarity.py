@@ -682,6 +682,7 @@ def cosine_topk_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 200_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine — the BLAS path.
 
@@ -702,16 +703,25 @@ def cosine_topk_gemm(
 
     The query side is collected to the driver and broadcast —
     queries-fit-in-memory is already the contract of every top-k
-    variant here (they all broadcast the query frame).
+    variant here (they all broadcast the query frame). The contract is
+    ENFORCED: more than ``max_queries`` rows raises instead of
+    silently OOM-ing the driver — batch the query frame or use the
+    LSH/IVF tiers for query sets that size.
     """
     import numpy as np
     import pandas as pd
 
     qrows = queries.select(
         F.col(query_id_col), F.col(vec_col)
-    ).collect()
+    ).limit(max_queries + 1).collect()
     if not qrows:
         raise ValueError("cosine_topk_gemm: empty query frame")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_gemm: query frame exceeds {max_queries} rows; "
+            "the GEMM path broadcasts queries (driver-memory contract). "
+            "Batch the queries or use cosine_topk_lsh / cosine_topk_ivf."
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(

@@ -1546,6 +1546,27 @@ def test_cosine_topk_gemm_empty_queries_raises(spark):
         ))
 
 
+def test_cosine_topk_gemm_query_limit_enforced(spark):
+    """The GEMM path collects the query frame to the driver; the
+    documented queries-fit-in-memory contract is enforced with a clear
+    error instead of a silent driver OOM."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_gemm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.range(10).selectExpr(
+        "id AS query_id", "array(CAST(id AS float), 1.0f) AS embedding"
+    )
+    with pytest.raises(ValueError, match="exceeds 3 rows"):
+        cosine_topk_gemm(corpus, queries, max_queries=3)
+    # within the limit: works
+    assert cosine_topk_gemm(corpus, queries.limit(2), k=2).count() == 4
+
+
 # -- gapfill_locf ------------------------------------------------------------
 
 
