@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from blackroad_feature_store_spark.operators.text import word_shingles
+from blackroad_feature_store_spark.operators.util import spread
 
 
 def decontaminate(
@@ -358,9 +359,9 @@ def duplicated_ngram_spans(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
         lambda x: x != "",
     )
-    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
-        "__nt", F.size("__t")
-    )
+    base = spread(df, id_col).select(
+        F.col(id_col), toks.alias("__t")
+    ).withColumn("__nt", F.size("__t"))
     grams = (
         base.where(F.col("__nt") >= n)
         .select(
@@ -450,9 +451,9 @@ def remove_duplicated_spans(
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
-    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
-        "__nt", F.size("__t")
-    )
+    base = spread(df, id_col).select(
+        F.col(id_col), toks.alias("__t")
+    ).withColumn("__nt", F.size("__t"))
     low = F.transform(F.col("__t"), lambda x: F.lower(x))
     grams = (
         base.where(F.col("__nt") >= n)

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from blackroad_feature_store_spark.operators.similarity import dot, norm
+from blackroad_feature_store_spark.operators.util import spread
 from blackroad_feature_store_spark.operators.text import (
     fingerprint,
     tokens,
@@ -102,6 +103,13 @@ def minhash_signatures(
     Overflow bound: h1, h2 < 2^56 and j < 16, so h1 + j·h2 < 2^60 —
     exact in a 64-bit long in both engines.
     """
+    # Spread compact (id, text) rows across cores BEFORE the
+    # shingle-explode + hash stage: a small parquet file arrives as
+    # one scan partition, serializing the per-row-expensive hashing.
+    # Keyed on id_col so the groupBy below reuses the partitioning
+    # (no second exchange). On a many-file 100 TB input the
+    # repartition just rebalances — it never concentrates.
+    df = spread(df, id_col)
     h = F.md5(F.col("shingle"))
     shingled = df.select(
         F.col(id_col),
@@ -278,7 +286,9 @@ def ngram_jaccard(
     (PLANS_r03.md §6; per-pair values verified identical). Feed LSH
     candidates to keep the pair set linear in the corpus.
     """
-    docs_arr = df.select(
+    # spread: the shingle-set projection is per-row-expensive and a
+    # small file arrives as one scan partition (see minhash_signatures)
+    docs_arr = spread(df, id_col).select(
         F.col(id_col),
         F.array_distinct(
             word_shingles(F.col(text_col), shingle_size)

@@ -16,11 +16,15 @@ def spread(df: DataFrame, *key_cols: str, num_partitions: int | None = None) -> 
     lets Catalyst reuse the partitioning — a following groupBy(key)
     needs no second exchange.
 
-    Measure before applying (PLANS_r02.md): it pays only when per-row
-    compute dominates — for the regex-heavy text profile it cut 35% at
-    sf0.1; for cheap-per-row exploded aggregations (minhash, simhash)
-    and mapInPandas kernels the shuffle + Python-worker fan-out
-    overhead made it SLOWER, so those stay on the scan partitioning.
+    Measure before applying: it pays only when per-row compute
+    dominates. The regex-heavy text profile cut 35% at sf0.1
+    (PLANS_r02.md); the r7 re-measurement moved the minhash signature
+    pass and the span-operator gram generation onto it too (2.9s →
+    1.1s and 4.1s → 2.5s at sf0.1 — the r2 finding that spread hurt
+    those paths predated the shared-key partition reuse in their
+    groupBys). mapInPandas decode kernels still measure slower with
+    it — the Python-worker fan-out dominates — so those stay on the
+    scan partitioning.
 
     ``num_partitions`` defaults to the cluster's default parallelism
     (total cores), which is also the sane choice on a real cluster.

@@ -283,10 +283,11 @@ def core_pit_join(spark: SparkSession, sf: str) -> DataFrame:
 )
 def core_pit_join_pandas(spark: SparkSession, sf: str) -> DataFrame:
     """J1 on the merge_asof execution path
-    (`operators/asof.py::as_of_join_pandas`): cogroup shuffle + pandas
-    linear merge per entity instead of range-join + window top-1 —
-    no candidate-pair blow-up when entities have deep snapshot
-    histories. Shares core_pit_join's oracle, so the gate proves the
+    (`operators/asof.py::as_of_join_pandas`): hash-bucketed cogroup
+    shuffle + ONE pandas merge_asof(by=key) per bucket instead of
+    range-join + window top-1 — no candidate-pair blow-up when
+    entities have deep snapshot histories, and no per-entity Python
+    round-trip. Shares core_pit_join's oracle, so the gate proves the
     two strategies are value-identical (including the orderkey
     tiebreak at equal timestamps)."""
     from blackroad_feature_store_spark.operators.asof import (
