@@ -118,6 +118,22 @@ def test_pack_sequences_single_shuffle(spark):
     assert n_exchanges <= 2, plan
 
 
+def test_minhash_signatures_single_exchange(spark):
+    # The spread() repartition must be the ONLY exchange: the groupBy
+    # that computes the band minima is keyed on the same doc id, so
+    # the planner reuses the spread partitioning. A second shuffle
+    # here means that reuse broke (e.g. the spread key drifted from
+    # the aggregation key).
+    from blackroad_feature_store_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    sigs = minhash_signatures(load(spark, SF, "documents"))
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_decontaminate_corpus_never_shuffle_joins(spark):
     # Both joins against the corpus must be broadcast: a
     # SortMergeJoin/ShuffledHashJoin here means the benchmark or hit
