@@ -221,7 +221,9 @@ def simhash(
     two aggregations). The signature assembles from the agg columns
     with static bit weights — no second shuffle.
     """
-    toked = df.select(
+    # spread: same single-scan-partition hazard as minhash_signatures;
+    # the groupBy below reuses the id-keyed partitioning
+    toked = spread(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
     bit_sums = toked.groupBy(id_col).agg(
