@@ -189,6 +189,10 @@ def drain_and_stop(query, timeout: int = 120) -> None:
             if exc is not None:
                 raise exc
             break
-        _time.sleep(0.5)
+        # Fine-grained poll: progress JSON reads are cheap and the
+        # no-data batch that signals exhaustion lands ~1s after the
+        # data batch — a coarse sleep would pad every drain by up to
+        # its full interval.
+        _time.sleep(0.1)
     query.stop()
     query.awaitTermination(30)
