@@ -335,6 +335,14 @@ def as_of_join_pandas(
     entity groups the interpreter round-trips dominate (measured 29s
     → ~2s at sf0.1). Bucketing keeps the call count at the partition
     count while ``by=`` preserves exact per-entity semantics.
+
+    NULL join keys: a NULL-key spine row gets NULL payload (no match)
+    in BOTH forms. The window form gets this for free — it starts from
+    an equality range-join, and SQL equality never matches NULL. The
+    pandas form must enforce it: ``merge_asof(by=...)`` PAIRS
+    None/NaN/NA keys (verified for object, float64, and nullable-Int64
+    dtypes), so NULL-key records are dropped from the right side
+    before the merge. Pinned by ``test_asof_pandas_null_key_parity``.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -356,9 +364,16 @@ def as_of_join_pandas(
     sort_rec = [ts_col] + [t for t in tiebreakers if t in records.columns]
     tol = pd.Timedelta(tolerance) if tolerance is not None else None
 
-    nb = int(
-        spine.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    try:
+        nb = int(
+            spine.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"
+            )
+        )
+    except ValueError:
+        # Some platforms set the conf to a non-numeric value (e.g.
+        # "auto" under adaptive coalescing); fall back to core count.
+        nb = spine.sparkSession.sparkContext.defaultParallelism
     bkt = F.pmod(F.xxhash64(*[F.col(c) for c in on_cols]), F.lit(nb))
     sp = spine.withColumn("__bkt", bkt)
     rc = records.withColumn("__bkt", bkt)
@@ -367,6 +382,10 @@ def as_of_join_pandas(
         left = left.drop(columns="__bkt").sort_values(
             as_of_col, kind="mergesort"
         )
+        # NULL-key records can never match (SQL equality semantics,
+        # matching the window form) — but merge_asof's by= WOULD pair
+        # them with NULL-key spine rows, so drop them first.
+        right = right.dropna(subset=on_cols)
         if right.empty:
             out = left.copy()
             for c in payload:

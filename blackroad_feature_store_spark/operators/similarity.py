@@ -750,7 +750,11 @@ def cosine_topk_gemm(
                 # ranking uses — (round(score, 6) desc, neighbor_id
                 # asc) — so a rounded-score tie straddling the kk-th
                 # slot keeps the lower id exactly like cosine_topk.
-                r = np.round(s, 6)
+                # Spark's round() is HALF_UP; np.round is half-to-even,
+                # which would key a score landing exactly on a 5e-7
+                # half-point differently — round half away from zero
+                # explicitly (sign-aware floor(|s|*1e6 + 0.5)).
+                r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
                 order = np.lexsort((ids, -r))
                 keep = order[np.isfinite(s[order])][:kk]
                 out_q.extend([b_qids[j]] * len(keep))

@@ -27,9 +27,17 @@ def spread(df: DataFrame, *key_cols: str, num_partitions: int | None = None) -> 
     scan partitioning.
 
     ``num_partitions`` defaults to the cluster's default parallelism
-    (total cores), which is also the sane choice on a real cluster.
+    (total cores). When the input ALREADY has at least that many
+    partitions — the normal case for a genuinely large scan — the
+    repartition is skipped entirely: coalescing a wide scan down to
+    ~#cores partitions would shuffle the full document text for
+    nothing and concentrate data into fewer, bigger partitions. The
+    guard makes spread() a no-op at scale and a fan-out only for the
+    small-file case it exists for.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is None and df.rdd.getNumPartitions() >= n:
+        return df
     if key_cols:
         return df.repartition(n, *key_cols)
     return df.repartition(n)

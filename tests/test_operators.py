@@ -2473,3 +2473,20 @@ def test_weighted_sample_proportional_and_deterministic(spark):
         "doc_id long, w double",
     )
     assert [r["doc_id"] for r in weighted_sample(df2, "w", k=10).collect()] == [1]
+
+
+def test_spread_noop_on_already_wide_input(spark):
+    """spread() exists to fan small single-partition scans out to the
+    core count; on an input that already has >= defaultParallelism
+    partitions it must be a NO-OP (same DataFrame back, no shuffle) —
+    coalescing a wide scan down to ~#cores would shuffle the full
+    payload for nothing at 100 TB scale."""
+    from blackroad_feature_store_spark.operators.util import spread
+
+    n = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).repartition(1)
+    assert spread(narrow, "id").rdd.getNumPartitions() == n
+    wide = spark.range(100).repartition(n * 4, "id")
+    assert spread(wide, "id") is wide
+    # explicit num_partitions always honored
+    assert spread(wide, "id", num_partitions=2).rdd.getNumPartitions() == 2

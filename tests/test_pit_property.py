@@ -161,6 +161,53 @@ def test_as_of_join_pandas_matches_window_form_randomized(spark):
         assert ka == kb, f"seed {seed} tol {tol}"
 
 
+def test_asof_pandas_null_key_parity(spark):
+    """NULL join keys never match in either execution form (SQL
+    equality semantics). The window form gets this from its equality
+    range-join; the pandas form must drop NULL-key records before the
+    merge because merge_asof(by=) WOULD pair None/NaN keys. Both forms
+    must agree: NULL-key spine rows survive with NULL payload."""
+    from datetime import datetime
+
+    from blackroad_feature_store_spark.operators.asof import (
+        as_of_join,
+        as_of_join_pandas,
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("r0", None, 10, datetime(2026, 1, 1)),
+            ("r1", None, 20, datetime(2026, 1, 3)),
+            ("r2", "e1", 30, datetime(2026, 1, 2)),
+        ],
+        "id string, entity string, val int, timestamp timestamp",
+    )
+    spine = spark.createDataFrame(
+        [
+            (None, datetime(2026, 1, 2)),   # NULL key: NULL payload
+            (None, datetime(2026, 1, 4)),   # NULL key: NULL payload
+            ("e1", datetime(2026, 1, 4)),   # should see r2 (val 30)
+            ("e2", datetime(2026, 1, 4)),   # no records: NULL payload
+        ],
+        "entity string, cutoff timestamp",
+    )
+    a = as_of_join(
+        spine, records, on="entity", ts_col="timestamp", as_of="cutoff"
+    ).select("entity", "cutoff", "id", "val")
+    b = as_of_join_pandas(
+        spine, records, on="entity", as_of_col="cutoff",
+        ts_col="timestamp",
+    ).select("entity", "cutoff", "id", "val")
+    ka = sorted(map(tuple, a.collect()), key=str)
+    kb = sorted(map(tuple, b.collect()), key=str)
+    assert ka == kb
+    by_key = {(r[0], r[1].day): (r[2], r[3]) for r in kb}
+    assert by_key[(None, 2)] == (None, None)
+    assert by_key[(None, 4)] == (None, None)
+    assert by_key[("e1", 4)] == ("r2", 30)
+    assert by_key[("e2", 4)] == (None, None)
+
+
 def test_latest_as_of_forward_direction_brute_force(spark):
     """Forward (label) direction vs a brute-force reference: earliest
     record >= cutoff within tolerance, ascending-id tiebreak."""
