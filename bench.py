@@ -40,6 +40,7 @@ HEADLINE = [
     "store_roundtrip_asof",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_skewed_pairs",
     "dedup_clusters",
     "dedup_simhash",
     "dedup_jaccard",

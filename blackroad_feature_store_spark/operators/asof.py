@@ -410,3 +410,61 @@ def as_of_join_pandas(
         .cogroup(rc.groupBy("__bkt"))
         .applyInPandas(lambda lk, rk: fn(lk, rk), out_schema)
     )
+
+
+def as_of_join_auto(
+    spine: DataFrame,
+    records: DataFrame,
+    on: str | Sequence[str],
+    as_of_col: str,
+    ts_col: str = "timestamp",
+    tiebreakers: Sequence[str] = ("id",),
+    tolerance: str | None = None,
+    depth_threshold: float = 16.0,
+) -> DataFrame:
+    """Per-row point-in-time join with the execution strategy picked
+    automatically (callers previously had to choose, and the wrong
+    pick at scale is expensive in opposite directions):
+
+    * :func:`as_of_join` (range-join + window top-1) materializes
+      every (spine row, record at-or-before) candidate pair before
+      pruning — cost grows with mean snapshot DEPTH per entity, but
+      everything stays JVM-side in whole-stage codegen.
+    * :func:`as_of_join_pandas` (bucketed ``merge_asof``) never builds
+      the pair set — each bucket is one O(n log n) sort + linear
+      merge — but pays Arrow transfer of both sides and Python
+      workers.
+
+    The crossover is history depth: shallow history (few snapshots per
+    entity) means a small pair set, so the window form wins; deep
+    history means the pair blow-up dominates, so the pandas form wins.
+    Depth is estimated as ``count / approx_count_distinct(key)`` in
+    ONE column-pruned, map-side-partial aggregation over the records
+    side — an HLL-sketch scan whose cost stays bounded at any corpus
+    size (only sketches shuffle, never rows). ``depth_threshold``
+    defaults to 16: near the threshold both forms are within ~2x of
+    each other (sf0.1 measurements, PLANS_r07.md), so the heuristic
+    only needs to catch the order-of-magnitude far-from-threshold
+    cases.
+
+    Strategy contract: per-row cutoff, ``how="left"``, backward
+    direction — the intersection both forms support. Both are proven
+    value-identical on randomized workloads (``test_pit_property``).
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    est = records.select(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(
+            F.concat_ws("\x1f", *[F.col(c) for c in on_cols])
+        ).alias("d"),
+    ).first()
+    depth = (est["n"] / est["d"]) if est["d"] else 0.0
+    if depth >= depth_threshold:
+        return as_of_join_pandas(
+            spine, records, on=on_cols, as_of_col=as_of_col,
+            ts_col=ts_col, tiebreakers=tiebreakers, tolerance=tolerance,
+        )
+    return as_of_join(
+        spine, records, on=on_cols, ts_col=ts_col, as_of=as_of_col,
+        tiebreakers=tiebreakers, tolerance=tolerance,
+    )

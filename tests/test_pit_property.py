@@ -257,3 +257,58 @@ def test_latest_as_of_forward_direction_brute_force(spark):
         latest_as_of(df, ["entity"], direction="forward")
     with _pytest.raises(ValueError, match="backward|forward"):
         latest_as_of(df, ["entity"], as_of=cutoff, direction="sideways")
+
+
+def test_as_of_join_auto_picks_and_matches(spark):
+    """The auto strategy must (a) pick window for shallow history and
+    pandas for deep history, (b) return rows identical to the window
+    form either way."""
+    from datetime import datetime, timedelta
+
+    from blackroad_feature_store_spark.operators.asof import (
+        as_of_join,
+        as_of_join_auto,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    # deep: 2 entities x 40 snapshots (depth 40); shallow: 40 x 2
+    deep = spark.createDataFrame(
+        [
+            (f"r{e}_{i:02d}", f"e{e}", i, t0 + timedelta(hours=i))
+            for e in range(2)
+            for i in range(40)
+        ],
+        "id string, entity string, val int, timestamp timestamp",
+    )
+    shallow = spark.createDataFrame(
+        [
+            (f"r{e}_{i}", f"e{e}", i, t0 + timedelta(hours=i))
+            for e in range(40)
+            for i in range(2)
+        ],
+        "id string, entity string, val int, timestamp timestamp",
+    )
+    spine = spark.createDataFrame(
+        [(f"e{e}", t0 + timedelta(hours=10)) for e in range(40)],
+        "entity string, cutoff timestamp",
+    )
+    for recs in (deep, shallow):
+        auto = as_of_join_auto(
+            spine, recs, on="entity", as_of_col="cutoff"
+        ).select("entity", "cutoff", "id", "val")
+        ref = as_of_join(
+            spine, recs, on="entity", ts_col="timestamp", as_of="cutoff"
+        ).select("entity", "cutoff", "id", "val")
+        assert sorted(map(tuple, auto.collect()), key=str) == sorted(
+            map(tuple, ref.collect()), key=str
+        )
+    # strategy pick is observable via plan shape: the pandas path runs
+    # FlatMapCoGroupsInPandas, the window path does not.
+    deep_plan = as_of_join_auto(
+        spine, deep, on="entity", as_of_col="cutoff"
+    )._jdf.queryExecution().executedPlan().toString()
+    shallow_plan = as_of_join_auto(
+        spine, shallow, on="entity", as_of_col="cutoff"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CoGroup" in deep_plan
+    assert "CoGroup" not in shallow_plan

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Round-close check: one command that runs every non-pytest gate the
+round notes used to invoke by hand, and fails loudly if any is red.
+
+    python tools/round_close.py           # ANSI sweep + leak grep
+    python tools/round_close.py --full    # + oracle replica at two SFs
+
+Stages:
+
+1. **ANSI sweep** (``tests/ansi_sweep.py``): every catalog query under
+   ``spark.sql.ansi.enabled=true`` — proves no query path relies on
+   silent div-by-zero / overflow / cast nulling.
+2. **Leak grep**: repo source must not reference anything that looks
+   non-public (internal hostnames/buckets, Slack links, API keys,
+   cloud-internal env vars). Mirrors the driver's LEAKCHECK patterns.
+3. ``--full`` adds the local oracle replica
+   (``tests/oracle_harness.py``) at sf0.001 AND sf0.01 — the
+   two-SF evidence the round notes cite before the driver gate runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Patterns a public-only repo must never match (case-insensitive).
+# Each is (label, regex). Mirrors the driver's LEAKCHECK categories.
+LEAK_PATTERNS: list[tuple[str, str]] = [
+    ("internal-url", r"https?://[a-z0-9.-]*\.(corp|internal|intranet)\b"),
+    ("go-link", r"\bgo/[a-z][a-z0-9-]{2,}"),
+    ("slack-link", r"slack\.com/archives|#[a-z0-9-]*-internal\b"),
+    ("api-key", r"\b(sk-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16})\b"),
+    ("private-bucket", r"s3://(?!bucket\b|example)[a-z0-9.-]*(prod|internal|corp)"),
+    ("nonpublic-host", r"\b[a-z0-9-]+\.(prod|staging)\.[a-z0-9-]+\.(net|io|com)\b"),
+]
+
+SOURCE_GLOBS = (".py", ".md", ".toml", ".cfg", ".ini", ".json")
+SKIP_DIRS = {".git", "spark-warehouse", "__pycache__", ".pytest_cache"}
+# Driver-written artifacts quote grep patterns themselves.
+SKIP_FILES = {"LEAKCHECK.json", "COPYCHECK.json"}
+
+
+def leak_grep() -> int:
+    hits = 0
+    rx = [(label, re.compile(p, re.I)) for label, p in LEAK_PATTERNS]
+    for root, dirs, files in os.walk(REPO):
+        dirs[:] = [d for d in dirs if d not in SKIP_DIRS]
+        for fn in files:
+            if not fn.endswith(SOURCE_GLOBS) or fn in SKIP_FILES:
+                continue
+            if fn == os.path.basename(__file__):
+                continue  # this file quotes the patterns
+            path = os.path.join(root, fn)
+            try:
+                text = open(path, encoding="utf-8", errors="ignore").read()
+            except OSError:
+                continue
+            for i, line in enumerate(text.splitlines(), 1):
+                for label, r in rx:
+                    if r.search(line):
+                        rel = os.path.relpath(path, REPO)
+                        print(f"LEAK {label} {rel}:{i}: {line.strip()[:120]}")
+                        hits += 1
+    print(f"leak grep: {hits} hits")
+    return hits
+
+
+def run(desc: str, cmd: list[str]) -> int:
+    print(f"== {desc}: {' '.join(cmd)}", flush=True)
+    p = subprocess.run(cmd, cwd=REPO)
+    return p.returncode
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="also run the oracle replica at two SFs")
+    args = ap.parse_args()
+
+    failures: list[str] = []
+    if run("ANSI sweep", [sys.executable, "tests/ansi_sweep.py"]) != 0:
+        failures.append("ansi-sweep")
+    if leak_grep() != 0:
+        failures.append("leak-grep")
+    if args.full:
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            if run(f"oracle replica {sf}",
+                   [sys.executable, "tests/oracle_harness.py", "--sf", sf]) != 0:
+                failures.append(f"oracle-{sf.rsplit('sf', 1)[1]}")
+
+    if failures:
+        print(f"\nROUND-CLOSE: FAILED ({', '.join(failures)})")
+        return 1
+    print("\nROUND-CLOSE: all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
