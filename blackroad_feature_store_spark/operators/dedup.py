@@ -33,7 +33,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from blackroad_feature_store_spark.operators.similarity import dot, norm
 from blackroad_feature_store_spark.operators.util import spread
 from blackroad_feature_store_spark.operators.text import (
     fingerprint,
@@ -322,40 +321,164 @@ def ngram_jaccard(
     )
 
 
+def _chunked_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    chunks: int = 8,
+    extra_col: str | None = None,
+) -> DataFrame:
+    """All within-block unordered row pairs with their rounded cosine —
+    the shared execution engine behind :func:`embedding_near_duplicates`
+    and :func:`semantic_dedup`.
+
+    Why not a plain self equi-join on ``block_col``: measured at 10x
+    data (linearity probe, PLANS_r08.md) the naive join was 112x
+    slower, for two reasons that only get worse at scale. (1)
+    Parallelism is capped at the number of BLOCKS — a fixed-cardinality
+    key like ``label`` leaves all but ~10 cores idle while each block's
+    quadratic pair space runs in ONE task. (2) Every candidate pair
+    pays an interpreted ``zip_with``/``aggregate`` dot product.
+
+    Triangle-chunked execution instead: each row gets a chunk
+    ``hash(id) mod C`` and is replicated to the C unordered chunk-pair
+    groups it participates in; ``groupBy (block, lo, hi)`` then
+    computes each group's pair set as ONE float64 GEMM (numpy) —
+    parallelism becomes #blocks x C(C+1)/2 tasks and the per-pair cost
+    is a vectorized FLOP. The pair SET, cosine values, and rounding
+    (half away from zero, matching ``F.round``'s HALF_UP) are
+    identical to the naive join's, so oracles are unaffected. Shuffle
+    volume is C x the vectors — the price of spreading a quadratic
+    block across tasks; rows with NULL block are dropped up front
+    (equality-join semantics: they can never pair).
+
+    At true 100 TB the quadratic pair space WITHIN a block is
+    irreducible given these semantics — the blocking key must bound
+    block sizes (cluster ids from train_centroids with k ~ sqrt(n), or
+    an LSH bucket); this function makes execution scale OUT with
+    cores, it cannot make O(|block|^2) linear.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    idt = df.schema[id_col].dataType
+    out_fields = [
+        T.StructField("id_a", idt),
+        T.StructField("id_b", idt),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+    if extra_col is not None:
+        ext_t = df.schema[extra_col].dataType
+        out_fields += [
+            T.StructField("extra_a", ext_t),
+            T.StructField("extra_b", ext_t),
+        ]
+    out_schema = T.StructType(out_fields)
+
+    sel = [
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.col(block_col).alias("__blk"),
+    ]
+    if extra_col is not None:
+        sel.append(F.col(extra_col).alias("__ext"))
+    base = (
+        df.select(*sel)
+        .where(F.col("__blk").isNotNull())
+        .withColumn(
+            "__chunk", F.pmod(F.xxhash64("__id"), F.lit(chunks)).cast("int")
+        )
+        .select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(chunks)])
+            ).alias("__k"),
+        )
+        .select(
+            "*",
+            F.least("__chunk", "__k").alias("__lo"),
+            F.greatest("__chunk", "__k").alias("__hi"),
+        )
+    )
+
+    has_extra = extra_col is not None
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["__lo"].iat[0]
+        hi = pdf["__hi"].iat[0]
+        if lo == hi:
+            A = B = pdf
+        else:
+            A = pdf[pdf["__chunk"] == lo]
+            B = pdf[pdf["__chunk"] == hi]
+        if A.empty or B.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        Ma = np.array(list(A["__vec"]), dtype=np.float64)
+        Mb = Ma if A is B else np.array(list(B["__vec"]), dtype=np.float64)
+        na = np.linalg.norm(Ma, axis=1)
+        nb = na if A is B else np.linalg.norm(Mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (Ma @ Mb.T) / np.outer(na, nb)
+        if A is B:
+            ii, jj = np.triu_indices(len(A), k=1)
+        else:
+            ii, jj = np.indices((len(A), len(B))).reshape(2, -1)
+        ids_a = A["__id"].to_numpy()[ii]
+        ids_b = B["__id"].to_numpy()[jj]
+        s = S[ii, jj]
+        # drop accidental id self-pairs (duplicate id values) — the
+        # naive join's a.id < b.id condition excluded them
+        keep = ids_a != ids_b
+        ids_a, ids_b, s = ids_a[keep], ids_b[keep], s[keep]
+        # normalize to id_a < id_b (cosine is symmetric)
+        flip = ids_a > ids_b
+        ids_a[flip], ids_b[flip] = ids_b[flip], ids_a[flip].copy()
+        # HALF_UP rounding to match Spark F.round / the naive plan
+        with np.errstate(invalid="ignore"):
+            r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+        out = {"id_a": ids_a, "id_b": ids_b, "cosine": r}
+        if has_extra:
+            ea = A["__ext"].to_numpy()[ii][keep]
+            eb = B["__ext"].to_numpy()[jj][keep]
+            ea[flip], eb[flip] = eb[flip], ea[flip].copy()
+            out["extra_a"] = ea
+            out["extra_b"] = eb
+        return pd.DataFrame(out)
+
+    return base.groupBy("__blk", "__lo", "__hi").applyInPandas(
+        lambda pdf: kern(pdf), out_schema
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    chunks: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold (a < b).
 
     ``block_col`` is the blocking key (label, cluster id, or an LSH
-    bucket from similarity.lsh_bucket) — the self-join runs within
-    blocks only, which is what keeps this feasible at 100 TB. Vector
-    norms are computed once per row BEFORE the self-join (per-pair
-    recomputation would triple the higher-order-function work inside
-    the pair loop).
+    bucket from similarity.lsh_bucket) — pairs are only ever generated
+    within blocks, which is what keeps this feasible at 100 TB; it is
+    REQUIRED (an unblocked all-pairs cosine join cannot scale).
+    Executed by the triangle-chunked GEMM engine — see
+    :func:`_chunked_cosine_pairs` for the plan shape and the measured
+    112x win over the naive blocked self-join at 10x data.
     """
-    cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    base = df.select(*cols).withColumn("__norm", norm(F.col(vec_col)))
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a.__norm") * F.col("b.__norm")
-    )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(sim, 6).alias("cosine"),
+    if not block_col:
+        raise ValueError(
+            "embedding_near_duplicates requires a blocking key "
+            "(label / cluster id / LSH bucket): an unblocked all-pairs "
+            "cosine self-join is O(n^2) and cannot scale"
         )
-        .where(F.col("cosine") >= threshold)
-    )
+    return _chunked_cosine_pairs(
+        df, id_col, vec_col, block_col, chunks=chunks
+    ).where(F.col("cosine") >= threshold)
 
 
 def semantic_dedup(
@@ -385,9 +508,15 @@ def semantic_dedup(
     surviving rows: input columns + ``centroid_id`` +
     ``centroid_sim``.
 
-    Plan shape: broadcast centroid assignment (no shuffle), then ONE
-    self equi-join shuffled on centroid_id. Per-row norms are computed
-    once before the join.
+    Plan shape: broadcast centroid assignment (no shuffle), then the
+    intra-cluster pair sweep runs on the triangle-chunked GEMM engine
+    (:func:`_chunked_cosine_pairs`) — parallelism scales with
+    #clusters x chunk-pairs instead of being capped at #clusters, and
+    each pair costs a vectorized FLOP, not an interpreted zip_with
+    (17.6x at 10x data on the naive join, linearity probe
+    PLANS_r08.md). For each unordered pair above the threshold the
+    member FARTHER from the centroid (lower cosine-to-centroid, ties
+    to the lower id) is the dominator; the closer one is dropped.
     """
     from blackroad_feature_store_spark.operators.similarity import ivf_assign
 
@@ -399,23 +528,19 @@ def semantic_dedup(
         keep_norm_col="__norm",
         keep_sim_col="__csim",
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    outranks = (F.col("b.__csim") < F.col("a.__csim")) | (
-        (F.col("b.__csim") == F.col("a.__csim"))
-        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    pairs = _chunked_cosine_pairs(
+        assigned, id_col, vec_col, "centroid_id", extra_col="__csim"
+    ).where(F.col("cosine") > threshold)
+    # loser of the unordered pair (id_a < id_b): the FARTHER-from-
+    # centroid member (LOWER cosine-to-centroid) outranks — the paper
+    # keeps the least prototypical example — so the higher-csim member
+    # drops; on a csim tie the lower id outranks and the higher drops.
+    loser = (
+        F.when(F.col("extra_a") > F.col("extra_b"), F.col("id_a"))
+        .when(F.col("extra_a") < F.col("extra_b"), F.col("id_b"))
+        .otherwise(F.col("id_b"))
     )
-    sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a.__norm") * F.col("b.__norm")
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id")) & outranks,
-        )
-        .where(F.round(sim, 6) > threshold)
-        .select(F.col(f"a.{id_col}"))
-        .distinct()
-    )
+    dropped = pairs.select(loser.alias(id_col)).distinct()
     return assigned.join(dropped, id_col, "left_anti").select(
         *df.columns, "centroid_id", F.col("__csim").alias("centroid_sim")
     )
