@@ -132,6 +132,7 @@ HEADLINE = [
     "pipeline_span_removal",
     "text_bigram_logprob",
     "pipeline_dsir_select",
+    "pipeline_nb_source_classify",
     "pipeline_blocklist",
     "text_bm25_search",
     "pipeline_gopher_rules",

@@ -1001,3 +1001,143 @@ def weighted_sample(
         .orderBy(F.desc("sample_key"), F.col(id_col))
         .limit(k)
     )
+
+
+def nb_classify(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Multinomial Naive Bayes text classification — the model-based
+    filtering stage of CCNet/fastText-style pipelines (score documents
+    by "which reference class does this look like": quality tiers,
+    domains, languages). Unlike iterative classifiers, NB's training
+    IS a pair of count aggregations, so the whole train-and-score
+    pipeline stays declarative, exactly reproducible, and
+    oracle-certifiable.
+
+    Model: add-one-smoothed multinomial NB over lowercase alpha
+    tokens. ``log p(w|c) = ln((count(c,w)+1) / (count(c)+V))`` with V
+    = global distinct training vocabulary; prior ``ln(docs_c /
+    docs_total)``. A scored token absent from class c's counts gets
+    the smoothed floor ``ln(1/(count(c)+V))``; a document with no
+    tokens is classified by priors alone. Prediction = argmax over
+    classes, ties to the lexicographically smallest label.
+
+    Cross-engine determinism (the `bigram_logprob` pattern): every
+    per-token log weight and each prior is quantized to 4 decimals
+    FIRST, and per-(doc, class) scores then accumulate in exact
+    DECIMAL — aggregation order cannot move a score, so argmax and
+    margin replay bit-for-bit in any engine.
+
+    Scale shape: token counts are map-side-combinable and vocab-sized;
+    the per-class dimension (priors + defaults) is a #classes-row
+    broadcast; the scored token stream joins the weight table on
+    (token, class) — broadcast when the vocabulary is small,
+    sort-merge at web scale; one final per-doc aggregation + window
+    argmax. Nothing is ever driver-side.
+    """
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "
+        ),
+        lambda x: x != "",
+    )
+
+    tr_tok = train.select(
+        F.col(label_col).alias("__cls"), F.explode(toks).alias("__w")
+    )
+    cls_word = tr_tok.groupBy("__cls", "__w").agg(
+        F.count(F.lit(1)).alias("__cw")
+    )
+    cls_tot = tr_tok.groupBy("__cls").agg(F.count(F.lit(1)).alias("__ct"))
+    vocab = tr_tok.agg(F.countDistinct("__w").alias("__v"))
+    docs = train.groupBy(F.col(label_col).alias("__cls")).agg(
+        F.count(F.lit(1)).alias("__dc")
+    )
+    total_docs = train.agg(F.count(F.lit(1)).alias("__dt"))
+
+    q4 = lambda c: F.round(c, 4).cast("decimal(18,4)")  # noqa: E731
+    classes = (
+        cls_tot.crossJoin(vocab)
+        .join(docs, "__cls")
+        .crossJoin(total_docs)
+        .select(
+            "__cls",
+            q4(F.log(F.col("__dc") / F.col("__dt").cast("double"))).alias(
+                "__prior"
+            ),
+            q4(
+                F.log(1.0 / (F.col("__ct") + F.col("__v")).cast("double"))
+            ).alias("__floor"),
+            "__ct",
+            "__v",
+        )
+    )
+    weights = (
+        cls_word.join(cls_tot, "__cls")
+        .crossJoin(vocab)
+        .select(
+            "__cls",
+            "__w",
+            q4(
+                F.log(
+                    (F.col("__cw") + 1)
+                    / (F.col("__ct") + F.col("__v")).cast("double")
+                )
+            ).alias("__lw"),
+        )
+    )
+
+    sc_tok = score.select(F.col(id_col), F.explode(toks).alias("__w"))
+    tok_scores = (
+        sc_tok.join(F.broadcast(classes.select("__cls", "__floor")))
+        .join(weights, ["__w", "__cls"], "left")
+        .groupBy(id_col, "__cls")
+        .agg(
+            F.sum(F.coalesce(F.col("__lw"), F.col("__floor"))).alias(
+                "__tok_sum"
+            ),
+            F.count(F.lit(1)).alias("__n_tok"),
+        )
+    )
+    # every (doc, class) cell exists even for token-less docs: priors
+    # alone then decide (cross join with the tiny class dimension)
+    base = (
+        score.select(id_col)
+        .crossJoin(F.broadcast(classes.select("__cls", "__prior")))
+        .join(tok_scores, [id_col, "__cls"], "left")
+        .select(
+            id_col,
+            "__cls",
+            (
+                F.col("__prior")
+                + F.coalesce(
+                    F.col("__tok_sum"), F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("__score"),
+            F.coalesce("__n_tok", F.lit(0)).alias("__n_tok"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("__cls").asc()
+    )
+    ranked = base.select(
+        id_col,
+        "__cls",
+        "__score",
+        "__n_tok",
+        F.row_number().over(w).alias("__rn"),
+        F.lead("__score").over(w).alias("__second"),
+    )
+    return ranked.where(F.col("__rn") == 1).select(
+        id_col,
+        F.col("__cls").alias("pred_label"),
+        F.col("__score").cast("double").alias("score_top"),
+        F.round(
+            (F.col("__score") - F.col("__second")).cast("double"), 6
+        ).alias("margin"),
+        F.col("__n_tok").alias("n_tokens"),
+    )

@@ -4679,6 +4679,94 @@ def pipeline_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_nb_source_classify",
+    """
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                   x -> x <> '')) AS w
+        FROM documents),
+    cw AS (SELECT source AS cls, w, count(*) AS cw FROM tok GROUP BY 1, 2),
+    ct AS (SELECT source AS cls, count(*) AS ct FROM tok GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS v FROM tok),
+    dc AS (SELECT source AS cls, count(*) AS dc FROM documents GROUP BY 1),
+    dt AS (SELECT count(*) AS dt FROM documents),
+    classes AS (
+        SELECT ct.cls,
+               CAST(round(ln(dc.dc / CAST(dt.dt AS DOUBLE)), 4)
+                    AS DECIMAL(18,4)) AS prior,
+               CAST(round(ln(1.0 / CAST(ct.ct + v.v AS DOUBLE)), 4)
+                    AS DECIMAL(18,4)) AS floor_w
+        FROM ct JOIN dc ON ct.cls = dc.cls CROSS JOIN v CROSS JOIN dt),
+    weights AS (
+        SELECT cw.cls, cw.w,
+               CAST(round(ln((cw.cw + 1)
+                             / CAST(ct.ct + v.v AS DOUBLE)), 4)
+                    AS DECIMAL(18,4)) AS lw
+        FROM cw JOIN ct ON cw.cls = ct.cls CROSS JOIN v),
+    toksum AS (
+        SELECT t.doc_id, c.cls,
+               sum(COALESCE(weights.lw, c.floor_w)) AS tok_sum,
+               count(*) AS n_tok
+        FROM tok t CROSS JOIN classes c
+        LEFT JOIN weights ON weights.w = t.w AND weights.cls = c.cls
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT d.doc_id, c.cls,
+               c.prior + COALESCE(ts.tok_sum,
+                                  CAST(0 AS DECIMAL(18,4))) AS score,
+               COALESCE(ts.n_tok, 0) AS n_tok
+        FROM documents d CROSS JOIN classes c
+        LEFT JOIN toksum ts
+          ON ts.doc_id = d.doc_id AND ts.cls = c.cls),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls ASC) AS rn,
+               lead(score) OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cls ASC) AS second
+        FROM scored)
+    SELECT r.doc_id, r.cls AS pred_label,
+           CAST(r.score AS DOUBLE) AS score_top,
+           round(CAST(r.score - r.second AS DOUBLE), 6) AS margin,
+           CAST(r.n_tok AS BIGINT) AS n_tokens,
+           (r.cls = d.source) AS is_correct
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE r.rn = 1
+    """,
+)
+def pipeline_nb_source_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based corpus filtering (`operators/corpus.py::nb_classify`
+    — the fastText/CCNet classifier stage, re-expressed as multinomial
+    Naive Bayes so train-and-score is two count aggregations and stays
+    oracle-certifiable): self-train on ``documents`` with ``source``
+    as the label, score every document, and report the predicted
+    source, exact-decimal score, runner-up margin, and whether the
+    prediction recovered the true source. Every log weight is
+    quantized at 4dp before DECIMAL accumulation, so the argmax and
+    margin replay bit-for-bit in the oracle."""
+    from blackroad_feature_store_spark.operators.corpus import nb_classify
+
+    docs = spread(
+        load(spark, sf, "documents").select("doc_id", "text", "source"),
+        "doc_id",
+    )
+    pred = nb_classify(
+        docs.select("doc_id", "text", F.col("source").alias("label")),
+        docs.select("doc_id", "text"),
+    )
+    return pred.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "pred_label",
+        "score_top",
+        "margin",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("pred_label") == F.col("source")).alias("is_correct"),
+    )
+
+
+@q(
     "pipeline_span_removal",
     """
     WITH toks AS (
@@ -6540,7 +6628,7 @@ _GATE_PRIORITY: list[str] = [
     "core_gapfill_interp",
     "core_asof_forward_label",
     "core_bucketed_join",
-    "store_time_travel",
+    "pipeline_nb_source_classify",
     "store_bitemporal",
     "store_pit_precedence",
     "stream_exec_interval_join",

@@ -2490,3 +2490,41 @@ def test_spread_noop_on_already_wide_input(spark):
     assert spread(wide, "id") is wide
     # explicit num_partitions always honored
     assert spread(wide, "id", num_partitions=2).rdd.getNumPartitions() == 2
+
+
+def test_nb_classify_learns_and_handles_edges(spark):
+    """Multinomial NB: learns separable classes, priors decide
+    token-less docs (tie -> lexicographically smallest label), unseen
+    tokens hit the smoothed per-class floor, margin is top-minus-second."""
+    from blackroad_feature_store_spark.operators.corpus import nb_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "cats purr and meow softly", "animal"),
+            (2, "dogs bark and wag tails", "animal"),
+            (3, "stocks rose and markets rallied", "finance"),
+            (4, "bonds yields fell on rate news", "finance"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    score = spark.createDataFrame(
+        [
+            (10, "the cat will meow"),
+            (11, "markets and bonds news"),
+            (12, ""),
+            (13, "zzz qqq unseen words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in nb_classify(train, score).collect()}
+    assert got[10]["pred_label"] == "animal"
+    assert got[11]["pred_label"] == "finance"
+    # token-less: equal priors, tie -> smallest label; margin exactly 0
+    assert got[12]["pred_label"] == "animal"
+    assert got[12]["margin"] == 0.0
+    assert got[12]["n_tokens"] == 0
+    # all-unseen: scored by the class floors, still a deterministic pick
+    assert got[13]["n_tokens"] == 5
+    assert got[13]["margin"] >= 0.0
+    for r in got.values():
+        assert r["margin"] is None or r["margin"] >= 0.0
