@@ -13,7 +13,12 @@ Stages:
 2. **Leak grep**: repo source must not reference anything that looks
    non-public (internal hostnames/buckets, Slack links, API keys,
    cloud-internal env vars). Mirrors the driver's LEAKCHECK patterns.
-3. ``--full`` adds the local oracle replica
+3. **Oracle type audit**: every ``oracle_sql()`` statement is planned
+   in DuckDB and its output column types checked for HUGEINT/UHUGEINT
+   — the r6 divergence class (DuckDB ``sum(INTEGER)`` widens to
+   int128, which the driver's hasher renders differently from BIGINT).
+   Any hit means a missing ``CAST(... AS BIGINT)``.
+4. ``--full`` adds the local oracle replica
    (``tests/oracle_harness.py``) at sf0.001 AND sf0.01 — the
    two-SF evidence the round notes cite before the driver gate runs.
 """
@@ -70,6 +75,43 @@ def leak_grep() -> int:
     return hits
 
 
+def oracle_type_audit() -> int:
+    """Plan every oracle statement in DuckDB over the sf0.001 tables
+    and flag HUGEINT/UHUGEINT output columns (driver hash divergence:
+    wrap the offending aggregate in CAST(... AS BIGINT))."""
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+    from blackroad_feature_store_spark.sources.testdata import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    hits = 0
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            rel = con.sql(sql)
+            bad = [
+                (c, str(ty))
+                for c, ty in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(ty).upper()
+            ]
+        except Exception as e:  # noqa: BLE001 — report, keep auditing
+            print(f"TYPE-AUDIT ERROR {name}: {str(e).splitlines()[0][:120]}")
+            hits += 1
+            continue
+        if bad:
+            print(f"TYPE-AUDIT HUGEINT {name}: {bad}")
+            hits += 1
+    print(f"oracle type audit: {hits} hits")
+    return hits
+
+
 def run(desc: str, cmd: list[str]) -> int:
     print(f"== {desc}: {' '.join(cmd)}", flush=True)
     p = subprocess.run(cmd, cwd=REPO)
@@ -87,6 +129,8 @@ def main() -> int:
         failures.append("ansi-sweep")
     if leak_grep() != 0:
         failures.append("leak-grep")
+    if oracle_type_audit() != 0:
+        failures.append("oracle-type-audit")
     if args.full:
         for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
             if run(f"oracle replica {sf}",
