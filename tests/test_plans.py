@@ -215,6 +215,10 @@ _BNLJ_WHITELIST = {
     # centroid assignment crossJoins the broadcast centroid frame
     # (bounded at any corpus size), same as sim_cosine_topk_ivf
     "dedup_semantic",
+    # NB scoring crossJoins two one-row scalar aggregates (vocab size,
+    # doc total) and the #classes-row class dimension — all bounded at
+    # any corpus size; the token-weight join itself is an equi-join
+    "pipeline_nb_source_classify",
 }
 
 # stream_exec_* queries EXECUTE a stream inside the callable and
