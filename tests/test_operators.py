@@ -2528,3 +2528,34 @@ def test_nb_classify_learns_and_handles_edges(spark):
     assert got[13]["margin"] >= 0.0
     for r in got.values():
         assert r["margin"] is None or r["margin"] >= 0.0
+
+
+def test_nb_classify_partition_order_invariant(spark):
+    """The 4dp-quantize-then-DECIMAL-accumulate design means partition
+    count / aggregation order cannot move any score: 1-partition and
+    many-partition runs must emit IDENTICAL rows (a raw double sum
+    would differ in the last ulp and could flip an argmax)."""
+    import random
+
+    from blackroad_feature_store_spark.operators.corpus import nb_classify
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))),
+            rng.choice(["a", "b", "c"]),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    one = df.coalesce(1)
+    many = df.repartition(16, "doc_id")
+    r1 = sorted(
+        map(tuple, nb_classify(one, one.drop("label")).collect())
+    )
+    rn = sorted(
+        map(tuple, nb_classify(many, many.drop("label")).collect())
+    )
+    assert r1 == rn
