@@ -56,6 +56,7 @@ HEADLINE = [
     "stream_windowed_counts",
     "stream_exec_windowed",
     "stream_exec_dedup",
+    "stream_exec_neardup",
     "core_window_funcs",
     "core_pivot",
     "core_rolling_range",

@@ -1846,6 +1846,49 @@ def stream_exec_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_neardup",
+    _SQL_MINHASH_PAIRS + "SELECT id_a, id_b FROM pairs",
+)
+def stream_exec_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """A GENUINE streaming NEAR-dup execution certified by the batch
+    LSH oracle: documents split into two parquet files → file-source
+    stream with ``maxFilesPerTrigger=1`` (two real micro-batches) →
+    ``streaming/neardup.py`` foreachBatch incremental LSH against the
+    growing parquet signature store → the accumulated pairs table.
+    The streamed pair set equals batch ``minhash_candidate_pairs`` on
+    the full corpus EXACTLY (new-vs-existing catches every cross-batch
+    pair, new-vs-new the within-batch ones), so the shared minhash
+    oracle certifies the incremental construction end-to-end."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.neardup import (
+        start_neardup_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_neardup_")
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    src_dir = f"{base}/src"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q_ = start_neardup_stream(
+        stream,
+        sig_path=f"{base}/sigs",
+        pairs_path=f"{base}/pairs",
+        checkpoint=f"{base}/ckpt",
+        available_now=True,
+    )
+    q_.awaitTermination()
+    return spark.read.parquet(f"{base}/pairs").select("id_a", "id_b")
+
+
+@q(
     "stream_exec_sessionize",
     """
     WITH s AS (
@@ -6629,7 +6672,7 @@ _GATE_PRIORITY: list[str] = [
     "core_asof_forward_label",
     "core_bucketed_join",
     "pipeline_nb_source_classify",
-    "store_bitemporal",
+    "stream_exec_neardup",
     "store_pit_precedence",
     "stream_exec_interval_join",
     "dedup_skewed_pairs",

@@ -1,0 +1,121 @@
+"""Streaming NEAR-duplicate detection — the online half of the MinHash
+LSH suite (operators/dedup.py), closing the gap the exact
+`dedup_stream` documents: a re-worded boilerplate document sails past
+a fingerprint check, but still collides in LSH bucket space.
+
+Spark-first shape: `foreachBatch` + a persisted signature store. Each
+micro-batch is shingled and signed ONCE
+(`incremental_candidate_pairs`), bucket-joined against the accumulated
+signature table (new-vs-existing one direction + new-vs-new), and both
+outputs append as parquet partitions keyed by `batch_id`:
+
+- per-batch cost is O(|batch| + bucket collisions), INDEPENDENT of
+  how many documents have ever streamed through — the property that
+  makes this runnable forever (the signature store grows, but only
+  its colliding buckets are ever touched via the equi-join);
+- idempotent under micro-batch replay: a batch writes its own
+  `batch_id=` partition with dynamic partition overwrite, and the
+  existing-signature read EXCLUDES the current batch id, so a failed
+  attempt's leftovers are both invisible to the retry and overwritten
+  by it (the standard foreachBatch exactly-once recipe);
+- unlike `dropDuplicatesWithinWatermark` there is no state-store
+  eviction horizon: the signature table is plain parquet, so the
+  "seen" set is durable across restarts and unbounded in age, while
+  Spark's own state store holds NOTHING (foreachBatch is stateless) —
+  the right trade for a corpus-build pipeline where late duplicates
+  matter more than state bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from blackroad_feature_store_spark.operators.dedup import (
+    incremental_candidate_pairs,
+)
+
+_SIG_SCHEMA = "band int, sig string, batch_id long"
+
+
+def _existing_sigs(
+    spark: SparkSession, sig_path: str, id_col: str, before_batch: int
+) -> DataFrame:
+    """All signatures from batches strictly before `before_batch`;
+    schema-stable empty frame when the store doesn't exist yet."""
+    try:
+        sigs = spark.read.parquet(sig_path)
+    except Exception:  # noqa: BLE001 — first batch: no store yet
+        return spark.createDataFrame(
+            [], f"{id_col} long, {_SIG_SCHEMA}"
+        ).drop("batch_id")
+    return sigs.where(F.col("batch_id") < before_batch).drop("batch_id")
+
+
+def start_neardup_stream(
+    docs: DataFrame,
+    sig_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 8,
+    shingle_size: int = 3,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start (or one-shot drain) the streaming near-dup detector.
+
+    `docs` is a streaming DataFrame with at least (`id_col`,
+    `text_col`). Appends to two parquet tables partitioned by
+    `batch_id`: `sig_path` (id, band, sig) — the growing signature
+    store — and `pairs_path` (id_a, id_b) — every LSH candidate pair
+    whose LATER member arrived in that batch. Downstream, feed the
+    pairs table to `duplicate_clusters` / `ngram_jaccard` exactly like
+    the batch path.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        if batch.isEmpty():
+            return
+        existing = _existing_sigs(spark, sig_path, id_col, batch_id)
+        pairs, new_sigs = incremental_candidate_pairs(
+            batch,
+            existing,
+            id_col=id_col,
+            text_col=text_col,
+            num_bands=num_bands,
+            shingle_size=shingle_size,
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            new_sigs.withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("overwrite").partitionBy("batch_id").parquet(
+                sig_path
+            )
+            pairs.withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("overwrite").partitionBy("batch_id").parquet(
+                pairs_path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    writer = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

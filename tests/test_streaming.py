@@ -775,3 +775,67 @@ def test_sessionize_event_time_timeout_closes_by_watermark(
     assert second["closed"] is True
     # the advancer's session is still open: nothing emitted for u99
     assert 99 not in by_user
+
+
+def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
+    """Streaming near-dup (foreachBatch incremental LSH against a
+    persisted parquet signature store): drained over two micro-batches
+    it must find EXACTLY the pairs the batch LSH finds on the full
+    corpus — cross-batch pairs included (the case exact streaming
+    dedup cannot catch), and the signature store must hold every doc."""
+    from blackroad_feature_store_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from blackroad_feature_store_spark.streaming.neardup import (
+        start_neardup_stream,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "an entirely different document about spark physical planning"
+    docs = [
+        (1, t1),
+        (2, t2),
+        (3, t1 + " tail"),        # near-dup of 1
+        (4, "unique words only here zebra quartz"),
+        (5, t1),                  # exact dup of 1 (cross-batch)
+        (6, t2 + " with a tail"), # near-dup of 2 (cross-batch)
+    ]
+    src_dir = str(tmp_path / "nd_src")
+    # two files -> maxFilesPerTrigger=1 gives two real micro-batches
+    spark.createDataFrame(docs[:4], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src_dir)
+    spark.createDataFrame(docs[4:], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src_dir)
+
+    sig_path = str(tmp_path / "nd_sigs")
+    pairs_path = str(tmp_path / "nd_pairs")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = start_neardup_stream(
+        stream,
+        sig_path,
+        pairs_path,
+        checkpoint=str(tmp_path / "nd_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == want
+    assert (1, 5) in got  # cross-batch exact dup was caught
+    sigs = spark.read.parquet(sig_path)
+    assert sigs.select("doc_id").distinct().count() == 6
