@@ -53,6 +53,53 @@ def _existing_sigs(
     return sigs.where(F.col("batch_id") < before_batch).drop("batch_id")
 
 
+def process_neardup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sig_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 8,
+    shingle_size: int = 3,
+) -> None:
+    """One micro-batch of the near-dup detector — module-level so the
+    replay-idempotence contract is directly testable: calling this
+    twice with the same ``batch_id`` (foreachBatch does exactly that
+    after a failure between write and checkpoint commit) must leave
+    the stores identical to one call, because the existing-signature
+    read excludes the current batch and both writes dynamically
+    overwrite only their own ``batch_id=`` partition."""
+    spark = batch_df.sparkSession
+    batch = batch_df.select(id_col, text_col)
+    if batch.isEmpty():
+        return
+    existing = _existing_sigs(spark, sig_path, id_col, batch_id)
+    pairs, new_sigs = incremental_candidate_pairs(
+        batch,
+        existing,
+        id_col=id_col,
+        text_col=text_col,
+        num_bands=num_bands,
+        shingle_size=shingle_size,
+    )
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        new_sigs.withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(sig_path)
+        pairs.withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(
+            pairs_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def start_neardup_stream(
     docs: DataFrame,
     sig_path: str,
@@ -74,45 +121,19 @@ def start_neardup_stream(
     pairs table to `duplicate_clusters` / `ngram_jaccard` exactly like
     the batch path.
     """
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.select(id_col, text_col)
-        if batch.isEmpty():
-            return
-        existing = _existing_sigs(spark, sig_path, id_col, batch_id)
-        pairs, new_sigs = incremental_candidate_pairs(
-            batch,
-            existing,
-            id_col=id_col,
-            text_col=text_col,
-            num_bands=num_bands,
-            shingle_size=shingle_size,
-        )
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            new_sigs.withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("overwrite").partitionBy("batch_id").parquet(
-                sig_path
-            )
-            pairs.withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("overwrite").partitionBy("batch_id").parquet(
-                pairs_path
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
-
     writer = (
-        docs.writeStream.foreachBatch(_process)
+        docs.writeStream.foreachBatch(
+            lambda batch_df, batch_id: process_neardup_batch(
+                batch_df,
+                batch_id,
+                sig_path,
+                pairs_path,
+                id_col=id_col,
+                text_col=text_col,
+                num_bands=num_bands,
+                shingle_size=shingle_size,
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )

@@ -839,3 +839,42 @@ def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
     assert (1, 5) in got  # cross-batch exact dup was caught
     sigs = spark.read.parquet(sig_path)
     assert sigs.select("doc_id").distinct().count() == 6
+
+
+def test_streaming_neardup_replay_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers a batch after a failure between write
+    and checkpoint commit; processing the same batch_id twice must
+    leave both stores IDENTICAL to one processing (dynamic partition
+    overwrite + exclude-current-batch reads)."""
+    from blackroad_feature_store_spark.streaming.neardup import (
+        process_neardup_batch,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog once more"
+    sig_path = str(tmp_path / "sigs")
+    pairs_path = str(tmp_path / "pairs")
+    b0 = spark.createDataFrame(
+        [(1, t), (2, "totally different content here")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, t)], "doc_id long, text string"  # dup of 1, prior batch
+    )
+    process_neardup_batch(b0, 0, sig_path, pairs_path)
+    process_neardup_batch(b1, 1, sig_path, pairs_path)
+    once_pairs = sorted(
+        map(tuple, spark.read.parquet(pairs_path).collect())
+    )
+    once_sigs = sorted(map(tuple, spark.read.parquet(sig_path).collect()))
+    # replay batch 1 (the failure-recovery path)
+    process_neardup_batch(b1, 1, sig_path, pairs_path)
+    assert sorted(
+        map(tuple, spark.read.parquet(pairs_path).collect())
+    ) == once_pairs
+    assert sorted(
+        map(tuple, spark.read.parquet(sig_path).collect())
+    ) == once_sigs
+    # and the cross-batch pair is present exactly once
+    flat = {(r["id_a"], r["id_b"]) for r in
+            spark.read.parquet(pairs_path).collect()}
+    assert (1, 3) in flat
