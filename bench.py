@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_jaccard",
     "dedup_embedding",
+    "dedup_embedding_lsh",
     "sim_cosine_topk",
     "sim_cosine_topk_lsh",
     "sim_cosine_topk_ivf",

@@ -1302,6 +1302,45 @@ def sim_cosine_topk_gemm(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_embedding_lsh",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_SQL_COSINE} AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_SQL_COSINE} >= 0.3
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup on the 100 TB blocking contract: the block
+    key is a sign-bit LSH bucket (`similarity.lsh_bucket`) instead of
+    a fixed-cardinality label, so block count GROWS with the corpus
+    and block sizes stay bounded — the documented scale path of
+    `_chunked_cosine_pairs`, certified end-to-end (bucket construction
+    + chunked GEMM pair set against the oracle's sign-bit CASE
+    self-join). Same triangle-chunked execution as `dedup_embedding`."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        lsh_bucket,
+    )
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), nbits=4).alias("bucket"),
+    )
+    return embedding_near_duplicates(
+        emb, block_col="bucket", threshold=0.3
+    )
+
+
+@q(
     "sim_cosine_topk_lsh",
     f"""
     WITH bucketed AS (
@@ -6673,7 +6712,7 @@ _GATE_PRIORITY: list[str] = [
     "core_bucketed_join",
     "pipeline_nb_source_classify",
     "stream_exec_neardup",
-    "store_pit_precedence",
+    "dedup_embedding_lsh",
     "stream_exec_interval_join",
     "dedup_skewed_pairs",
 ]
