@@ -6705,7 +6705,7 @@ _GATE_PRIORITY: list[str] = [
     "text_bm25_search",
     "text_pii_redaction",
     "text_repetition",
-    "core_json_props",
+    "dedup_embedding",
     "core_gapfill_locf",
     "core_gapfill_interp",
     "core_asof_forward_label",
