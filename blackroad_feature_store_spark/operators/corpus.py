@@ -1032,12 +1032,18 @@ def nb_classify(
     DECIMAL — aggregation order cannot move a score, so argmax and
     margin replay bit-for-bit in any engine.
 
-    Scale shape: token counts are map-side-combinable and vocab-sized;
-    the per-class dimension (priors + defaults) is a #classes-row
-    broadcast; the scored token stream joins the weight table on
-    (token, class) — broadcast when the vocabulary is small,
-    sort-merge at web scale; one final per-doc aggregation + window
-    argmax. Nothing is ever driver-side.
+    Scale shape: the training corpus is tokenized ONCE — class totals
+    and the vocabulary size both derive from the aggregated
+    (class, word) count table (vocab-sized, map-side-combined), not
+    from re-scans of the token stream; the scored side pre-aggregates
+    to (doc, word, tf) before the #classes fan-out, so the weight join
+    runs on term-frequency rows instead of raw token occurrences
+    (``sum(tf · weight)`` over exact DECIMALs equals the token-wise
+    sum exactly). The per-class dimension (priors + floors) is a
+    #classes-row broadcast; the weight join is an equi-join —
+    broadcast when the vocabulary is small, sort-merge at web scale;
+    one final per-doc aggregation + window argmax. Nothing is ever
+    driver-side.
     """
     toks = F.filter(
         F.split(
@@ -1052,8 +1058,9 @@ def nb_classify(
     cls_word = tr_tok.groupBy("__cls", "__w").agg(
         F.count(F.lit(1)).alias("__cw")
     )
-    cls_tot = tr_tok.groupBy("__cls").agg(F.count(F.lit(1)).alias("__ct"))
-    vocab = tr_tok.agg(F.countDistinct("__w").alias("__v"))
+    # one tokenized pass: totals + vocabulary come from cls_word
+    cls_tot = cls_word.groupBy("__cls").agg(F.sum("__cw").alias("__ct"))
+    vocab = cls_word.agg(F.countDistinct("__w").alias("__v"))
     docs = train.groupBy(F.col(label_col).alias("__cls")).agg(
         F.count(F.lit(1)).alias("__dc")
     )
@@ -1091,16 +1098,23 @@ def nb_classify(
         )
     )
 
-    sc_tok = score.select(F.col(id_col), F.explode(toks).alias("__w"))
+    # (doc, word, tf) before the #classes fan-out: the weight join and
+    # class replication run on term-frequency rows, not raw tokens
+    sc_cnt = (
+        score.select(F.col(id_col), F.explode(toks).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
     tok_scores = (
-        sc_tok.join(F.broadcast(classes.select("__cls", "__floor")))
+        sc_cnt.join(F.broadcast(classes.select("__cls", "__floor")))
         .join(weights, ["__w", "__cls"], "left")
         .groupBy(id_col, "__cls")
         .agg(
-            F.sum(F.coalesce(F.col("__lw"), F.col("__floor"))).alias(
-                "__tok_sum"
-            ),
-            F.count(F.lit(1)).alias("__n_tok"),
+            F.sum(
+                F.col("__tf")
+                * F.coalesce(F.col("__lw"), F.col("__floor"))
+            ).alias("__tok_sum"),
+            F.sum("__tf").alias("__n_tok"),
         )
     )
     # every (doc, class) cell exists even for token-less docs: priors
