@@ -18,7 +18,10 @@ Stages:
    — the r6 divergence class (DuckDB ``sum(INTEGER)`` widens to
    int128, which the driver's hasher renders differently from BIGINT).
    Any hit means a missing ``CAST(... AS BIGINT)``.
-4. ``--full`` adds the local oracle replica
+4. **Vacuity audit**: every oracle must return >= 1 row at the
+   driver's gate SF (sf0.01) — the tpch_q9 lesson: a zero-row result
+   makes a green CORRECTNESS row certify nothing.
+5. ``--full`` adds the local oracle replica
    (``tests/oracle_harness.py``) at sf0.001 AND sf0.01 — the
    two-SF evidence the round notes cite before the driver gate runs.
 """
@@ -112,6 +115,50 @@ def oracle_type_audit() -> int:
     return hits
 
 
+def vacuity_audit() -> int:
+    """Run every oracle in DuckDB at the driver's gate SF (sf0.01) and
+    flag ZERO-ROW results — the tpch_q9 lesson: a green CORRECTNESS
+    row on an empty result certifies plan compilation, not semantics.
+    (sf0.001 zero-rows are reported as info only: three TPC-H filters
+    legitimately eliminate everything at that tiny SF.)"""
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+    from blackroad_feature_store_spark.sources.testdata import TABLES
+
+    hits = 0
+    for sf, gate in (
+        ("/root/testdata/sf0.01", True),
+        ("/root/testdata/sf0.001", False),
+    ):
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')"
+            )
+        for name, sql in entrymod.oracle_sql().items():
+            try:
+                n = len(con.sql(sql).fetchall())
+            except Exception as e:  # noqa: BLE001
+                if gate:
+                    print(
+                        f"VACUITY ERROR {name} at {sf}: "
+                        f"{str(e).splitlines()[0][:120]}"
+                    )
+                    hits += 1
+                continue
+            if n == 0:
+                if gate:
+                    print(f"VACUITY {name}: 0 rows at gate SF {sf}")
+                    hits += 1
+                else:
+                    print(f"(info) {name}: 0 rows at {sf}")
+    print(f"vacuity audit: {hits} gate-SF hits")
+    return hits
+
+
 def run(desc: str, cmd: list[str]) -> int:
     print(f"== {desc}: {' '.join(cmd)}", flush=True)
     p = subprocess.run(cmd, cwd=REPO)
@@ -131,6 +178,8 @@ def main() -> int:
         failures.append("leak-grep")
     if oracle_type_audit() != 0:
         failures.append("oracle-type-audit")
+    if vacuity_audit() != 0:
+        failures.append("vacuity-audit")
     if args.full:
         for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
             if run(f"oracle replica {sf}",
