@@ -109,10 +109,56 @@ def scale_events(out: str, reps: int) -> None:
     pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet")
 
 
+def scale_tpch(out: str, reps: int) -> None:
+    """FK-consistent replicas of the TPC-H fact chain: every key
+    column (order/cust/part/supp) is offset per replica, so each
+    replica is an independent sub-warehouse — join fan-outs stay
+    exactly the per-replica fan-outs, and a plan that is linear in
+    warehouse size measures ~reps x. Dimension tables nation/region
+    stay shared (they are fixed-cardinality in TPC-H too)."""
+    tables = {
+        t: pq.read_table(f"{SRC}/{t}.parquet")
+        for t in ["customer", "orders", "lineitem", "part", "supplier"]
+    }
+    offs = {
+        "cust": pc.max(tables["customer"]["c_custkey"]).as_py() + 1,
+        "order": pc.max(tables["orders"]["o_orderkey"]).as_py() + 1,
+        "part": pc.max(tables["part"]["p_partkey"]).as_py() + 1,
+        "supp": pc.max(tables["supplier"]["s_suppkey"]).as_py() + 1,
+    }
+    key_cols = {
+        "customer": {"c_custkey": "cust"},
+        "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+        "lineitem": {
+            "l_orderkey": "order",
+            "l_partkey": "part",
+            "l_suppkey": "supp",
+        },
+        "part": {"p_partkey": "part"},
+        "supplier": {"s_suppkey": "supp"},
+    }
+    for name, t in tables.items():
+        parts = []
+        for k in range(reps):
+            tk = t
+            for col, kind in key_cols[name].items():
+                tk = tk.set_column(
+                    t.schema.get_field_index(col),
+                    col,
+                    pc.add(t[col], k * offs[kind]),
+                )
+            parts.append(tk)
+        pq.write_table(pa.concat_tables(parts), f"{out}/{name}.parquet")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1_synth")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument(
+        "--tpch", action="store_true",
+        help="also scale the TPC-H fact chain (FK-consistent offsets)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     for tbl in COPY_TABLES:
@@ -120,7 +166,11 @@ def main() -> None:
     scale_documents(args.out, args.reps)
     scale_embeddings(args.out, args.reps)
     scale_events(args.out, args.reps)
-    for tbl in ["documents", "embeddings", "events"]:
+    report = ["documents", "embeddings", "events"]
+    if args.tpch:
+        scale_tpch(args.out, args.reps)
+        report += ["customer", "orders", "lineitem", "part", "supplier"]
+    for tbl in report:
         print(tbl, pq.ParquetFile(f"{args.out}/{tbl}.parquet").metadata.num_rows)
 
 
