@@ -40,7 +40,16 @@ def _brute(rows):
             d = sum(x * y for x, y in zip(ra["vec"], rb["vec"]))
             na = math.sqrt(sum(x * x for x in ra["vec"]))
             nb = math.sqrt(sum(x * x for x in rb["vec"]))
-            c = _round_half_up(d / (na * nb))
+            # zero-norm denominators follow IEEE like the engine (and
+            # the naive Spark join): 0/0 -> NaN, d/0 -> +-inf. Python's
+            # / raises instead, so special-case.
+            den = na * nb
+            if den == 0.0:
+                c = float("nan") if d == 0.0 else math.copysign(
+                    float("inf"), d
+                )
+            else:
+                c = _round_half_up(d / den)
             out[(ra["id"], rb["id"])] = (c, ra["ext"], rb["ext"])
     return out
 
@@ -101,3 +110,78 @@ def test_chunked_pairs_duplicate_ids_excluded(spark):
     assert pairs.where(
         (F.col("id_a") == 5) & (F.col("id_b") == 6)
     ).count() == 2
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+
+    @st.composite
+    def _corpus(draw):
+        n = draw(st.integers(min_value=2, max_value=25))
+        dims = draw(st.integers(min_value=2, max_value=5))
+        ids = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=60),
+                min_size=n, max_size=n, unique=True,
+            )
+        )
+        rows = []
+        for i in ids:
+            vec = draw(
+                st.lists(
+                    st.floats(
+                        min_value=-2.0, max_value=2.0,
+                        allow_nan=False, allow_infinity=False,
+                    ),
+                    min_size=dims, max_size=dims,
+                )
+            )
+            blk = draw(st.sampled_from([0, 1, None]))
+            ext = draw(
+                st.floats(min_value=0.0, max_value=1.0, allow_nan=False)
+            )
+            rows.append({"id": i, "vec": vec, "blk": blk, "ext": ext})
+        chunks = draw(st.integers(min_value=1, max_value=6))
+        return rows, chunks
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(_corpus())
+    def test_chunked_pairs_hypothesis(spark, case):
+        """Shrinking fuzz over the same invariant as the seeded test:
+        engine output == brute force for arbitrary ids/blocks/vectors/
+        chunk counts (incl. zero vectors, single-element blocks, and
+        chunk counts exceeding block sizes)."""
+        rows, chunks = case
+        df = spark.createDataFrame(
+            [(r["id"], r["vec"], r["blk"], r["ext"]) for r in rows],
+            "vec_id long, embedding array<double>, label int, ext double",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): (r["cosine"], r["extra_a"], r["extra_b"])
+            for r in _chunked_cosine_pairs(
+                df, "vec_id", "embedding", "label",
+                chunks=chunks, extra_col="ext",
+            ).collect()
+        }
+        want = _brute(rows)
+        assert set(got) == set(want)
+        for k, (wc, wa, wb) in want.items():
+            gc, ga, gb = got[k]
+            if math.isnan(wc):
+                assert gc is None or math.isnan(gc)
+            elif math.isinf(wc):
+                assert math.isinf(gc) and (gc > 0) == (wc > 0)
+            else:
+                assert abs(gc - wc) < 1.5e-6
+            assert ga == wa and gb == wb
