@@ -312,3 +312,84 @@ def test_as_of_join_auto_picks_and_matches(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CoGroup" in deep_plan
     assert "CoGroup" not in shallow_plan
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+
+    @st.composite
+    def _pit_workload(draw):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2026, 1, 1)
+        n_ent = draw(st.integers(min_value=1, max_value=5))
+        recs = []
+        rid = 0
+        for e in range(n_ent):
+            for _ in range(draw(st.integers(min_value=0, max_value=6))):
+                recs.append(
+                    (
+                        f"r{rid:03d}",
+                        f"e{e}",
+                        draw(st.integers(min_value=0, max_value=99)),
+                        t0 + timedelta(
+                            hours=draw(st.integers(min_value=0, max_value=72))
+                        ),
+                    )
+                )
+                rid += 1
+        spine = [
+            (
+                f"e{draw(st.integers(min_value=0, max_value=n_ent + 1))}",
+                t0 + timedelta(
+                    hours=draw(st.integers(min_value=0, max_value=72))
+                ),
+            )
+            for _ in range(draw(st.integers(min_value=1, max_value=6)))
+        ]
+        tol = draw(st.sampled_from([None, "12 hours", "48 hours"]))
+        return recs, spine, tol
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(_pit_workload())
+    def test_asof_strategies_agree_hypothesis(spark, case):
+        """Shrinking fuzz: the window form and the pandas merge_asof
+        form must emit identical rows on arbitrary workloads —
+        timestamp ties, entities beyond the record set, duplicate
+        spine rows, and tolerance bounds included."""
+        from blackroad_feature_store_spark.operators.asof import (
+            as_of_join,
+            as_of_join_pandas,
+        )
+
+        recs, spine_rows, tol = case
+        records = spark.createDataFrame(
+            recs or [("r_none", "e_none", 0, __import__("datetime").datetime(2020, 1, 1))],
+            "id string, entity string, val int, timestamp timestamp",
+        )
+        spine = spark.createDataFrame(
+            spine_rows, "entity string, cutoff timestamp"
+        )
+        kw = {"tolerance": tol} if tol else {}
+        a = as_of_join(
+            spine, records, on="entity", ts_col="timestamp",
+            as_of="cutoff", **kw,
+        ).select("entity", "cutoff", "id", "val")
+        b = as_of_join_pandas(
+            spine, records, on="entity", as_of_col="cutoff",
+            ts_col="timestamp", **kw,
+        ).select("entity", "cutoff", "id", "val")
+        ka = sorted(map(tuple, a.collect()), key=str)
+        kb = sorted(map(tuple, b.collect()), key=str)
+        assert ka == kb
