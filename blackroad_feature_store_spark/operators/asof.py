@@ -343,6 +343,16 @@ def as_of_join_pandas(
     None/NaN/NA keys (verified for object, float64, and nullable-Int64
     dtypes), so NULL-key records are dropped from the right side
     before the merge. Pinned by ``test_asof_pandas_null_key_parity``.
+
+    Float-NaN key caveat (distinct from NULL): Spark treats NaN = NaN
+    as TRUE in equality joins, so the window form matches records
+    whose double-typed key is a genuine (non-NULL) NaN. Arrow maps
+    Spark NULL in a double column to pandas NaN too, making NULL and
+    real NaN indistinguishable here — the ``dropna`` therefore also
+    drops real-NaN keys and the two forms diverge for double keys
+    containing NaN values. Feature-store entity keys are strings/ints
+    in every catalog path; avoid double join keys holding NaN, or use
+    the window form for them.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -452,10 +462,15 @@ def as_of_join_auto(
     value-identical on randomized workloads (``test_pit_property``).
     """
     on_cols = [on] if isinstance(on, str) else list(on)
+    # approx_count_distinct over a struct keeps NULL components
+    # distinct: a concat_ws proxy would SKIP NULLs, collapsing
+    # ('a', NULL), (NULL, 'a') and ('a',) into one key and deflating
+    # the distinct count — a mispicked strategy (perf only) on
+    # NULL-heavy composite keys.
     est = records.select(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(
-            F.concat_ws("\x1f", *[F.col(c) for c in on_cols])
+            F.struct(*[F.col(c) for c in on_cols])
         ).alias("d"),
     ).first()
     depth = (est["n"] / est["d"]) if est["d"] else 0.0

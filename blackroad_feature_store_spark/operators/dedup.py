@@ -347,8 +347,16 @@ def _chunked_cosine_pairs(
     computes each group's pair set as ONE float64 GEMM (numpy) —
     parallelism becomes #blocks x C(C+1)/2 tasks and the per-pair cost
     is a vectorized FLOP. The pair SET, cosine values, and rounding
-    (half away from zero, matching ``F.round``'s HALF_UP) are
-    identical to the naive join's, so oracles are unaffected. Shuffle
+    (half away from zero, matching ``F.round``'s HALF_UP) agree with
+    the naive join's to the ulp: the GEMM may reassociate the
+    dot-product sum (BLAS blocking/FMA) vs a sequential fold, and the
+    HALF_UP emulation (``floor(|s|*1e6+0.5)``) runs in float64 — a
+    cosine landing within an ulp of a 5e-7 rounding boundary or of
+    ``threshold`` could in principle flip pair membership vs a
+    sequential-sum oracle. No certified corpus has hit this (the
+    hypothesis fuzzer in test_chunked_pairs_property includes
+    adversarial magnitudes); residual risk documented rather than
+    claimed away. Shuffle
     volume is C x the vectors — the price of spreading a quadratic
     block across tasks; rows with NULL block are dropped up front
     (equality-join semantics: they can never pair).

@@ -34,6 +34,18 @@ def spread(df: DataFrame, *key_cols: str, num_partitions: int | None = None) -> 
     nothing and concentrate data into fewer, bigger partitions. The
     guard makes spread() a no-op at scale and a fan-out only for the
     small-file case it exists for.
+
+    CONTRACT NOTE (the guard's trade): when the skip fires, the output
+    is NOT hash-partitioned by ``key_cols`` — keyed partitioning is
+    best-effort, so a downstream ``groupBy(key)`` pays its own
+    exchange in the wide-input case. That is the intended outcome: at
+    that scale the scan parallelism already saturates the cluster and
+    one aggregation exchange of the (post-projection, compact) rows is
+    strictly cheaper than pre-shuffling full document text. Callers
+    that need a HARD partitioning guarantee should call
+    ``df.repartition(n, *keys)`` directly. The partition-count probe
+    is a plan→RDD translation only (no job, no data touched); passing
+    ``num_partitions`` explicitly bypasses it.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if num_partitions is None and df.rdd.getNumPartitions() >= n:

@@ -28,6 +28,7 @@ outputs append as parquet partitions keyed by `batch_id`:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -43,10 +44,21 @@ def _existing_sigs(
     spark: SparkSession, sig_path: str, id_col: str, before_batch: int
 ) -> DataFrame:
     """All signatures from batches strictly before `before_batch`;
-    schema-stable empty frame when the store doesn't exist yet."""
+    schema-stable empty frame when the store doesn't exist yet.
+
+    Only a missing store maps to "empty seen-set": the except is
+    limited to PATH_NOT_FOUND. A corrupt or transiently unreadable
+    signature store must FAIL the micro-batch (it would otherwise be
+    silently treated as empty and permanently miss every cross-batch
+    pair); foreachBatch replay then retries the batch against the
+    intact store.
+    """
     try:
         sigs = spark.read.parquet(sig_path)
-    except Exception:  # noqa: BLE001 — first batch: no store yet
+    except AnalysisException as exc:  # first batch: no store yet
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
         return spark.createDataFrame(
             [], f"{id_col} long, {_SIG_SCHEMA}"
         ).drop("batch_id")

@@ -878,3 +878,32 @@ def test_streaming_neardup_replay_idempotent(spark, tmp_path):
     flat = {(r["id_a"], r["id_b"]) for r in
             spark.read.parquet(pairs_path).collect()}
     assert (1, 3) in flat
+
+
+def test_neardup_missing_store_is_empty_but_corrupt_store_raises(
+    spark, tmp_path
+):
+    """_existing_sigs maps ONLY path-not-found to "empty seen-set".
+    A corrupt signature store must fail the micro-batch loudly —
+    silently treating it as empty would permanently miss every
+    cross-batch pair (VERDICT r8 / ADVICE r8)."""
+    import pytest as _pytest
+
+    from blackroad_feature_store_spark.streaming.neardup import (
+        _existing_sigs,
+    )
+
+    # missing store: schema-stable empty frame
+    missing = str(tmp_path / "never_written")
+    out = _existing_sigs(spark, missing, "doc_id", before_batch=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "band", "sig"]
+
+    # corrupt store: directory exists but holds a non-parquet file
+    corrupt = tmp_path / "corrupt_sigs"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception) as exc_info:
+        _existing_sigs(spark, str(corrupt), "doc_id", before_batch=5)
+    # must NOT have been swallowed into the empty-frame path
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
