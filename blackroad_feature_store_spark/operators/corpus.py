@@ -132,6 +132,118 @@ def chunk_documents(
     )
 
 
+#: One sentence-ish run: non-terminator chars followed by a run of
+#: terminators, or a trailing terminator-less fragment. No lookaround
+#: and first-alternative-preferred in both Java regex (Spark) and RE2
+#: (DuckDB oracles), so the match sets agree across engines.
+SENTENCE_RE = r"[^.!?]+[.!?]+|[^.!?]+"
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment each document into sentences — one output row per
+    (doc, sentence) with the ordinal position and whitespace-trimmed
+    text.
+
+    Regexp segmentation (``SENTENCE_RE``): a sentence is a maximal run
+    of non-``[.!?]`` characters plus its trailing terminator run;
+    text after the last terminator becomes a final terminator-less
+    sentence. Deliberately engine-portable (no lookbehind — RE2 has
+    none) so DuckDB oracles reproduce the segmentation exactly.
+
+    ``sentence_id`` is the 0-based position in the RAW match array;
+    entries that trim to empty (whitespace between terminators) are
+    filtered AFTER numbering, so ids are stable but not necessarily
+    contiguous — downstream ordering only needs monotonicity.
+
+    Scale: narrow projection + explode, no shuffle; output rows ≈
+    sentences. The regexp runs once per document in codegen.
+    """
+    return (
+        df.select(
+            id_col,
+            F.posexplode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(SENTENCE_RE), F.lit(0)
+                )
+            ).alias("sentence_id", "__raw"),
+        )
+        .select(
+            id_col,
+            "sentence_id",
+            F.trim(F.col("__raw")).alias("sentence"),
+        )
+        .where(F.length("sentence") > 0)
+    )
+
+
+def sentence_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Sentence-aware context-window chunking — the RAG/training prep
+    that :func:`chunk_documents` (fixed token offsets) can't serve:
+    chunk boundaries NEVER split a sentence.
+
+    Semantics: sentences are streamed in order and a sentence goes to
+    chunk ``floor(tokens_before_it / max_tokens)`` — the same
+    no-lookahead streaming packing as :func:`pack_sequences`, with the
+    boundary-straddling sentence spilling wholly into the chunk where
+    it starts. Chunks therefore hold ≥ ``max_tokens`` tokens once a
+    sentence crosses the boundary (over-full by at most one sentence),
+    and only the final chunk can be short — the packing-efficient
+    contract for trainer batches. Tokens are whitespace runs, matching
+    the rest of the token-counting stack.
+
+    Output: (id, chunk_id, n_sentences, chunk_tokens, chunk_md5) where
+    the fingerprint is md5 of the chunk's sentences joined by a single
+    space (fingerprints keep result sets bounded, as in
+    :func:`chunk_documents`).
+
+    Scale: one explode + ONE hash-shuffle on ``id_col`` that both the
+    cumulative-sum window and the per-(doc, chunk) aggregation reuse —
+    no global sort, packing parallelizes across documents. The ordered
+    reassembly uses ``array_sort(collect_list(struct(...)))`` so chunk
+    text is deterministic under any partitioning.
+    """
+    sents = split_sentences(df, text_col=text_col, id_col=id_col)
+    toks = sents.withColumn(
+        "__tok", F.size(F.split(F.col("sentence"), r"\s+"))
+    )
+    packed = pack_sequences(
+        toks,
+        partition_col=id_col,
+        order_cols=["sentence_id"],
+        token_col="__tok",
+        budget=max_tokens,
+    ).withColumnRenamed("bin_id", "chunk_id")
+    return (
+        packed.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("__tok").alias("chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("sentence_id", "sentence")
+                            )
+                        ),
+                        lambda x: x["sentence"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
 def tfidf_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -47,6 +47,7 @@ from blackroad_feature_store_spark.operators.corpus import (
     decontaminate,
     mad_outliers,
     paragraph_dedup,
+    sentence_chunks,
     tfidf_terms,
 )
 from blackroad_feature_store_spark.operators.stats import population_stability
@@ -3748,6 +3749,62 @@ def pipeline_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_sentence_chunks",
+    r"""
+    WITH prep AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '\b(table|value)\b',
+                                           '\1.', 'g'),
+                            '\bscan\b', 'scan!', 'g') AS txt
+      FROM documents),
+    arr AS (
+      SELECT doc_id, regexp_extract_all(txt, '[^.!?]+[.!?]+|[^.!?]+') AS a
+      FROM prep),
+    num AS (
+      SELECT doc_id, unnest(generate_series(1, len(a))) AS sid1, a
+      FROM arr),
+    sent AS (
+      SELECT doc_id, sid1 - 1 AS sentence_id, trim(a[sid1]) AS sentence
+      FROM num),
+    tok AS (
+      SELECT doc_id, sentence_id, sentence,
+             len(regexp_split_to_array(sentence, '\s+')) AS t
+      FROM sent WHERE len(sentence) > 0),
+    packed AS (
+      SELECT doc_id, sentence_id, sentence, t,
+             CAST((sum(t) OVER (PARTITION BY doc_id ORDER BY sentence_id
+                                ROWS UNBOUNDED PRECEDING) - t) // 24
+                  AS BIGINT) AS chunk_id
+      FROM tok)
+    SELECT doc_id, chunk_id,
+           count(*) AS n_sentences,
+           CAST(sum(t) AS BIGINT) AS chunk_tokens,
+           md5(string_agg(sentence, ' ' ORDER BY sentence_id)) AS chunk_md5
+    FROM packed GROUP BY doc_id, chunk_id
+    """,
+)
+def pipeline_sentence_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence-aware chunking (operators/corpus.py sentence_chunks):
+    regexp sentence segmentation + streaming no-lookahead packing at a
+    24-token budget — boundaries never split a sentence, the semantic
+    RAG/context-window prep needs and fixed-offset `pipeline_chunks`
+    can't express. The synthetic corpus has no punctuation, so
+    terminators are injected deterministically (`.` after table/value,
+    `!` after scan) to give every doc a known multi-sentence structure
+    with varying sentence lengths. One explode + one hash shuffle on
+    doc_id shared by the packing window and the chunk aggregation."""
+    docs = load(spark, sf, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", r"\b(table|value)\b", r"$1."),
+            r"\bscan\b",
+            "scan!",
+        ),
+    )
+    return sentence_chunks(docs, max_tokens=24)
+
+
+@q(
     "text_tfidf_top_terms",
     r"""
     WITH terms AS (
@@ -6685,6 +6742,8 @@ _GATE_PRIORITY: list[str] = [
     # hashing, r=2 banding) on both engines AFTER its last green row
     # (r05) — advisor flagged the new construction as unattested.
     "dedup_minhash_pairs",
+    # -- r9 new capability --
+    "pipeline_sentence_chunks",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
     # (spread() guard, stateful drains, LSH-downstream family) --
@@ -6707,7 +6766,6 @@ _GATE_PRIORITY: list[str] = [
     "text_repetition",
     "dedup_embedding",
     "core_gapfill_locf",
-    "core_gapfill_interp",
     "core_asof_forward_label",
     "core_bucketed_join",
     "pipeline_nb_source_classify",

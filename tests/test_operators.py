@@ -2559,3 +2559,67 @@ def test_nb_classify_partition_order_invariant(spark):
         map(tuple, nb_classify(many, many.drop("label")).collect())
     )
     assert r1 == rn
+
+
+def test_split_sentences_segmentation(spark):
+    from blackroad_feature_store_spark.operators.corpus import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three four! Five?? Six"),
+            (2, "no terminators at all"),
+            (3, "... leading dots. then text"),
+            (4, "a. . b"),  # middle entry trims to empty -> filtered
+        ],
+        "doc_id long, text string",
+    )
+    rows = split_sentences(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["sentence_id"], r["sentence"])
+        )
+    assert by_doc[1] == [
+        (0, "One two."),
+        (1, "Three four!"),
+        (2, "Five??"),  # terminator RUN stays with its sentence
+        (3, "Six"),  # trailing fragment without terminator
+    ]
+    assert by_doc[2] == [(0, "no terminators at all")]
+    # leading terminators are skipped by the matcher, ids still 0-based
+    assert by_doc[3][0][1].endswith("leading dots.")
+    # "a." then the lone "." run attaches to " ." -> trims to "."? No:
+    # "a." matches alt1; " ." -> [^.!?]+ matches " ", then [.!?]+ "."
+    # -> " ." trims to "."; " b" is the tail fragment.
+    sents4 = [s for _, s in by_doc[4]]
+    assert sents4[0] == "a." and sents4[-1] == "b"
+    # ids are monotone per doc even when entries were filtered
+    for doc, lst in by_doc.items():
+        ids = [i for i, _ in lst]
+        assert ids == sorted(ids)
+
+
+def test_sentence_chunks_never_splits_and_packs_greedily(spark):
+    import hashlib as _h
+
+    from blackroad_feature_store_spark.operators.corpus import sentence_chunks
+
+    # sentences of 3 tokens each; budget 5 -> sentence at prefix 3
+    # straddles the boundary and spills WHOLE into chunk 0
+    text = "a b c. d e f. g h i. j k l."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {
+        r["chunk_id"]: r for r in sentence_chunks(df, max_tokens=5).collect()
+    }
+    # prefixes 0,3,6,9 -> chunks 0,0,1,1
+    assert rows[0]["n_sentences"] == 2 and rows[0]["chunk_tokens"] == 6
+    assert rows[1]["n_sentences"] == 2 and rows[1]["chunk_tokens"] == 6
+    assert rows[0]["chunk_md5"] == _h.md5(b"a b c. d e f.").hexdigest()
+    assert rows[1]["chunk_md5"] == _h.md5(b"g h i. j k l.").hexdigest()
+
+    # a doc with no terminators is one sentence -> one chunk however
+    # long; a chunk is never smaller than a sentence
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    df2 = spark.createDataFrame([(2, long_doc)], "doc_id long, text string")
+    out2 = sentence_chunks(df2, max_tokens=5).collect()
+    assert len(out2) == 1 and out2[0]["chunk_tokens"] == 40

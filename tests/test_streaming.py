@@ -907,3 +907,94 @@ def test_neardup_missing_store_is_empty_but_corrupt_store_raises(
         _existing_sigs(spark, str(corrupt), "doc_id", before_batch=5)
     # must NOT have been swallowed into the empty-frame path
     assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
+def test_streaming_neardup_checkpoint_restart_recovery(spark, tmp_path):
+    """Kill-and-resume certification (VERDICT r8 #4): the stream is
+    crashed AFTER batch 1's stores are written but BEFORE the
+    checkpoint commit — the worst-case failure point — then restarted
+    on the SAME checkpoint. The resumed stream must re-deliver batch 1
+    (same batch_id, same offsets), replay it idempotently, finish the
+    remaining batch, and end bit-identical to an uninterrupted run."""
+    from blackroad_feature_store_spark.streaming.neardup import (
+        process_neardup_batch,
+        start_neardup_stream,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "an entirely different document about spark physical planning"
+    batches = [
+        [(1, t1), (2, t2)],
+        [(3, t1 + " tail"), (4, "unique words only zebra quartz")],
+        [(5, t1), (6, t2 + " with a tail")],
+    ]
+    src = str(tmp_path / "src")
+    for b in batches:
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def read_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    # --- uninterrupted reference run ---
+    ref_sigs = str(tmp_path / "ref_sigs")
+    ref_pairs = str(tmp_path / "ref_pairs")
+    q = start_neardup_stream(
+        read_stream(), ref_sigs, ref_pairs,
+        checkpoint=str(tmp_path / "ref_ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    # --- crashed run: process batch 1 FULLY, then die pre-commit ---
+    sigs = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def poisoned(batch_df, batch_id):
+        process_neardup_batch(batch_df, batch_id, sigs, pairs)
+        if batch_id == 1:
+            raise RuntimeError("simulated crash after write, pre-commit")
+
+    qc = (
+        read_stream()
+        .writeStream.foreachBatch(poisoned)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        qc.awaitTermination(120)
+    except Exception:
+        pass  # StreamingQueryException — the simulated crash
+    assert qc.exception() is not None
+    # batch 1's data IS on disk (the uncommitted leftovers)
+    assert {
+        r["batch_id"]
+        for r in spark.read.parquet(sigs).select("batch_id").collect()
+    } == {0, 1}
+
+    # --- resume on the same checkpoint with the normal sink ---
+    qr = start_neardup_stream(
+        read_stream(), sigs, pairs, checkpoint=ckpt, available_now=True
+    )
+    qr.awaitTermination(120)
+    assert qr.exception() is None
+
+    def snap(path):
+        return sorted(
+            map(tuple, spark.read.parquet(path).drop("batch_id").collect())
+        )
+
+    assert snap(sigs) == snap(ref_sigs)
+    assert snap(pairs) == snap(ref_pairs)
+    # and the batch_id layout itself matches (replay overwrote 1)
+    assert sorted(
+        map(tuple, spark.read.parquet(pairs).collect())
+    ) == sorted(map(tuple, spark.read.parquet(ref_pairs).collect()))
