@@ -126,6 +126,7 @@ HEADLINE = [
     "pipeline_dup_spans",
     "source_orc_roundtrip",
     "source_text_roundtrip",
+    "source_xml_roundtrip",
     "core_bucketed_join",
     "stats_hll_distinct",
     "sim_cosine_topk_gemm",

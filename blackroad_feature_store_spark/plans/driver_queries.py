@@ -5057,6 +5057,34 @@ def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("source_xml_roundtrip", _SQL_SOURCE_ROUNDTRIP)
+def source_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Same certification for the XML source path (Spark 4's built-in
+    XML datasource, the former spark-xml package — one ``<doc>``
+    element per document). Entity escaping/unescaping, schema
+    inference from elements, and the canonical-shape normalization
+    must all be lossless for the landed aggregate to hash-match the
+    oracle over the ORIGINAL parquet. (XML's reader trims surrounding
+    whitespace and lands empty elements as NULL — `sources/files.py`
+    documents it as interchange, not byte-exact archive; this corpus
+    round-trips exactly.)"""
+    from blackroad_feature_store_spark.sources.files import (
+        read_documents,
+        write_documents,
+    )
+
+    docs = load(spark, sf, "documents")
+    out_dir = tempfile.mkdtemp(prefix="src_xml_") + "/docs"
+    write_documents(docs, out_dir, format="xml")
+    landed = read_documents(spark, out_dir, format="xml")
+    return landed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 @q(
     "source_text_roundtrip",
     """
@@ -6744,6 +6772,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_minhash_pairs",
     # -- r9 new capability --
     "pipeline_sentence_chunks",
+    "source_xml_roundtrip",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
     # (spread() guard, stateful drains, LSH-downstream family) --
@@ -6765,7 +6794,6 @@ _GATE_PRIORITY: list[str] = [
     "text_pii_redaction",
     "text_repetition",
     "dedup_embedding",
-    "core_gapfill_locf",
     "core_asof_forward_label",
     "core_bucketed_join",
     "pipeline_nb_source_classify",

@@ -15,10 +15,57 @@ no id column — deterministic across runs, unlike
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CANONICAL_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+
+#: Default XML row element. Spark 4 ships the XML datasource built in
+#: (the former spark-xml package, merged in SPARK-44265), so no extra
+#: jar is needed; each ``<doc>...</doc>`` element is one document row.
+XML_ROW_TAG = "doc"
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the ``spark-avro`` datasource module is on the
+    classpath. Avro has been an EXTERNAL Spark module since 2.4
+    (``org.apache.spark:spark-avro``) and is NOT bundled with the pip
+    ``pyspark`` distribution — only the core avro-* serialization jars
+    are. The probe runs Spark's own provider resolution
+    (``DataSource.lookupDataSource``) — no job, no data touched — so
+    callers can gate avro round-trip tests/queries with a documented
+    skip instead of a deep failure at read time. A mere
+    ``Class.forName("...sql.avro.AvroFileFormat")`` is NOT sufficient:
+    Spark 4's spark-sql jar ships that class, but the
+    ``DataSourceRegister`` service registration (and DefaultSource)
+    live only in the external spark-avro jar, so the format string
+    "avro" still fails to resolve without it."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — JVM-side probe, no job
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()  # noqa: SLF001
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _read_avro(spark: SparkSession, path: str, opts: dict) -> DataFrame:
+    try:
+        return spark.read.options(**opts).format("avro").load(path)
+    except AnalysisException as exc:
+        if "FAILED_TO_FIND_DATA_SOURCE" in str(exc) or (
+            "Failed to find data source" in str(exc)
+        ):
+            raise RuntimeError(
+                "Avro support needs the external spark-avro module "
+                "(org.apache.spark:spark-avro_2.13) on the classpath; "
+                "it is not bundled with the pip pyspark distribution. "
+                "Launch with --packages org.apache.spark:spark-avro_"
+                "2.13:<spark-version> or add the jar to jars/."
+            ) from exc
+        raise
 
 
 def read_documents(
@@ -32,9 +79,17 @@ def read_documents(
 ) -> DataFrame:
     """Read a corpus in any supported format as canonical documents.
 
-    ``format``: parquet | orc | jsonl | csv | text.
+    ``format``: parquet | orc | jsonl | csv | text | xml | avro.
     ``text`` mode treats each LINE as one document (the common
     one-example-per-line training-data layout).
+    ``xml`` uses Spark 4's built-in XML datasource (one row per
+    ``rowTag`` element, default ``doc``); note the reader's
+    ``ignoreSurroundingSpaces`` default trims leading/trailing
+    whitespace inside elements and a fully empty element lands as
+    NULL, so XML is an interchange format, not a byte-exact archive —
+    parquet/ORC are. ``avro`` needs the external spark-avro module
+    (see :func:`avro_available`); without it the read raises a
+    RuntimeError naming the missing package.
     ``id_col=None`` (or a missing column) derives ``doc_id`` from
     ``xxhash64(text)`` — stable across runs and partitionings.
     """
@@ -43,6 +98,11 @@ def read_documents(
         df = spark.read.options(**opts).parquet(path)
     elif format == "orc":
         df = spark.read.options(**opts).orc(path)
+    elif format == "xml":
+        opts.setdefault("rowTag", XML_ROW_TAG)
+        df = spark.read.options(**opts).format("xml").load(path)
+    elif format == "avro":
+        df = _read_avro(spark, path, opts)
     elif format == "jsonl":
         df = spark.read.options(**opts).json(path)
     elif format == "csv":
@@ -57,7 +117,7 @@ def read_documents(
     else:
         raise ValueError(
             f"Unsupported format '{format}' "
-            "(expected parquet, orc, jsonl, csv, or text)"
+            "(expected parquet, orc, jsonl, csv, text, xml, or avro)"
         )
 
     if text_col != "text":
@@ -108,5 +168,20 @@ def write_documents(
         w.orc(path)
     elif format == "jsonl":
         w.json(path)
+    elif format == "xml":
+        w.option("rowTag", XML_ROW_TAG).format("xml").save(path)
+    elif format == "avro":
+        try:
+            w.format("avro").save(path)
+        except AnalysisException as exc:
+            if "FAILED_TO_FIND_DATA_SOURCE" in str(exc) or (
+                "Failed to find data source" in str(exc)
+            ):
+                raise RuntimeError(
+                    "Avro support needs the external spark-avro module "
+                    "(org.apache.spark:spark-avro_2.13); it is not "
+                    "bundled with the pip pyspark distribution."
+                ) from exc
+            raise
     else:
         raise ValueError(f"Unsupported sink format '{format}'")

@@ -506,7 +506,68 @@ def test_read_documents_all_formats(spark, tmp_path):
     assert back.count() == 2
 
     with pytest.raises(ValueError, match="Unsupported format"):
-        read_documents(spark, pq, "avro")
+        read_documents(spark, pq, "hdf5")
+
+
+def test_read_documents_xml_roundtrip_and_escaping(spark, tmp_path):
+    from blackroad_feature_store_spark.sources.files import (
+        read_documents,
+        write_documents,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "a < b & c > d", "en", "s"),  # entity escaping
+            (2, 'quotes " and \' here', "en", "s"),
+            (3, "plain text", "de", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    d = str(tmp_path / "docs_xml")
+    write_documents(base, d, format="xml")
+    landed = read_documents(spark, d, format="xml")
+    got = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in landed.collect()
+    )
+    assert got == sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in base.collect()
+    )
+    # n_chars is derived from the LANDED text, so it certifies that
+    # escaping/unescaping was lossless character-for-character
+    landed_rows = landed.collect()
+    assert {r["doc_id"] for r in landed_rows} == {1, 2, 3}
+    assert all(r["n_chars"] == len(r["text"]) for r in landed_rows)
+
+
+def test_avro_gated_behind_module_probe(spark, tmp_path):
+    """Avro is an EXTERNAL Spark module (not in the pip pyspark
+    distribution). When absent — as in this container — the probe says
+    so and read/write raise a RuntimeError naming the missing package
+    instead of a bare ClassNotFoundException. When present, the round
+    trip must simply work (exercised only where the jar exists)."""
+    from blackroad_feature_store_spark.sources.files import (
+        avro_available,
+        read_documents,
+        write_documents,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "hello avro", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    d = str(tmp_path / "docs_avro")
+    if avro_available(spark):
+        write_documents(base, d, format="avro")
+        landed = read_documents(spark, d, format="avro")
+        assert landed.count() == 1
+        assert landed.first()["text"] == "hello avro"
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_documents(base, d, format="avro")
+        pq = str(tmp_path / "docs_for_avro_read")
+        base.write.parquet(pq)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_documents(spark, pq, "avro")
 
 
 # -- skew ----------------------------------------------------------------------
