@@ -78,6 +78,8 @@ HEADLINE = [
     "text_pii_redaction",
     "pipeline_chunks",
     "pipeline_sentence_chunks",
+    "pipeline_sentence_dedup",
+    "pipeline_sentence_windows",
     "text_tfidf_top_terms",
     "text_outlier_docs",
     "pipeline_pack_sequences",

@@ -259,6 +259,169 @@ def sentence_chunks(
     )
 
 
+def sentence_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sentence-level boilerplate removal (the CCNet/RefinedWeb pass):
+    drop every sentence that occurs in ``min_docs`` or more DISTINCT
+    documents — cookie banners, nav text, license blurbs — and
+    reassemble each document from its surviving sentences in order.
+
+    Unlike :func:`paragraph_dedup` (keep-first, exact-paragraph), this
+    drops ALL copies of a repeated sentence: a sentence shared by many
+    pages is boilerplate, not content, and keeping one arbitrary copy
+    would leave one page with a cookie banner. Documents whose every
+    sentence is boilerplate vanish from the output (same contract as
+    dropping empty docs after cleaning).
+
+    Returns ``id_col`` + ``text`` (reassembled, single-space-joined)
+    + ``kept_sentences`` + ``dropped_sentences``.
+
+    Scale shape: explode sentences (narrow, no shuffle), then
+    * the DISTINCT-doc count keyed on a 64-bit ``xxhash64(sentence)``
+      — count-distinct plans as two narrow exchanges of (hash,
+      doc_id) pairs pre-combined per partition; the full sentence
+      text never shuffles in this pass;
+    * the boilerplate key set joins back to the sentence stream on the
+      hash (left join + flag; AQE broadcasts it when small — the
+      common case, since boilerplate is by definition the repeated
+      minority — and falls back to a shuffle join when a pathological
+      corpus makes it huge, instead of OOMing a forced broadcast);
+    * shuffle 2 — reassembly groupBy(``id_col``), ordered via
+      ``array_sort(collect_list(struct(...)))`` so the rebuilt text is
+      deterministic under any partitioning.
+    Hash collisions (64-bit) would drop an innocent sentence; at 1e9
+    distinct sentences p(any collision) ≈ 2.7e-2 corpus-wide and a
+    collision costs one sentence of one page — acceptable for a
+    boilerplate FILTER. The count is distinct-DOC, not occurrences, so
+    a sentence repeated inside ONE document is content, not
+    boilerplate.
+    """
+    sents = split_sentences(df, text_col=text_col, id_col=id_col)
+    keyed = sents.withColumn("__k", F.xxhash64("sentence"))
+    boiler = (
+        keyed.groupBy("__k")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__k", F.lit(True).alias("__boiler"))
+    )
+    flagged = keyed.join(boiler, "__k", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__boiler").isNull(),
+                                F.struct("sentence_id", "sentence"),
+                            )
+                        )
+                    ),
+                    lambda x: x["sentence"],
+                ),
+            ).alias("text"),
+            F.sum(
+                F.when(F.col("__boiler").isNull(), 1).otherwise(0)
+            ).alias("kept_sentences"),
+            F.sum(
+                F.when(F.col("__boiler").isNotNull(), 1).otherwise(0)
+            ).alias("dropped_sentences"),
+        )
+        .where(F.col("kept_sentences") > 0)
+    )
+
+
+def sentence_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_sentences: int = 4,
+    stride: int = 2,
+) -> DataFrame:
+    """Overlapping sentence windows — RAG retrieval chunks with
+    context overlap, the sliding-window complement of
+    :func:`sentence_chunks` (which partitions; retrieval wants
+    overlap so a fact straddling a boundary is wholly inside SOME
+    chunk).
+
+    A window starts at every ``stride``-th sentence (positions 0,
+    stride, 2·stride, … in each document's surviving-sentence order)
+    and spans ``window_sentences`` consecutive sentences; the last
+    window of a document may be short. With stride < window_sentences
+    adjacent windows share ``window_sentences - stride`` sentences.
+
+    Returns (id, window_id, n_sentences, window_tokens, window_md5)
+    where ``window_id`` is the 0-based window ordinal and the md5
+    fingerprints the single-space-joined window text (bounded result
+    sets, as in :func:`sentence_chunks`).
+
+    Scale shape: ONE hash-shuffle on ``id_col`` — a row_number window
+    re-ranks the (possibly gappy) sentence ids densely, then each
+    sentence replicates into the ≤ ``ceil(window/stride)`` windows
+    that cover it via an inline ``sequence()`` explode (narrow), and
+    the per-(doc, window) aggregation reuses the same partitioning.
+    No global sort; windows parallelize across documents.
+    """
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    if window_sentences <= 0:
+        raise ValueError(
+            f"window_sentences must be positive, got {window_sentences}"
+        )
+    sents = split_sentences(df, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy(id_col).orderBy("sentence_id")
+    dense = sents.withColumn(
+        "__pos", F.row_number().over(w) - 1
+    ).withColumn("__tok", F.size(F.split(F.col("sentence"), r"\s+")))
+    # Window w_i covers positions [i*stride, i*stride + window).
+    # Sentence at __pos p belongs to windows i in
+    # [ceil((p - window + 1)/stride), floor(p/stride)] ∩ [0, ∞).
+    lo = F.greatest(
+        F.lit(0),
+        F.ceil(
+            (F.col("__pos") - F.lit(window_sentences - 1))
+            / F.lit(stride)
+        ).cast("int"),
+    )
+    hi = F.floor(F.col("__pos") / F.lit(stride)).cast("int")
+    # stride > window leaves positions covered by NO window; sequence()
+    # DESCENDS when lo > hi, so guard with an empty array instead.
+    covering = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = dense.select(
+        id_col,
+        "__pos",
+        "sentence",
+        "__tok",
+        F.explode(covering).alias("window_id"),
+    )
+    return (
+        win.groupBy(id_col, "window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("__tok").alias("window_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__pos", "sentence"))
+                        ),
+                        lambda x: x["sentence"],
+                    ),
+                )
+            ).alias("window_md5"),
+        )
+    )
+
+
 def tfidf_terms(
     df: DataFrame,
     id_col: str = "doc_id",

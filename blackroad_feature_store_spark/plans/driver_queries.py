@@ -3805,6 +3805,143 @@ def pipeline_sentence_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_sentence_dedup",
+    r"""
+    WITH prep AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '\b(table|value)\b',
+                                           '\1.', 'g'),
+                            '\bscan\b', 'scan!', 'g') AS txt
+      FROM documents),
+    arr AS (
+      SELECT doc_id, regexp_extract_all(txt, '[^.!?]+[.!?]+|[^.!?]+') AS a
+      FROM prep),
+    num AS (
+      SELECT doc_id, unnest(generate_series(1, len(a))) AS sid1, a
+      FROM arr),
+    sent AS (
+      SELECT doc_id, sid1 - 1 AS sentence_id, trim(a[sid1]) AS sentence
+      FROM num),
+    sfil AS (
+      SELECT doc_id, sentence_id, sentence
+      FROM sent WHERE len(sentence) > 0),
+    boiler AS (
+      SELECT sentence FROM sfil
+      GROUP BY sentence HAVING count(DISTINCT doc_id) >= 3),
+    kept AS (
+      SELECT s.doc_id, s.sentence_id, s.sentence
+      FROM sfil s ANTI JOIN boiler b ON s.sentence = b.sentence),
+    agg AS (
+      SELECT doc_id,
+             md5(string_agg(sentence, ' ' ORDER BY sentence_id))
+               AS text_md5,
+             count(*) AS kept_sentences
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n FROM sfil GROUP BY doc_id)
+    SELECT a.doc_id, a.text_md5,
+           CAST(a.kept_sentences AS BIGINT) AS kept_sentences,
+           CAST(t.n - a.kept_sentences AS BIGINT) AS dropped_sentences
+    FROM agg a JOIN tot t ON a.doc_id = t.doc_id
+    """,
+)
+def pipeline_sentence_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence-level boilerplate removal (operators/corpus.py
+    sentence_dedup — the CCNet/RefinedWeb pass): a sentence occurring
+    in >= 3 distinct documents is boilerplate and ALL its copies are
+    dropped (keep-first would leave one page with the cookie banner);
+    documents reassemble from survivors in order, all-boilerplate docs
+    vanish. Same deterministic terminator injection as the other
+    sentence queries. Spark keys the repeat count and the join on
+    xxhash64(sentence) so only (hash, id) pairs shuffle; the oracle
+    joins on the sentence text itself — parity therefore also certifies
+    the hash pathway introduces no collisions on this corpus. Rebuilt
+    text is md5-pinned through the value hash."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        sentence_dedup,
+    )
+
+    docs = load(spark, sf, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", r"\b(table|value)\b", r"$1."),
+            r"\bscan\b",
+            "scan!",
+        ),
+    )
+    out = sentence_dedup(docs, min_docs=3)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("kept_sentences").cast("long").alias("kept_sentences"),
+        F.col("dropped_sentences").cast("long").alias("dropped_sentences"),
+    )
+
+
+@q(
+    "pipeline_sentence_windows",
+    r"""
+    WITH prep AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '\b(table|value)\b',
+                                           '\1.', 'g'),
+                            '\bscan\b', 'scan!', 'g') AS txt
+      FROM documents),
+    arr AS (
+      SELECT doc_id, regexp_extract_all(txt, '[^.!?]+[.!?]+|[^.!?]+') AS a
+      FROM prep),
+    num AS (
+      SELECT doc_id, unnest(generate_series(1, len(a))) AS sid1, a
+      FROM arr),
+    sent AS (
+      SELECT doc_id, sid1 - 1 AS sentence_id, trim(a[sid1]) AS sentence
+      FROM num),
+    sfil AS (
+      SELECT doc_id, sentence_id, sentence,
+             len(regexp_split_to_array(sentence, '\s+')) AS t
+      FROM sent WHERE len(sentence) > 0),
+    pos AS (
+      SELECT doc_id, sentence, t,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sentence_id) - 1 AS p
+      FROM sfil),
+    win AS (
+      SELECT doc_id, p, sentence, t,
+             unnest(generate_series(
+               GREATEST(0, CAST(ceil((p - 3) / 2.0) AS INT)),
+               CAST(floor(p / 2.0) AS INT))) AS window_id
+      FROM pos)
+    SELECT doc_id, CAST(window_id AS INT) AS window_id,
+           count(*) AS n_sentences,
+           CAST(sum(t) AS BIGINT) AS window_tokens,
+           md5(string_agg(sentence, ' ' ORDER BY p)) AS window_md5
+    FROM win GROUP BY doc_id, window_id
+    """,
+)
+def pipeline_sentence_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping sentence windows (operators/corpus.py
+    sentence_windows): window of 4 sentences sliding by 2, so adjacent
+    retrieval chunks share 2 sentences and a fact straddling a chunk
+    boundary is wholly inside some chunk — the sliding complement of
+    `pipeline_sentence_chunks`' partitioning. One hash shuffle on
+    doc_id shared by the dense re-rank and the per-window aggregation;
+    each sentence replicates into <= ceil(4/2)=2 covering windows via
+    an inline sequence() explode. Window text is md5-pinned."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        sentence_windows,
+    )
+
+    docs = load(spark, sf, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", r"\b(table|value)\b", r"$1."),
+            r"\bscan\b",
+            "scan!",
+        ),
+    )
+    return sentence_windows(docs, window_sentences=4, stride=2)
+
+
+@q(
     "text_tfidf_top_terms",
     r"""
     WITH terms AS (
@@ -6772,6 +6909,8 @@ _GATE_PRIORITY: list[str] = [
     "dedup_minhash_pairs",
     # -- r9 new capability --
     "pipeline_sentence_chunks",
+    "pipeline_sentence_dedup",
+    "pipeline_sentence_windows",
     "source_xml_roundtrip",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
@@ -6794,8 +6933,6 @@ _GATE_PRIORITY: list[str] = [
     "text_pii_redaction",
     "text_repetition",
     "dedup_embedding",
-    "core_asof_forward_label",
-    "core_bucketed_join",
     "pipeline_nb_source_classify",
     "stream_exec_neardup",
     "dedup_embedding_lsh",

@@ -2684,3 +2684,81 @@ def test_sentence_chunks_never_splits_and_packs_greedily(spark):
     df2 = spark.createDataFrame([(2, long_doc)], "doc_id long, text string")
     out2 = sentence_chunks(df2, max_tokens=5).collect()
     assert len(out2) == 1 and out2[0]["chunk_tokens"] == 40
+
+
+def test_sentence_dedup_drops_boilerplate_everywhere(spark):
+    from blackroad_feature_store_spark.operators.corpus import sentence_dedup
+
+    banner = "We use cookies."
+    df = spark.createDataFrame(
+        [
+            (1, f"{banner} Real content one. More content one."),
+            (2, f"{banner} Unique text two."),
+            (3, banner),  # all-boilerplate doc vanishes
+            (4, "Standalone document. Standalone document."),  # intra-doc
+            (5, "Nothing shared here at all."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sentence_dedup(df, min_docs=2).collect()}
+    # ALL copies of the banner are dropped (not keep-first)
+    assert out[1]["text"] == "Real content one. More content one."
+    assert out[1]["kept_sentences"] == 2
+    assert out[1]["dropped_sentences"] == 1
+    assert out[2]["text"] == "Unique text two."
+    # doc 3 had only boilerplate -> absent from the output
+    assert 3 not in out
+    # repetition INSIDE one doc is content, not boilerplate
+    # (distinct-doc count, not occurrence count)
+    assert out[4]["text"] == "Standalone document. Standalone document."
+    assert out[4]["dropped_sentences"] == 0
+    assert out[5]["kept_sentences"] == 1
+    # threshold respected: min_docs=3 keeps the banner (only 3 docs
+    # share it at min_docs=2... raise to 4 so the 3-doc banner stays)
+    out4 = {
+        r["doc_id"]: r for r in sentence_dedup(df, min_docs=4).collect()
+    }
+    assert out4[1]["dropped_sentences"] == 0
+    assert banner in out4[1]["text"]
+
+
+def test_sentence_windows_overlap_and_tail(spark):
+    import hashlib as _h
+
+    from blackroad_feature_store_spark.operators.corpus import (
+        sentence_windows,
+    )
+
+    # 5 sentences, window=3 stride=2 -> windows [0,1,2], [2,3,4], [4]
+    text = "s zero. s one. s two. s three. s four."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {
+        r["window_id"]: r
+        for r in sentence_windows(
+            df, window_sentences=3, stride=2
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["n_sentences"] == 3 and rows[1]["n_sentences"] == 3
+    assert rows[2]["n_sentences"] == 1  # short tail window
+    assert rows[0]["window_md5"] == _h.md5(
+        b"s zero. s one. s two."
+    ).hexdigest()
+    assert rows[1]["window_md5"] == _h.md5(
+        b"s two. s three. s four."
+    ).hexdigest()  # overlap: "s two." in both windows 0 and 1
+    assert rows[2]["window_md5"] == _h.md5(b"s four.").hexdigest()
+    assert rows[0]["window_tokens"] == 6  # 3 sentences x 2 tokens
+
+    # stride > window: gaps are allowed, no descending-sequence blowup
+    gap = {
+        r["window_id"]: r["window_md5"]
+        for r in sentence_windows(
+            df, window_sentences=1, stride=2
+        ).collect()
+    }
+    assert set(gap) == {0, 1, 2}  # sentences 0, 2, 4 only
+    assert gap[1] == _h.md5(b"s two.").hexdigest()
+
+    with pytest.raises(ValueError, match="stride"):
+        sentence_windows(df, stride=0).collect()
