@@ -1929,6 +1929,70 @@ def stream_exec_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_incremental_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           round(sum(value), 6) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(avg(value), 6) AS mean_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_exec_incremental_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A GENUINE streaming execution of the incremental feature-stats
+    maintainer (streaming/stats.py): events split into two parquet
+    files → file-source stream with ``maxFilesPerTrigger=1`` (two real
+    micro-batches) → foreachBatch writes each batch's MERGEABLE
+    partial aggregate (n, nulls, sum, min, max per event_type) into
+    its own batch_id partition → ``merge_stats`` folds the partials.
+    The oracle recomputes the statistics over the whole table in one
+    batch aggregation, so parity certifies the monoid fold: per-batch
+    O(batch) maintenance produces exactly the O(history) recompute's
+    answer (float sums rounded at 6dp — IEEE reassociation)."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_stats,
+        start_stats_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_stats_")
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    src_dir = f"{base}/src"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src_dir)
+    ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q_ = start_stats_stream(
+        stream,
+        stats_path=f"{base}/stats",
+        checkpoint=f"{base}/ckpt",
+        group_cols=["event_type"],
+        value_col="value",
+        available_now=True,
+    )
+    q_.awaitTermination()
+    return merge_stats(spark, f"{base}/stats").select(
+        "event_type",
+        "n",
+        "n_null",
+        F.round("sum_value", 6).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+@q(
     "stream_exec_sessionize",
     """
     WITH s AS (
@@ -6912,6 +6976,7 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_sentence_dedup",
     "pipeline_sentence_windows",
     "source_xml_roundtrip",
+    "stream_exec_incremental_stats",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
     # (spread() guard, stateful drains, LSH-downstream family) --
@@ -6929,7 +6994,6 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_chunks",
     "pipeline_balanced_sample",
     "pipeline_blocklist",
-    "text_bm25_search",
     "text_pii_redaction",
     "text_repetition",
     "dedup_embedding",

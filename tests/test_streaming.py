@@ -998,3 +998,162 @@ def test_streaming_neardup_checkpoint_restart_recovery(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(pairs).collect())
     ) == sorted(map(tuple, spark.read.parquet(ref_pairs).collect()))
+
+
+def test_stats_partial_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch contract: re-running a batch with the same
+    batch_id (crash between write and checkpoint commit) dynamically
+    overwrites the batch's own partition with identical rows — the
+    store never double counts."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_stats,
+        process_stats_batch,
+    )
+
+    store = str(tmp_path / "stats")
+    b0 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)],
+        "event_type string, value double",
+    )
+    process_stats_batch(b0, 0, store, ["event_type"], "value")
+    once = sorted(map(tuple, merge_stats(spark, store).collect()))
+    process_stats_batch(b0, 0, store, ["event_type"], "value")  # replay
+    twice = sorted(map(tuple, merge_stats(spark, store).collect()))
+    assert once == twice
+    row = {r["event_type"]: r for r in merge_stats(spark, store).collect()}
+    assert row["a"]["n"] == 2 and row["a"]["sum_value"] == 4.0
+    assert row["b"]["n_null"] == 1 and row["b"]["mean_value"] is None
+
+
+def test_stats_merge_equals_batch_recompute(spark, tmp_path):
+    """The monoid-fold property: folding per-batch partials equals one
+    global aggregation, whatever the batch split."""
+    import math
+    import random
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_stats,
+        process_stats_batch,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice("xyz"), rng.choice([None, rng.uniform(-5, 5)]))
+        for _ in range(200)
+    ]
+    store = str(tmp_path / "stats")
+    for bid in range(4):  # uneven split incl. an empty batch
+        chunk = rows[bid * 70 : (bid + 1) * 70]
+        df = spark.createDataFrame(
+            chunk or [], "event_type string, value double"
+        )
+        process_stats_batch(df, bid, store, ["event_type"], "value")
+    merged = {r["event_type"]: r for r in merge_stats(spark, store).collect()}
+    full = {
+        r["event_type"]: r
+        for r in spark.createDataFrame(
+            rows, "event_type string, value double"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                "n_null"
+            ),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for k in full:
+        assert merged[k]["n"] == full[k]["n"]
+        assert merged[k]["n_null"] == full[k]["n_null"]
+        assert merged[k]["min_value"] == full[k]["min_value"]
+        assert merged[k]["max_value"] == full[k]["max_value"]
+        assert math.isclose(
+            merged[k]["sum_value"], full[k]["sum_value"], rel_tol=1e-12
+        )
+
+
+def test_stats_missing_store_raises(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    from blackroad_feature_store_spark.streaming.stats import merge_stats
+
+    with pytest.raises(AnalysisException, match="does not exist yet"):
+        merge_stats(spark, str(tmp_path / "nope"))
+
+
+def test_streaming_stats_checkpoint_restart_recovery(spark, tmp_path):
+    """Kill-and-resume for the stats maintainer: crash AFTER batch 1's
+    partial is written but BEFORE the checkpoint commit, restart on the
+    same checkpoint — the resumed stream replays batch 1 idempotently
+    and the merged stats equal an uninterrupted run's."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_stats,
+        process_stats_batch,
+        start_stats_stream,
+    )
+
+    batches = [
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        [(3, "a", 3.0), (4, "c", None)],
+        [(5, "b", -1.0), (6, "a", 0.5)],
+    ]
+    src = str(tmp_path / "src")
+    for b in batches:
+        spark.createDataFrame(
+            b, "event_id long, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def read_stream():
+        return (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    ref_store = str(tmp_path / "ref_stats")
+    q = start_stats_stream(
+        read_stream(), ref_store, str(tmp_path / "ref_ckpt"),
+        ["event_type"], "value", available_now=True,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    store = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+
+    def poisoned(batch_df, batch_id):
+        process_stats_batch(batch_df, batch_id, store, ["event_type"], "value")
+        if batch_id == 1:
+            raise RuntimeError("simulated crash after write, pre-commit")
+
+    qc = (
+        read_stream()
+        .writeStream.foreachBatch(poisoned)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        qc.awaitTermination(120)
+    except Exception:
+        pass
+    assert qc.exception() is not None
+
+    qr = start_stats_stream(
+        read_stream(), store, ckpt, ["event_type"], "value",
+        available_now=True,
+    )
+    qr.awaitTermination(120)
+    assert qr.exception() is None
+
+    assert sorted(
+        map(tuple, merge_stats(spark, store).collect())
+    ) == sorted(map(tuple, merge_stats(spark, ref_store).collect()))
