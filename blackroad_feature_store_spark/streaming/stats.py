@@ -13,12 +13,19 @@ O(history) per refresh at 100 TB):
   O(history), and the write is a dynamic partition overwrite of the
   batch's own partition, so foreachBatch's replay-after-crash
   re-delivers bit-identical partials instead of double counting;
-* the CURRENT stats are the fold of all partials (sum of n/sum,
+* the CURRENT stats are the fold of all live partials (sum of n/sum,
   min of min, max of max — the classic commutative-monoid shape),
-  an O(groups × batches) read-side merge. Because partials form a
-  monoid, any prefix of batches can be compacted into one folded
-  partition offline without changing the result — the maintenance
-  valve when batch counts grow into the millions;
+  an O(groups × live batches) read-side merge;
+* :func:`compact_stats` folds committed prefixes into one partition
+  behind an atomically-flipped marker file — crash-safe without a
+  distributed transaction — keeping the merge O(groups + recent).
+
+Store layout under ``stats_path``::
+
+    batches/batch_id=<k>/   one mergeable partial per micro-batch
+    compacted/floor=<k>/    fold of every batch <= k (newest only live)
+    _compaction.json        the marker naming the live floor
+
 * min/max/count/null-count are exactly associative; ``sum`` over
   doubles reassociates (IEEE), so consumers comparing against a
   batch recomputation should round (the catalog query pins parity at
@@ -26,6 +33,9 @@ O(history) per refresh at 100 TB):
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -73,20 +83,58 @@ def process_stats_batch(
     try:
         partial.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
-        ).partitionBy("batch_id").parquet(stats_path)
+        ).partitionBy("batch_id").parquet(
+            os.path.join(stats_path, "batches")
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def merge_stats(spark: SparkSession, stats_path: str) -> DataFrame:
-    """Fold every batch partial into the current per-group statistics:
-    (group, n, n_null, sum_value, min_value, max_value, mean_value).
-    Monoid fold — order-independent, so any compaction of old
-    partitions leaves the result unchanged. Missing store raises
-    (there is nothing meaningful to report before the first batch;
-    callers wanting empty-on-missing can catch AnalysisException)."""
+_MARKER = "_compaction.json"
+
+
+def _compaction_floor(stats_path: str) -> int:
+    """Highest batch_id folded into the compacted store, or -1."""
     try:
-        partials = spark.read.parquet(stats_path)
+        with open(os.path.join(stats_path, _MARKER)) as f:
+            return int(json.load(f)["floor"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _write_compaction_floor(stats_path: str, floor: int) -> None:
+    tmp = os.path.join(stats_path, _MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"floor": int(floor)}, f)
+    os.replace(tmp, os.path.join(stats_path, _MARKER))  # atomic flip
+
+
+def _fold(partials: DataFrame) -> DataFrame:
+    group_cols = [
+        c
+        for c in partials.columns
+        if c
+        not in ("n", "n_null", "sum_value", "min_value", "max_value",
+                "batch_id", "floor")
+    ]
+    return partials.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("n_null").alias("n_null"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def _live_partials(spark: SparkSession, stats_path: str) -> DataFrame:
+    """Everything that currently COUNTS: the compacted fold at the
+    marker's floor (if any) plus batch partials with batch_id > floor.
+    Stale artifacts a crashed compaction may have left — a ``floor=``
+    directory never flipped live, or batch partitions at/below the
+    live floor not yet deleted — are EXCLUDED by construction, which
+    is what makes :func:`compact_stats` crash-safe at every step."""
+    try:
+        partials = spark.read.parquet(os.path.join(stats_path, "batches"))
     except AnalysisException as exc:
         msg = str(exc)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
@@ -95,30 +143,97 @@ def merge_stats(spark: SparkSession, stats_path: str) -> DataFrame:
                 "(no batch has been processed)"
             ) from exc
         raise
-    group_cols = [
-        c
-        for c in partials.columns
-        if c
-        not in ("n", "n_null", "sum_value", "min_value", "max_value",
-                "batch_id")
-    ]
-    return (
-        partials.groupBy(*group_cols)
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("n_null").alias("n_null"),
-            F.sum("sum_value").alias("sum_value"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
+    floor = _compaction_floor(stats_path)
+    live = partials.where(F.col("batch_id") > floor).drop("batch_id")
+    if floor >= 0:
+        compacted = (
+            spark.read.parquet(os.path.join(stats_path, "compacted"))
+            .where(F.col("floor") == floor)
+            .drop("floor")
         )
-        .withColumn(
-            "mean_value",
-            F.when(
-                F.col("n") - F.col("n_null") > 0,
-                F.col("sum_value") / (F.col("n") - F.col("n_null")),
-            ),
-        )
+        live = live.unionByName(compacted)
+    return live
+
+
+def merge_stats(spark: SparkSession, stats_path: str) -> DataFrame:
+    """Fold every live partial into the current per-group statistics:
+    (group, n, n_null, sum_value, min_value, max_value, mean_value).
+    Monoid fold — order-independent, so compaction never changes the
+    result. Missing store raises (there is nothing meaningful to
+    report before the first batch; callers wanting empty-on-missing
+    can catch AnalysisException)."""
+    return _fold(_live_partials(spark, stats_path)).withColumn(
+        "mean_value",
+        F.when(
+            F.col("n") - F.col("n_null") > 0,
+            F.col("sum_value") / (F.col("n") - F.col("n_null")),
+        ),
     )
+
+
+def compact_stats(
+    spark: SparkSession, stats_path: str, upto_batch: int
+) -> None:
+    """Fold all live partials with ``batch_id <= upto_batch`` (plus
+    the previous compacted fold) into ONE compacted partition and
+    retire the originals — the maintenance valve that keeps
+    :func:`merge_stats` O(groups + recent batches) instead of
+    O(groups × all batches ever).
+
+    Crash-safe by ordering, no distributed transaction needed:
+
+    1. write ``compacted/floor=<upto>`` (a NEW partition — the live
+       fold at the old floor is untouched; a retried write simply
+       overwrites the not-yet-live directory);
+    2. atomically flip the marker file to ``floor=<upto>`` — the
+       single commit point (POSIX rename);
+    3. best-effort delete of retired batch partitions and older
+       ``floor=`` directories.
+
+    A crash before (2) leaves the store exactly as it was (the new
+    directory is not referenced); a crash after (2) leaves stale
+    directories that :func:`_live_partials` ignores and the next
+    compaction removes. Only compact batches the stream's CHECKPOINT
+    has committed: the one batch foreachBatch may ever replay is the
+    last uncommitted one, which by definition is above any committed
+    ``upto_batch``."""
+    floor = _compaction_floor(stats_path)
+    if upto_batch <= floor:
+        return
+    batches_dir = os.path.join(stats_path, "batches")
+    partials = spark.read.parquet(batches_dir)
+    to_fold = partials.where(
+        (F.col("batch_id") > floor) & (F.col("batch_id") <= upto_batch)
+    ).drop("batch_id")
+    if floor >= 0:
+        prev = (
+            spark.read.parquet(os.path.join(stats_path, "compacted"))
+            .where(F.col("floor") == floor)
+            .drop("floor")
+        )
+        to_fold = to_fold.unionByName(prev)
+    _fold(to_fold).write.mode("overwrite").parquet(
+        os.path.join(stats_path, "compacted", f"floor={int(upto_batch)}")
+    )
+    _write_compaction_floor(stats_path, upto_batch)  # the commit point
+    # -- best-effort cleanup; correctness never depends on it --
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    for sub in [
+        os.path.join(batches_dir, f"batch_id={b}")
+        for b in range(floor + 1, upto_batch + 1)
+    ] + [
+        os.path.join(stats_path, "compacted", f"floor={floor}")
+        if floor >= 0
+        else None
+    ]:
+        if sub is None:
+            continue
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(sub)
+            p.getFileSystem(conf).delete(p, True)
+        except Exception:
+            pass
 
 
 def start_stats_stream(

@@ -1157,3 +1157,88 @@ def test_streaming_stats_checkpoint_restart_recovery(spark, tmp_path):
     assert sorted(
         map(tuple, merge_stats(spark, store).collect())
     ) == sorted(map(tuple, merge_stats(spark, ref_store).collect()))
+
+
+def test_stats_compaction_preserves_merge_and_survives_crashes(
+    spark, tmp_path
+):
+    """compact_stats folds committed batches behind an atomic marker:
+    merge is identical before/after, new batches keep accumulating,
+    and every crash point (fold written but marker not flipped; marker
+    flipped but retired partitions not deleted) leaves merge correct."""
+    import os as _os
+    import shutil as _sh
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        compact_stats,
+        merge_stats,
+        process_stats_batch,
+    )
+
+    store = str(tmp_path / "stats")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_type string, value double"
+    )
+    process_stats_batch(mk([("a", 1.0), ("b", 2.0)]), 0, store,
+                        ["event_type"], "value")
+    process_stats_batch(mk([("a", 3.0), ("c", None)]), 1, store,
+                        ["event_type"], "value")
+    process_stats_batch(mk([("b", -1.0)]), 2, store,
+                        ["event_type"], "value")
+
+    def snap():
+        return sorted(map(tuple, merge_stats(spark, store).collect()))
+
+    before = snap()
+
+    # crash between fold write and marker flip: a floor= directory
+    # exists but is not referenced -> merge unchanged
+    stale_floor = _os.path.join(store, "compacted", "floor=1")
+    _os.makedirs(_os.path.dirname(stale_floor), exist_ok=True)
+    mk([("zzz", 99.0)]).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(0).cast("bigint").alias("n_null"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).write.mode("overwrite").parquet(stale_floor)
+    assert snap() == before  # unreferenced fold is invisible
+
+    compact_stats(spark, store, upto_batch=1)
+    assert snap() == before  # compaction changes nothing observable
+    # retired batch partitions are gone, the fold is live
+    assert not _os.path.exists(_os.path.join(store, "batches",
+                                             "batch_id=0"))
+    assert _os.path.exists(_os.path.join(store, "compacted", "floor=1"))
+
+    # crash after marker flip, before cleanup: resurrect a retired
+    # batch partition -> merge must IGNORE it (batch_id <= floor)
+    _os.makedirs(_os.path.join(store, "batches", "batch_id=0"))
+    mk([("a", 1000.0)]).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(0).cast("bigint").alias("n_null"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).write.mode("overwrite").parquet(
+        _os.path.join(store, "batches", "batch_id=0")
+    )
+    assert snap() == before
+
+    # accumulation continues after compaction; re-compacting folds the
+    # previous fold + the new batches
+    process_stats_batch(mk([("a", 10.0)]), 3, store,
+                        ["event_type"], "value")
+    row = {r["event_type"]: r for r in merge_stats(spark, store).collect()}
+    assert row["a"]["n"] == 3 and row["a"]["sum_value"] == 14.0
+    compact_stats(spark, store, upto_batch=3)
+    row2 = {r["event_type"]: r for r in merge_stats(spark, store).collect()}
+    assert row2["a"]["n"] == 3 and row2["a"]["sum_value"] == 14.0
+    assert not _os.path.exists(_os.path.join(store, "compacted",
+                                             "floor=1"))
+
+    # no-op guard: compacting at/below the live floor does nothing
+    compact_stats(spark, store, upto_batch=2)
+    assert {r["event_type"]: r["n"] for r in
+            merge_stats(spark, store).collect()}["a"] == 3
+    _sh.rmtree(store)
