@@ -5258,6 +5258,102 @@ def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "pipeline_data_expectations",
+    r"""
+    SELECT 'not_null' AS "check", 'o_custkey' AS target,
+           count(*) AS total,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+             AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 300000)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0 OR o_totalprice > 300000)
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O', 'F')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'regex', 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-[A-Z ]+$')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderpriority IS NOT NULL
+                     AND NOT regexp_matches(o_orderpriority,
+                                            '^[1-5]-[A-Z ]+$')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', CAST(sum(n) AS BIGINT),
+           CAST(sum(n - 1) AS BIGINT), sum(n - 1) = 0
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'unique', 'o_custkey', CAST(sum(n) AS BIGINT),
+           CAST(sum(n - 1) AS BIGINT), sum(n - 1) = 0
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+    UNION ALL
+    SELECT 'foreign_key', 'o_custkey',
+           (SELECT count(*) FROM orders),
+           CAST(count(*) AS BIGINT), count(*) = 0
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey % 3 = 0)
+    """,
+)
+def pipeline_data_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style declarative validation (operators/expectations.py):
+    seven checks over TPC-H orders in THREE jobs total — all four
+    row-local checks (not_null / in_range / regex / accepted_values)
+    fold into ONE scan as conditional-sum aggregates, each unique
+    check is one hash aggregation on its key, and the foreign-key
+    check is one anti-join against a (deliberately filtered, so
+    orphans exist) customer dimension. The suite intentionally mixes
+    passing and failing checks: accepted_values omits status 'P',
+    in_range caps o_totalprice at 300k, unique(o_custkey) fails by
+    construction (customers repeat), and the FK ref keeps only every
+    third customer — so violation COUNTING, not just pass flags, is
+    oracle-certified."""
+    from blackroad_feature_store_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    )
+    return check_expectations(
+        orders,
+        [
+            {"check": "not_null", "col": "o_custkey"},
+            {"check": "in_range", "col": "o_totalprice",
+             "min": 0.0, "max": 300000.0},
+            {"check": "accepted_values", "col": "o_orderstatus",
+             "values": ["O", "F"]},
+            {"check": "regex", "col": "o_orderpriority",
+             "pattern": "^[1-5]-[A-Z ]+$"},
+            {"check": "unique", "cols": ["o_orderkey"]},
+            {"check": "unique", "cols": ["o_custkey"]},
+            {"check": "foreign_key", "col": "o_custkey",
+             "ref": customer, "ref_col": "c_custkey"},
+        ],
+    )
+
+
 @q("source_xml_roundtrip", _SQL_SOURCE_ROUNDTRIP)
 def source_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Same certification for the XML source path (Spark 4's built-in
@@ -6977,6 +7073,7 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_sentence_windows",
     "source_xml_roundtrip",
     "stream_exec_incremental_stats",
+    "pipeline_data_expectations",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
     # (spread() guard, stateful drains, LSH-downstream family) --
@@ -6989,7 +7086,6 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_span_removal",
     "pipeline_dup_spans",
     "pipeline_decontaminate",
-    "pipeline_train_split",
     "pipeline_pack_sequences",
     "pipeline_chunks",
     "pipeline_balanced_sample",

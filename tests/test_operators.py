@@ -2762,3 +2762,90 @@ def test_sentence_windows_overlap_and_tail(spark):
 
     with pytest.raises(ValueError, match="stride"):
         sentence_windows(df, stride=0).collect()
+
+
+def test_check_expectations_all_kinds(spark):
+    from blackroad_feature_store_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "ok", "A"),
+            (2, -5.0, "ok", "B"),      # in_range violation
+            (2, 200.0, "bad!", "A"),   # dup id, regex violation, >max
+            (None, 50.0, "ok", "Z"),   # null id, accepted_values viol
+            (4, None, None, "A"),      # NULLs pass range/regex checks
+        ],
+        "id long, v double, s string, cat string",
+    )
+    ref = spark.createDataFrame([(1,), (4,)], "rid long")
+    out = {
+        (r["check"], r["target"]): r
+        for r in check_expectations(
+            df,
+            [
+                {"check": "not_null", "col": "id"},
+                {"check": "in_range", "col": "v", "min": 0.0,
+                 "max": 100.0},
+                {"check": "regex", "col": "s", "pattern": "^[a-z]+$"},
+                {"check": "accepted_values", "col": "cat",
+                 "values": ["A", "B"]},
+                {"check": "unique", "cols": ["id"]},
+                {"check": "foreign_key", "col": "id", "ref": ref,
+                 "ref_col": "rid"},
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "id")]["violations"] == 1
+    assert not out[("not_null", "id")]["passed"]
+    # -5 below min, 200 above max; NULL v does not violate
+    assert out[("in_range", "v")]["violations"] == 2
+    assert out[("regex", "s")]["violations"] == 1  # "bad!"; NULL passes
+    assert out[("accepted_values", "cat")]["violations"] == 1  # "Z"
+    # id=2 appears twice -> 1 duplicate row beyond the first
+    assert out[("unique", "id")]["violations"] == 1
+    assert out[("unique", "id")]["total"] == 5
+    # non-null ids {1,2,2}: the two id=2 rows are orphans vs ref {1,4}
+    assert out[("foreign_key", "id")]["violations"] == 2
+    assert out[("foreign_key", "id")]["total"] == 5
+    assert all(r["total"] == 5 for r in out.values())
+
+    # a fully passing suite
+    ok = check_expectations(
+        df, [{"check": "in_range", "col": "v", "min": -10.0,
+              "max": 1000.0}]
+    ).collect()
+    assert ok[0]["passed"] and ok[0]["violations"] == 0
+
+    with pytest.raises(ValueError, match="Unknown check"):
+        check_expectations(df, [{"check": "sorted", "col": "id"}])
+    with pytest.raises(ValueError, match="no checks"):
+        check_expectations(df, [])
+
+
+def test_check_expectations_single_scan_for_row_local(spark):
+    """All row-local checks must fold into ONE aggregation over ONE
+    scan — the plan contains exactly one read of the input."""
+    from blackroad_feature_store_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("m")
+    )
+    plan = (
+        check_expectations(
+            df,
+            [
+                {"check": "not_null", "col": "id"},
+                {"check": "in_range", "col": "m", "min": 0, "max": 8},
+                {"check": "not_null", "col": "m"},
+                {"check": "in_range", "col": "id", "min": 0},
+            ],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Range (0, 100") == 1
