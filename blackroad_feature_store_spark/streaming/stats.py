@@ -44,11 +44,37 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 def partial_stats(
-    batch: DataFrame, group_cols: list[str], value_col: str
+    batch: DataFrame,
+    group_cols: list[str],
+    value_col: str | list[str],
 ) -> DataFrame:
     """The mergeable per-batch partial: one row per group with
     (n, n_null, sum, min, max) of ``value_col``. count/min/max/sum
-    all map-side combine, so the only exchange is |groups|-sized."""
+    all map-side combine, so the only exchange is |groups|-sized.
+
+    ``value_col`` may be a LIST of numeric columns — the
+    feature-store shape, monitoring every feature of a write in one
+    pass. Multi-column partials melt to long form first (an extra
+    ``feature`` key column, values cast to double for a uniform
+    schema), so one batch row contributes one partial row per
+    feature; downstream :func:`merge_stats` needs no change because
+    ``feature`` folds like any other group column. The melt is a
+    narrow per-row ``stack`` — the exchange stays
+    |groups × features|-sized, not |rows|."""
+    if not isinstance(value_col, str):
+        cols = list(value_col)
+        if len(cols) == 1:
+            return partial_stats(batch, group_cols, cols[0])
+        melted = batch.select(
+            *group_cols,
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(c) for c in cols]),
+                    F.array(*[F.col(c).cast("double") for c in cols]),
+                )
+            ).alias("feature", "__v"),
+        )
+        return partial_stats(melted, [*group_cols, "feature"], "__v")
     v = F.col(value_col)
     return batch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
@@ -64,7 +90,7 @@ def process_stats_batch(
     batch_id: int,
     stats_path: str,
     group_cols: list[str],
-    value_col: str,
+    value_col: str | list[str],
 ) -> None:
     """One micro-batch: write this batch's partial aggregate into its
     own ``batch_id=`` partition. Module-level so replay idempotence is
@@ -241,7 +267,7 @@ def start_stats_stream(
     stats_path: str,
     checkpoint: str,
     group_cols: list[str],
-    value_col: str,
+    value_col: str | list[str],
     available_now: bool = False,
 ) -> StreamingQuery:
     """Start (or one-shot drain) the incremental stats maintainer over

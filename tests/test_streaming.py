@@ -1242,3 +1242,40 @@ def test_stats_compaction_preserves_merge_and_survives_crashes(
     assert {r["event_type"]: r["n"] for r in
             merge_stats(spark, store).collect()}["a"] == 3
     _sh.rmtree(store)
+
+
+def test_stats_multi_feature_columns(spark, tmp_path):
+    """value_col as a LIST melts to one partial row per feature; the
+    feature key folds through merge and compaction like any group
+    column."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        compact_stats,
+        merge_stats,
+        process_stats_batch,
+    )
+
+    store = str(tmp_path / "stats")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "grp string, age double, score double"
+    )
+    process_stats_batch(
+        mk([("a", 30.0, 0.5), ("a", 40.0, None)]), 0, store,
+        ["grp"], ["age", "score"],
+    )
+    process_stats_batch(
+        mk([("a", 20.0, 0.9), ("b", 10.0, 0.1)]), 1, store,
+        ["grp"], ["age", "score"],
+    )
+    out = {
+        (r["grp"], r["feature"]): r
+        for r in merge_stats(spark, store).collect()
+    }
+    assert out[("a", "age")]["n"] == 3
+    assert out[("a", "age")]["sum_value"] == 90.0
+    assert out[("a", "age")]["min_value"] == 20.0
+    assert out[("a", "score")]["n_null"] == 1
+    assert out[("a", "score")]["mean_value"] == 0.7
+    assert out[("b", "score")]["max_value"] == 0.1
+    before = sorted(map(tuple, merge_stats(spark, store).collect()))
+    compact_stats(spark, store, upto_batch=0)
+    assert sorted(map(tuple, merge_stats(spark, store).collect())) == before
