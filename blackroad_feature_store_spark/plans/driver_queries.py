@@ -1929,6 +1929,111 @@ def stream_exec_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_drift_monitor",
+    """
+    WITH b AS (
+        SELECT event_type,
+               CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9)
+                    AS INT) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END AS r
+        FROM events),
+    c AS (SELECT event_type, bin, sum(r) AS n_ref, sum(1 - r) AS n_cur
+          FROM b GROUP BY 1, 2),
+    frame AS (
+        SELECT k.event_type, g.bin
+        FROM (SELECT DISTINCT event_type FROM events) k
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g),
+    f AS (SELECT fr.event_type, fr.bin,
+                 coalesce(c.n_ref, 0) AS n_ref,
+                 coalesce(c.n_cur, 0) AS n_cur
+          FROM frame fr LEFT JOIN c
+            ON fr.event_type = c.event_type AND fr.bin = c.bin),
+    t AS (SELECT event_type, sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur
+          FROM f GROUP BY 1)
+    SELECT f.event_type,
+           CAST(sum(f.n_ref) AS BIGINT) AS n_ref,
+           CAST(sum(f.n_cur) AS BIGINT) AS n_cur,
+           round(sum(
+               ((f.n_ref + 0.5) / (t.tot_ref + 5.0)
+                - (f.n_cur + 0.5) / (t.tot_cur + 5.0))
+               * ln(((f.n_ref + 0.5) / (t.tot_ref + 5.0))
+                    / ((f.n_cur + 0.5) / (t.tot_cur + 5.0)))), 6) AS psi
+    FROM f JOIN t USING (event_type)
+    GROUP BY f.event_type
+    """,
+)
+def stream_exec_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING drift monitoring (streaming/stats.py histogram path):
+    the training-window histogram (ts < 2024-01-16) is pinned once as
+    the baseline; the serving window streams in two real micro-batches
+    through foreachBatch histogram partials (batch_id-partitioned,
+    replay-idempotent), and PSI is computed from the FOLDED histogram
+    against the baseline — drift monitoring that never rescans
+    history. The oracle is the identical batch PSI over the whole
+    table (same binning [0,500)/10, same 0.5-Laplace smoothing, same
+    completed bin frame as `drift_psi`), so parity certifies that
+    incremental maintenance + fold + keys-union PSI equals the
+    recompute exactly."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_histogram,
+        partial_histogram,
+        process_hist_batch,
+    )
+
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = load(spark, sf, "events").select("event_id", "ts", "event_type",
+                                          "value")
+    baseline = partial_histogram(
+        ev.where(F.col("ts") < cutoff),
+        ["event_type"], "value", 0.0, 500.0, 10,
+    )
+    base = tempfile.mkdtemp(prefix="stream_drift_")
+    cur = ev.where(F.col("ts") >= cutoff).select(
+        "event_id", "event_type", "value"
+    )
+    src_dir = f"{base}/src"
+    cur.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src_dir)
+    cur.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    hist_path = f"{base}/hist"
+    q_ = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: process_hist_batch(
+                batch_df, batch_id, hist_path,
+                ["event_type"], "value", 0.0, 500.0, 10,
+            )
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        psi_vs_baseline,
+    )
+
+    return psi_vs_baseline(
+        merge_histogram(spark, hist_path),
+        baseline,
+        key_cols=["event_type"],
+        n_bins=10,
+    ).select("event_type", "n_ref", "n_cur", "psi")
+
+
+@q(
     "stream_exec_incremental_stats",
     """
     SELECT event_type,
@@ -7073,6 +7178,7 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_sentence_windows",
     "source_xml_roundtrip",
     "stream_exec_incremental_stats",
+    "stream_exec_drift_monitor",
     "pipeline_data_expectations",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
@@ -7088,7 +7194,6 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_chunks",
-    "pipeline_balanced_sample",
     "pipeline_blocklist",
     "text_pii_redaction",
     "text_repetition",

@@ -136,6 +136,10 @@ def _write_compaction_floor(stats_path: str, floor: int) -> None:
 
 
 def _fold(partials: DataFrame) -> DataFrame:
+    """Schema-dispatched monoid fold: moment partials (have
+    ``sum_value``) fold component-wise; histogram partials
+    (key…, bin, n) fold by summing counts. Lets one
+    compaction/merge machinery serve both store kinds."""
     group_cols = [
         c
         for c in partials.columns
@@ -143,6 +147,8 @@ def _fold(partials: DataFrame) -> DataFrame:
         not in ("n", "n_null", "sum_value", "min_value", "max_value",
                 "batch_id", "floor")
     ]
+    if "sum_value" not in partials.columns:
+        return partials.groupBy(*group_cols).agg(F.sum("n").alias("n"))
     return partials.groupBy(*group_cols).agg(
         F.sum("n").alias("n"),
         F.sum("n_null").alias("n_null"),
@@ -260,6 +266,138 @@ def compact_stats(
             p.getFileSystem(conf).delete(p, True)
         except Exception:
             pass
+
+
+def partial_histogram(
+    batch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Mergeable per-batch histogram: (group…, bin, n) with values
+    clamped into the edge bins (total-mass-correct under range drift)
+    and NULLs excluded — the same binning contract as the batch
+    ``operators/stats.py::population_stability``. Bin edges are FIXED
+    parameters: that is what makes the counts a commutative monoid
+    across batches (adaptive edges would not merge)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    v = F.col(value_col)
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        batch.where(v.isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def process_hist_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    hist_path: str,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> None:
+    """One micro-batch of incremental histogram maintenance — same
+    batch_id-partition dynamic overwrite as the moment stats, so
+    foreachBatch replay is idempotent."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    partial = partial_histogram(
+        batch_df, group_cols, value_col, lo, hi, n_bins
+    )
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partial.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(
+            os.path.join(hist_path, "batches")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_histogram(spark: SparkSession, hist_path: str) -> DataFrame:
+    """Fold live histogram partials: (group…, bin, n). Shares the
+    marker/compaction layout AND :func:`compact_stats` with the
+    moment stats (the fold dispatches on schema)."""
+    return _fold(_live_partials(spark, hist_path))
+
+
+def psi_vs_baseline(
+    current: DataFrame,
+    baseline: DataFrame,
+    key_cols: list[str],
+    n_bins: int,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index of an incrementally-maintained
+    histogram against a PINNED baseline histogram — drift monitoring
+    without ever rescanning history. Both inputs are (key…, bin, n)
+    frames (:func:`merge_histogram` output, or any batch histogram
+    with the same binning). The algebra is identical to the batch
+    ``population_stability``: Laplace ``eps`` per bin, the bin frame
+    COMPLETED over keys present in either side (missing bins must
+    contribute their smoothed term or PSI biases low), and
+
+        PSI = Σ_bins (p_ref − p_cur) · ln(p_ref / p_cur)
+
+    Returns one row per key: (key…, n_ref, n_cur, psi) with psi
+    rounded to 6 decimals (cross-engine float determinism).
+
+    Scale shape: everything downstream of the inputs operates on
+    |keys × bins| rows — keys-union, an ``explode(sequence())`` bin
+    frame, two left joins, one aggregation. No scan of raw data."""
+    cur = current.groupBy(*key_cols, "bin").agg(
+        F.sum("n").alias("n_cur")
+    )
+    ref = baseline.groupBy(*key_cols, "bin").agg(
+        F.sum("n").alias("n_ref")
+    )
+    keys = (
+        cur.select(*key_cols)
+        .unionByName(ref.select(*key_cols))
+        .distinct()
+    )
+    frame = keys.withColumn(
+        "bin", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1)))
+    )
+    f = (
+        frame.join(ref, [*key_cols, "bin"], "left")
+        .join(cur, [*key_cols, "bin"], "left")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    tot = f.groupBy(*key_cols).agg(
+        F.sum("n_ref").alias("__tot_ref"),
+        F.sum("n_cur").alias("__tot_cur"),
+    )
+    j = f.join(tot, key_cols)
+    p_ref = (F.col("n_ref") + F.lit(eps)) / (
+        F.col("__tot_ref") + F.lit(eps * n_bins)
+    )
+    p_cur = (F.col("n_cur") + F.lit(eps)) / (
+        F.col("__tot_cur") + F.lit(eps * n_bins)
+    )
+    return j.groupBy(*key_cols).agg(
+        F.sum("n_ref").cast("long").alias("n_ref"),
+        F.sum("n_cur").cast("long").alias("n_cur"),
+        F.round(
+            F.sum((p_ref - p_cur) * F.log(p_ref / p_cur)), 6
+        ).alias("psi"),
+    )
 
 
 def start_stats_stream(

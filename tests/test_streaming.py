@@ -1279,3 +1279,71 @@ def test_stats_multi_feature_columns(spark, tmp_path):
     before = sorted(map(tuple, merge_stats(spark, store).collect()))
     compact_stats(spark, store, upto_batch=0)
     assert sorted(map(tuple, merge_stats(spark, store).collect())) == before
+
+
+def test_histogram_partials_merge_compact_and_psi(spark, tmp_path):
+    """Histogram partials share the batch_id/marker machinery: replay
+    is idempotent, compaction dispatches to the count fold, and PSI
+    against a pinned baseline matches a hand-computed value (incl. the
+    completed-bin smoothing for bins and keys missing on one side)."""
+    import math
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        compact_stats,
+        merge_histogram,
+        partial_histogram,
+        process_hist_batch,
+        psi_vs_baseline,
+    )
+
+    store = str(tmp_path / "hist")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k string, v double"
+    )
+    # bins: [0,10) in 2 bins of width 5; clamping at both edges
+    process_hist_batch(mk([("a", 1.0), ("a", 7.0), ("a", -3.0)]),
+                       0, store, ["k"], "v", 0.0, 10.0, 2)
+    process_hist_batch(mk([("a", 99.0), ("b", 2.0), ("b", None)]),
+                       1, store, ["k"], "v", 0.0, 10.0, 2)
+    process_hist_batch(mk([("a", 99.0), ("b", 2.0)]),  # replay of 1
+                       1, store, ["k"], "v", 0.0, 10.0, 2)
+    got = {
+        (r["k"], r["bin"]): r["n"]
+        for r in merge_histogram(spark, store).collect()
+    }
+    # a: 1.0,-3.0 clamp→bin0 (2), 7.0,99.0 clamp→bin1 (2); b: bin0=1,
+    # NULL excluded
+    assert got == {("a", 0): 2, ("a", 1): 2, ("b", 0): 1}
+
+    before = dict(got)
+    compact_stats(spark, store, upto_batch=0)  # shared machinery
+    after = {
+        (r["k"], r["bin"]): r["n"]
+        for r in merge_histogram(spark, store).collect()
+    }
+    assert after == before
+
+    # PSI: baseline has key "c" the current lacks and vice versa —
+    # the keys-union frame must emit both, smoothed
+    baseline = spark.createDataFrame(
+        [("a", 0, 2), ("a", 1, 2), ("c", 0, 4)],
+        "k string, bin int, n long",
+    )
+    psi = {
+        r["k"]: r
+        for r in psi_vs_baseline(
+            merge_histogram(spark, store), baseline,
+            key_cols=["k"], n_bins=2, eps=0.5,
+        ).collect()
+    }
+    assert set(psi) == {"a", "b", "c"}
+    # identical distributions -> PSI exactly 0
+    assert psi["a"]["psi"] == 0.0
+    assert psi["a"]["n_ref"] == 4 and psi["a"]["n_cur"] == 4
+    # hand-compute key "b": ref (0+.5)/(0+1)=.5,.5 ; cur (1.5/2, .5/2)
+    pr, pc0 = (0.5, 0.5), (1.5 / 2.0, 0.5 / 2.0)
+    want_b = sum(
+        (a - b) * math.log(a / b) for a, b in zip(pr, pc0)
+    )
+    assert abs(psi["b"]["psi"] - round(want_b, 6)) < 1e-9
+    assert psi["c"]["n_cur"] == 0 and psi["c"]["psi"] > 0
