@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_embedding_lsh",
     "sim_cosine_topk",
+    "sim_hard_negatives",
     "sim_cosine_topk_lsh",
     "sim_cosine_topk_ivf",
     "core_salted_hot_keys",

@@ -140,6 +140,68 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: per
+    query, the top-k most-similar corpus vectors whose ``label_col``
+    DIFFERS from the query's — the highest-scoring non-positives, the
+    examples a bi-encoder learns most from (DPR / SimCLR-style
+    in-batch negatives are easy; these are the hard ones).
+
+    ``queries`` carries (query_id_col, vec_col, label_col); corpus
+    rows sharing the query's label are positives and excluded BEFORE
+    ranking, so a same-label near-duplicate can never crowd a true
+    negative out of the top-k. Output: (query_id, neighbor_id, score,
+    rank), rank deterministic on (rounded score DESC, neighbor id).
+
+    Same execution geometry as :func:`cosine_topk` — broadcast query
+    side (norms precomputed per side), JVM dot products, window
+    top-k. NULL labels compare null-safely: NULL forms its own class
+    (NULL-labeled corpus rows are positives only for NULL-labeled
+    queries), rather than plain ``!=`` whose NULL result would
+    silently drop those rows from BOTH sides of the decision.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            F.col(label_col).alias("__qlabel"),
+        ).withColumn("__qnorm", norm(F.col("__qvec")))
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .withColumn("__cnorm", norm(F.col(vec_col)))
+        .crossJoin(q)
+        .where(
+            (F.col(id_col) != F.col("__qid"))
+            & ~F.col(label_col).eqNullSafe(F.col("__qlabel"))
+        )
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("__qvec"), F.col(vec_col))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

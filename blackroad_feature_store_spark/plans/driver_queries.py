@@ -1265,6 +1265,45 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "sim_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding, label
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+               {_SQL_COSINE} AS score
+        FROM q a CROSS JOIN embeddings b
+        WHERE b.vec_id != a.query_id
+          AND b.label IS DISTINCT FROM a.label)
+    SELECT query_id, neighbor_id, score,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    per query the 5 most-similar DIFFERENT-label vectors — positives
+    (same label) are excluded BEFORE ranking so a same-class
+    near-duplicate can never crowd a true negative out of the top-k.
+    The oracle's IS DISTINCT FROM mirrors the engine's null-safe label
+    comparison. Same broadcast-query/window-top-k geometry as
+    sim_cosine_topk."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negatives(emb, queries, k=5, query_id_col="query_id")
+
+
+@q(
     "sim_cosine_topk_gemm",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
@@ -7180,6 +7219,7 @@ _GATE_PRIORITY: list[str] = [
     "stream_exec_incremental_stats",
     "stream_exec_drift_monitor",
     "pipeline_data_expectations",
+    "sim_hard_negatives",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
     # (spread() guard, stateful drains, LSH-downstream family) --
@@ -7194,7 +7234,6 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_chunks",
-    "pipeline_blocklist",
     "text_pii_redaction",
     "text_repetition",
     "dedup_embedding",

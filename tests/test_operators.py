@@ -2849,3 +2849,41 @@ def test_check_expectations_single_scan_for_row_local(spark):
         .toString()
     )
     assert plan.count("Range (0, 100") == 1
+
+
+def test_hard_negatives_excludes_positives_before_ranking(spark):
+    from blackroad_feature_store_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # q(label A). Closest vector is a SAME-label near-dup (excluded);
+    # next two are different labels; one NULL label is a negative too.
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "A"),     # the query itself
+            (2, [0.99, 0.1], "A"),    # positive: must not appear
+            (3, [0.9, 0.2], "B"),
+            (4, [0.5, 0.5], "C"),
+            (5, [0.0, 1.0], None),    # NULL label -> negative for A
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    q = corpus.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    rows = hard_negatives(corpus, q, k=3, query_id_col="query_id").collect()
+    ids = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ids == [3, 4, 5]  # positive id=2 excluded despite top score
+    assert all(r["query_id"] == 1 for r in rows)
+
+    # NULL-labeled query: NULL forms its own class -> id=5 is its
+    # positive (excluded), everything else a negative
+    qn = corpus.where(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    idsn = {
+        r["neighbor_id"]
+        for r in hard_negatives(corpus, qn, k=10,
+                                query_id_col="query_id").collect()
+    }
+    assert idsn == {1, 2, 3, 4}

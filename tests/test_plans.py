@@ -210,6 +210,9 @@ def test_q3_no_forced_broadcast(spark):
 _BNLJ_WHITELIST = {
     "pipeline_balanced_sample",
     "sim_cosine_topk",
+    # hard negatives: same broadcast-query crossJoin as sim_cosine_topk
+    # (query side is a handful of rows at any corpus size)
+    "sim_hard_negatives",
     "sim_cosine_topk_ivf",
     "tpch_q22_dormant_customers",  # one-row scalar-subquery broadcast
     # centroid assignment crossJoins the broadcast centroid frame
