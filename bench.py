@@ -83,6 +83,7 @@ HEADLINE = [
     "pipeline_sentence_windows",
     "stream_exec_incremental_stats",
     "stream_exec_drift_monitor",
+    "stream_exec_enrich_pit",
     "pipeline_data_expectations",
     "text_tfidf_top_terms",
     "text_outlier_docs",

@@ -2073,6 +2073,94 @@ def stream_exec_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_enrich_pit",
+    """
+    WITH rec AS (SELECT user_id, ts, value, event_id FROM events
+                 WHERE event_id % 3 = 0),
+    sp AS (SELECT event_id AS spine_id, user_id, ts AS spine_ts
+           FROM events WHERE event_id % 7 = 1),
+    j AS (SELECT s.spine_id, s.user_id, s.spine_ts,
+                 r.value AS feat_value, r.ts AS feat_ts,
+                 row_number() OVER (
+                     PARTITION BY s.spine_id
+                     ORDER BY r.ts DESC, r.event_id DESC) AS rn
+          FROM sp s LEFT JOIN rec r
+            ON r.user_id = s.user_id AND r.ts <= s.spine_ts
+           AND r.ts >= s.spine_ts - INTERVAL 2 DAY)
+    SELECT spine_id, user_id,
+           strftime(spine_ts, '%Y-%m-%d %H:%M:%S') AS spine_ts,
+           round(feat_value, 6) AS feat_value,
+           strftime(feat_ts, '%Y-%m-%d %H:%M:%S') AS feat_ts
+    FROM j WHERE rn = 1
+    """,
+)
+def stream_exec_enrich_pit(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING point-in-time-correct enrichment — training-data
+    generation as a stream (streaming/joins.py start_pit_enrich_stream):
+    a spine of serving events (every 7th event) drains in two real
+    micro-batches; each spine row joins the latest feature update
+    (every 3rd event) at or before ITS OWN timestamp within a 2-day
+    staleness bound — stale or absent features become NULLs, never
+    silently-old values, and a "latest" join here would leak future
+    features into past examples. foreachBatch lands each enriched
+    batch in its own batch_id partition (replay-idempotent). The
+    oracle replays the per-row as-of (LEFT range join + per-spine
+    top-1 with the event_id tiebreak) over the whole table in one
+    batch — parity certifies the streamed union equals the batch
+    recompute."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.joins import (
+        start_pit_enrich_stream,
+    )
+
+    ev = load(spark, sf, "events")
+    records = ev.where(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    spine = ev.where(F.col("event_id") % 7 == 1).select(
+        F.col("event_id").alias("spine_id"), "user_id",
+        F.col("ts").alias("spine_ts"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_pit_")
+    src_dir = f"{base}/src"
+    spine.where(F.col("spine_id") % 2 == 0).coalesce(1).write.parquet(
+        src_dir
+    )
+    spine.where(F.col("spine_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(
+            "spine_id long, user_id long, spine_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out_path = f"{base}/enriched"
+    q_ = start_pit_enrich_stream(
+        stream,
+        records,
+        out_path,
+        checkpoint=f"{base}/ckpt",
+        on="user_id",
+        spine_ts_col="spine_ts",
+        rec_ts_col="ts",
+        tiebreakers=("event_id",),
+        tolerance="2 days",
+        available_now=True,
+    )
+    q_.awaitTermination()
+    return spark.read.parquet(out_path).select(
+        "spine_id",
+        "user_id",
+        F.date_format("spine_ts", "yyyy-MM-dd HH:mm:ss").alias("spine_ts"),
+        F.round("value", 6).alias("feat_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("feat_ts"),
+    )
+
+
+@q(
     "stream_exec_incremental_stats",
     """
     SELECT event_type,
@@ -7218,6 +7306,7 @@ _GATE_PRIORITY: list[str] = [
     "source_xml_roundtrip",
     "stream_exec_incremental_stats",
     "stream_exec_drift_monitor",
+    "stream_exec_enrich_pit",
     "pipeline_data_expectations",
     "sim_hard_negatives",
     # -- ballast: proven-green rows filling the 50-slot window, biased
@@ -7229,7 +7318,6 @@ _GATE_PRIORITY: list[str] = [
     "dedup_canonical",
     "dedup_semantic",
     "dedup_incremental",
-    "pipeline_span_removal",
     "pipeline_dup_spans",
     "pipeline_decontaminate",
     "pipeline_pack_sequences",

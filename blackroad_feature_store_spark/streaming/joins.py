@@ -99,3 +99,93 @@ def enrich_with_features(
         stream[entity_col] == F.col("__entity"),
         "left",
     ).drop("__entity")
+
+
+def process_pit_enrich_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    records: DataFrame,
+    out_path: str,
+    on,
+    spine_ts_col: str,
+    rec_ts_col: str = "timestamp",
+    tiebreakers=("id",),
+    tolerance: str | None = None,
+) -> None:
+    """One micro-batch of point-in-time-correct enrichment: each spine
+    row joins the latest record snapshot at or before ITS OWN
+    timestamp (`operators/asof.py::as_of_join` per-row branch) — the
+    training-data generation semantics, where joining "latest" instead
+    would leak future features into past examples (training/serving
+    skew). ``records`` is a STATIC frame pinned when the stream starts
+    (snapshot isolation); ``tolerance`` turns stale snapshots into
+    NULLs instead of silently serving old features.
+
+    The enriched batch lands in its own ``batch_id=`` partition with
+    dynamic overwrite — foreachBatch replay after a crash between
+    write and checkpoint commit rewrites identical rows, the same
+    exactly-once recipe as the neardup/stats stores."""
+    from blackroad_feature_store_spark.operators.asof import as_of_join
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    enriched = as_of_join(
+        batch_df,
+        records,
+        on=on,
+        ts_col=rec_ts_col,
+        as_of=spine_ts_col,
+        tiebreakers=tuple(tiebreakers),
+        how="left",
+        tolerance=tolerance,
+    )
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        enriched.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(out_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def start_pit_enrich_stream(
+    spine: DataFrame,
+    records: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    on,
+    spine_ts_col: str,
+    rec_ts_col: str = "timestamp",
+    tiebreakers=("id",),
+    tolerance: str | None = None,
+    available_now: bool = False,
+):
+    """Start (or one-shot drain) the PIT enrichment stream: a live
+    spine of events becomes point-in-time-correct training rows
+    continuously. At 100 TB the per-batch cost is the batch as-of
+    join's — range-join bounded by ``tolerance``, no state held in
+    Spark between batches."""
+    writer = (
+        spine.writeStream.foreachBatch(
+            lambda batch_df, batch_id: process_pit_enrich_batch(
+                batch_df,
+                batch_id,
+                records,
+                out_path,
+                on=on,
+                spine_ts_col=spine_ts_col,
+                rec_ts_col=rec_ts_col,
+                tiebreakers=tiebreakers,
+                tolerance=tolerance,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

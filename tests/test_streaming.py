@@ -1347,3 +1347,43 @@ def test_histogram_partials_merge_compact_and_psi(spark, tmp_path):
     )
     assert abs(psi["b"]["psi"] - round(want_b, 6)) < 1e-9
     assert psi["c"]["n_cur"] == 0 and psi["c"]["psi"] > 0
+
+
+def test_pit_enrich_batch_replay_idempotent_and_correct(spark, tmp_path):
+    """The streamed PIT enrichment is per-row as-of correct (no future
+    leakage, staleness bound -> NULL) and replaying a batch_id leaves
+    the sink identical."""
+    from blackroad_feature_store_spark.streaming.joins import (
+        process_pit_enrich_batch,
+    )
+
+    records = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0, 100),
+            (1, "2024-01-03 00:00:00", 30.0, 101),  # future vs spine A
+            (2, "2023-12-01 00:00:00", 99.0, 102),  # stale vs 2d bound
+        ],
+        "user_id long, ts string, value double, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    spine = spark.createDataFrame(
+        [
+            (7, 1, "2024-01-02 00:00:00"),  # sees 10.0, NOT 30.0
+            (8, 2, "2024-01-02 00:00:00"),  # record too stale -> NULL
+            (9, 3, "2024-01-02 00:00:00"),  # no records -> NULL
+        ],
+        "spine_id long, user_id long, spine_ts string",
+    ).withColumn("spine_ts", F.col("spine_ts").cast("timestamp"))
+
+    out = str(tmp_path / "enriched")
+    kw = dict(on="user_id", spine_ts_col="spine_ts", rec_ts_col="ts",
+              tiebreakers=("event_id",), tolerance="2 days")
+    process_pit_enrich_batch(spine, 0, records, out, **kw)
+    once = sorted(map(tuple, spark.read.parquet(out).collect()))
+    process_pit_enrich_batch(spine, 0, records, out, **kw)  # replay
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == once
+
+    rows = {r["spine_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[7]["value"] == 10.0  # future record 30.0 NOT leaked
+    assert rows[8]["value"] is None  # stale beyond tolerance
+    assert rows[9]["value"] is None  # unknown entity, left join row kept
+    assert len(rows) == 3
