@@ -2887,3 +2887,80 @@ def test_hard_negatives_excludes_positives_before_ranking(spark):
                                 query_id_col="query_id").collect()
     }
     assert idsn == {1, 2, 3, 4}
+
+
+def test_check_expectations_randomized_vs_python(spark):
+    """Randomized workloads vs a Python reference: violation counts
+    for every check kind on frames with NULLs, duplicates, and orphan
+    keys."""
+    import random
+    import re as _re
+
+    from blackroad_feature_store_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    for seed in (3, 11, 29):
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.choice([None, rng.randrange(6)]),
+                rng.choice([None, rng.uniform(-10, 10)]),
+                rng.choice([None, "ok", "Bad!", "x1"]),
+            )
+            for _ in range(rng.randrange(1, 60))
+        ]
+        ref_keys = [(k,) for k in range(0, 6, 2)]
+        df = spark.createDataFrame(rows, "id long, v double, s string")
+        ref = spark.createDataFrame(ref_keys, "rid long")
+        checks = [
+            {"check": "not_null", "col": "id"},
+            {"check": "in_range", "col": "v", "min": -5.0, "max": 5.0},
+            {"check": "regex", "col": "s", "pattern": "^[a-z]+$"},
+            {"check": "accepted_values", "col": "s", "values": ["ok"]},
+            {"check": "unique", "cols": ["id"]},
+            {"check": "foreign_key", "col": "id", "ref": ref,
+             "ref_col": "rid"},
+        ]
+        got = {
+            (r["check"], r["target"]): (r["total"], r["violations"])
+            for r in check_expectations(df, checks).collect()
+        }
+        n = len(rows)
+        want = {
+            ("not_null", "id"): (
+                n, sum(1 for r in rows if r[0] is None)
+            ),
+            ("in_range", "v"): (
+                n,
+                sum(
+                    1 for r in rows
+                    if r[1] is not None and not (-5.0 <= r[1] <= 5.0)
+                ),
+            ),
+            ("regex", "s"): (
+                n,
+                sum(
+                    1 for r in rows
+                    if r[2] is not None
+                    and not _re.search("^[a-z]+$", r[2])
+                ),
+            ),
+            ("accepted_values", "s"): (
+                n,
+                sum(1 for r in rows if r[2] is not None and r[2] != "ok"),
+            ),
+            ("unique", "id"): (
+                n,
+                n - len({r[0] for r in rows}),
+            ),
+            ("foreign_key", "id"): (
+                n,
+                sum(
+                    1 for r in rows
+                    if r[0] is not None
+                    and r[0] not in {k for (k,) in ref_keys}
+                ),
+            ),
+        }
+        assert got == want, f"seed={seed}: {got} != {want}"
