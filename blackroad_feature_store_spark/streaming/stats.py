@@ -165,25 +165,37 @@ def _live_partials(spark: SparkSession, stats_path: str) -> DataFrame:
     directory never flipped live, or batch partitions at/below the
     live floor not yet deleted — are EXCLUDED by construction, which
     is what makes :func:`compact_stats` crash-safe at every step."""
+    floor = _compaction_floor(stats_path)
     try:
         partials = spark.read.parquet(os.path.join(stats_path, "batches"))
+        live = partials.where(F.col("batch_id") > floor).drop("batch_id")
     except AnalysisException as exc:
         msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        benign = (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            # compaction can retire EVERY batch partition, leaving
+            # batches/ with no files — an empty dir fails schema
+            # inference but is a normal state once a floor is live
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        )
+        if not benign:
+            raise
+        if floor < 0:
             raise AnalysisException(
                 f"stats store {stats_path} does not exist yet "
                 "(no batch has been processed)"
             ) from exc
-        raise
-    floor = _compaction_floor(stats_path)
-    live = partials.where(F.col("batch_id") > floor).drop("batch_id")
+        live = None
     if floor >= 0:
         compacted = (
             spark.read.parquet(os.path.join(stats_path, "compacted"))
             .where(F.col("floor") == floor)
             .drop("floor")
         )
-        live = live.unionByName(compacted)
+        live = (
+            compacted if live is None else live.unionByName(compacted)
+        )
     return live
 
 

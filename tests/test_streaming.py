@@ -1387,3 +1387,28 @@ def test_pit_enrich_batch_replay_idempotent_and_correct(spark, tmp_path):
     assert rows[8]["value"] is None  # stale beyond tolerance
     assert rows[9]["value"] is None  # unknown entity, left join row kept
     assert len(rows) == 3
+
+
+def test_stats_merge_after_full_compaction(spark, tmp_path):
+    """Compacting EVERY batch leaves batches/ with no live partition —
+    merge must serve purely from the compacted fold (the empty dir
+    fails schema inference, a benign state once a floor is live), and
+    a subsequent batch resumes accumulation normally."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        compact_stats,
+        merge_stats,
+        process_stats_batch,
+    )
+
+    store = str(tmp_path / "stats")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k string, v double"
+    )
+    process_stats_batch(mk([("a", 1.0)]), 0, store, ["k"], "v")
+    process_stats_batch(mk([("a", 2.0)]), 1, store, ["k"], "v")
+    before = sorted(map(tuple, merge_stats(spark, store).collect()))
+    compact_stats(spark, store, upto_batch=1)  # retires ALL batches
+    assert sorted(map(tuple, merge_stats(spark, store).collect())) == before
+    process_stats_batch(mk([("a", 4.0)]), 2, store, ["k"], "v")
+    row = merge_stats(spark, store).collect()[0]
+    assert row["n"] == 3 and row["sum_value"] == 7.0
