@@ -77,6 +77,7 @@ HEADLINE = [
     "store_time_travel",
     "pipeline_decontaminate",
     "text_pii_redaction",
+    "pipeline_normalize_text",
     "pipeline_chunks",
     "pipeline_sentence_chunks",
     "pipeline_sentence_dedup",

@@ -337,3 +337,58 @@ def hash_embedding(
     )
     # docs with zero alpha tokens get no row (no direction to embed)
     return out
+
+
+#: C0/C1-ish control characters a clean corpus must not contain
+#: (tab/newline/CR are whitespace, handled by the collapse step, and
+#: are listed here anyway since they fold to the same single space).
+CONTROL_CHAR_RE = r"[\x00-\x1F\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode-normalize a corpus in place: ``form`` (NFC/NFKC/NFD/
+    NFKD) canonicalization, control characters → space, whitespace
+    runs collapsed to one space, edges trimmed — the C4/CCNet-style
+    cleanup pass that makes byte-level dedup meaningful (the SAME
+    visual text can otherwise carry different codepoint sequences:
+    composed vs combining accents, fullwidth forms, stray C0 bytes
+    from bad decoders).
+
+    Execution: the normalization itself has no JVM builtin, so it runs
+    as ONE Arrow-batched pandas UDF (`pandas.Series.str.normalize`,
+    vectorized ICU-backed CPython tables) — the documented slow-path
+    exception; the control-strip and collapse stay in codegen
+    regexps around it. Per-row, scan-bound, zero shuffle.
+
+    Returns the input with ``text_col`` replaced and a
+    ``chars_delta`` column (codepoints removed by the whole pass;
+    non-negative under NFC/NFKC, which only compose or preserve —
+    the decomposing forms NFD/NFKD can make it negative). NULL text
+    passes through as NULL."""
+    import pandas as pd  # noqa: F401 — signature type for the UDF
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"Unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        return s.str.normalize(form)
+
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(_norm(t), CONTROL_CHAR_RE, " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn("__clean", cleaned).select(
+        *[c for c in df.columns if c != text_col],
+        F.col("__clean").alias(text_col),
+        (F.length(t) - F.length("__clean")).alias("chars_delta"),
+    )

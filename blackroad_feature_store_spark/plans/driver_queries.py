@@ -4238,6 +4238,57 @@ def pipeline_sentence_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_normalize_text",
+    r"""
+    WITH prep AS (
+      SELECT doc_id,
+             replace(replace(text, 'a', 'a' || chr(769)),
+                     'scan', 'sc' || chr(7) || 'an') AS txt
+      FROM documents),
+    norm AS (
+      SELECT doc_id, txt,
+             trim(regexp_replace(
+                 regexp_replace(nfc_normalize(txt),
+                                '[\x00-\x1F\x7F]', ' ', 'g'),
+                 '\s+', ' ', 'g')) AS t
+      FROM prep)
+    SELECT doc_id, md5(t) AS text_md5,
+           CAST(length(txt) - length(t) AS BIGINT) AS chars_delta
+    FROM norm
+    """,
+)
+def pipeline_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode corpus normalization (operators/text.py normalize_text):
+    NFC canonicalization (Arrow-batched pandas UDF — no JVM builtin),
+    control chars → space, whitespace collapse, trim. The synthetic
+    corpus is pure ASCII, so mojibake is injected deterministically:
+    every 'a' gains a COMBINING ACUTE (U+0301, composes to U+00E1
+    under NFC) and every 'scan' gets a BEL control byte spliced in —
+    so the pass exercises composition, control stripping, and the
+    resulting whitespace collapse on every document. The normalized
+    text is md5-pinned and the codepoint delta certified against
+    DuckDB's ICU nfc_normalize."""
+    from blackroad_feature_store_spark.operators.text import (
+        normalize_text,
+    )
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", "a", "a\u0301"),
+            "scan",
+            "sc\u0007an",
+        ).alias("text"),
+    )
+    out = normalize_text(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("chars_delta").cast("long").alias("chars_delta"),
+    )
+
+
+@q(
     "text_tfidf_top_terms",
     r"""
     WITH terms AS (
@@ -7309,6 +7360,7 @@ _GATE_PRIORITY: list[str] = [
     "stream_exec_enrich_pit",
     "pipeline_data_expectations",
     "sim_hard_negatives",
+    "pipeline_normalize_text",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
     # (spread() guard, stateful drains, LSH-downstream family) --
@@ -7318,7 +7370,6 @@ _GATE_PRIORITY: list[str] = [
     "dedup_canonical",
     "dedup_semantic",
     "dedup_incremental",
-    "pipeline_dup_spans",
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_chunks",

@@ -2964,3 +2964,35 @@ def test_check_expectations_randomized_vs_python(spark):
             ),
         }
         assert got == want, f"seed={seed}: {got} != {want}"
+
+
+def test_normalize_text_nfc_controls_and_whitespace(spark):
+    from blackroad_feature_store_spark.operators.text import normalize_text
+
+    decomposed = "é"  # e + combining acute -> é under NFC
+    df = spark.createDataFrame(
+        [
+            (1, f"caf{decomposed}  du\x07jour\t x "),
+            (2, "already clean"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text"] == "café du jour x"
+    # 18 codepoints in, 14 out (combining mark composed, ctrl +
+    # double/trailing whitespace removed)
+    assert out[1]["chars_delta"] == 4
+    assert out[2]["text"] == "already clean"
+    assert out[2]["chars_delta"] == 0
+    assert out[3]["text"] is None and out[3]["chars_delta"] is None
+
+    # NFKC folds compatibility forms (fullwidth digits -> ASCII)
+    df2 = spark.createDataFrame([(1, "１２３")],
+                                "doc_id long, text string")
+    from blackroad_feature_store_spark.operators.text import (
+        normalize_text as nt,
+    )
+    assert nt(df2, form="NFKC").collect()[0]["text"] == "123"
+    with pytest.raises(ValueError, match="normalization form"):
+        nt(df2, form="NFX")
