@@ -360,9 +360,11 @@ def normalize_text(
 
     Execution: the normalization itself has no JVM builtin, so it runs
     as ONE Arrow-batched pandas UDF (`pandas.Series.str.normalize`,
-    vectorized ICU-backed CPython tables) — the documented slow-path
-    exception; the control-strip and collapse stay in codegen
-    regexps around it. Per-row, scan-bound, zero shuffle.
+    CPython's Unicode Character Database tables — the certified
+    corpus hash-matches DuckDB's ICU ``nfc_normalize``, so the two
+    table implementations agree on these forms) — the documented
+    slow-path exception; the control-strip and collapse stay in
+    codegen regexps around it. Per-row, scan-bound, zero shuffle.
 
     Returns the input with ``text_col`` replaced and a
     ``chars_delta`` column (codepoints removed by the whole pass;
