@@ -137,6 +137,7 @@ HEADLINE = [
     "source_xml_roundtrip",
     "core_bucketed_join",
     "stats_hll_distinct",
+    "stats_cms_heavy_hitters",
     "sim_cosine_topk_gemm",
     "pipeline_split_leakage",
     "core_gapfill_locf",

@@ -278,3 +278,114 @@ def hll_rollup(
     if keys:
         return sketches.groupBy(*keys).agg(agg)
     return sketches.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+_CMS_MOD = 1 << 56
+
+
+def _cms_cells(key: Column, depth: int, width: int) -> Column:
+    """The sketch cells a key increments: array of ``depth`` column
+    indices, one per hash row. Kirsch–Mitzenmacher double hashing over
+    one md5 (the minhash family's construction — portable: md5,
+    hex→int, and nonnegative mod are identical in every engine):
+    cell_j = ((h1 + j·h2) mod 2^56) mod width."""
+    h = F.md5(key)
+    h1 = F.conv(F.substring(h, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 15, 14), 16, 10).cast("long")
+    return F.array(
+        *[
+            ((h1 + F.lit(j) * h2) % F.lit(_CMS_MOD)) % F.lit(width)
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` frequencies: long-form
+    (row, col, n) — at most depth × width rows whatever the input
+    cardinality, the fixed-size summary that answers "how often did
+    key X occur" within an additive overestimate of ε·N (ε ≈ e/width)
+    with probability 1−δ (δ ≈ e^−depth). Overestimates only, never
+    under — the min over rows at query time takes the least-collided
+    cell.
+
+    Mergeable: sketches with the same (depth, width) union by summing
+    cell counts — sum over shards, days, or micro-batches commutes
+    with the build (same monoid contract as the histogram partials,
+    and `streaming/stats.py`'s store machinery folds this schema
+    as-is). NULL keys are excluded (count them separately; a NULL is
+    absence, not a frequency). ``weight_col`` makes it a weighted
+    sketch (e.g. token counts per doc pre-aggregated upstream).
+
+    Scale shape: one narrow posexplode (depth rows per input row) into
+    ONE map-side-combined aggregation whose exchange is bounded by
+    depth × width cells per partition — input-size-independent
+    shuffle, the whole point of a sketch."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.posexplode(
+                _cms_cells(F.col(key_col), depth, width)
+            ).alias("row", "col"),
+            w.alias("__w"),
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("__w").cast("long").alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches built with the same (depth, width): sum counts
+    per cell."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate the frequency of each key in ``keys``:
+    min over the key's ``depth`` cells (a missing cell is 0 — the key
+    was never seen). Returns (key_col, cms_count). The estimate is
+    ≥ the true count always, and exact when none of the key's cells
+    collided. The sketch side is depth × width rows at most, so it
+    BROADCASTS — estimating any number of keys is one broadcast hash
+    join, no shuffle of the key frame."""
+    cells = (
+        keys.select(
+            F.col(key_col),
+            F.posexplode(
+                _cms_cells(F.col(key_col), depth, width)
+            ).alias("row", "col"),
+        )
+    )
+    joined = cells.join(F.broadcast(sketch), ["row", "col"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("cms_count")
+        )
+    )

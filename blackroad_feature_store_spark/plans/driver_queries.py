@@ -5871,6 +5871,69 @@ def core_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stats_cms_heavy_hitters",
+    r"""
+    WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                         AS tok
+                  FROM documents),
+    hs AS (SELECT tok,
+                  CAST('0x' || substr(md5(tok), 1, 14) AS BIGINT) AS h1,
+                  CAST('0x' || substr(md5(tok), 15, 14) AS BIGINT) AS h2
+           FROM toks),
+    cells AS (SELECT tok, j.r AS row,
+                     ((h1 + j.r * h2) % 72057594037927936) % 512 AS col
+              FROM hs CROSS JOIN
+                   (SELECT unnest(generate_series(0, 3)) AS r) j),
+    sk AS (SELECT row, col, count(*) AS n FROM cells GROUP BY row, col),
+    exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok),
+    top AS (SELECT tok, exact_n FROM exact
+            ORDER BY exact_n DESC, tok LIMIT 20),
+    cand AS (SELECT DISTINCT c.tok, c.row, c.col
+             FROM cells c JOIN top USING (tok)),
+    est AS (SELECT cand.tok, min(coalesce(sk.n, 0)) AS cms_n
+            FROM cand LEFT JOIN sk USING (row, col) GROUP BY cand.tok)
+    SELECT t.tok, CAST(t.exact_n AS BIGINT) AS exact_n,
+           CAST(e.cms_n AS BIGINT) AS cms_n
+    FROM top t JOIN est e USING (tok)
+    """,
+)
+def stats_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch frequency estimation
+    (operators/stats.py::{cms_sketch,cms_estimate}): token frequencies
+    summarized into a FIXED 4×512-cell sketch — input-size-independent
+    shuffle and a broadcastable summary, the heavy-hitter tracking
+    sketch that completes the mergeable family (HLL = distinct,
+    histograms = distribution, CMS = frequency). The query estimates
+    the exact top-20 tokens through the sketch and emits exact vs
+    estimated counts; the oracle rebuilds the identical sketch (same
+    md5 Kirsch–Mitzenmacher cells as the minhash family) in SQL, so
+    parity certifies construction AND estimation cell-for-cell —
+    including any collision overestimates, which must agree exactly
+    because the hash family is deterministic."""
+    from blackroad_feature_store_spark.operators.stats import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    toks = load(spark, sf, "documents").select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    sketch = cms_sketch(toks, "tok", depth=4, width=512)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("tok"), "tok", 4, 512)
+    return top.join(est, "tok").select(
+        "tok",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_count").alias("cms_n"),
+    )
+
+
+@q(
     "stats_hll_distinct",
     """
     SELECT source,
@@ -7361,6 +7424,7 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_data_expectations",
     "sim_hard_negatives",
     "pipeline_normalize_text",
+    "stats_cms_heavy_hitters",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
     # (spread() guard, stateful drains, LSH-downstream family) --
@@ -7373,7 +7437,6 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_chunks",
-    "text_pii_redaction",
     "text_repetition",
     "dedup_embedding",
     "pipeline_nb_source_classify",

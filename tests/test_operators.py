@@ -2996,3 +2996,45 @@ def test_normalize_text_nfc_controls_and_whitespace(spark):
     assert nt(df2, form="NFKC").collect()[0]["text"] == "123"
     with pytest.raises(ValueError, match="normalization form"):
         nt(df2, form="NFX")
+
+
+def test_cms_sketch_estimate_and_merge(spark):
+    from blackroad_feature_store_spark.operators.stats import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_sketch(df, "k", depth=4, width=64)
+    # sketch size is bounded by depth x width regardless of input
+    assert sk.count() <= 4 * 64
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)],
+                                 "k string")
+    est = {r["k"]: r["cms_count"]
+           for r in cms_estimate(sk, keys, "k", 4, 64).collect()}
+    # overestimate-only, and with 3 keys in width 64 almost surely exact
+    assert est["a"] >= 50 and est["b"] >= 7 and est["c"] >= 1
+    assert est["a"] == 50 and est["b"] == 7  # no collisions at this load
+    assert est["zz"] >= 0  # unseen key: min cell may be 0 or a collision
+
+    # merge == build-on-union (the monoid contract)
+    half1 = spark.createDataFrame(rows[:30], "k string")
+    half2 = spark.createDataFrame(rows[30:], "k string")
+    merged = cms_merge(cms_sketch(half1, "k", 4, 64),
+                       cms_sketch(half2, "k", 4, 64))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+    # NULL keys excluded; weighted build counts weights
+    dfw = spark.createDataFrame([("a", 5), (None, 9), ("b", 2)],
+                                "k string, w int")
+    skw = cms_sketch(dfw, "k", 4, 64, weight_col="w")
+    estw = {r["k"]: r["cms_count"]
+            for r in cms_estimate(skw, keys, "k", 4, 64).collect()}
+    assert estw["a"] == 5 and estw["b"] == 2
+
+    with pytest.raises(ValueError, match="depth and width"):
+        cms_sketch(df, "k", depth=0)
