@@ -138,6 +138,7 @@ HEADLINE = [
     "core_bucketed_join",
     "stats_hll_distinct",
     "stats_cms_heavy_hitters",
+    "stats_histogram_quantiles",
     "sim_cosine_topk_gemm",
     "pipeline_split_leakage",
     "core_gapfill_locf",

@@ -389,3 +389,88 @@ def cms_estimate(
             .alias("cms_count")
         )
     )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    key_cols: Sequence[str],
+    probs: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Approximate quantiles from fixed-bin histogram counts — the
+    read-side query that turns the incrementally-maintained histogram
+    store (`streaming/stats.py::merge_histogram`, or any
+    (key…, bin, n) frame with the same binning) into a p50/p95/p99
+    monitor WITHOUT rescanning raw data. Resolution is the bin width;
+    the point is that the input is |keys × bins| rows however large
+    the corpus that produced it.
+
+    Definition (deterministic, engine-portable — no float
+    tie-breaking): for each probability p, rank = max(1, ceil(p·N));
+    the quantile lies in the first bin whose cumulative count reaches
+    rank, linearly interpolated inside the bin by item rank:
+
+        q = lo + width · (bin + (rank − cum_before) / n_bin)
+
+    Out-of-range mass sits in the edge bins (the histogram clamps),
+    so edge-bin quantiles saturate at [lo, hi] — by construction, the
+    same answer the histogram itself can support. Returns one row per
+    (key…, prob): (key…, prob, approx_value), value rounded to 6
+    decimals. Keys with zero total mass emit no rows.
+
+    Scale shape: one cumulative window per key over ≤ n_bins rows, an
+    inline probs explode, and a per-(key, prob) min — everything
+    post-histogram is |keys × bins × probs| work.
+    """
+    from pyspark.sql.window import Window
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    for p in probs:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"probs must be in (0, 1], got {p}")
+    width = (hi - lo) / n_bins
+    keys = list(key_cols)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    base = (
+        hist.groupBy(*keys, "bin")
+        .agg(F.sum("n").alias("__n"))
+        .withColumn("__cum", F.sum("__n").over(w_cum))
+        .withColumn("__tot", F.sum("__n").over(w_all))
+        .withColumn("__before", F.col("__cum") - F.col("__n"))
+        .where(F.col("__tot") > 0)
+    )
+    prob_arr = F.array(*[F.lit(float(p)) for p in probs])
+    exploded = base.select(
+        *keys, "bin", "__n", "__cum", "__before", "__tot",
+        F.explode(prob_arr).alias("prob"),
+    ).withColumn(
+        "__rank",
+        F.greatest(F.lit(1), F.ceil(F.col("prob") * F.col("__tot"))),
+    )
+    crossing = exploded.where(F.col("__cum") >= F.col("__rank"))
+    w_first = Window.partitionBy(*keys, "prob").orderBy("bin")
+    return (
+        crossing.withColumn("__rn", F.row_number().over(w_first))
+        .where(F.col("__rn") == 1)
+        .select(
+            *keys,
+            "prob",
+            F.round(
+                F.lit(lo)
+                + F.lit(width)
+                * (
+                    F.col("bin")
+                    + (F.col("__rank") - F.col("__before")) / F.col("__n")
+                ),
+                6,
+            ).alias("approx_value"),
+        )
+    )

@@ -5871,6 +5871,57 @@ def core_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stats_histogram_quantiles",
+    """
+    WITH h AS (SELECT event_type,
+                      CAST(least(greatest(floor((value - 0.0) / 50.0), 0),
+                                 9) AS INT) AS bin,
+                      count(*) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    c AS (SELECT event_type, bin, n,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n) OVER (PARTITION BY event_type) AS tot
+          FROM h),
+    e AS (SELECT c.event_type, c.bin, c.n, c.cum, c.cum - c.n AS bef,
+                 p.prob,
+                 GREATEST(1, CAST(ceil(p.prob * c.tot) AS BIGINT)) AS rnk
+          FROM c CROSS JOIN
+               (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)
+                       AS prob) p),
+    x AS (SELECT event_type, prob, bin, n, bef, rnk,
+                 row_number() OVER (PARTITION BY event_type, prob
+                                    ORDER BY bin) AS rn
+          FROM e WHERE cum >= rnk)
+    SELECT event_type, prob,
+           round(0.0 + 50.0 * (bin + (rnk - bef) / n), 6) AS approx_value
+    FROM x WHERE rn = 1
+    """,
+)
+def stats_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantiles served from histogram counts
+    (operators/stats.py::histogram_quantiles): p50/p90/p99 of
+    events.value per event_type read off the SAME fixed-bin histogram
+    the streaming store maintains incrementally — |keys × bins| input
+    rows whatever the corpus size, rank-based in-bin interpolation
+    (deterministic: integer ranks, no float tie-breaks). The oracle
+    replays the identical cumulative-crossing construction, certifying
+    the quantile algebra bin-for-bin."""
+    from blackroad_feature_store_spark.operators.stats import (
+        histogram_quantiles,
+    )
+    from blackroad_feature_store_spark.streaming.stats import (
+        partial_histogram,
+    )
+
+    ev = load(spark, sf, "events")
+    hist = partial_histogram(ev, ["event_type"], "value", 0.0, 500.0, 10)
+    return histogram_quantiles(
+        hist, ["event_type"], [0.5, 0.9, 0.99], 0.0, 500.0, 10
+    ).select("event_type", "prob", "approx_value")
+
+
+@q(
     "stats_cms_heavy_hitters",
     r"""
     WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
@@ -7425,6 +7476,7 @@ _GATE_PRIORITY: list[str] = [
     "sim_hard_negatives",
     "pipeline_normalize_text",
     "stats_cms_heavy_hitters",
+    "stats_histogram_quantiles",
     # -- ballast: proven-green rows filling the 50-slot window, biased
     # toward the queries whose execution paths r7/r8 touched
     # (spread() guard, stateful drains, LSH-downstream family) --
@@ -7437,7 +7489,6 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "pipeline_chunks",
-    "text_repetition",
     "dedup_embedding",
     "pipeline_nb_source_classify",
     "stream_exec_neardup",

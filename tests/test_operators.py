@@ -3038,3 +3038,45 @@ def test_cms_sketch_estimate_and_merge(spark):
 
     with pytest.raises(ValueError, match="depth and width"):
         cms_sketch(df, "k", depth=0)
+
+
+def test_histogram_quantiles_known_distribution(spark):
+    from blackroad_feature_store_spark.operators.stats import (
+        histogram_quantiles,
+    )
+
+    # 100 items uniform over [0, 100) in 10 bins of width 10: bin i
+    # holds exactly 10 items -> quantile p lands at ~100p by rank
+    # interpolation
+    hist = spark.createDataFrame(
+        [("u", b, 10) for b in range(10)], "k string, bin int, n long"
+    )
+    q = {
+        r["prob"]: r["approx_value"]
+        for r in histogram_quantiles(
+            hist, ["k"], [0.25, 0.5, 0.99, 1.0], 0.0, 100.0, 10
+        ).collect()
+    }
+    # rank 25 -> bin 2, (25-20)/10 inside -> 25.0; rank 50 -> 50.0
+    assert q[0.25] == 25.0 and q[0.5] == 50.0
+    assert q[0.99] == 99.0 and q[1.0] == 100.0
+
+    # skewed mass + missing bins: 90 items in bin 0, 10 in bin 9
+    skew = spark.createDataFrame(
+        [("s", 0, 90), ("s", 9, 10)], "k string, bin int, n long"
+    )
+    qs = {
+        r["prob"]: r["approx_value"]
+        for r in histogram_quantiles(
+            skew, ["k"], [0.5, 0.95], 0.0, 100.0, 10
+        ).collect()
+    }
+    # rank 50 inside bin 0 -> 10*(50/90); rank 95 -> bin 9, (95-90)/10
+    assert abs(qs[0.5] - 10.0 * 50 / 90) < 1e-6
+    assert abs(qs[0.95] - (90.0 + 10.0 * 5 / 10)) < 1e-6
+
+    # zero-mass key emits nothing; bad prob raises
+    empty = spark.createDataFrame([("z", 0, 0)], "k string, bin int, n long")
+    assert histogram_quantiles(empty, ["k"], [0.5], 0.0, 1.0, 1).count() == 0
+    with pytest.raises(ValueError, match="probs"):
+        histogram_quantiles(hist, ["k"], [0.0], 0.0, 1.0, 10)
