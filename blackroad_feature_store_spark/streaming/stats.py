@@ -441,3 +441,48 @@ def start_stats_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def process_cms_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    cms_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> None:
+    """One micro-batch of incremental count-min maintenance
+    (`operators/stats.py::cms_sketch`): the batch's (row, col, n)
+    partial lands in its own batch_id partition — cell counts are a
+    commutative monoid, so :func:`merge_stats`'s machinery
+    (:func:`_fold` dispatches on the schema) and
+    :func:`compact_stats` serve this store unchanged. Replay
+    idempotence by dynamic partition overwrite, as everywhere."""
+    from blackroad_feature_store_spark.operators.stats import cms_sketch
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    partial = cms_sketch(
+        batch_df, key_col, depth=depth, width=width,
+        weight_col=weight_col,
+    )
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partial.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(
+            os.path.join(cms_path, "batches")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_cms(spark: SparkSession, cms_path: str) -> DataFrame:
+    """Fold the live CMS partials into one sketch (row, col, n);
+    query it with `operators/stats.py::cms_estimate`."""
+    return _fold(_live_partials(spark, cms_path))

@@ -1412,3 +1412,44 @@ def test_stats_merge_after_full_compaction(spark, tmp_path):
     process_stats_batch(mk([("a", 4.0)]), 2, store, ["k"], "v")
     row = merge_stats(spark, store).collect()[0]
     assert row["n"] == 3 and row["sum_value"] == 7.0
+
+
+def test_streaming_cms_maintenance_matches_batch_sketch(spark, tmp_path):
+    """CMS partials through the shared store machinery: replay
+    idempotent, compaction-compatible, and the merged sketch equals
+    one batch build over the union — so estimates agree cell-for-cell."""
+    from blackroad_feature_store_spark.operators.stats import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from blackroad_feature_store_spark.streaming.stats import (
+        compact_stats,
+        merge_cms,
+        process_cms_batch,
+    )
+
+    store = str(tmp_path / "cms")
+    b0 = [("x",)] * 9 + [("y",)] * 2
+    b1 = [("x",)] * 1 + [("z",)] * 5
+    mk = lambda rows: spark.createDataFrame(rows, "k string")  # noqa: E731
+    process_cms_batch(mk(b0), 0, store, "k", depth=3, width=32)
+    process_cms_batch(mk(b1), 1, store, "k", depth=3, width=32)
+    process_cms_batch(mk(b1), 1, store, "k", depth=3, width=32)  # replay
+
+    merged = merge_cms(spark, store)
+    batch = cms_sketch(mk(b0 + b1), "k", depth=3, width=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    compact_stats(spark, store, upto_batch=0)
+    assert sorted(map(tuple, merge_cms(spark, store).collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    keys = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    est = {
+        r["k"]: r["cms_count"]
+        for r in cms_estimate(
+            merge_cms(spark, store), keys, "k", 3, 32
+        ).collect()
+    }
+    assert est["x"] >= 10 and est["y"] >= 2 and est["z"] >= 5
