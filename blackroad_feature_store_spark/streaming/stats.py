@@ -245,17 +245,42 @@ def compact_stats(
     if upto_batch <= floor:
         return
     batches_dir = os.path.join(stats_path, "batches")
-    partials = spark.read.parquet(batches_dir)
-    to_fold = partials.where(
-        (F.col("batch_id") > floor) & (F.col("batch_id") <= upto_batch)
-    ).drop("batch_id")
+    try:
+        to_fold = (
+            spark.read.parquet(batches_dir)
+            .where(
+                (F.col("batch_id") > floor)
+                & (F.col("batch_id") <= upto_batch)
+            )
+            .drop("batch_id")
+        )
+    except AnalysisException as exc:
+        # A previous compaction can retire EVERY batch partition and
+        # only empty batches (which write nothing) may have arrived
+        # since — the batches dir is then missing or file-less, the
+        # same benign state _live_partials handles. With a live floor
+        # the compaction is a pure watermark advance over the previous
+        # fold; with no floor there is nothing to compact.
+        msg = str(exc)
+        benign = (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        )
+        if not benign:
+            raise
+        if floor < 0:
+            return  # store has never seen a non-empty batch
+        to_fold = None
     if floor >= 0:
         prev = (
             spark.read.parquet(os.path.join(stats_path, "compacted"))
             .where(F.col("floor") == floor)
             .drop("floor")
         )
-        to_fold = to_fold.unionByName(prev)
+        to_fold = (
+            prev if to_fold is None else to_fold.unionByName(prev)
+        )
     _fold(to_fold).write.mode("overwrite").parquet(
         os.path.join(stats_path, "compacted", f"floor={int(upto_batch)}")
     )
