@@ -90,8 +90,16 @@ def check_expectations(
 
     row_local = [s for s in checks if s["check"] in _ROW_LOCAL]
     if row_local:
+        # coalesce: SUM over zero rows is NULL — an empty input must
+        # report violations=0 / passed=true, not NULL (the documented
+        # ``violations == 0 ⇔ passed`` contract; a gate filtering
+        # WHERE NOT passed would otherwise silently wave an empty
+        # drop through with passed=NULL).
         aggs = [F.count(F.lit(1)).alias("__total")] + [
-            F.sum(F.when(_violation_expr(s), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(_violation_expr(s), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"__v{i}")
             for i, s in enumerate(row_local)
@@ -120,8 +128,12 @@ def check_expectations(
             )
             results.append(
                 dup.agg(
-                    F.sum("__n").cast("long").alias("total"),
-                    F.sum(F.col("__n") - 1).cast("long").alias("violations"),
+                    F.coalesce(F.sum("__n"), F.lit(0))
+                    .cast("long")
+                    .alias("total"),
+                    F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("violations"),
                 ).select(
                     F.lit("unique").alias("check"),
                     F.lit(_label(s)).alias("target"),
@@ -144,12 +156,15 @@ def check_expectations(
             results.append(
                 joined.agg(
                     F.count(F.lit(1)).cast("long").alias("total"),
-                    F.sum(
-                        F.when(
-                            F.col("__key").isNotNull()
-                            & F.col("__ref_key").isNull(),
-                            1,
-                        ).otherwise(0)
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("__key").isNotNull()
+                                & F.col("__ref_key").isNull(),
+                                1,
+                            ).otherwise(0)
+                        ),
+                        F.lit(0),
                     )
                     .cast("long")
                     .alias("violations"),

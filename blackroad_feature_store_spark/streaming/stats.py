@@ -62,9 +62,13 @@ def partial_stats(
     narrow per-row ``stack`` — the exchange stays
     |groups × features|-sized, not |rows|."""
     if not isinstance(value_col, str):
+        # A LIST always produces the long-form schema with a
+        # ``feature`` key column — even a single-element list. A
+        # len-1 shortcut to the scalar schema would mean a monitored
+        # feature list shrinking to one feature across a stream
+        # restart lands a SECOND, incompatible schema in the same
+        # batches/ directory and the fold mis-merges.
         cols = list(value_col)
-        if len(cols) == 1:
-            return partial_stats(batch, group_cols, cols[0])
         melted = batch.select(
             *group_cols,
             F.explode(
@@ -240,27 +244,28 @@ def compact_stats(
     compaction removes. Only compact batches the stream's CHECKPOINT
     has committed: the one batch foreachBatch may ever replay is the
     last uncommitted one, which by definition is above any committed
-    ``upto_batch``."""
+    ``upto_batch`` is CLAMPED to the newest batch_id actually present
+    in ``batches/``: flipping the floor past batches that have not
+    been written yet would permanently exclude them from
+    :func:`_live_partials` when they later land with
+    ``batch_id <= floor`` — silent data loss. A caller passing a
+    future batch id therefore compacts everything currently written
+    and nothing more; if nothing above the current floor is written
+    yet, the call is a no-op and the floor does not move."""
     floor = _compaction_floor(stats_path)
     if upto_batch <= floor:
         return
     batches_dir = os.path.join(stats_path, "batches")
     try:
-        to_fold = (
-            spark.read.parquet(batches_dir)
-            .where(
-                (F.col("batch_id") > floor)
-                & (F.col("batch_id") <= upto_batch)
-            )
-            .drop("batch_id")
-        )
+        partials = spark.read.parquet(batches_dir)
+        newest = partials.agg(F.max("batch_id")).first()[0]
     except AnalysisException as exc:
         # A previous compaction can retire EVERY batch partition and
         # only empty batches (which write nothing) may have arrived
         # since — the batches dir is then missing or file-less, the
-        # same benign state _live_partials handles. With a live floor
-        # the compaction is a pure watermark advance over the previous
-        # fold; with no floor there is nothing to compact.
+        # same benign state _live_partials handles. Nothing above the
+        # floor exists, so there is nothing to compact and the floor
+        # MUST NOT advance (see the clamp contract above).
         msg = str(exc)
         benign = (
             "PATH_NOT_FOUND" in msg
@@ -269,18 +274,20 @@ def compact_stats(
         )
         if not benign:
             raise
-        if floor < 0:
-            return  # store has never seen a non-empty batch
-        to_fold = None
+        newest = None
+    if newest is None or newest <= floor:
+        return  # nothing written above the floor yet — no-op
+    upto_batch = min(int(upto_batch), int(newest))  # the clamp
+    to_fold = partials.where(
+        (F.col("batch_id") > floor) & (F.col("batch_id") <= upto_batch)
+    ).drop("batch_id")
     if floor >= 0:
         prev = (
             spark.read.parquet(os.path.join(stats_path, "compacted"))
             .where(F.col("floor") == floor)
             .drop("floor")
         )
-        to_fold = (
-            prev if to_fold is None else to_fold.unionByName(prev)
-        )
+        to_fold = to_fold.unionByName(prev)
     _fold(to_fold).write.mode("overwrite").parquet(
         os.path.join(stats_path, "compacted", f"floor={int(upto_batch)}")
     )
@@ -447,9 +454,21 @@ def start_stats_stream(
 ) -> StreamingQuery:
     """Start (or one-shot drain) the incremental stats maintainer over
     a streaming DataFrame of feature writes. The stats store at
-    ``stats_path`` is readable at ANY time via :func:`merge_stats` —
-    monitoring never blocks ingest and ingest never recomputes
-    history."""
+    ``stats_path`` is readable via :func:`merge_stats` without
+    blocking ingest, and ingest never recomputes history.
+
+    Read-consistency caveat: batch-partition parquet writes and
+    compact_stats' post-flip deletions are NOT atomic to concurrent
+    readers — a merge racing a batch commit can transiently observe a
+    partially-written ``batch_id=`` partition, and one racing
+    compaction cleanup can observe a half-deleted retired partition.
+    The marker-file flip makes the compaction DECISION atomic, not
+    the file listing. Monitoring readers should either tolerate a
+    transiently-stale merge and re-read, or snapshot between
+    micro-batches (e.g. after an ``availableNow`` drain returns, as
+    the catalog queries do). Crash-recovery correctness is unaffected:
+    replay rewrites the same partition and :func:`_live_partials`
+    ignores anything not referenced by the marker."""
     writer = (
         records.writeStream.foreachBatch(
             lambda batch_df, batch_id: process_stats_batch(

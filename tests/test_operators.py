@@ -2824,6 +2824,37 @@ def test_check_expectations_all_kinds(spark):
         check_expectations(df, [])
 
 
+def test_check_expectations_empty_input(spark):
+    """The ``violations == 0 ⇔ passed`` contract must hold on an
+    EMPTY input: every check kind reports total=0, violations=0,
+    passed=true — never NULL (SUM over zero rows is NULL; a gate
+    filtering WHERE NOT passed would silently treat a NULL-passed
+    empty drop as clean). ADVICE r9 item 2."""
+    from blackroad_feature_store_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame([], "id long, v double, s string")
+    ref = spark.createDataFrame([(1,)], "rid long")
+    rows = check_expectations(
+        df,
+        [
+            {"check": "not_null", "col": "id"},
+            {"check": "in_range", "col": "v", "min": 0.0, "max": 1.0},
+            {"check": "regex", "col": "s", "pattern": "^x$"},
+            {"check": "accepted_values", "col": "s", "values": ["x"]},
+            {"check": "unique", "cols": ["id", "s"]},
+            {"check": "foreign_key", "col": "id", "ref": ref,
+             "ref_col": "rid"},
+        ],
+    ).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["total"] == 0, r
+        assert r["violations"] == 0, r
+        assert r["passed"] is True, r
+
+
 def test_check_expectations_single_scan_for_row_local(spark):
     """All row-local checks must fold into ONE aggregation over ONE
     scan — the plan contains exactly one read of the input."""

@@ -1414,6 +1414,68 @@ def test_stats_merge_after_full_compaction(spark, tmp_path):
     assert row["n"] == 3 and row["sum_value"] == 7.0
 
 
+def test_compact_stats_clamps_future_upto_batch(spark, tmp_path):
+    """ADVICE r9 item 1: compacting with an upto_batch beyond the
+    newest WRITTEN batch must not flip the floor past it — otherwise
+    future micro-batches land with batch_id <= floor and are
+    permanently excluded from the fold (silent data loss). The call
+    clamps to what exists; with nothing above the floor it is a
+    no-op."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        _compaction_floor,
+        compact_stats,
+        merge_stats,
+        process_stats_batch,
+    )
+
+    store = str(tmp_path / "stats")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k string, v double"
+    )
+    process_stats_batch(mk([("a", 1.0)]), 0, store, ["k"], "v")
+    process_stats_batch(mk([("a", 2.0)]), 1, store, ["k"], "v")
+
+    compact_stats(spark, store, upto_batch=99)  # way beyond newest=1
+    assert _compaction_floor(store) == 1  # clamped, not 99
+
+    # batches 2..99 arriving later are ABOVE the floor and count
+    process_stats_batch(mk([("a", 4.0)]), 2, store, ["k"], "v")
+    row = merge_stats(spark, store).collect()[0]
+    assert row["n"] == 3 and row["sum_value"] == 7.0
+
+    # nothing new above the floor -> compaction is a no-op floor-wise
+    compact_stats(spark, store, upto_batch=2)
+    assert _compaction_floor(store) == 2
+    compact_stats(spark, store, upto_batch=50)  # nothing written > 2
+    assert _compaction_floor(store) == 2
+    row = merge_stats(spark, store).collect()[0]
+    assert row["n"] == 3 and row["sum_value"] == 7.0
+
+
+def test_partial_stats_single_element_list_keeps_feature_column(spark):
+    """ADVICE r9 item 3: a LIST value_col always yields the long-form
+    schema with a ``feature`` key — even len-1 — so a monitored
+    feature list shrinking to one feature across a stream restart
+    cannot land a second, incompatible schema in the same store."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        partial_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 3.0, None)],
+        "k string, x double, y double",
+    )
+    multi = partial_stats(df, ["k"], ["x", "y"])
+    single = partial_stats(df, ["k"], ["x"])
+    assert single.columns == multi.columns  # both have 'feature'
+    assert "feature" in single.columns
+    rows = {r["feature"]: r for r in single.collect()}
+    assert set(rows) == {"x"}
+    assert rows["x"]["n"] == 2 and rows["x"]["sum_value"] == 4.0
+    # scalar (string) form keeps the scalar schema
+    assert "feature" not in partial_stats(df, ["k"], "x").columns
+
+
 def test_streaming_cms_maintenance_matches_batch_sketch(spark, tmp_path):
     """CMS partials through the shared store machinery: replay
     idempotent, compaction-compatible, and the merged sketch equals
