@@ -178,6 +178,8 @@ HEADLINE = [
     "store_bitemporal",
     "mm_frame_samples",
     "text_lang_confusion",
+    "text_lang_id",
+    "sim_cosine_topk_auto",
 ]
 
 

@@ -1299,6 +1299,7 @@ def nb_classify(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "label",
+    token_mode: str = "word",
 ) -> DataFrame:
     """Multinomial Naive Bayes text classification — the model-based
     filtering stage of CCNet/fastText-style pipelines (score documents
@@ -1334,13 +1335,39 @@ def nb_classify(
     broadcast when the vocabulary is small, sort-merge at web scale;
     one final per-doc aggregation + window argmax. Nothing is ever
     driver-side.
+
+    ``token_mode`` selects the feature extractor, everything
+    downstream is shared: ``"word"`` (default — lowercase alpha
+    tokens, the source/domain-classifier shape) or ``"charN"`` for an
+    N (e.g. ``"char3"``) — overlapping character N-grams of the
+    normalized text (lowercased, non-alpha runs collapsed to one
+    space, trimmed), the CCNet/fastText LANGUAGE-ID feature: character
+    n-grams capture orthography and function-morphology without any
+    language-specific tokenizer. Both are single codegen expressions
+    (no UDF); both replay exactly in the SQL oracle.
     """
-    toks = F.filter(
-        F.split(
-            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "
-        ),
-        lambda x: x != "",
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
     )
+    if token_mode == "word":
+        toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    elif token_mode.startswith("char"):
+        n = int(token_mode[4:])
+        if n < 1:
+            raise ValueError(f"char n-gram size must be >= 1: {token_mode}")
+        # guard: sequence(1, 0) DESCENDS in Spark — short texts must
+        # yield an empty gram array, not [1, 0]-indexed garbage
+        toks = F.when(
+            F.length(norm) >= n,
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length(norm) - F.lit(n - 1)
+                ),
+                lambda i: F.substring(norm, i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        raise ValueError(f"Unknown token_mode {token_mode!r}")
 
     tr_tok = train.select(
         F.col(label_col).alias("__cls"), F.explode(toks).alias("__w")

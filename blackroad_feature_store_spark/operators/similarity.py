@@ -448,6 +448,76 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 200_000,
+    allow_approximate: bool = False,
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
+    nbits: int = 4,
+    hyperplanes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors with the execution strategy picked
+    automatically — the similarity-ladder mirror of
+    ``asof.py::as_of_join_auto`` (callers previously had to choose,
+    and the wrong pick is expensive in opposite directions).
+
+    Policy (measured, PLANS_r10.md):
+
+    * ``|Q| <= max_queries`` → :func:`cosine_topk_gemm`. Measured
+      against the crossJoin form at every (|Q|, |corpus|) point the
+      test data can produce — (1..1024 queries) × (2k..200k vectors,
+      d=64) — the BLAS path wins everywhere: the JVM per-pair
+      ``zip_with`` dot costs ~10-30× more per FLOP than dgemm, and a
+      single corpus-scan amortizes the Python-worker round trip even
+      for ONE query (0.9s vs 2.9s at |C|=200k). The crossJoin form
+      (:func:`cosine_topk`) remains available for zero-Python-worker
+      deployments, but it is never the speed pick.
+    * ``|Q| > max_queries`` → exact top-k would break the
+      queries-are-broadcastable contract every exact strategy shares
+      (the GEMM path would raise — same bound, enforced). With
+      ``allow_approximate=True`` the call degrades to a bucketed
+      tier — :func:`cosine_topk_ivf` when ``centroids`` are supplied
+      (the quality pick: trained lists + ``nprobe`` dial), else
+      :func:`cosine_topk_lsh` (index-free). Without the opt-in it
+      raises: approximate results must never silently replace exact
+      ones.
+
+    The |Q| probe is one COUNT over the query frame — a map-side
+    aggregate of the small side, never a scan of the corpus.
+    """
+    nq = queries.count()
+    if nq == 0:
+        raise ValueError("cosine_topk_auto: empty query frame")
+    if nq <= max_queries:
+        return cosine_topk_gemm(
+            corpus, queries, k, id_col, vec_col, query_id_col,
+            max_queries=max_queries,
+        )
+    if not allow_approximate:
+        raise ValueError(
+            f"cosine_topk_auto: {nq} queries exceed max_queries="
+            f"{max_queries}, the broadcast contract of every exact "
+            "strategy. Pass allow_approximate=True to degrade to the "
+            "IVF/LSH tier (supply centroids for IVF), or batch the "
+            "query frame."
+        )
+    if centroids is not None:
+        return cosine_topk_ivf(
+            corpus, queries, centroids, k, id_col, vec_col,
+            query_id_col, nprobe=nprobe,
+        )
+    return cosine_topk_lsh(
+        corpus, queries, k, id_col, vec_col, query_id_col,
+        nbits=nbits, hyperplanes=hyperplanes,
+    )
+
+
 def train_centroids(
     df: DataFrame,
     k: int = 16,

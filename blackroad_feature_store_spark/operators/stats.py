@@ -327,20 +327,30 @@ def cms_sketch(
     absence, not a frequency). ``weight_col`` makes it a weighted
     sketch (e.g. token counts per doc pre-aggregated upstream).
 
-    Scale shape: one narrow posexplode (depth rows per input row) into
-    ONE map-side-combined aggregation whose exchange is bounded by
-    depth × width cells per partition — input-size-independent
-    shuffle, the whole point of a sketch."""
+    Scale shape: weights are pre-aggregated per KEY first (map-side
+    combined, |distinct keys|-sized exchange), so the posexplode emits
+    depth rows per DISTINCT key — not per input row; on the skewed
+    corpora a frequency sketch exists for, that cuts the explode
+    volume by the key-duplication factor. The final cell aggregation's
+    exchange stays bounded by depth × width whatever the input
+    cardinality — the whole point of a sketch. (Construction is
+    unchanged: summing per-key then per-cell is the same integer sum,
+    so merged sketches remain bit-identical to the row-at-a-time
+    build.)"""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     w = F.col(weight_col) if weight_col else F.lit(1)
-    return (
+    per_key = (
         df.where(F.col(key_col).isNotNull())
-        .select(
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(F.sum(w).alias("__w"))
+    )
+    return (
+        per_key.select(
             F.posexplode(
-                _cms_cells(F.col(key_col), depth, width)
+                _cms_cells(F.col("__k"), depth, width)
             ).alias("row", "col"),
-            w.alias("__w"),
+            "__w",
         )
         .groupBy("row", "col")
         .agg(F.sum("__w").cast("long").alias("n"))

@@ -1342,6 +1342,45 @@ def sim_cosine_topk_gemm(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "sim_cosine_topk_auto",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+               {_SQL_COSINE} AS score
+        FROM q a CROSS JOIN embeddings b
+        WHERE b.vec_id != a.query_id)
+    SELECT query_id, neighbor_id, score,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """Auto-picked top-k (`operators/similarity.py::cosine_topk_auto`,
+    VERDICT r9 item 8 — the similarity-ladder mirror of
+    `as_of_join_auto`): |Q| within the broadcast contract selects the
+    measured-dominant exact GEMM path; past it the caller must opt
+    into the IVF/LSH tier. The oracle is the SAME SQL as
+    sim_cosine_topk, so the gate proves the auto pick lands on a
+    value-identical exact strategy. Pick boundaries are pytest-pinned
+    (`test_operators.py::test_cosine_topk_auto_pick_boundaries`)."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_auto,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_auto(emb, queries, k=5, query_id_col="query_id")
+
+
+@q(
     "dedup_embedding_lsh",
     f"""
     WITH bucketed AS (
@@ -1650,6 +1689,117 @@ def text_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Lang-ID confusion matrix vs the table's labeled lang."""
     prof = text_profile(spread(load(spark, sf, "documents"), "doc_id"))
     return prof.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "text_lang_id",
+    """
+    WITH train AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+        FROM documents WHERE doc_id % 5 < 2),
+    alldocs AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+        FROM documents),
+    tok AS (
+        SELECT doc_id, lang, substring(s, CAST(i AS INT), 3) AS w
+        FROM train, UNNEST(range(1, length(s) - 1)) AS u(i)
+        WHERE length(s) >= 3),
+    cw AS (SELECT lang AS cls, w, count(*) AS cw FROM tok GROUP BY 1, 2),
+    ct AS (SELECT lang AS cls, count(*) AS ct FROM tok GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS v FROM tok),
+    dc AS (SELECT lang AS cls, count(*) AS dc FROM train GROUP BY 1),
+    dt AS (SELECT count(*) AS dt FROM train),
+    classes AS (
+        SELECT ct.cls,
+               CAST(round(ln(dc.dc / CAST(dt.dt AS DOUBLE)), 4)
+                    AS DECIMAL(18,4)) AS prior,
+               CAST(round(ln(1.0 / CAST(ct.ct + v.v AS DOUBLE)), 4)
+                    AS DECIMAL(18,4)) AS floor_w
+        FROM ct JOIN dc ON ct.cls = dc.cls CROSS JOIN v CROSS JOIN dt),
+    weights AS (
+        SELECT cw.cls, cw.w,
+               CAST(round(ln((cw.cw + 1)
+                             / CAST(ct.ct + v.v AS DOUBLE)), 4)
+                    AS DECIMAL(18,4)) AS lw
+        FROM cw JOIN ct ON cw.cls = ct.cls CROSS JOIN v),
+    stok AS (
+        SELECT doc_id, substring(s, CAST(i AS INT), 3) AS w
+        FROM alldocs, UNNEST(range(1, length(s) - 1)) AS u(i)
+        WHERE length(s) >= 3),
+    toksum AS (
+        SELECT t.doc_id, c.cls,
+               sum(COALESCE(weights.lw, c.floor_w)) AS tok_sum,
+               count(*) AS n_tok
+        FROM stok t CROSS JOIN classes c
+        LEFT JOIN weights ON weights.w = t.w AND weights.cls = c.cls
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT d.doc_id, c.cls,
+               c.prior + COALESCE(ts.tok_sum,
+                                  CAST(0 AS DECIMAL(18,4))) AS score,
+               COALESCE(ts.n_tok, 0) AS n_tok
+        FROM alldocs d CROSS JOIN classes c
+        LEFT JOIN toksum ts
+          ON ts.doc_id = d.doc_id AND ts.cls = c.cls),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls ASC) AS rn,
+               lead(score) OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cls ASC) AS second
+        FROM scored)
+    SELECT r.doc_id, r.cls AS pred_lang,
+           CAST(r.score AS DOUBLE) AS score_top,
+           round(CAST(r.score - r.second AS DOUBLE), 6) AS margin,
+           CAST(r.n_tok AS BIGINT) AS n_grams,
+           (r.cls = d.lang) AS is_correct
+    FROM ranked r JOIN alldocs d USING (doc_id)
+    WHERE r.rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """MODEL-BASED language ID (VERDICT r9 "What's missing" #3 — the
+    CCNet-class upgrade over the `text_lang_confusion` n-gram
+    heuristic): train `operators/corpus.py::nb_classify` in
+    ``char3`` mode on the seeded labeled sample (doc_id % 5 < 2 with
+    the table's ``lang`` labels — a deterministic 40% split), then
+    score EVERY document by character-trigram Naive Bayes. Character
+    n-grams are the standard lang-ID feature — orthography and
+    function-morphology, no language-specific tokenizer — and NB's
+    train-and-score is two count aggregations, so the trained model
+    replays bit-for-bit in the oracle (4dp-quantized log weights,
+    exact-DECIMAL accumulation; same replay contract as
+    `pipeline_nb_source_classify`).
+
+    Note on accuracy here: the synthetic corpus draws every lang's
+    text from ONE shared token vocabulary, so the label carries no
+    textual signal and measured accuracy ≈ the majority prior by
+    construction. What this query certifies is the trained-model
+    replay; `tests/test_operators.py::test_nb_classify_char_mode`
+    pins real discriminative behavior on a corpus where languages
+    actually differ."""
+    from blackroad_feature_store_spark.operators.corpus import nb_classify
+
+    docs = spread(
+        load(spark, sf, "documents").select("doc_id", "text", "lang"),
+        "doc_id",
+    )
+    train = docs.where(F.col("doc_id") % 5 < 2).select(
+        "doc_id", "text", F.col("lang").alias("label")
+    )
+    pred = nb_classify(
+        train, docs.select("doc_id", "text"), token_mode="char3"
+    )
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("pred_label").alias("pred_lang"),
+        "score_top",
+        "margin",
+        F.col("n_tokens").cast("long").alias("n_grams"),
+        (F.col("pred_label") == F.col("lang")).alias("is_correct"),
+    )
 
 
 @q(

@@ -1628,6 +1628,63 @@ def test_cosine_topk_gemm_query_limit_enforced(spark):
     assert cosine_topk_gemm(corpus, queries.limit(2), k=2).count() == 4
 
 
+def test_cosine_topk_auto_pick_boundaries(spark):
+    """`cosine_topk_auto` pick boundaries (VERDICT r9 item 8):
+    within the broadcast contract -> the exact GEMM path
+    (MapInPandas in the plan, results == cosine_topk bit-for-bit);
+    past it -> ValueError without the approximate opt-in; with the
+    opt-in -> IVF when centroids are supplied, LSH otherwise — each
+    value-identical to calling that certified strategy directly."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_auto,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7) % 13) - 6.0, float((i * 3) % 11) - 5.0,
+              float((i * 5) % 9) - 4.0, 1.0])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.where(F.col("vec_id") < 6).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+
+    # exact tier: GEMM picked, plan + values pinned
+    auto = cosine_topk_auto(corpus, queries, k=3)
+    assert "MapInPandas" in auto._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert rows(auto) == rows(cosine_topk(corpus, queries, k=3))
+
+    # past the contract: refuse unless explicitly allowed to degrade
+    with pytest.raises(ValueError, match="allow_approximate"):
+        cosine_topk_auto(corpus, queries, k=3, max_queries=2)
+
+    # opt-in, no centroids -> LSH tier
+    lsh = cosine_topk_auto(
+        corpus, queries, k=3, max_queries=2, allow_approximate=True
+    )
+    assert "MapInPandas" not in lsh._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert rows(lsh) == rows(cosine_topk_lsh(corpus, queries, k=3))
+
+    # opt-in with centroids -> IVF tier
+    cents = corpus.where(F.col("vec_id").isin(0, 20)).selectExpr(
+        "CAST(vec_id AS INT) AS centroid_id", "embedding"
+    )
+    ivf = cosine_topk_auto(
+        corpus, queries, k=3, max_queries=2, allow_approximate=True,
+        centroids=cents, nprobe=2,
+    )
+    assert rows(ivf) == rows(
+        cosine_topk_ivf(corpus, queries, cents, k=3, nprobe=2)
+    )
+
+    with pytest.raises(ValueError, match="empty query frame"):
+        cosine_topk_auto(corpus, queries.where("query_id < 0"))
+
+
 # -- gapfill_locf ------------------------------------------------------------
 
 
@@ -2620,6 +2677,50 @@ def test_nb_classify_partition_order_invariant(spark):
         map(tuple, nb_classify(many, many.drop("label")).collect())
     )
     assert r1 == rn
+
+
+def test_nb_classify_char_mode(spark):
+    """``token_mode='char3'`` — the language-ID feature extractor:
+    overlapping character trigrams of the normalized text. Pins (a)
+    real discriminative behavior on languages that actually differ in
+    orthography, (b) the short-text guard (len < n must yield zero
+    grams, not a descending-sequence artifact), (c) n_tokens = the
+    trigram count len-2, (d) mode validation."""
+    import pytest
+
+    from blackroad_feature_store_spark.operators.corpus import nb_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "she sells sea shells by the sea shore", "en"),
+            (3, "le renard brun rapide saute par dessus le chien", "fr"),
+            (4, "elle vend des coquillages au bord de la mer", "fr"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    score = spark.createDataFrame(
+        [
+            (10, "the shore was quick and lazy"),
+            (11, "le bord de la mer est rapide"),
+            (12, "ab"),        # shorter than the gram: priors decide
+            (13, "Hello."),    # normalizes to 'hello' -> 3 trigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in nb_classify(train, score, token_mode="char3").collect()
+    }
+    assert got[10]["pred_label"] == "en"
+    assert got[11]["pred_label"] == "fr"
+    assert got[12]["n_tokens"] == 0 and got[12]["margin"] == 0.0
+    assert got[13]["n_tokens"] == 3  # hel, ell, llo
+
+    with pytest.raises(ValueError, match="token_mode"):
+        nb_classify(train, score, token_mode="bigram")
+    with pytest.raises(ValueError, match=">= 1"):
+        nb_classify(train, score, token_mode="char0")
 
 
 def test_split_sentences_segmentation(spark):

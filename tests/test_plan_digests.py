@@ -1,0 +1,82 @@
+"""Plan-digest regression wire (VERDICT r9 item 3).
+
+``PLANDIGESTS.json`` (written by ``tools/plan_digests.py``) pins a
+normalized physical-plan fingerprint for every catalog query. This
+test regenerates the digests for a WATCHED SUBSET — the keeper
+queries plus the four queries whose r9 bench drift cost a forensic
+session — in a subprocess (same session shape as the tool, so
+partition counts in Exchange nodes match) and fails if any digest
+moved without ``PLANDIGESTS.json`` being regenerated and committed
+alongside the change. That makes "plan changed vs machine changed" a
+one-line ``git diff`` answer instead of a re-measurement hunt.
+
+On digest mismatch: re-run ``python tools/plan_digests.py`` (full
+catalog), eyeball the ``ops`` diff of the moved queries, explain the
+movement in the round's PLANS file, and commit the regenerated json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WATCHED = [
+    # keepers: the signature execution path
+    "core_pit_join",
+    "core_asof_top1",
+    # the r9 drift watch-list (VERDICT r9 "What's wrong" #2)
+    "sim_cosine_topk_ivf",
+    "text_quality_profile",
+    "text_stats_by_source",
+    "mm_asset_metadata",
+    # a TPC-H classic: scan+agg shape, broad coverage for one plan
+    "tpch_q1_pricing",
+]
+
+
+def test_watched_plan_digests_match_committed(tmp_path):
+    committed_path = os.path.join(REPO, "PLANDIGESTS.json")
+    assert os.path.exists(committed_path), (
+        "PLANDIGESTS.json missing — run: python tools/plan_digests.py"
+    )
+    with open(committed_path) as f:
+        committed = json.load(f)
+
+    out = str(tmp_path / "digests.json")
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "plan_digests.py"),
+            "--sf",
+            "/root/testdata/sf0.1",
+            "--out",
+            out,
+            *WATCHED,
+        ],
+        check=True,
+        cwd=REPO,
+        capture_output=True,
+    )
+    with open(out) as f:
+        fresh = json.load(f)
+
+    moved = {}
+    for name in WATCHED:
+        assert name in committed, f"{name} absent from PLANDIGESTS.json"
+        if fresh[name]["digest"] != committed[name]["digest"]:
+            moved[name] = {
+                "committed": committed[name],
+                "fresh": fresh[name],
+            }
+    assert not moved, (
+        "physical plan changed for watched queries without regenerating "
+        "PLANDIGESTS.json — run `python tools/plan_digests.py`, explain "
+        f"the movement in PLANS_r*.md, commit the json. Moved: "
+        f"{json.dumps(moved, indent=1)}"
+    )
