@@ -317,6 +317,32 @@ def main() -> None:
                 name: round(r / machine_factor, 2)
                 for name, r in out["vs_baseline"].items()
             }
+    # ---- calibrated pin (VERDICT r9 item 1) ----
+    # The r2 pin predates the calibration harness, so machine drift
+    # since r2 is invisible to machine_factor (which normalizes to the
+    # r9 CAL_REF, not to r2's unknown machine state). BASELINE_r10.json
+    # re-pins every query TOGETHER WITH the calibration probes measured
+    # at pin time; "vs_pin" divides each raw ratio by the pin-relative
+    # machine factor, so a future judge reads plan regressions directly
+    # at any machine state. Policy in BASELINE.md.
+    pin_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_r10.json"
+    )
+    if os.path.exists(pin_path) and sf == 0.1:
+        with open(pin_path) as f:
+            pin = json.load(f)
+        pin_cal = pin.get("calibration", {}).get("spark_fixed", 0)
+        pin_factor = (
+            round(calibration["spark_fixed"] / pin_cal, 3)
+            if pin_cal > 0
+            else 1.0
+        )
+        out["pin_factor"] = pin_factor
+        out["vs_pin"] = {
+            name: round(t / pin["queries"][name] / pin_factor, 2)
+            for name, t in timings.items()
+            if pin["queries"].get(name, 0) > 0
+        }
     # The driver's BENCH_r*.json artifact keeps only the tail of stdout,
     # which truncates the head of a ~3 KB JSON line once the headline set
     # grew past ~30 queries. Persist the full result into the repo (the

@@ -7584,67 +7584,59 @@ _GATE_PRIORITY: list[str] = [
     # -- divergence canary: literal-valued probe of every construct
     # the oracle layer has ever disagreed on --
     "core_oracle_canary",
-    # -- r8 rotation: the final never-driver-certified queries (all
-    # local-replica green at two SFs). Certifying these clears the
-    # catalog's entire certification debt. --
-    "pipeline_dsir_select",
-    "pipeline_weighted_sample",
-    "pipeline_cluster_split",
-    "pipeline_split_leakage",
-    "pipeline_gopher_rules",
-    "text_bigram_logprob",
-    "text_hash_embedding_profile",
-    "source_orc_roundtrip",
-    "source_text_roundtrip",
-    "stats_hll_distinct",
-    "store_changes_deletes",
-    "mm_dhash_pairs",
-    "sim_cosine_topk_gemm",
-    "core_pit_join_pandas",
-    "stream_exec_sessionize_et",
-    # rows-only-by-design shape checks (uuid / current-timestamp) —
-    # in-window so they hold driver rows too, even if weaker.
-    "core_uuid_shape",
-    "core_current_ts_shape",
-    # -- re-certifications --
-    # q9: the '%green%' filter matched zero synthetic parts, so its r7
-    # green row certified nothing; re-certify non-vacuously on '%red%'.
-    "tpch_q9_product_profit",
-    # minhash: r7 rewrote the signature construction (K-M double
-    # hashing, r=2 banding) on both engines AFTER its last green row
-    # (r05) — advisor flagged the new construction as unattested.
-    "dedup_minhash_pairs",
-    # -- r9 new capability --
-    "pipeline_sentence_chunks",
-    "pipeline_sentence_dedup",
-    "pipeline_sentence_windows",
-    "source_xml_roundtrip",
-    "stream_exec_incremental_stats",
-    "stream_exec_drift_monitor",
-    "stream_exec_enrich_pit",
-    "pipeline_data_expectations",
-    "sim_hard_negatives",
-    "pipeline_normalize_text",
-    "stats_cms_heavy_hitters",
-    "stats_histogram_quantiles",
-    # -- ballast: proven-green rows filling the 50-slot window, biased
-    # toward the queries whose execution paths r7/r8 touched
-    # (spread() guard, stateful drains, LSH-downstream family) --
-    "dedup_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_canonical",
-    "dedup_semantic",
-    "dedup_incremental",
-    "pipeline_decontaminate",
-    "pipeline_pack_sequences",
-    "pipeline_chunks",
-    "dedup_embedding",
-    "pipeline_nb_source_classify",
-    "stream_exec_neardup",
-    "dedup_embedding_lsh",
-    "stream_exec_interval_join",
-    "dedup_skewed_pairs",
+    # -- r10 new capability --
+    "text_lang_id",
+    "sim_cosine_topk_auto",
+    # -- r10 changed execution paths (every query whose code moved
+    # this round re-certifies) --
+    "pipeline_data_expectations",      # empty-input coalesce
+    "stream_exec_incremental_stats",   # compact clamp + list schema
+    "stream_exec_drift_monitor",       # shared store machinery
+    "stats_cms_heavy_hitters",         # per-key pre-aggregation
+    "pipeline_nb_source_classify",     # tokenizer refactor (word path)
+    # -- ballast biased toward the OLDEST green rows: first the eleven
+    # rotated out in r9 (green rows from r2-r5), then r2-green
+    # classics none of which has re-certified since — including the
+    # four perf watch-list queries from VERDICT r9 --
+    "core_gapfill_interp",
+    "core_gapfill_locf",
+    "core_asof_forward_label",
+    "core_bucketed_join",
+    "text_bm25_search",
+    "pipeline_train_split",
+    "pipeline_balanced_sample",
+    "pipeline_blocklist",
+    "pipeline_span_removal",
+    "pipeline_dup_spans",
+    "text_pii_redaction",
+    "sim_cosine_topk_ivf",
+    "text_quality_profile",
+    "text_stats_by_source",
+    "mm_asset_metadata",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "core_group_stats",
+    "core_events_hourly",
+    "core_sessionize",
+    "core_running_total",
+    "core_window_funcs",
+    "core_pivot",
+    "core_scan_filter_project",
+    "core_dim_join_ordered",
+    "core_point_lookup",
+    "core_json_values",
+    "core_string_fns",
+    "dedup_exact",
+    "text_top_tokens",
+    "pipeline_clean_corpus",
+    "core_approx_distinct",
+    "core_range_join",
+    "core_percentiles",
+    "core_rolling_range",
+    "core_salted_join",
+    "core_cube",
+    "stream_windowed_counts",
 ]
 
 

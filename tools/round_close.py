@@ -159,6 +159,112 @@ def vacuity_audit() -> int:
     return hits
 
 
+TOTALS_BEGIN = "<!-- TOTALS:BEGIN autogenerated by tools/round_close.py — do not hand-edit -->"
+TOTALS_END = "<!-- TOTALS:END -->"
+
+
+def regen_coverage_totals(round_no: int) -> int:
+    """Regenerate COVERAGE.md's current-round totals paragraph FROM
+    ARTIFACTS (VERDICT r9 "What's wrong" #1: the r9 prose said "ALL 28
+    ratios < 1.0" while the final BENCH_FULL.json recorded three above
+    1.0 — hand-written totals drift from the artifacts they cite).
+    Sources: ``__spark_entry__`` for catalog counts, ``BENCH_FULL
+    .json`` for every bench number, ``pytest --collect-only`` for the
+    test count, the newest ``CORRECTNESS_r*.json`` for the driver-gate
+    summary. The paragraph lands between TOTALS markers; prose there
+    can never contradict the artifact because it IS the artifact."""
+    import glob
+    import json
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    n_queries = len(entrymod.queries())
+    n_oracle = len(entrymod.oracle_sql())
+
+    p = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    m = re.search(r"(\d+) tests collected", p.stdout)
+    n_tests = int(m.group(1)) if m else 0
+
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
+        bench = json.load(f)
+    vs = bench.get("vs_baseline", {})
+    ratios = sorted(vs.values())
+    over = {k: v for k, v in vs.items() if v >= 1.0}
+    bench_bits = (
+        f"{len(bench['queries'])} queries {bench['value']}s at "
+        f"sf{bench['sf']} on local[32]"
+    )
+    if bench.get("machine_factor") is not None:
+        bench_bits += f", machine_factor {bench['machine_factor']}"
+    if ratios:
+        mean = sum(ratios) / len(ratios)
+        ratio_bits = (
+            f"{len(ratios)} baseline-comparable raw ratios: mean "
+            f"{mean:.2f}, max {max(ratios):.2f}, "
+        )
+        ratio_bits += (
+            f"{len(over)} at/above 1.0 ({', '.join(f'{k} {v}' for k, v in sorted(over.items()))})"
+            if over else "all below 1.0"
+        )
+    else:
+        ratio_bits = "no baseline comparison in this run (sf != 0.1)"
+
+    gate_bits = ""
+    gates = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if gates:
+        with open(gates[-1]) as f:
+            g = json.load(f)
+        ok = sum(1 for v in g.values() if v.get("hash_match"))
+        # rows-only-by-design entries carry err="no_oracle" and a
+        # spark row count, with every match field null
+        rows_only = sum(
+            1 for v in g.values()
+            if v.get("err") == "no_oracle"
+            and (v.get("spark_rows") or 0) > 0
+        )
+        fail = len(g) - ok - rows_only
+        gate_bits = (
+            f" Newest driver gate ({os.path.basename(gates[-1])}): "
+            f"{ok} hash-pass / {fail} fail / {rows_only} rows-only "
+            f"of {len(g)}."
+        )
+
+    para = (
+        f"{TOTALS_BEGIN}\n"
+        f"Totals (round {round_no}, artifact-derived): "
+        f"**{n_queries} catalog queries — {n_oracle} oracle-checked "
+        f"(row count + schema + value hash vs DuckDB) and "
+        f"{n_queries - n_oracle} rows-only by design; {n_tests} pytest "
+        f"tests collected**.{gate_bits} Bench (`BENCH_FULL.json`): "
+        f"{bench_bits}; {ratio_bits}.\n"
+        f"{TOTALS_END}"
+    )
+
+    cov_path = os.path.join(REPO, "COVERAGE.md")
+    with open(cov_path) as f:
+        text = f.read()
+    if TOTALS_BEGIN in text:
+        pre, rest = text.split(TOTALS_BEGIN, 1)
+        _, post = rest.split(TOTALS_END, 1)
+        text = pre + para + post
+    else:
+        # first run: insert above the newest hand-written totals block
+        anchor = re.search(r"^Totals \(round \d+\):", text, re.M)
+        if anchor:
+            i = anchor.start()
+            text = text[:i] + para + "\n\n" + text[i:]
+        else:
+            text += "\n" + para + "\n"
+    with open(cov_path, "w") as f:
+        f.write(text)
+    print(f"coverage totals: regenerated for round {round_no}")
+    return 0
+
+
 def run(desc: str, cmd: list[str]) -> int:
     print(f"== {desc}: {' '.join(cmd)}", flush=True)
     p = subprocess.run(cmd, cwd=REPO)
@@ -169,7 +275,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="also run the oracle replica at two SFs")
+    ap.add_argument("--totals", type=int, metavar="ROUND",
+                    help="regenerate COVERAGE.md totals from artifacts "
+                         "for the given round number")
     args = ap.parse_args()
+
+    if args.totals is not None:
+        return regen_coverage_totals(args.totals)
 
     failures: list[str] = []
     if run("ANSI sweep", [sys.executable, "tests/ansi_sweep.py"]) != 0:
