@@ -180,6 +180,7 @@ HEADLINE = [
     "text_lang_confusion",
     "text_lang_id",
     "sim_cosine_topk_auto",
+    "dedup_winnow_pairs",
 ]
 
 

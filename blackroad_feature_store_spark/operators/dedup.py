@@ -200,6 +200,143 @@ def minhash_candidate_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints — the rolling-hash selection of
+    Schleimer/Wilkerson/Aiken (SIGMOD '03, the MOSS algorithm), the
+    substring-level fingerprint the shingle families here don't give:
+    any shared substring of length >= ``k + window - 1`` between two
+    documents is GUARANTEED to share at least one fingerprint (the
+    winnowing coverage theorem), which token shingles cannot promise
+    across tokenization boundaries.
+
+    Construction (engine-portable, same md5/hex→int arithmetic as the
+    minhash family): normalize (lowercase, whitespace runs → one
+    space, trim), hash every character ``k``-gram to a 56-bit int,
+    slide a ``window``-wide window over the hash sequence and keep the
+    window MINIMUM; a document's fingerprint set is the DISTINCT
+    minima. Documents with fewer than ``k + window - 1`` normalized
+    characters have no complete window and emit nothing. Returns
+    (id, fingerprint:long), exploded.
+
+    Plan shape at 100 TB: the whole selection is ONE codegen
+    projection per row — two nested ``transform``s over ``sequence``
+    (no UDF, no shuffle); only the winnowed minima (a ~1/window
+    density sample of the grams, deduplicated) ever leave the row.
+    Expression work is O(len · window) per document — window is a
+    small constant (4–8 in practice).
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    empty = F.array().cast("array<long>")
+
+    # Evaluation discipline: the normalized string and the gram-hash
+    # array are LET-BOUND as lambda variables via the
+    # ``element_at(transform(array(x), v -> body), 1)`` idiom, which
+    # guarantees single evaluation. Staging them as projection
+    # columns instead lets CollapseProject inline the O(len) hash
+    # build into the per-window lambda — O(len²) md5 calls per
+    # document (measured: 21.5s -> ~1s over 5k docs × 300 chars).
+    def _windows(h):  # h: let-bound gram-hash array
+        n_w = F.size(h) - F.lit(window - 1)
+        # guard: sequence(1, 0) DESCENDS — short docs must yield []
+        return F.when(
+            n_w >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_w),
+                    lambda j: F.array_min(F.slice(h, j, F.lit(window))),
+                )
+            ),
+        ).otherwise(empty)
+
+    def _hashes(s):  # s: let-bound normalized text
+        n_g = F.length(s) - F.lit(k - 1)
+        return F.when(
+            n_g >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_g),
+                lambda i: F.conv(
+                    F.substring(F.md5(s.substr(i, F.lit(k))), 1, 14),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(empty)
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    fps = F.element_at(
+        F.transform(
+            F.array(norm),
+            lambda s: F.element_at(
+                F.transform(F.array(_hashes(s)), _windows), 1
+            ),
+        ),
+        1,
+    )
+    return df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED winnowing fingerprints —
+    plagiarism/substring-overlap detection: (id_a, id_b, n_shared)
+    for pairs sharing >= ``min_shared`` fingerprints, a < b.
+
+    Same bucket-bounded scale discipline as the LSH family, but ONE
+    fingerprint pass instead of a three-way self-join plan: ids are
+    collected per fingerprint (one exchange — the expensive codegen
+    fingerprint projection runs exactly once), ``max_bucket`` retires
+    "stop fingerprints" (boilerplate substrings shared by more than
+    ``max_bucket`` documents — the analogue of stopword removal, and
+    what keeps pair volume linear on skewed corpora), and each
+    surviving bucket expands its <= C(max_bucket, 2) pairs IN
+    EXPRESSION (nested transform over the sorted id list). Measured
+    ~2× faster than the three-scan self-join form at sf0.1 (11.0s →
+    5.1s under identical load), identical output.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    buckets = fps.groupBy("fingerprint").agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ids")
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("__ids") <= max_bucket)
+    ids = F.col("__ids")
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(
+                        x.alias("id_a"), y.alias("id_b")
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        buckets.select(pairs.alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

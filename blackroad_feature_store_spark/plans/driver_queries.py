@@ -1173,6 +1173,58 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_winnow_pairs",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               list_transform(range(1, length(s) - 8 + 2),
+                   i -> CAST('0x' || substr(md5(substring(
+                            s, CAST(i AS INT), 8)), 1, 14) AS BIGINT)
+               ) AS hs
+        FROM norm),
+    fp0 AS (
+        SELECT DISTINCT doc_id,
+               list_min(list_slice(hs, CAST(j AS INT),
+                                   CAST(j + 4 - 1 AS INT))) AS fingerprint
+        FROM h, UNNEST(range(1, len(hs) - 4 + 2)) AS u(j)),
+    kept AS (
+        SELECT fingerprint FROM fp0
+        GROUP BY 1 HAVING count(*) <= 50),
+    fp AS (SELECT fp0.* FROM fp0 JOIN kept USING (fingerprint)),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 8
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs
+    (`operators/dedup.py::{winnow_fingerprints,winnow_pairs}` —
+    Schleimer/Wilkerson/Aiken rolling-hash selection, the MOSS
+    algorithm): character-level substring overlap detection with the
+    coverage guarantee token shingles can't give (any shared
+    substring >= k+window-1 chars shares a fingerprint). Selection is
+    one codegen projection per row (two nested transform/sequence
+    expressions, no UDF); pairs come from the bucketed fingerprint
+    self-join with the same max_bucket stop-fingerprint cap as the
+    LSH family. The oracle replays the identical md5/hex→int/min
+    arithmetic, so even hash collisions must agree."""
+    from blackroad_feature_store_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        spread(load(spark, sf, "documents"), "doc_id"),
+        k=8, window=4, min_shared=8, max_bucket=50,
+    )
+
+
+@q(
     "dedup_jaccard",
     _SQL_MINHASH_PAIRS
     + """,
@@ -7587,6 +7639,7 @@ _GATE_PRIORITY: list[str] = [
     # -- r10 new capability --
     "text_lang_id",
     "sim_cosine_topk_auto",
+    "dedup_winnow_pairs",
     # -- r10 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "pipeline_data_expectations",      # empty-input coalesce
@@ -7636,7 +7689,6 @@ _GATE_PRIORITY: list[str] = [
     "core_rolling_range",
     "core_salted_join",
     "core_cube",
-    "stream_windowed_counts",
 ]
 
 

@@ -2679,6 +2679,65 @@ def test_nb_classify_partition_order_invariant(spark):
     assert r1 == rn
 
 
+def test_winnow_fingerprints_and_pairs(spark):
+    """Winnowing fingerprints (dedup.py::winnow_fingerprints/
+    winnow_pairs): matches an independent pure-Python model
+    hash-for-hash, honors the coverage guarantee (docs sharing a
+    substring >= k+window-1 chars share a fingerprint), drops
+    too-short docs, and the pair generator applies min_shared and the
+    stop-fingerprint cap."""
+    import hashlib
+
+    from blackroad_feature_store_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    k, w = 4, 3
+    shared = "the common phrase lives here"
+
+    def model(text):
+        s = " ".join(text.lower().split())
+        hs = [
+            int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:14], 16)
+            for i in range(len(s) - k + 1)
+        ]
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    rows = [
+        (1, f"Alpha doc:   {shared} and more alpha text"),
+        (2, f"totally different beta {shared} trailing"),
+        (3, "unrelated gamma content with no overlap at all"),
+        (4, "xy"),  # shorter than k: no grams, no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for doc_id, text in rows:
+        expect = model(text) if len(" ".join(text.lower().split())) >= k + w - 1 else set()
+        assert got.get(doc_id, set()) == expect, doc_id
+    assert 4 not in got
+    # coverage guarantee: 1 and 2 share a >= k+w-1 substring
+    assert got[1] & got[2]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_pairs(df, k=k, window=w, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] == len(got[1] & got[2])
+    # min_shared filters weak overlaps
+    strong = winnow_pairs(df, k=k, window=w, min_shared=10**6).count()
+    assert strong == 0
+    # a max_bucket of 1 retires every shared fingerprint -> no pairs
+    assert winnow_pairs(df, k=k, window=w, min_shared=1, max_bucket=1).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 1"):
+        winnow_fingerprints(df, k=0)
+
+
 def test_nb_classify_char_mode(spark):
     """``token_mode='char3'`` — the language-ID feature extractor:
     overlapping character trigrams of the normalized text. Pins (a)

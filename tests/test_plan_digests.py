@@ -40,6 +40,23 @@ WATCHED = [
 ]
 
 
+def test_plan_digest_file_covers_whole_catalog():
+    """PLANDIGESTS.json must have a non-error digest for EVERY
+    catalog query — a query added without regenerating the file
+    would silently escape the plan watch."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    with open(os.path.join(REPO, "PLANDIGESTS.json")) as f:
+        digests = json.load(f)
+    missing = [n for n in entrymod.queries() if n not in digests]
+    broken = [n for n, v in digests.items() if not v.get("digest")]
+    stale = [n for n in digests if n not in entrymod.queries()]
+    assert not missing, f"queries without a plan digest: {missing}"
+    assert not broken, f"digest errors recorded: {broken}"
+    assert not stale, f"digests for removed queries: {stale}"
+
+
 def test_watched_plan_digests_match_committed(tmp_path):
     committed_path = os.path.join(REPO, "PLANDIGESTS.json")
     assert os.path.exists(committed_path), (

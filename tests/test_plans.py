@@ -222,6 +222,8 @@ _BNLJ_WHITELIST = {
     # doc total) and the #classes-row class dimension — all bounded at
     # any corpus size; the token-weight join itself is an equi-join
     "pipeline_nb_source_classify",
+    # same NB machinery in char3 mode — identical bounded crossJoins
+    "text_lang_id",
 }
 
 # stream_exec_* queries EXECUTE a stream inside the callable and
