@@ -52,7 +52,7 @@ def test_streaming_ingest_then_asof_read(spark, tmp_path, streaming_store):
         checkpoint=str(tmp_path / "ckpt"),
         trigger_available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
 
     # latest snapshot (the one with the NULL) decodes cleanly
     latest = fs.get_features(g.id, "u1")
@@ -103,7 +103,7 @@ def test_streaming_ingest_refreshes_rollup_per_batch(
         trigger_available_now=True,
         refresh_rollup="live",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     # The rollup was advanced inside the stream's foreachBatch — it is
     # already fresh WITHOUT any post-hoc refresh call.
     got = {
@@ -152,7 +152,7 @@ def test_windowed_counts_streaming_plan(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     rows = {
         (r["event_type"], r["window"]["start"].isoformat()): (
             r["n"],
@@ -238,7 +238,7 @@ def test_streaming_dedup_first_seen_wins(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     rows = spark.sql("SELECT * FROM dedup_out").collect()
     assert len(rows) == 2
     kept_texts = {r["text"].lower().replace("   ", " ") for r in rows}
@@ -271,7 +271,7 @@ def test_streaming_sink_replay_guard(spark, tmp_path, streaming_store):
         entity_col="user_id", ts_col="ts", value_cols=["clicks", "city"],
         checkpoint=str(tmp_path / "ckpt"), trigger_available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     assert fs.records_df(g.id).count() == 1
 
     stream_id = str(tmp_path / "ckpt")
@@ -337,7 +337,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     rows = spark.sql("SELECT * FROM ss_join_out").collect()
     assert [(r["user"], r["ad"]) for r in rows] == [("u1", "ad_a")]
 
@@ -389,7 +389,7 @@ def test_materialize_windowed_features_asof_visible(spark, tmp_path):
         window_duration="1 hour", watermark="30 minutes",
         trigger_available_now=True,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "drain did not finish"
 
     # The 00:00 click window (2 events, sum 3.0) is a feature snapshot
     # timestamped at window end 01:00 — visible to as-of reads at/after
@@ -435,7 +435,7 @@ def test_stream_static_feature_enrichment(spark, tmp_path, streaming_store):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     rows = {r["user"]: r for r in spark.sql(
         "SELECT * FROM enriched_out").collect()}
     # Latest snapshot wins; JSON-encoded cell values come back verbatim.
@@ -466,7 +466,7 @@ def test_enrichment_as_of_string_pins_snapshot(spark, tmp_path, streaming_store)
         out.writeStream.format("memory").queryName("enrich_asof")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     row = spark.sql("SELECT * FROM enrich_asof").collect()[0]
     assert row["feature_clicks"] == "5"  # pinned before the Feb update
 
@@ -549,7 +549,7 @@ def test_observe_quality_metrics_per_microbatch(spark, tmp_path):
         )
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     # Collect observed metrics across all progress reports.
     metrics = {}
     for p in q.recentProgress:
@@ -602,7 +602,7 @@ def test_streaming_ingest_auto_compacts_over_threshold(
         trigger_available_now=True,
         auto_compact_max_files=3,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     files = set(fs.records_df(g.id).inputFiles())
     # 6 single-row commits with threshold 3: the loop compacted at
     # least once, so live files ≪ commits.
@@ -668,7 +668,12 @@ def test_stream_stream_interval_join_left_outer_emits_after_watermark(
         .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
         .start()
     )
-    q.awaitTermination(180)
+    # generous bound: under full-suite CPU contention the multi-batch
+    # drain has been observed to exceed 180s; an expired timeout here
+    # reads the memory sink HALF-FILLED and fails on missing rows —
+    # assert the drain actually finished so a timeout is a clear
+    # failure, not a phantom correctness one
+    assert q.awaitTermination(600), "availableNow drain did not finish"
     rows = {
         r["user"]: r for r in spark.sql("SELECT * FROM ss_lojoin_out").collect()
     }
@@ -706,7 +711,7 @@ def test_streaming_ingest_enforces_check_constraints(
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="clicks_nonneg"):
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "drain did not finish"
         if q.exception() is not None:
             raise q.exception()
     assert fs.records_df(g.id).count() == 0  # nothing landed
@@ -760,7 +765,7 @@ def test_sessionize_event_time_timeout_closes_by_watermark(
     )
     # Unlike processing-time timers, event-time timeouts never schedule
     # wall-clock batches: availableNow terminates on its own.
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     rows = spark.sql(
         "SELECT * FROM sess_et_out ORDER BY user_id, session_start"
     ).collect()
@@ -823,7 +828,7 @@ def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
         checkpoint=str(tmp_path / "nd_ckpt"),
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
 
     got = {
         (r["id_a"], r["id_b"])
@@ -948,7 +953,7 @@ def test_streaming_neardup_checkpoint_restart_recovery(spark, tmp_path):
         read_stream(), ref_sigs, ref_pairs,
         checkpoint=str(tmp_path / "ref_ckpt"), available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     assert not q.isActive
 
     # --- crashed run: process batch 1 FULLY, then die pre-commit ---
@@ -970,7 +975,7 @@ def test_streaming_neardup_checkpoint_restart_recovery(spark, tmp_path):
         .start()
     )
     try:
-        qc.awaitTermination(120)
+        qc.awaitTermination(600)
     except Exception:
         pass  # StreamingQueryException — the simulated crash
     assert qc.exception() is not None
@@ -984,7 +989,7 @@ def test_streaming_neardup_checkpoint_restart_recovery(spark, tmp_path):
     qr = start_neardup_stream(
         read_stream(), sigs, pairs, checkpoint=ckpt, available_now=True
     )
-    qr.awaitTermination(120)
+    assert qr.awaitTermination(600), "drain did not finish"
     assert qr.exception() is None
 
     def snap(path):
@@ -1122,7 +1127,7 @@ def test_streaming_stats_checkpoint_restart_recovery(spark, tmp_path):
         read_stream(), ref_store, str(tmp_path / "ref_ckpt"),
         ["event_type"], "value", available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain did not finish"
     assert q.exception() is None
 
     store = str(tmp_path / "stats")
@@ -1142,7 +1147,7 @@ def test_streaming_stats_checkpoint_restart_recovery(spark, tmp_path):
         .start()
     )
     try:
-        qc.awaitTermination(120)
+        qc.awaitTermination(600)
     except Exception:
         pass
     assert qc.exception() is not None
@@ -1151,7 +1156,7 @@ def test_streaming_stats_checkpoint_restart_recovery(spark, tmp_path):
         read_stream(), store, ckpt, ["event_type"], "value",
         available_now=True,
     )
-    qr.awaitTermination(120)
+    assert qr.awaitTermination(600), "drain did not finish"
     assert qr.exception() is None
 
     assert sorted(
