@@ -1416,20 +1416,33 @@ def nb_classify(
     )
 
     # (doc, word, tf) before the #classes fan-out: the weight join and
-    # class replication run on term-frequency rows, not raw tokens
+    # class replication run on term-frequency rows, not raw tokens.
+    # The join itself runs ONCE per (doc, word) against a per-word
+    # class→weight MAP (vocab-bounded, broadcastable) — replicating by
+    # class BEFORE the join would push #classes× the rows through it;
+    # instead the class fan-out is a narrow post-join crossJoin with
+    # the tiny class dimension, and each cell reads its weight from
+    # the map (floor when the class never saw the word).
     sc_cnt = (
         score.select(F.col(id_col), F.explode(toks).alias("__w"))
         .groupBy(id_col, "__w")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    weights_by_word = weights.groupBy("__w").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__cls", "__lw"))
+        ).alias("__m")
+    )
     tok_scores = (
-        sc_cnt.join(F.broadcast(classes.select("__cls", "__floor")))
-        .join(weights, ["__w", "__cls"], "left")
+        sc_cnt.join(weights_by_word, "__w", "left")
+        .join(F.broadcast(classes.select("__cls", "__floor")))
         .groupBy(id_col, "__cls")
         .agg(
             F.sum(
                 F.col("__tf")
-                * F.coalesce(F.col("__lw"), F.col("__floor"))
+                * F.coalesce(
+                    F.element_at("__m", F.col("__cls")), F.col("__floor")
+                )
             ).alias("__tok_sum"),
             F.sum("__tf").alias("__n_tok"),
         )
