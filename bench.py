@@ -181,6 +181,7 @@ HEADLINE = [
     "text_lang_id",
     "sim_cosine_topk_auto",
     "dedup_winnow_pairs",
+    "sim_cosine_topk_ivfpq",
 ]
 
 

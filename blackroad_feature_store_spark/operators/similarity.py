@@ -807,6 +807,132 @@ def cosine_topk_pq(
     )
 
 
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """FAISS-style **IVFADC**: the composition of the two scale dials
+    this ladder already certifies separately — IVF inverted lists
+    (:func:`ivf_assign`, scan ~nprobe/K of the corpus per query) over
+    PQ-compressed vectors (:func:`pq_encode`, ~m bytes/vector resident
+    instead of d floats), scored by asymmetric distance (per-query
+    lookup table, m additions per candidate), with exact re-rank of
+    the ``rerank·k`` survivors from raw vectors. This is the shape a
+    billion-vector corpus actually deploys: neither full-corpus ADC
+    (:func:`cosine_topk_pq`) nor raw-vector lists
+    (:func:`cosine_topk_ivf`) alone survives 100 TB of embeddings.
+
+    Cross-engine determinism: ADC partials are quantized to
+    DECIMAL(18,9) BEFORE the per-candidate sum, so the approx ranking
+    (and therefore the candidate cut at ``rerank·k``) is
+    order-independent and replays exactly in a SQL oracle — the same
+    quantize-then-exact-accumulate contract as the NB classifier.
+    (FAISS sums raw floats; at 9 decimals the quantization is far
+    below any meaningful ADC resolution.) Output shape matches
+    :func:`cosine_topk` with exact rounded-cosine scores.
+
+    With ``nprobe >= |centroids|`` and ``rerank·k >= |corpus|`` the
+    result equals brute force EXACTLY (pytest-pinned) — the dials
+    trade recall for cost, never correctness of what they keep.
+    """
+    m, sub_d = _pq_meta(codebooks)
+    corp = corpus.select(F.col(id_col), F.col(vec_col))
+    assigned = ivf_assign(corp, centroids, id_col, vec_col)
+    codes = pq_encode(corp, codebooks, id_col, vec_col, _meta=(m, sub_d))
+    cc = codes.join(assigned.select(id_col, "centroid_id"), id_col).select(
+        F.col(id_col),
+        "centroid_id",
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+
+    qn = queries.select(
+        F.col(query_id_col).alias("__qid"), _unit(vec_col).alias("__qv")
+    )
+    _check_pq_dim(qn, "__qv", m, sub_d, "query vector")
+
+    # probes: identical arithmetic to cosine_topk_ivf (rounded cosine
+    # on the RAW query vector, centroid-id tiebreak)
+    cq = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+        ).withColumn("__cnorm", norm(F.col("__cvec")))
+    )
+    qraw = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    probe_w = Window.partitionBy("__qid").orderBy(
+        F.round(
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ).desc(),
+        F.col("__cid").asc(),
+    )
+    probes = F.broadcast(
+        qraw.crossJoin(cq)
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .where(F.col("__rn") <= nprobe)
+        .select("__qid", F.col("__cid").alias("centroid_id"))
+    )
+
+    # ADC lookup table: |Q|·m·k rows, broadcast; DECIMAL partials
+    qtab = F.broadcast(
+        _pq_subvectors(qn, "__qid", F.col("__qv"), m, sub_d)
+        .join(F.broadcast(codebooks), "subspace")
+        .select(
+            "__qid",
+            "subspace",
+            "code",
+            F.round(dot(F.col("__sub"), F.col("codeword")), 9)
+            .cast("decimal(18,9)")
+            .alias("__part"),
+        )
+    )
+    approx = (
+        cc.join(probes, "centroid_id")
+        .where(F.col(id_col) != F.col("__qid"))
+        .join(qtab, ["__qid", "subspace", "code"])
+        .groupBy("__qid", id_col)
+        .agg(F.sum("__part").alias("__approx"))
+    )
+    cand_w = Window.partitionBy("__qid").orderBy(
+        F.col("__approx").desc(), F.col(id_col).asc()
+    )
+    cands = (
+        approx.withColumn("__crn", F.row_number().over(cand_w))
+        .where(F.col("__crn") <= rerank * k)
+        .select("__qid", id_col)
+    )
+    exact = (
+        cands.join(
+            corpus.select(F.col(id_col), _unit(vec_col).alias("__cv")),
+            id_col,
+        )
+        .join(F.broadcast(qn), "__qid")
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dot(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_gemm(
     corpus: DataFrame,
     queries: DataFrame,

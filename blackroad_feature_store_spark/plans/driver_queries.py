@@ -2979,6 +2979,134 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "sim_cosine_topk_ivfpq",
+    f"""
+    WITH corp AS (SELECT vec_id, embedding FROM embeddings),
+    cents AS (SELECT vec_id AS cid, embedding AS cvec
+              FROM embeddings WHERE vec_id < 16),
+    u AS (SELECT vec_id,
+            CASE WHEN nrm = 0
+                 THEN list_transform(embedding, x -> x::DOUBLE)
+                 ELSE list_transform(embedding, x -> x::DOUBLE / nrm)
+            END AS uv
+          FROM (SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(
+                      embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM corp)),
+    subsp AS (SELECT unnest(range(0, 4)) AS s),
+    cb AS (SELECT subsp.s AS subspace, CAST(u.vec_id AS INT) AS code,
+                  list_slice(u.uv, subsp.s*16 + 1, subsp.s*16 + 16)
+                      AS codeword
+           FROM u, subsp WHERE u.vec_id < 16),
+    subv AS (SELECT u.vec_id, subsp.s AS subspace,
+                    list_slice(u.uv, subsp.s*16 + 1, subsp.s*16 + 16)
+                        AS sub
+             FROM u, subsp),
+    enc_scored AS (
+        SELECT v.vec_id, v.subspace, cb.code,
+               list_sum(list_transform(list_zip(v.sub, cb.codeword),
+                   p -> (p[1]::DOUBLE - p[2]::DOUBLE)
+                      * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d2
+        FROM subv v JOIN cb ON cb.subspace = v.subspace),
+    enc AS (SELECT vec_id, subspace, code FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, subspace
+                  ORDER BY d2, code) AS rn
+              FROM enc_scored) WHERE rn = 1),
+    assign_scored AS (
+        SELECT c.vec_id, k.cid,
+               {_sql_cos('c.embedding', 'k.cvec')} AS sim
+        FROM corp c CROSS JOIN cents k),
+    assigned AS (SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM assign_scored) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qvec
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+    probe_scored AS (
+        SELECT q.qid, k.cid, {_sql_cos('q.qvec', 'k.cvec')} AS sim
+        FROM q CROSS JOIN cents k),
+    probes AS (SELECT qid, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM probe_scored) WHERE rn <= 2),
+    qu AS (SELECT q.qid, u.uv AS quv FROM q JOIN u ON u.vec_id = q.qid),
+    qtab AS (
+        SELECT qu.qid, cb.subspace, cb.code,
+               CAST(round(list_sum(list_transform(
+                   list_zip(list_slice(qu.quv, cb.subspace*16 + 1,
+                                       cb.subspace*16 + 16),
+                            cb.codeword),
+                   p -> p[1]::DOUBLE * p[2]::DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS part
+        FROM qu CROSS JOIN cb),
+    approx AS (
+        SELECT p.qid, e.vec_id, sum(t.part) AS apx
+        FROM probes p
+        JOIN assigned a ON a.cid = p.cid
+        JOIN enc e ON e.vec_id = a.vec_id
+        JOIN qtab t ON t.qid = p.qid
+                   AND t.subspace = e.subspace AND t.code = e.code
+        WHERE e.vec_id != p.qid
+        GROUP BY 1, 2),
+    cands AS (SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY apx DESC, vec_id) AS rn
+        FROM approx) WHERE rn <= 20),
+    exact AS (
+        SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(list_zip(qq.quv, cu.uv),
+                   p -> p[1]::DOUBLE * p[2]::DOUBLE)), 6) AS score
+        FROM cands c
+        JOIN qu qq ON qq.qid = c.qid
+        JOIN u cu ON cu.vec_id = c.vec_id)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+          FROM exact)
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """FAISS-style IVFADC (`operators/similarity.py::
+    cosine_topk_ivfpq`): IVF inverted lists over PQ-compressed
+    vectors, per-query ADC lookup tables (DECIMAL-quantized partials —
+    order-independent, oracle-replayable), exact re-rank of the
+    rerank·k survivors. m=4 × 16-dim subspaces over d=64; centroids
+    AND codebooks are deterministic samples (vec_id < 16 — unit
+    subvectors as codewords) so the oracle rebuilds the ENTIRE index
+    bit-for-bit: encode argmin, coarse assignment, probes, ADC sums,
+    and the exact-rerank cut all certified, not just the final
+    cosines. Swap in `pq_train`/`train_centroids` in production —
+    plan shape identical (`test_ivfpq_full_dials_equal_brute_...`
+    pins the trained-codebook behavior)."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        _pq_subvectors,
+        _unit,
+        cosine_topk_ivfpq,
+    )
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    centroids = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("centroid_id"), "embedding"
+    )
+    cb_src = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("code"),
+        _unit("embedding").alias("__u"),
+    )
+    codebooks = _pq_subvectors(cb_src, "code", F.col("__u"), 4, 16).select(
+        "subspace", "code", F.col("__sub").alias("codeword")
+    )
+    queries = emb.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk_ivfpq(
+        emb, queries, centroids, codebooks, k=5, rerank=4, nprobe=2
+    )
+
+
+@q(
     "core_salted_hot_keys",
     """
     SELECT event_type,
@@ -7640,6 +7768,7 @@ _GATE_PRIORITY: list[str] = [
     "text_lang_id",
     "sim_cosine_topk_auto",
     "dedup_winnow_pairs",
+    "sim_cosine_topk_ivfpq",
     # -- r10 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "pipeline_data_expectations",      # empty-input coalesce
@@ -7688,7 +7817,6 @@ _GATE_PRIORITY: list[str] = [
     "core_percentiles",
     "core_rolling_range",
     "core_salted_join",
-    "core_cube",
 ]
 
 

@@ -224,6 +224,10 @@ _BNLJ_WHITELIST = {
     "pipeline_nb_source_classify",
     # same NB machinery in char3 mode — identical bounded crossJoins
     "text_lang_id",
+    # IVFADC: centroid-assignment + probe crossJoins against the
+    # broadcast centroid frame (bounded at any corpus size), same as
+    # sim_cosine_topk_ivf / dedup_semantic
+    "sim_cosine_topk_ivfpq",
 }
 
 # stream_exec_* queries EXECUTE a stream inside the callable and
