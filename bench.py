@@ -182,6 +182,7 @@ HEADLINE = [
     "sim_cosine_topk_auto",
     "dedup_winnow_pairs",
     "sim_cosine_topk_ivfpq",
+    "stream_exec_expectations",
 ]
 
 

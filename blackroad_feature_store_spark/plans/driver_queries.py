@@ -2275,6 +2275,117 @@ def stream_exec_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_expectations",
+    """
+    SELECT 'not_null' AS check, 'user_id' AS target,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(coalesce(sum(CASE WHEN user_id IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS violations,
+           coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+                    0) = 0 AS passed
+    FROM events
+    UNION ALL
+    SELECT 'in_range', 'value',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN value IS NOT NULL
+                     AND (value < 0.0 OR value > 400.0)
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN value IS NOT NULL
+                     AND (value < 0.0 OR value > 400.0)
+                     THEN 1 ELSE 0 END), 0) = 0
+    FROM events
+    UNION ALL
+    SELECT 'regex', 'event_type',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+                     AND NOT regexp_matches(event_type,
+                                            '^(click|view|purchase)$')
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN event_type IS NOT NULL
+                     AND NOT regexp_matches(event_type,
+                                            '^(click|view|purchase)$')
+                     THEN 1 ELSE 0 END), 0) = 0
+    FROM events
+    UNION ALL
+    SELECT 'accepted_values', 'event_type',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN
+                         ('click', 'view', 'purchase', 'signup')
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN
+                         ('click', 'view', 'purchase', 'signup')
+                     THEN 1 ELSE 0 END), 0) = 0
+    FROM events
+    UNION ALL
+    SELECT 'foreign_key', 'user_id',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN e.user_id IS NOT NULL
+                     AND c.c_custkey IS NULL
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN e.user_id IS NOT NULL
+                     AND c.c_custkey IS NULL
+                     THEN 1 ELSE 0 END), 0) = 0
+    FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON e.user_id = c.c_custkey
+    """,
+)
+def stream_exec_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING data-quality expectations (streaming/quality.py —
+    Deequ-on-streams): events drain in two REAL micro-batches, each
+    landing its own (check, target, total, violations) partial in a
+    replay-idempotent batch_id partition; the running verdict is a
+    monoid fold. The check set mixes passing (not_null, foreign_key
+    vs the static customer dimension) and failing (value range,
+    anchored regex, accepted_values — 'error'/'signup' rows) gates.
+    The oracle recomputes every check over the WHOLE table in one
+    batch — parity certifies fold-of-batches == batch recompute
+    exactly, the mergeability contract that bounds the streaming
+    check catalog ('unique' is rejected: per-batch uniqueness is not
+    global uniqueness)."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.quality import (
+        merge_expectations,
+        start_expectations_stream,
+    )
+
+    ev = load(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="stream_exp_")
+    src = f"{base}/src"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    checks = [
+        {"check": "not_null", "col": "user_id"},
+        {"check": "in_range", "col": "value", "min": 0.0, "max": 400.0},
+        {"check": "regex", "col": "event_type",
+         "pattern": "^(click|view|purchase)$"},
+        {"check": "accepted_values", "col": "event_type",
+         "values": ["click", "view", "purchase", "signup"]},
+        {"check": "foreign_key", "col": "user_id",
+         "ref": load(spark, sf, "customer"), "ref_col": "c_custkey"},
+    ]
+    q_ = start_expectations_stream(
+        stream, f"{base}/store", f"{base}/ckpt", checks,
+        available_now=True,
+    )
+    q_.awaitTermination()
+    return merge_expectations(spark, f"{base}/store")
+
+
+@q(
     "stream_exec_enrich_pit",
     """
     WITH rec AS (SELECT user_id, ts, value, event_id FROM events
@@ -7769,6 +7880,7 @@ _GATE_PRIORITY: list[str] = [
     "sim_cosine_topk_auto",
     "dedup_winnow_pairs",
     "sim_cosine_topk_ivfpq",
+    "stream_exec_expectations",
     # -- r10 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "pipeline_data_expectations",      # empty-input coalesce
@@ -7816,7 +7928,6 @@ _GATE_PRIORITY: list[str] = [
     "core_range_join",
     "core_percentiles",
     "core_rolling_range",
-    "core_salted_join",
 ]
 
 

@@ -141,16 +141,22 @@ def _write_compaction_floor(stats_path: str, floor: int) -> None:
 
 def _fold(partials: DataFrame) -> DataFrame:
     """Schema-dispatched monoid fold: moment partials (have
-    ``sum_value``) fold component-wise; histogram partials
-    (key…, bin, n) fold by summing counts. Lets one
-    compaction/merge machinery serve both store kinds."""
+    ``sum_value``) fold component-wise; expectation partials
+    (``total``/``violations`` — `streaming/quality.py`) and histogram
+    partials (key…, bin, n) fold by summing counts. Lets one
+    compaction/merge machinery serve every store kind."""
     group_cols = [
         c
         for c in partials.columns
         if c
         not in ("n", "n_null", "sum_value", "min_value", "max_value",
-                "batch_id", "floor")
+                "total", "violations", "batch_id", "floor")
     ]
+    if "violations" in partials.columns:
+        return partials.groupBy(*group_cols).agg(
+            F.sum("total").cast("long").alias("total"),
+            F.sum("violations").cast("long").alias("violations"),
+        )
     if "sum_value" not in partials.columns:
         return partials.groupBy(*group_cols).agg(F.sum("n").alias("n"))
     return partials.groupBy(*group_cols).agg(

@@ -1481,6 +1481,67 @@ def test_partial_stats_single_element_list_keeps_feature_column(spark):
     assert "feature" not in partial_stats(df, ["k"], "x").columns
 
 
+def test_streaming_expectations_store(spark, tmp_path):
+    """streaming/quality.py: per-batch expectation partials are
+    replay-idempotent, fold to EXACTLY the batch check_expectations
+    verdict over the union, compact through the shared store
+    machinery (the _fold dispatcher's third monoid), and 'unique' is
+    rejected as non-mergeable."""
+    from blackroad_feature_store_spark.operators.expectations import (
+        check_expectations,
+    )
+    from blackroad_feature_store_spark.streaming.quality import (
+        merge_expectations,
+        process_expectations_batch,
+        start_expectations_stream,
+    )
+    from blackroad_feature_store_spark.streaming.stats import compact_stats
+
+    store = str(tmp_path / "exp")
+    checks = [
+        {"check": "not_null", "col": "v"},
+        {"check": "in_range", "col": "v", "min": 0.0, "max": 10.0},
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k string, v double"
+    )
+    b0 = mk([("a", 1.0), ("b", 99.0)])   # one range violation
+    b1 = mk([("c", None), ("d", 5.0)])   # one null
+    process_expectations_batch(b0, 0, store, checks)
+    process_expectations_batch(b1, 1, store, checks)
+    process_expectations_batch(b1, 1, store, checks)  # replay
+
+    got = {
+        (r["check"], r["target"]): (r["total"], r["violations"], r["passed"])
+        for r in merge_expectations(spark, store).collect()
+    }
+    want = {
+        (r["check"], r["target"]): (r["total"], r["violations"], r["passed"])
+        for r in check_expectations(b0.unionByName(b1), checks).collect()
+    }
+    assert got == want  # fold-of-batches == batch recompute, exactly
+    assert got[("not_null", "v")] == (4, 1, False)
+    assert got[("in_range", "v")] == (4, 1, False)
+
+    compact_stats(spark, store, upto_batch=1)  # shared machinery
+    after = {
+        (r["check"], r["target"]): (r["total"], r["violations"], r["passed"])
+        for r in merge_expectations(spark, store).collect()
+    }
+    assert after == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unique"):
+        process_expectations_batch(
+            b0, 2, store, [{"check": "unique", "cols": ["k"]}]
+        )
+    with _pytest.raises(ValueError, match="unique"):
+        start_expectations_stream(
+            spark.readStream.format("rate").load(), store,
+            str(tmp_path / "ck"), [{"check": "unique", "cols": ["k"]}],
+        )
+
+
 def test_streaming_cms_maintenance_matches_batch_sketch(spark, tmp_path):
     """CMS partials through the shared store machinery: replay
     idempotent, compaction-compatible, and the merged sketch equals
