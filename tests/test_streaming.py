@@ -674,9 +674,35 @@ def test_stream_stream_interval_join_left_outer_emits_after_watermark(
     # assert the drain actually finished so a timeout is a clear
     # failure, not a phantom correctness one
     assert q.awaitTermination(600), "availableNow drain did not finish"
-    rows = {
-        r["user"]: r for r in spark.sql("SELECT * FROM ss_lojoin_out").collect()
-    }
+
+    def read_rows():
+        return {
+            r["user"]: r
+            for r in spark.sql("SELECT * FROM ss_lojoin_out").collect()
+        }
+
+    rows = read_rows()
+    if "u2" not in rows:
+        # Documented Spark semantics: stream-stream OUTER join NULL
+        # emissions are deferred until a watermark-advancing batch
+        # AFTER the matching horizon passes, and an availableNow run
+        # may terminate before that no-data batch fires (observed only
+        # under full-suite load). A real pipeline gets the row on its
+        # next run — mirror that: restart on the SAME checkpoint.
+        q2 = (
+            joined.writeStream.format("memory")
+            .queryName("ss_lojoin_out2")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+            .start()
+        )
+        assert q2.awaitTermination(600), "restart drain did not finish"
+        extra = {
+            r["user"]: r
+            for r in spark.sql("SELECT * FROM ss_lojoin_out2").collect()
+        }
+        rows.update(extra)
     assert rows["u1"]["conv_ts"] is not None          # matched pair
     assert rows["u2"]["conv_ts"] is None              # watermark-evicted NULL
     # the far-future advancer's own horizon hasn't passed: still pending
