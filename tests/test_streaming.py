@@ -624,25 +624,34 @@ def test_stream_stream_interval_join_left_outer_emits_after_watermark(
     across sources); the advancers themselves stay pending."""
     from blackroad_feature_store_spark.streaming.joins import interval_join
 
+    # Fixture discipline (flake diagnosed via recentProgress): each
+    # wave is ONE file (coalesce) because a 2-row write emits two
+    # part files with the SAME mtime, and the file source's order
+    # within an mtime tie is arbitrary — if u2's file (00:01)
+    # processed before u1's (00:00), the watermark (max - threshold)
+    # landed exactly ON u1's timestamp and the join's late filter
+    # dropped the row. late_threshold=10min additionally guarantees
+    # no intra-wave ordering can ever push the watermark onto a
+    # wave-1 event (max wave-1 ts 00:03 - 10min < min ts 00:00).
     imp_dir, conv_dir = str(tmp_path / "imp_lo"), str(tmp_path / "conv_lo")
     spark.createDataFrame(
         [("u1", "2026-01-01T00:00:00", "ad_a"),
          ("u2", "2026-01-01T00:01:00", "ad_b")],
         "user string, imp_ts string, ad string",
-    ).write.parquet(imp_dir)
+    ).coalesce(1).write.parquet(imp_dir)
     spark.createDataFrame(
         [("u1", "2026-01-01T00:03:00")],
         "user string, conv_ts string",
-    ).write.parquet(conv_dir)
+    ).coalesce(1).write.parquet(conv_dir)
     # wave 2: watermark advancers hours ahead, one per side
     spark.createDataFrame(
         [("adv", "2026-01-01T06:00:00", "ad_z")],
         "user string, imp_ts string, ad string",
-    ).write.mode("append").parquet(imp_dir)
+    ).coalesce(1).write.mode("append").parquet(imp_dir)
     spark.createDataFrame(
         [("adv2", "2026-01-01T06:00:00")],
         "user string, conv_ts string",
-    ).write.mode("append").parquet(conv_dir)
+    ).coalesce(1).write.mode("append").parquet(conv_dir)
 
     imps = (
         spark.readStream.schema("user string, imp_ts string, ad string")
@@ -658,7 +667,8 @@ def test_stream_stream_interval_join_left_outer_emits_after_watermark(
     )
     joined = interval_join(
         imps, convs, key="user", left_ts="imp_ts", right_ts="conv_ts",
-        max_delay="5 minutes", late_threshold="1 minute", how="leftOuter",
+        max_delay="5 minutes", late_threshold="10 minutes",
+        how="leftOuter",
     ).select(imps["user"], "ad", "conv_ts")
     q = (
         joined.writeStream.format("memory")
