@@ -45,6 +45,16 @@ def interval_join(
     range condition makes the join state self-cleaning. ``how`` may be
     ``inner`` or the watermark-gated outer variants Spark supports
     (``leftOuter``/``rightOuter``/``fullOuter``).
+
+    Operational notes (both bit hard in testing — see
+    test_stream_stream_interval_join_left_outer_*): size
+    ``late_threshold`` with MARGIN over the real disorder bound — an
+    event landing exactly at the watermark boundary can be dropped by
+    the join's late filter, and micro-batch composition (hence where
+    the watermark lands between batches) is not under your control.
+    And outer-side NULL emissions fire only on a LATER
+    watermark-advancing batch — an ``availableNow`` drain may end
+    before that batch; the next run on the same checkpoint emits them.
     """
     lw = left.withWatermark(left_ts, late_threshold)
     rw = right.withWatermark(right_ts, late_threshold)
