@@ -183,6 +183,7 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "sim_cosine_topk_ivfpq",
     "stream_exec_expectations",
+    "pipeline_decontaminate_winnow",
 ]
 
 

@@ -103,6 +103,79 @@ def decontaminate(
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
 
 
+def decontaminate_winnow(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination by WINNOWING fingerprints
+    (`dedup.py::winnow_fingerprints`) — the character-level companion
+    to the word-shingle :func:`decontaminate`: flags training
+    documents sharing >= ``min_shared`` rolling-hash fingerprints with
+    any benchmark document. The winnowing coverage guarantee makes
+    the contract precise where token shingles can't be: any verbatim
+    overlap of >= ``k + window - 1`` NORMALIZED CHARACTERS is
+    guaranteed to share a fingerprint, independent of tokenization,
+    punctuation boundaries, or word-count thresholds — the
+    whitespace-mangled and mid-word-spliced contamination a word
+    5-gram pass walks right past.
+
+    Same scale discipline as :func:`decontaminate`: the benchmark's
+    fingerprint set is eval-set-bounded and BROADCAST (56-bit longs,
+    ~1/window the gram density — smaller than the shingle-string
+    broadcast); the training corpus is never shuffled — one
+    fingerprint projection + a broadcast semi join per pass, hit ids
+    broadcast back. Returns ``train`` + boolean ``contaminated``.
+    ``min_shared > 1`` trades recall for precision on corpora where
+    short boilerplate substrings are legitimately everywhere.
+    """
+    from blackroad_feature_store_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    if id_col is None:
+        id_col = train.columns[0]
+    if id_col not in train.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in train columns {train.columns}"
+        )
+    bench_fps = (
+        winnow_fingerprints(
+            benchmark.select(
+                F.lit(0).alias("__bid"), F.col(text_col)
+            ),
+            id_col="__bid", text_col=text_col, k=k, window=window,
+        )
+        .select("fingerprint")
+        .distinct()
+    )
+    train_fps = winnow_fingerprints(
+        train.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col, text_col=text_col, k=k, window=window,
+    )
+    matched = train_fps.join(
+        F.broadcast(bench_fps), "fingerprint", "left_semi"
+    )
+    if min_shared > 1:
+        hit_ids = (
+            matched.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"))  # fps are distinct/doc
+            .where(F.col("__n") >= min_shared)
+            .select(id_col)
+        )
+    else:
+        hit_ids = matched.select(id_col).distinct()
+    return train.join(
+        F.broadcast(hit_ids.withColumn("contaminated", F.lit(True))),
+        id_col,
+        "left",
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -458,7 +458,9 @@ def cosine_topk_auto(
     max_queries: int = 200_000,
     allow_approximate: bool = False,
     centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
     nprobe: int = 1,
+    rerank: int = 4,
     nbits: int = 4,
     hyperplanes: list[list[float]] | None = None,
 ) -> DataFrame:
@@ -481,12 +483,14 @@ def cosine_topk_auto(
     * ``|Q| > max_queries`` → exact top-k would break the
       queries-are-broadcastable contract every exact strategy shares
       (the GEMM path would raise — same bound, enforced). With
-      ``allow_approximate=True`` the call degrades to a bucketed
-      tier — :func:`cosine_topk_ivf` when ``centroids`` are supplied
-      (the quality pick: trained lists + ``nprobe`` dial), else
-      :func:`cosine_topk_lsh` (index-free). Without the opt-in it
-      raises: approximate results must never silently replace exact
-      ones.
+      ``allow_approximate=True`` the call degrades to the best
+      bucketed tier the supplied index artifacts allow:
+      :func:`cosine_topk_ivfpq` when ``centroids`` AND ``codebooks``
+      are given (the deployment pick — compressed lists + exact
+      re-rank), :func:`cosine_topk_ivf` with ``centroids`` alone,
+      else :func:`cosine_topk_lsh` (index-free). Without the opt-in
+      it raises: approximate results must never silently replace
+      exact ones.
 
     The |Q| probe is one COUNT over the query frame — a map-side
     aggregate of the small side, never a scan of the corpus.
@@ -506,6 +510,17 @@ def cosine_topk_auto(
             "strategy. Pass allow_approximate=True to degrade to the "
             "IVF/LSH tier (supply centroids for IVF), or batch the "
             "query frame."
+        )
+    if codebooks is not None and centroids is None:
+        raise ValueError(
+            "cosine_topk_auto: codebooks without centroids — IVFADC "
+            "needs both (PQ-only full-corpus ADC is cosine_topk_pq, "
+            "which still broadcasts queries; supply centroids)"
+        )
+    if centroids is not None and codebooks is not None:
+        return cosine_topk_ivfpq(
+            corpus, queries, centroids, codebooks, k, rerank,
+            id_col, vec_col, query_id_col, nprobe=nprobe,
         )
     if centroids is not None:
         return cosine_topk_ivf(

@@ -4381,6 +4381,69 @@ def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_decontaminate_winnow",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               list_transform(range(1, length(s) - 8 + 2),
+                   i -> CAST('0x' || substr(md5(substring(
+                            s, CAST(i AS INT), 8)), 1, 14) AS BIGINT)
+               ) AS hs
+        FROM norm),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               list_min(list_slice(hs, CAST(j AS INT),
+                                   CAST(j + 4 - 1 AS INT))) AS fingerprint
+        FROM h, UNNEST(range(1, len(hs) - 4 + 2)) AS u(j)),
+    bench AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 23 = 0),
+    hits AS (
+        SELECT f.doc_id FROM fp f JOIN bench USING (fingerprint)
+        WHERE f.doc_id % 23 <> 0
+        GROUP BY f.doc_id HAVING count(*) >= 2)
+    SELECT d.lang, count(*) AS n_train,
+           count(h.doc_id) AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 23 <> 0
+    GROUP BY d.lang
+    """,
+)
+def pipeline_decontaminate_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level benchmark decontamination
+    (`operators/corpus.py::decontaminate_winnow`): the winnowing
+    companion to the word-shingle `pipeline_decontaminate` — any
+    verbatim overlap of >= k+window-1 normalized characters with the
+    eval slice is GUARANTEED to share a fingerprint, independent of
+    tokenization or punctuation boundaries (the mid-word-spliced
+    contamination a word 5-gram pass walks past). min_shared=2 trades
+    recall for precision against short boilerplate substrings. Same
+    broadcast discipline: eval fingerprints broadcast out, hit ids
+    broadcast back, the training corpus never shuffles."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        decontaminate_winnow,
+    )
+
+    docs = load(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    train = docs.where(F.col("doc_id") % 23 != 0)
+    return (
+        decontaminate_winnow(
+            train, bench, id_col="doc_id", k=8, window=4, min_shared=2
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(
+                F.when(F.col("contaminated"), 1).otherwise(0)
+            ).alias("n_contaminated"),
+        )
+    )
+
+
+@q(
     "text_pii_redaction",
     r"""
     WITH injected AS (
@@ -7881,6 +7944,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_winnow_pairs",
     "sim_cosine_topk_ivfpq",
     "stream_exec_expectations",
+    "pipeline_decontaminate_winnow",
     # -- r10 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "pipeline_data_expectations",      # empty-input coalesce
@@ -7927,7 +7991,6 @@ _GATE_PRIORITY: list[str] = [
     "core_approx_distinct",
     "core_range_join",
     "core_percentiles",
-    "core_rolling_range",
 ]
 
 

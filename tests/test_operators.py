@@ -1737,6 +1737,27 @@ def test_cosine_topk_auto_pick_boundaries(spark):
         cosine_topk_ivf(corpus, queries, cents, k=3, nprobe=2)
     )
 
+    # opt-in with centroids AND codebooks -> IVFADC tier
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        pq_train,
+    )
+
+    cb = pq_train(corpus, m=2, k=4)
+    ivfpq = cosine_topk_auto(
+        corpus, queries, k=3, max_queries=2, allow_approximate=True,
+        centroids=cents, codebooks=cb, nprobe=2, rerank=3,
+    )
+    assert rows(ivfpq) == rows(
+        cosine_topk_ivfpq(corpus, queries, cents, cb, k=3,
+                          nprobe=2, rerank=3)
+    )
+    with pytest.raises(ValueError, match="codebooks without centroids"):
+        cosine_topk_auto(
+            corpus, queries, k=3, max_queries=2,
+            allow_approximate=True, codebooks=cb,
+        )
+
     with pytest.raises(ValueError, match="empty query frame"):
         cosine_topk_auto(corpus, queries.where("query_id < 0"))
 
@@ -2792,6 +2813,52 @@ def test_winnow_fingerprints_and_pairs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match=">= 1"):
         winnow_fingerprints(df, k=0)
+
+
+def test_decontaminate_winnow_catches_sub_shingle_overlap(spark):
+    """decontaminate_winnow flags verbatim character overlap the word
+    5-gram pass cannot see (overlap shorter than 5 tokens), leaves
+    clean docs alone, and min_shared raises the evidence bar."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_winnow,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval passphrase zx9q27 ends here")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # 4-token verbatim overlap: invisible to 5-gram shingles,
+            # >> k+window-1 = 11 chars of shared substring
+            (1, "prefix words then secret eval passphrase zx9q27 tail"),
+            (2, "completely unrelated training document body"),
+        ],
+        "doc_id long, text string",
+    )
+    shingle = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train, bench, n=5, id_col="doc_id").collect()
+    }
+    winnow = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_winnow(
+            train, bench, id_col="doc_id", k=8, window=4
+        ).collect()
+    }
+    assert shingle == {1: False, 2: False}  # 5-gram pass misses it
+    assert winnow == {1: True, 2: False}    # char-level catches it
+
+    # an absurd evidence bar flags nothing
+    strict = decontaminate_winnow(
+        train, bench, id_col="doc_id", min_shared=10**6
+    )
+    assert all(not r["contaminated"] for r in strict.collect())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="id_col"):
+        decontaminate_winnow(train, bench, id_col="nope")
 
 
 def test_nb_classify_char_mode(spark):
