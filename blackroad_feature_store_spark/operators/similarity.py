@@ -492,21 +492,29 @@ def cosine_topk_auto(
       it raises: approximate results must never silently replace
       exact ones.
 
-    The |Q| probe is one COUNT over the query frame — a map-side
-    aggregate of the small side, never a scan of the corpus.
+    The |Q| probe and the GEMM broadcast share ONE driver action: the
+    query frame is collected once (bounded at ``max_queries + 1``
+    rows) and the collected rows are threaded into the GEMM path, so
+    a non-deterministic query frame cannot pass the size gate and
+    then change under a second collect (ADVICE r10 #4). Only the
+    over-limit approximate tiers re-scan the query frame — they never
+    saw the gate's rows anyway and do their own bucketing.
     """
-    nq = queries.count()
+    qrows = queries.select(
+        F.col(query_id_col), F.col(vec_col)
+    ).limit(max_queries + 1).collect()
+    nq = len(qrows)
     if nq == 0:
         raise ValueError("cosine_topk_auto: empty query frame")
     if nq <= max_queries:
         return cosine_topk_gemm(
             corpus, queries, k, id_col, vec_col, query_id_col,
-            max_queries=max_queries,
+            max_queries=max_queries, _qrows=qrows,
         )
     if not allow_approximate:
         raise ValueError(
-            f"cosine_topk_auto: {nq} queries exceed max_queries="
-            f"{max_queries}, the broadcast contract of every exact "
+            f"cosine_topk_auto: more than max_queries={max_queries} "
+            "queries — the broadcast contract of every exact "
             "strategy. Pass allow_approximate=True to degrade to the "
             "IVF/LSH tier (supply centroids for IVF), or batch the "
             "query frame."
@@ -956,6 +964,7 @@ def cosine_topk_gemm(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int = 200_000,
+    _qrows: list | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine — the BLAS path.
 
@@ -984,9 +993,18 @@ def cosine_topk_gemm(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(
-        F.col(query_id_col), F.col(vec_col)
-    ).limit(max_queries + 1).collect()
+    # ``_qrows`` (private): cosine_topk_auto threads its already-
+    # collected (query_id, vec) rows through so the query frame is
+    # materialized by exactly ONE driver action — a non-deterministic
+    # query frame must not pass auto's size gate and then change
+    # under a second collect (ADVICE r10 #4).
+    qrows = (
+        _qrows
+        if _qrows is not None
+        else queries.select(
+            F.col(query_id_col), F.col(vec_col)
+        ).limit(max_queries + 1).collect()
+    )
     if not qrows:
         raise ValueError("cosine_topk_gemm: empty query frame")
     if len(qrows) > max_queries:

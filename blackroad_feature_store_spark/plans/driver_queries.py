@@ -1177,7 +1177,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     r"""
     WITH norm AS (
         SELECT doc_id,
-               lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
         FROM documents),
     h AS (
         SELECT doc_id,
@@ -4385,7 +4385,7 @@ def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     r"""
     WITH norm AS (
         SELECT doc_id,
-               lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
         FROM documents),
     h AS (
         SELECT doc_id,

@@ -141,23 +141,32 @@ def _write_compaction_floor(stats_path: str, floor: int) -> None:
 
 def _fold(partials: DataFrame) -> DataFrame:
     """Schema-dispatched monoid fold: moment partials (have
-    ``sum_value``) fold component-wise; expectation partials
-    (``total``/``violations`` — `streaming/quality.py`) and histogram
-    partials (key…, bin, n) fold by summing counts. Lets one
-    compaction/merge machinery serve every store kind."""
+    ``sum_value``) fold component-wise; expectation partials (the FULL
+    `streaming/quality.py` column set ``check/target/total/
+    violations`` — dispatching on a single column name would
+    mis-route a stats store whose user-chosen group columns include
+    one literally named ``total`` or ``violations``, ADVICE r10 #2)
+    and histogram partials (key…, bin, n) fold by summing counts.
+    Lets one compaction/merge machinery serve every store kind."""
+    cols = set(partials.columns)
+    if {"check", "target", "total", "violations"} <= cols:
+        group_cols = [
+            c
+            for c in partials.columns
+            if c not in ("total", "violations", "batch_id", "floor")
+        ]
+        return partials.groupBy(*group_cols).agg(
+            F.sum("total").cast("long").alias("total"),
+            F.sum("violations").cast("long").alias("violations"),
+        )
     group_cols = [
         c
         for c in partials.columns
         if c
         not in ("n", "n_null", "sum_value", "min_value", "max_value",
-                "total", "violations", "batch_id", "floor")
+                "batch_id", "floor")
     ]
-    if "violations" in partials.columns:
-        return partials.groupBy(*group_cols).agg(
-            F.sum("total").cast("long").alias("total"),
-            F.sum("violations").cast("long").alias("violations"),
-        )
-    if "sum_value" not in partials.columns:
+    if "sum_value" not in cols:
         return partials.groupBy(*group_cols).agg(F.sum("n").alias("n"))
     return partials.groupBy(*group_cols).agg(
         F.sum("n").alias("n"),
@@ -177,7 +186,31 @@ def _live_partials(spark: SparkSession, stats_path: str) -> DataFrame:
     is what makes :func:`compact_stats` crash-safe at every step."""
     floor = _compaction_floor(stats_path)
     try:
-        partials = spark.read.parquet(os.path.join(stats_path, "batches"))
+        # mergeSchema: without it the scan picks ONE file's schema, so
+        # a store holding both the scalar shape (no ``feature`` column
+        # — written by a pre-r11 single-element-list shortcut) and the
+        # long shape would silently drop or misalign columns. Merged,
+        # the scalar files surface as feature=NULL rows, which the
+        # guard below turns into a hard error (ADVICE r10 #3): folding
+        # a scalar partial into long-form partials would mis-merge
+        # across features. Migration: rewrite pre-upgrade scalar
+        # partials into long form (add the constant ``feature`` column)
+        # or compact the old store before pointing the new writer at it.
+        partials = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(stats_path, "batches")
+        )
+        if "feature" in partials.columns and not partials.where(
+            F.col("feature").isNull()
+        ).isEmpty():
+            raise ValueError(
+                f"stats store {stats_path} mixes the scalar partial "
+                "schema (no 'feature' column — written by a pre-r11 "
+                "version's single-element value_col list) with the "
+                "long-form schema; folding them would mis-merge "
+                "across features. Migrate the old batch partitions to "
+                "long form (add the constant 'feature' column) before "
+                "merging."
+            )
         live = partials.where(F.col("batch_id") > floor).drop("batch_id")
     except AnalysisException as exc:
         msg = str(exc)

@@ -1517,6 +1517,61 @@ def test_partial_stats_single_element_list_keeps_feature_column(spark):
     assert "feature" not in partial_stats(df, ["k"], "x").columns
 
 
+def test_fold_dispatch_requires_full_expectation_schema(spark):
+    """ADVICE r10 #2: `_fold` dispatches into the expectations monoid
+    only when the FULL quality-store column set (check, target, total,
+    violations) is present — a moment store whose user-chosen group
+    columns happen to include one named ``total`` or ``violations``
+    must fold as moments, keeping that column as a group key instead
+    of silently consuming it as a summed metric."""
+    from blackroad_feature_store_spark.streaming.stats import _fold
+
+    partials = spark.createDataFrame(
+        [("a", 10, 3, 0, 5.0, 1.0, 4.0), ("a", 10, 2, 1, 7.0, 2.0, 5.0)],
+        "k string, total int, n long, n_null long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    out = _fold(partials)
+    assert set(out.columns) == {
+        "k", "total", "n", "n_null", "sum_value", "min_value", "max_value"
+    }
+    row = out.collect()
+    assert len(row) == 1 and row[0]["total"] == 10 and row[0]["n"] == 5
+    assert row[0]["sum_value"] == 12.0
+
+
+def test_mixed_scalar_long_schema_store_raises(spark, tmp_path):
+    """ADVICE r10 #3: a store holding BOTH the pre-r11 scalar partial
+    schema and the long-form ``feature`` schema (the upgrade scenario
+    for a single-element value_col list) raises loudly at merge time
+    instead of silently mis-merging across features."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_stats,
+        partial_stats,
+        process_stats_batch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0)], "k string, x double"
+    )
+    store = str(tmp_path / "store")
+    # batch 0: pre-upgrade scalar schema (what the old len-1 shortcut
+    # wrote); batch 1: post-upgrade long form with 'feature'
+    scalar = partial_stats(df, ["k"], "x")
+    scalar.withColumn("batch_id", F.lit(0)).write.partitionBy(
+        "batch_id"
+    ).parquet(store + "/batches")
+    process_stats_batch(df, 1, store, ["k"], ["x"])
+    with pytest.raises(ValueError, match="mixes the scalar"):
+        merge_stats(spark, store).collect()
+    # a pure long-form store still merges fine
+    clean = str(tmp_path / "clean")
+    process_stats_batch(df, 0, clean, ["k"], ["x"])
+    process_stats_batch(df, 1, clean, ["k"], ["x"])
+    rows = {r["feature"]: r for r in merge_stats(spark, clean).collect()}
+    assert rows["x"]["n"] == 4 and rows["x"]["sum_value"] == 8.0
+
+
 def test_streaming_expectations_store(spark, tmp_path):
     """streaming/quality.py: per-batch expectation partials are
     replay-idempotent, fold to EXACTLY the batch check_expectations

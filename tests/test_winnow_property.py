@@ -129,3 +129,58 @@ if _HAVE_HYPOTHESIS:
             ).collect()
         }
         assert got_pairs == want_pairs
+
+
+def test_winnow_oracle_norm_edge_whitespace(spark):
+    """ADVICE r10 #1 regression: the winnow ORACLES previously trimmed
+    BEFORE collapsing whitespace while the Spark side collapses then
+    trims — a leading tab yielded ' abc…' in DuckDB vs 'abc…' in
+    Spark, shifting every gram hash. The catalog corpus happens to be
+    edge-clean, so this pins the fragment on adversarial texts: the
+    DuckDB replica of the oracle's norm→hash→window CTE must produce
+    the exact fingerprint sets winnow_fingerprints does for docs with
+    edge tabs/newlines and interior whitespace runs."""
+    import duckdb
+
+    docs = [
+        (0, "\tthe quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog\n"),
+        (2, "  the   quick\tbrown\nfox jumps over the lazy dog  "),
+        (3, "an unrelated document with its own distinct words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=8, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # docs 0-2 normalize identically -> identical fingerprint sets
+    assert got[0] == got[1] == got[2]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, ?)" for d, _ in docs)
+        + ") t(doc_id, text)",
+        [t for _, t in docs],
+    )
+    oracle = {}
+    for d, f in con.sql(
+        r"""
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(s) - 8 + 2),
+                       i -> CAST('0x' || substr(md5(substring(
+                                s, CAST(i AS INT), 8)), 1, 14) AS BIGINT)
+                   ) AS hs
+            FROM norm)
+        SELECT DISTINCT doc_id,
+               list_min(list_slice(hs, CAST(j AS INT),
+                                   CAST(j + 4 - 1 AS INT))) AS fingerprint
+        FROM h, UNNEST(range(1, len(hs) - 4 + 2)) AS u(j)
+        """
+    ).fetchall():
+        oracle.setdefault(d, set()).add(f)
+    assert oracle == got
