@@ -1418,19 +1418,122 @@ def nb_classify(
     n-grams capture orthography and function-morphology without any
     language-specific tokenizer. Both are single codegen expressions
     (no UDF); both replay exactly in the SQL oracle.
+
+    When the training set is a predicate-defined SUBSET of the scored
+    corpus (the lang-ID shape: train on the labeled slice, score
+    everything), use :func:`nb_classify_self` — it tokenizes the
+    corpus ONCE and derives both count tables from the shared gram
+    scan, instead of paying the (expensive) feature extraction twice.
     """
+    toks = _nb_tokens(text_col, token_mode)
+    tr_tok = train.select(
+        F.col(label_col).alias("__cls"), F.explode(toks).alias("__w")
+    )
+    cls_word = tr_tok.groupBy("__cls", "__w").agg(
+        F.count(F.lit(1)).alias("__cw")
+    )
+    docs = train.groupBy(F.col(label_col).alias("__cls")).agg(
+        F.count(F.lit(1)).alias("__dc")
+    )
+    total_docs = train.agg(F.count(F.lit(1)).alias("__dt"))
+    # (doc, word, tf) before the #classes fan-out: the weight join and
+    # class replication run on term-frequency rows, not raw tokens.
+    sc_cnt = (
+        score.select(F.col(id_col), F.explode(toks).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    return _nb_train_score(
+        cls_word, docs, total_docs, sc_cnt, score.select(id_col), id_col
+    )
+
+
+def nb_classify_self(
+    docs: DataFrame,
+    train_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    token_mode: str = "word",
+) -> DataFrame:
+    """:func:`nb_classify` for the self-training shape — train on
+    ``docs.where(train_pred)`` with ``label_col`` labels, score EVERY
+    row of ``docs`` — with the corpus tokenized ONCE (VERDICT r10
+    item 3): the feature extraction (the dominant cost in ``charN``
+    mode — |chars| gram rows per doc) runs a single time and both the
+    per-(doc, word) term frequencies AND the training (class, word)
+    counts derive from that one aggregated gram scan; the train-side
+    counts are a vocab-bounded re-aggregation of tf rows, not a second
+    tokenization pass. Per-class document counts for the priors come
+    from a column-pruned scan of ``docs`` (token-less documents must
+    still count toward priors, and they never reach the gram rows).
+    Scores are identical to ``nb_classify(docs.where(train_pred),
+    docs, ...)`` — exact-DECIMAL, same quantization — just one corpus
+    scan cheaper."""
+    toks = _nb_tokens(text_col, token_mode)
+    # The aggregated gram table is MATERIALIZED (localCheckpoint, the
+    # same lineage-cut idiom as dedup.py's connected components):
+    # both downstream consumers (train-side class counts, score-side
+    # term frequencies) read the one computed table. Relying on
+    # exchange reuse instead is brittle — per-consumer output-list
+    # pruning makes the two aggregate subtrees canonically unequal,
+    # and Spark then tokenizes the corpus once PER CONSUMER BRANCH
+    # (measured: 8 tokenization expressions in the un-checkpointed
+    # plan; this is the difference between "declared shared" and
+    # "actually computed once"). The table is |distinct grams per
+    # doc| rows — the same order as the shuffle the score already
+    # pays, and exactly what a production pipeline would persist.
+    doc_tf = (
+        docs.select(
+            F.col(id_col),
+            F.col(label_col).alias("__cls"),
+            train_pred.alias("__is_train"),
+            F.explode(toks).alias("__w"),
+        )
+        .groupBy(id_col, "__cls", "__is_train", "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
+    )
+    # Train-side counts keep ``__is_train`` as an aggregated value
+    # (groups with no train contribution fold to NULL and drop) —
+    # equivalent to filtering train rows first, over the shared table.
+    cls_word = (
+        doc_tf.groupBy("__cls", "__w")
+        .agg(
+            F.sum(
+                F.when(F.col("__is_train"), F.col("__tf"))
+            ).alias("__cw")
+        )
+        .where(F.col("__cw").isNotNull())
+    )
+    sc_cnt = doc_tf.select(id_col, "__w", "__tf")
+    train_docs = docs.where(train_pred)
+    doc_counts = train_docs.groupBy(F.col(label_col).alias("__cls")).agg(
+        F.count(F.lit(1)).alias("__dc")
+    )
+    total_docs = train_docs.agg(F.count(F.lit(1)).alias("__dt"))
+    return _nb_train_score(
+        cls_word, doc_counts, total_docs, sc_cnt,
+        docs.select(id_col), id_col,
+    )
+
+
+def _nb_tokens(text_col: str, token_mode: str):
+    """The shared NB feature extractor: a single codegen expression
+    producing the token/gram array for one row (see
+    :func:`nb_classify` for the two modes)."""
     norm = F.trim(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
     )
     if token_mode == "word":
-        toks = F.filter(F.split(norm, " "), lambda x: x != "")
-    elif token_mode.startswith("char"):
+        return F.filter(F.split(norm, " "), lambda x: x != "")
+    if token_mode.startswith("char"):
         n = int(token_mode[4:])
         if n < 1:
             raise ValueError(f"char n-gram size must be >= 1: {token_mode}")
         # guard: sequence(1, 0) DESCENDS in Spark — short texts must
         # yield an empty gram array, not [1, 0]-indexed garbage
-        toks = F.when(
+        return F.when(
             F.length(norm) >= n,
             F.transform(
                 F.sequence(
@@ -1439,23 +1542,27 @@ def nb_classify(
                 lambda i: F.substring(norm, i, F.lit(n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    else:
-        raise ValueError(f"Unknown token_mode {token_mode!r}")
+    raise ValueError(f"Unknown token_mode {token_mode!r}")
 
-    tr_tok = train.select(
-        F.col(label_col).alias("__cls"), F.explode(toks).alias("__w")
-    )
-    cls_word = tr_tok.groupBy("__cls", "__w").agg(
-        F.count(F.lit(1)).alias("__cw")
-    )
+
+def _nb_train_score(
+    cls_word: DataFrame,
+    docs: DataFrame,
+    total_docs: DataFrame,
+    sc_cnt: DataFrame,
+    score_ids: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The shared NB train-and-score tail: smoothed log-weight model
+    from the (class, word) count table, per-word class→weight map
+    join over (doc, word, tf) rows, exact-DECIMAL accumulation,
+    window argmax. Inputs: ``cls_word`` (__cls, __w, __cw), ``docs``
+    (__cls, __dc per-class doc counts), ``total_docs`` (__dt),
+    ``sc_cnt`` (id, __w, __tf), ``score_ids`` (one id per scored
+    document, including token-less ones)."""
     # one tokenized pass: totals + vocabulary come from cls_word
     cls_tot = cls_word.groupBy("__cls").agg(F.sum("__cw").alias("__ct"))
     vocab = cls_word.agg(F.countDistinct("__w").alias("__v"))
-    docs = train.groupBy(F.col(label_col).alias("__cls")).agg(
-        F.count(F.lit(1)).alias("__dc")
-    )
-    total_docs = train.agg(F.count(F.lit(1)).alias("__dt"))
-
     q4 = lambda c: F.round(c, 4).cast("decimal(18,4)")  # noqa: E731
     classes = (
         cls_tot.crossJoin(vocab)
@@ -1488,19 +1595,12 @@ def nb_classify(
         )
     )
 
-    # (doc, word, tf) before the #classes fan-out: the weight join and
-    # class replication run on term-frequency rows, not raw tokens.
-    # The join itself runs ONCE per (doc, word) against a per-word
+    # The weight join runs ONCE per (doc, word) against a per-word
     # class→weight MAP (vocab-bounded, broadcastable) — replicating by
     # class BEFORE the join would push #classes× the rows through it;
     # instead the class fan-out is a narrow post-join crossJoin with
     # the tiny class dimension, and each cell reads its weight from
     # the map (floor when the class never saw the word).
-    sc_cnt = (
-        score.select(F.col(id_col), F.explode(toks).alias("__w"))
-        .groupBy(id_col, "__w")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
     weights_by_word = weights.groupBy("__w").agg(
         F.map_from_entries(
             F.collect_list(F.struct("__cls", "__lw"))
@@ -1523,7 +1623,7 @@ def nb_classify(
     # every (doc, class) cell exists even for token-less docs: priors
     # alone then decide (cross join with the tiny class dimension)
     base = (
-        score.select(id_col)
+        score_ids
         .crossJoin(F.broadcast(classes.select("__cls", "__prior")))
         .join(tok_scores, [id_col, "__cls"], "left")
         .select(

@@ -1831,18 +1831,26 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     construction. What this query certifies is the trained-model
     replay; `tests/test_operators.py::test_nb_classify_char_mode`
     pins real discriminative behavior on a corpus where languages
-    actually differ."""
-    from blackroad_feature_store_spark.operators.corpus import nb_classify
+    actually differ.
+
+    r11 (VERDICT r10 item 3): train is a predicate-defined subset of
+    the scored corpus, so this uses `nb_classify_self` — the corpus
+    is char-trigram-tokenized ONCE and the train-side (class, gram)
+    counts derive from the shared aggregated gram scan, cutting the
+    ~40% duplicate tokenization work; scores are unchanged
+    (exact-DECIMAL replay, same oracle)."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        nb_classify_self,
+    )
 
     docs = spread(
         load(spark, sf, "documents").select("doc_id", "text", "lang"),
         "doc_id",
     )
-    train = docs.where(F.col("doc_id") % 5 < 2).select(
-        "doc_id", "text", F.col("lang").alias("label")
-    )
-    pred = nb_classify(
-        train, docs.select("doc_id", "text"), token_mode="char3"
+    pred = nb_classify_self(
+        docs.withColumn("label", F.col("lang")),
+        F.col("doc_id") % 5 < 2,
+        token_mode="char3",
     )
     return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",
@@ -4364,10 +4372,14 @@ def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     (here the deterministic doc_id%23 slice standing in for an eval
     set). The benchmark's distinct shingles are BROADCAST — the corpus
     is scanned once with no shuffle, which is what makes this viable
-    at 100 TB (eval sets are MBs; corpora are not)."""
+    at 100 TB (eval sets are MBs; corpora are not). The train side is
+    `spread` so the shingle projection parallelizes past the
+    single-row-group scan partition (r11 — the probe straggler
+    finding; the eval slice stays on the scan partitioning, it is
+    eval-set-bounded by contract)."""
     docs = load(spark, sf, "documents")
     bench = docs.where(F.col("doc_id") % 23 == 0)
-    train = docs.where(F.col("doc_id") % 23 != 0)
+    train = spread(docs.where(F.col("doc_id") % 23 != 0), "doc_id")
     return (
         decontaminate(train, bench, n=5, id_col="doc_id")
         .groupBy("lang")
@@ -4421,14 +4433,17 @@ def pipeline_decontaminate_winnow(spark: SparkSession, sf: str) -> DataFrame:
     contamination a word 5-gram pass walks past). min_shared=2 trades
     recall for precision against short boilerplate substrings. Same
     broadcast discipline: eval fingerprints broadcast out, hit ids
-    broadcast back, the training corpus never shuffles."""
+    broadcast back, the training corpus never shuffles. The train
+    side is `spread` (r11): the md5-per-character fingerprint
+    projection is the dominant cost and a single-row-group scan would
+    otherwise run it on ONE task — the probe straggler finding."""
     from blackroad_feature_store_spark.operators.corpus import (
         decontaminate_winnow,
     )
 
     docs = load(spark, sf, "documents")
     bench = docs.where(F.col("doc_id") % 23 == 0)
-    train = docs.where(F.col("doc_id") % 23 != 0)
+    train = spread(docs.where(F.col("doc_id") % 23 != 0), "doc_id")
     return (
         decontaminate_winnow(
             train, bench, id_col="doc_id", k=8, window=4, min_shared=2
@@ -5872,16 +5887,19 @@ def pipeline_nb_source_classify(spark: SparkSession, sf: str) -> DataFrame:
     source, exact-decimal score, runner-up margin, and whether the
     prediction recovered the true source. Every log weight is
     quantized at 4dp before DECIMAL accumulation, so the argmax and
-    margin replay bit-for-bit in the oracle."""
-    from blackroad_feature_store_spark.operators.corpus import nb_classify
+    margin replay bit-for-bit in the oracle. r11: train == score here,
+    so the shared-scan `nb_classify_self` tokenizes the corpus once
+    (same scores, one scan cheaper)."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        nb_classify_self,
+    )
 
     docs = spread(
         load(spark, sf, "documents").select("doc_id", "text", "source"),
         "doc_id",
     )
-    pred = nb_classify(
-        docs.select("doc_id", "text", F.col("source").alias("label")),
-        docs.select("doc_id", "text"),
+    pred = nb_classify_self(
+        docs.withColumn("label", F.col("source")), F.lit(True)
     )
     return pred.join(docs.select("doc_id", "source"), "doc_id").select(
         "doc_id",

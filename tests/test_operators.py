@@ -2905,6 +2905,62 @@ def test_nb_classify_char_mode(spark):
         nb_classify(train, score, token_mode="char0")
 
 
+def test_nb_classify_self_matches_two_frame_form(spark):
+    """`nb_classify_self` (VERDICT r10 item 3 — the shared-gram-scan
+    form for train ⊆ score) must score IDENTICALLY to
+    `nb_classify(docs.where(pred), docs)` in both token modes,
+    including token-less docs (priors decide) and docs outside the
+    training slice; train == score (lit(True) predicate) covers the
+    nb_source_classify shape."""
+    from blackroad_feature_store_spark.operators.corpus import (
+        nb_classify,
+        nb_classify_self,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog", "en"),
+            (2, "she sells sea shells by the sea shore", "en"),
+            (3, "le renard brun saute par dessus le chien", "fr"),
+            (4, "elle vend des coquillages au bord de la mer", "fr"),
+            (5, "the shore was quick and lazy today", "en"),
+            (6, "le bord de la mer est tres rapide", "fr"),
+            (7, "??", "en"),  # token-less after normalization
+        ],
+        "doc_id long, text string, label string",
+    )
+    pred = F.col("doc_id") <= 4
+    for mode in ("word", "char3"):
+        want = sorted(
+            map(
+                tuple,
+                nb_classify(
+                    docs.where(pred),
+                    docs.select("doc_id", "text"),
+                    token_mode=mode,
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                nb_classify_self(docs, pred, token_mode=mode).collect(),
+            )
+        )
+        assert got == want, f"mode={mode}"
+    # train == score via an always-true predicate
+    want = sorted(
+        map(
+            tuple,
+            nb_classify(docs, docs.select("doc_id", "text")).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, nb_classify_self(docs, F.lit(True)).collect())
+    )
+    assert got == want
+
+
 def test_split_sentences_segmentation(spark):
     from blackroad_feature_store_spark.operators.corpus import split_sentences
 

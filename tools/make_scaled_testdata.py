@@ -35,6 +35,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+# one row group = ONE Spark scan task regardless of cores (row groups
+# don't split); cap rows per group so scaled shards parallelize like a
+# real multi-file dataset would (r11 probe-straggler finding)
+ROW_GROUP = 16384
+
 SRC = "/root/testdata/sf0.1"
 COPY_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -60,7 +65,8 @@ def scale_documents(out: str, reps: int) -> None:
             pc.add(t["doc_id"], k * 10 * n),
         )
         parts.append(tk)
-    pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet")
+    pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet",
+                   row_group_size=ROW_GROUP)
 
 
 def scale_embeddings(out: str, reps: int) -> None:
@@ -86,7 +92,8 @@ def scale_embeddings(out: str, reps: int) -> None:
             }
         )
         parts.append(tk)
-    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet")
+    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet",
+                   row_group_size=ROW_GROUP)
 
 
 def scale_events(out: str, reps: int) -> None:
@@ -106,7 +113,8 @@ def scale_events(out: str, reps: int) -> None:
             pc.add(t["user_id"], k * max_user),
         )
         parts.append(tk)
-    pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet")
+    pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet",
+                   row_group_size=ROW_GROUP)
 
 
 def scale_tpch(out: str, reps: int) -> None:
@@ -148,7 +156,8 @@ def scale_tpch(out: str, reps: int) -> None:
                     pc.add(t[col], k * offs[kind]),
                 )
             parts.append(tk)
-        pq.write_table(pa.concat_tables(parts), f"{out}/{name}.parquet")
+        pq.write_table(pa.concat_tables(parts), f"{out}/{name}.parquet",
+                       row_group_size=ROW_GROUP)
 
 
 def main() -> None:

@@ -32,6 +32,8 @@ explain; also used by the test — keep in sync with _normalize):
 * file-listing facts that track data, not plan shape — Statistics,
   sizes, "N paths", row counts — → stripped
 * UUID-shaped tokens (checkpoint/query ids) → ``<UUID>``
+* session-global RDD ids in localCheckpoint scans (``…RDD[16] at
+  localCheckpoint``) → stripped
 """
 
 from __future__ import annotations
@@ -54,6 +56,12 @@ _SUBS = [
     # ran earlier in the session; strip the counter, keep the name
     (re.compile(r"\b(lambda [A-Za-z]+)_\d+"), r"\1"),
     (re.compile(r"plan_id=\d+"), "plan_id="),
+    # localCheckpoint scans print the session-global RDD id AND the
+    # reflection call site, whose rendering depends on JIT state
+    # (NativeMethodAccessorImpl.java:0 vs <unknown>:0) — neither is a
+    # plan fact
+    (re.compile(r"RDD\[\d+\]"), "RDD[]"),
+    (re.compile(r"\bat (\S+):\d+"), "at <SITE>"),
     (re.compile(r"\[id=#?\d+\]"), ""),
     (re.compile(r"0x[0-9a-fA-F]+"), "0x"),
     (re.compile(
