@@ -2394,6 +2394,72 @@ def stream_exec_expectations(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_unique_gate",
+    """
+    SELECT 'unique' AS check, 'user_id' AS target,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
+               AS violations,
+           count(*) = count(DISTINCT user_id) AS passed
+    FROM events
+    UNION ALL
+    SELECT 'unique', 'event_id',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+           count(*) = count(DISTINCT event_id)
+    FROM events
+    """,
+)
+def stream_exec_unique_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING uniqueness gate (streaming/quality.py::
+    start_unique_gate_stream + streaming/dedup.py::duplicate_counts —
+    VERDICT r10 item 5): 'unique' is not mergeable as a row-local
+    check, but composed with a keyed stateful operator that decides
+    duplicate-ness against ALL history at arrival, the per-batch
+    duplicate counts fold additively. Two gates drain the events
+    table in two REAL micro-batches each: ``user_id`` (massively
+    repeated — and split so each batch holds ids the other batch also
+    has, the exact cross-batch case a per-batch uniqueness check
+    provably under-counts) and ``event_id`` (globally unique — the
+    passing gate). The oracle recomputes ``count(*) -
+    count(distinct)`` over the WHOLE table in one batch; parity
+    certifies fold-of-batches == whole-history recompute exactly."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.quality import (
+        merge_expectations,
+        start_unique_gate_stream,
+    )
+
+    ev = load(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="stream_uni_")
+    src = f"{base}/src"
+    # event_id-interleaved halves: most user_ids appear in BOTH files
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    merged = []
+    for key in ("user_id", "event_id"):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q_ = start_unique_gate_stream(
+            stream, f"{base}/store_{key}", f"{base}/ckpt_{key}", key,
+            available_now=True,
+        )
+        q_.awaitTermination()
+        merged.append(merge_expectations(spark, f"{base}/store_{key}"))
+    return merged[0].unionByName(merged[1])
+
+
+@q(
     "stream_exec_enrich_pit",
     """
     WITH rec AS (SELECT user_id, ts, value, event_id FROM events

@@ -14,8 +14,11 @@ long tail — the classic lambda split).
 
 from __future__ import annotations
 
+from collections.abc import Iterable, Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def fingerprint(text_col: str = "text"):
@@ -46,4 +49,71 @@ def dedup_stream(
         docs.withColumn("fingerprint", fingerprint(text_col))
         .withWatermark(ts_col, late_threshold)
         .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+_DUP_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_dup", T.LongType()),
+    ]
+)
+
+
+def duplicate_counts(
+    stream: DataFrame, key_col: str
+) -> DataFrame:
+    """First-seen-wins GLOBAL duplicate accounting over a stream —
+    the keyed stateful operator that makes a uniqueness gate
+    expressible on streams (VERDICT r10 item 5): per micro-batch it
+    emits one row per key seen in that batch, ``(key, n_rows,
+    n_dup)``, where ``n_dup`` counts the rows that duplicate an
+    EARLIER-SEEN occurrence of the key — across batches, not just
+    within one. Summing ``n_dup`` over every batch therefore equals
+    the whole-history ``count(*) - count(distinct key)``, which is
+    what lets `streaming/quality.py::start_unique_gate_stream` fold
+    a 'unique' expectation mergeably where a naive per-batch
+    uniqueness check provably under-counts (a key unique within each
+    batch can still repeat across them).
+
+    State is one empty-marker entry per distinct key with NO timeout:
+    exact global uniqueness inherently needs memory of every key ever
+    seen (O(distinct keys) — the same state a shuffle-dedup of the
+    full history would hold; a bounded-horizon variant is
+    :func:`dedup_stream`, with the documented weaker contract). Keys
+    are compared by their string cast, exactly like the DuckDB
+    oracle's DISTINCT on the same column."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    shaped = stream.select(F.col(key_col).cast("string").alias("key"))
+
+    def mark(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = sum(len(p) for p in pdfs)
+        if n == 0:
+            return
+        first_seen = 0 if state.exists else 1
+        state.update((True,))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_rows": [n],
+                "n_dup": [n - first_seen],
+            }
+        )
+
+    return shaped.groupBy("key").applyInPandasWithState(
+        mark,
+        outputStructType=_DUP_COUNT_SCHEMA,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

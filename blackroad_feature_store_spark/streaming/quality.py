@@ -19,10 +19,13 @@ MERGEABILITY is the contract, and it bounds the check catalog:
 * ``foreign_key`` is additive **when the referenced table is
   static** for the stream's lifetime (each row's orphan-ness depends
   only on itself and the ref) — the caller owns that assumption;
-* ``unique`` is NOT mergeable (a key can be unique within every
-  batch and duplicated across them) — rejected with a ValueError
-  pointing at the batch `check_expectations` / a keyed stateful
-  dedup instead of silently under-counting.
+* ``unique`` is NOT mergeable as a row-local check (a key can be
+  unique within every batch and duplicated across them) — rejected
+  with a ValueError. The gate IS expressible by COMPOSITION
+  (:func:`start_unique_gate_stream`): the keyed stateful
+  `streaming/dedup.py::duplicate_counts` operator decides
+  duplicate-ness against ALL history at arrival, after which the
+  per-batch duplicate counts fold additively like any other partial.
 """
 
 from __future__ import annotations
@@ -50,8 +53,9 @@ def _validate_streaming_checks(checks: list[dict[str, Any]]) -> None:
                 "'unique' is not mergeable across micro-batches (a key "
                 "unique within every batch can still repeat across "
                 "them) — run batch check_expectations over the landed "
-                "data, or dedup the stream with a keyed stateful "
-                "operator first"
+                "data, or use start_unique_gate_stream, which composes "
+                "the keyed stateful duplicate_counts operator with "
+                "this store so the gate folds exactly"
             )
 
 
@@ -96,6 +100,79 @@ def merge_expectations(spark: SparkSession, out_path: str) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def process_unique_gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    key_col: str,
+) -> None:
+    """One micro-batch of the uniqueness gate: ``batch_df`` is the
+    OUTPUT of `streaming/dedup.py::duplicate_counts` (one row per key
+    seen this batch with its globally-decided duplicate count), so
+    the partial is a plain sum — (check='unique', target=key_col,
+    total=Σn_rows, violations=Σn_dup) — landed in the batch's own
+    replay-idempotent partition like every other store partial."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    partial = batch_df.agg(
+        F.lit("unique").alias("check"),
+        F.lit(key_col).alias("target"),
+        F.sum("n_rows").cast("long").alias("total"),
+        F.sum("n_dup").cast("long").alias("violations"),
+    ).select("check", "target", "total", "violations")
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partial.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(os.path.join(out_path, "batches"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def start_unique_gate_stream(
+    records: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key_col: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The streaming uniqueness gate (VERDICT r10 item 5 — the honest
+    'unique is not mergeable' rejection turned into a real path):
+    `duplicate_counts` decides each row's duplicate-ness against ALL
+    history at arrival (keyed state, first seen wins), after which
+    the per-batch counts ARE additive — the fold over every batch
+    equals the whole-table ``count(*) - count(distinct key)``
+    exactly. Read the running verdict with :func:`merge_expectations`
+    (the gate lands standard expectation partials, so it folds and
+    compacts through the same store machinery; give the gate its own
+    ``out_path`` — two streams must not share one batch_id
+    namespace). Exactness costs O(distinct keys) state, which is
+    inherent to global uniqueness; for a bounded-state horizon
+    contract use `streaming/dedup.py::dedup_stream` upstream
+    instead."""
+    from blackroad_feature_store_spark.streaming.dedup import (
+        duplicate_counts,
+    )
+
+    writer = (
+        duplicate_counts(records, key_col)
+        .writeStream.foreachBatch(
+            lambda batch_df, batch_id: process_unique_gate_batch(
+                batch_df, batch_id, out_path, key_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_expectations_stream(
