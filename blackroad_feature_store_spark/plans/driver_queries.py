@@ -1507,6 +1507,132 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_lsh(emb, queries, k=5, query_id_col="query_id", nbits=4)
 
 
+def _random_plane_bits_sql() -> str:
+    """DuckDB sign-bit expression for the seeded random-hyperplane
+    family `similarity.random_hyperplanes(64, 4, seed=7)` — each plane
+    inlined as full-precision literals (repr round-trips doubles), dot
+    product written as the same sequential left-fold as Spark's
+    `similarity.dot`."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    cases = []
+    for p in random_hyperplanes(64, 4, seed=7):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        cases.append(
+            "CASE WHEN list_sum(list_transform(list_zip(embedding, "
+            f"{lit}), p -> p[1]::DOUBLE * p[2]::DOUBLE)) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return "(" + " || ".join(cases) + ")"
+
+
+@q(
+    "sim_cosine_topk_auto_approx",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_random_plane_bits_sql()} AS bucket
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding, bucket FROM bucketed
+          WHERE vec_id < 32),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.query_id
+                       ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rank
+            FROM q a JOIN bucketed b
+              ON a.bucket = b.bucket AND b.vec_id != a.query_id)
+        WHERE rank <= 5),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.query_id
+                       ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rank
+            FROM q a CROSS JOIN embeddings b
+            WHERE b.vec_id != a.query_id)
+        WHERE rank <= 5),
+    per AS (
+        SELECT q.query_id,
+               CAST(count(approx.neighbor_id) AS BIGINT) AS n_candidates,
+               CAST(count(brute.neighbor_id) AS BIGINT) AS n_hits
+        FROM q
+        LEFT JOIN approx ON approx.query_id = q.query_id
+        LEFT JOIN brute ON brute.query_id = approx.query_id
+             AND brute.neighbor_id = approx.neighbor_id
+        GROUP BY q.query_id)
+    SELECT query_id, n_candidates, n_hits, recall, mean_recall,
+           mean_recall >= 0.08 AS bound_ok
+    FROM (SELECT query_id, n_candidates, n_hits,
+                 round(n_hits / 5.0, 6) AS recall,
+                 round(sum(n_hits) OVER () /
+                       (5.0 * count(*) OVER ()), 6) AS mean_recall
+          FROM per)
+    """,
+)
+def sim_cosine_topk_auto_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The auto-pick's DEGRADED tier, certified end-to-end (VERDICT
+    r10 item 8): 32 queries against ``max_queries=8`` force
+    `operators/similarity.py::cosine_topk_auto` past the exact-GEMM
+    broadcast contract, and ``allow_approximate=True`` with no index
+    artifacts degrades it to random-hyperplane sign-bit LSH
+    (`random_hyperplanes(64, 4, seed=7)` — the production recall knob
+    the axis-aligned family trades away). The query then computes
+    recall against the exact brute-force top-5 IN-QUERY — per-query
+    and mean — and pins the floor ``mean_recall >= 0.08`` (measured
+    0.14–0.16 at both SFs; ~2× above the floor and well above the
+    ~0.05 top-5 chance rate at sf0.01, honest for a single 16-bucket
+    table probing ~1/16 of the corpus). The oracle replays bucket
+    assignment (plane literals, same sequential-left-fold dot),
+    candidate cut, both rankings, and the recall arithmetic, so the
+    ENTIRE degraded path is hash-certified, not just its final
+    cosines. Mean recall is ``sum(n_hits)/(k·|Q|)`` — integer sums,
+    one division — so no float-summation-order divergence."""
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_auto,
+        random_hyperplanes,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = random_hyperplanes(64, 4, seed=7)
+    approx = cosine_topk_auto(
+        emb, queries, k=5, query_id_col="query_id", max_queries=8,
+        allow_approximate=True, hyperplanes=planes,
+    ).select("query_id", "neighbor_id")
+    brute = cosine_topk(emb, queries, k=5, query_id_col="query_id").select(
+        "query_id", "neighbor_id"
+    )
+    marked = approx.join(
+        brute.withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per = (
+        queries.select("query_id")
+        .join(marked, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("neighbor_id").cast("long").alias("n_candidates"),
+            F.count("__hit").cast("long").alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    return per.select(
+        "query_id",
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits") / F.lit(5.0), 6).alias("recall"),
+        F.round(
+            F.sum("n_hits").over(w)
+            / (F.lit(5.0) * F.count(F.lit(1)).over(w)),
+            6,
+        ).alias("mean_recall"),
+    ).withColumn("bound_ok", F.col("mean_recall") >= 0.08)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: text analysis
 # ---------------------------------------------------------------------------
