@@ -1590,6 +1590,7 @@ def sim_cosine_topk_auto_approx(spark: SparkSession, sf: str) -> DataFrame:
     one division — so no float-summation-order divergence."""
     from blackroad_feature_store_spark.operators.similarity import (
         cosine_topk_auto,
+        cosine_topk_gemm,
         random_hyperplanes,
     )
 
@@ -1602,9 +1603,12 @@ def sim_cosine_topk_auto_approx(spark: SparkSession, sf: str) -> DataFrame:
         emb, queries, k=5, query_id_col="query_id", max_queries=8,
         allow_approximate=True, hyperplanes=planes,
     ).select("query_id", "neighbor_id")
-    brute = cosine_topk(emb, queries, k=5, query_id_col="query_id").select(
-        "query_id", "neighbor_id"
-    )
+    # exact reference via the GEMM path (hash-certified value-identical
+    # to the crossJoin form by sim_cosine_topk_gemm) — the brute side
+    # is this query's dominant term and dgemm is the measured pick
+    brute = cosine_topk_gemm(
+        emb, queries, k=5, query_id_col="query_id"
+    ).select("query_id", "neighbor_id")
     marked = approx.join(
         brute.withColumn("__hit", F.lit(1)),
         ["query_id", "neighbor_id"],
@@ -2560,9 +2564,15 @@ def stream_exec_unique_gate(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="stream_uni_")
     src = f"{base}/src"
-    # event_id-interleaved halves: most user_ids appear in BOTH files
-    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
-    ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+    # event_id-interleaved halves written as 4 files each (parallel
+    # writes — no coalesce(1) serial funnel at scale); with
+    # maxFilesPerTrigger=4 the drain is >=2 REAL micro-batches, and
+    # because first-seen-wins accounting is arrival-order invariant
+    # (the fold sums to count - distinct under ANY file->batch
+    # assignment), mtime-tie nondeterminism in which files share a
+    # batch cannot move the certified result
+    ev.where(F.col("event_id") % 2 == 0).repartition(4).write.parquet(src)
+    ev.where(F.col("event_id") % 2 != 0).repartition(4).write.mode(
         "append"
     ).parquet(src)
     schema = (
@@ -2573,7 +2583,7 @@ def stream_exec_unique_gate(spark: SparkSession, sf: str) -> DataFrame:
     for key in ("user_id", "event_id"):
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "4")
             .parquet(src)
         )
         q_ = start_unique_gate_stream(
@@ -8148,64 +8158,66 @@ _GATE_PRIORITY: list[str] = [
     # -- divergence canary: literal-valued probe of every construct
     # the oracle layer has ever disagreed on --
     "core_oracle_canary",
-    # -- r10 new capability --
-    "text_lang_id",
-    "sim_cosine_topk_auto",
-    "dedup_winnow_pairs",
-    "sim_cosine_topk_ivfpq",
-    "stream_exec_expectations",
-    "pipeline_decontaminate_winnow",
-    # -- r10 changed execution paths (every query whose code moved
+    # -- r11 new capability --
+    "stream_exec_unique_gate",          # stateful uniqueness gate
+    "sim_cosine_topk_auto_approx",      # degraded-tier recall floor
+    # -- r11 changed execution paths (every query whose code moved
     # this round re-certifies) --
-    "pipeline_data_expectations",      # empty-input coalesce
-    "stream_exec_incremental_stats",   # compact clamp + list schema
-    "stream_exec_drift_monitor",       # shared store machinery
-    "stats_cms_heavy_hitters",         # per-key pre-aggregation
-    "pipeline_nb_source_classify",     # tokenizer refactor (word path)
-    # -- ballast biased toward the OLDEST green rows: first the eleven
-    # rotated out in r9 (green rows from r2-r5), then r2-green
-    # classics none of which has re-certified since — including the
-    # four perf watch-list queries from VERDICT r9 --
-    "core_gapfill_interp",
-    "core_gapfill_locf",
-    "core_asof_forward_label",
-    "core_bucketed_join",
-    "text_bm25_search",
-    "pipeline_train_split",
-    "pipeline_balanced_sample",
-    "pipeline_blocklist",
-    "pipeline_span_removal",
-    "pipeline_dup_spans",
-    "text_pii_redaction",
-    "sim_cosine_topk_ivf",
-    "text_quality_profile",
-    "text_stats_by_source",
-    "mm_asset_metadata",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
-    "core_group_stats",
-    "core_events_hourly",
-    "core_sessionize",
-    "core_running_total",
-    "core_window_funcs",
-    "core_pivot",
-    "core_scan_filter_project",
-    "core_dim_join_ordered",
-    "core_point_lookup",
-    "core_json_values",
-    "core_string_fns",
-    "dedup_exact",
-    "text_top_tokens",
-    "pipeline_clean_corpus",
-    "core_approx_distinct",
-    "core_range_join",
-    "core_percentiles",
+    "dedup_winnow_pairs",               # winnow oracle normalization
+    "pipeline_decontaminate_winnow",    # same + spread parallelize
+    "pipeline_decontaminate",           # spread parallelize
+    "sim_cosine_topk_auto",             # single-collect size gate
+    "sim_cosine_topk_gemm",             # threaded _qrows path
+    "text_lang_id",                     # shared tokenization scan
+    "pipeline_nb_source_classify",      # shared tokenization scan
+    "stream_exec_incremental_stats",    # fold dispatch on full column set
+    "stream_exec_drift_monitor",        # shared store machinery
+    "stream_exec_expectations",         # quality.py gate composition
+    # -- ballast biased toward the OLDEST green rows (standing rule,
+    # VERDICT r10 item 7): every r5-tagged row — none has had a
+    # driver-gate pass in 6 rounds — then 15 of the 21 r6-tagged rows
+    # (the remaining six, all tpch_*, rotate in r12) --
+    "core_asof_prev_order",
+    "core_asof_sql_join",
+    "core_date_arith",
+    "core_global_top1",
+    "core_lookup_composite",
+    "core_rollup",
+    "core_router_triggers",
+    "core_salted_hot_keys",
+    "core_semi_anti",
+    "core_set_ops",
+    "mm_frame_samples",
+    "mm_image_features",
+    "sim_cosine_topk",
+    "sim_cosine_topk_lsh",
+    "store_registry_ops",
+    "stream_exec_dedup",
+    "stream_exec_windowed",
+    "stream_windowed_counts",
+    "text_lang_confusion",
+    "core_approx_quantiles",
+    "core_rolling_range",
+    "drift_psi",
+    "pipeline_dedup_report",
+    "pipeline_domain_cap",
+    "pipeline_mixture_weights",
+    "pipeline_paragraph_dedup",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "store_changes_feed",
+    "store_mv_incremental",
+    "stream_exec_enrich",
+    "stream_exec_sessionize",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_supplier",
 ]
 
 
 def _reorder_for_gate() -> None:
     global QUERIES
+    missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
+    assert not missing, f"_GATE_PRIORITY names not in catalog: {missing}"
     ordered = {n: QUERIES[n] for n in _GATE_PRIORITY if n in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
     assert len(ordered) == len(QUERIES)
