@@ -2542,10 +2542,10 @@ def stream_exec_expectations(spark: SparkSession, sf: str) -> DataFrame:
 )
 def stream_exec_unique_gate(spark: SparkSession, sf: str) -> DataFrame:
     """STREAMING uniqueness gate (streaming/quality.py::
-    start_unique_gate_stream + streaming/dedup.py::duplicate_counts —
-    VERDICT r10 item 5): 'unique' is not mergeable as a row-local
-    check, but composed with a keyed stateful operator that decides
-    duplicate-ness against ALL history at arrival, the per-batch
+    start_unique_gate_stream — VERDICT r10 item 5): 'unique' is not
+    mergeable as a row-local check, but composed with a persisted
+    seen-key store that decides duplicate-ness against ALL history at
+    arrival (first seen wins, JVM anti-join per batch), the per-batch
     duplicate counts fold additively. Two gates drain the events
     table in two REAL micro-batches each: ``user_id`` (massively
     repeated — and split so each batch holds ids the other batch also
@@ -2579,20 +2579,106 @@ def stream_exec_unique_gate(spark: SparkSession, sf: str) -> DataFrame:
         "event_id long, ts timestamp, user_id long, "
         "event_type string, value double, props string"
     )
-    merged = []
+    # both gates drain CONCURRENTLY (separate stores + checkpoints —
+    # independent streams, and local[32] has the idle slots): wall
+    # time is one drain, not two
+    gates = []
     for key in ("user_id", "event_id"):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "4")
             .parquet(src)
         )
-        q_ = start_unique_gate_stream(
-            stream, f"{base}/store_{key}", f"{base}/ckpt_{key}", key,
-            available_now=True,
+        gates.append(
+            start_unique_gate_stream(
+                stream, f"{base}/store_{key}", f"{base}/ckpt_{key}",
+                key, available_now=True,
+            )
         )
+    for q_ in gates:
         q_.awaitTermination()
-        merged.append(merge_expectations(spark, f"{base}/store_{key}"))
+    merged = [
+        merge_expectations(spark, f"{base}/store_{key}")
+        for key in ("user_id", "event_id")
+    ]
     return merged[0].unionByName(merged[1])
+
+
+@q(
+    "stream_exec_decontaminate",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               list_transform(range(1, length(s) - 8 + 2),
+                   i -> CAST('0x' || substr(md5(substring(
+                            s, CAST(i AS INT), 8)), 1, 14) AS BIGINT)
+               ) AS hs
+        FROM norm),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               list_min(list_slice(hs, CAST(j AS INT),
+                                   CAST(j + 4 - 1 AS INT))) AS fingerprint
+        FROM h, UNNEST(range(1, len(hs) - 4 + 2)) AS u(j)),
+    bench AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 23 = 0),
+    hits AS (
+        SELECT f.doc_id FROM fp f JOIN bench USING (fingerprint)
+        WHERE f.doc_id % 23 <> 0
+        GROUP BY f.doc_id HAVING count(*) >= 2)
+    SELECT 'decontaminate' AS check, 'text' AS target,
+           CAST((SELECT count(*) FROM documents
+                 WHERE doc_id % 23 <> 0) AS BIGINT) AS total,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS violations,
+           (SELECT count(*) FROM hits) = 0 AS passed
+    """,
+)
+def stream_exec_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING eval-contamination gate (streaming/quality.py::
+    start_decontamination_stream — the third ingest gate after
+    expectations and uniqueness): the eval slice (doc_id%23) is
+    winnow-fingerprinted ONCE (`eval_winnow_fingerprints`, the
+    eval-set-bounded static side); the training docs then stream in
+    over >= 2 REAL micro-batches, each batch fingerprinted and
+    broadcast-semi-joined against the static set, partials folded
+    through the shared expectation store. The oracle recomputes the
+    whole-corpus batch `decontaminate_winnow` verdict (same k=8,
+    window=4, min_shared=2 as pipeline_decontaminate_winnow) in one
+    pass; parity certifies fold-of-batches == whole-corpus recompute
+    exactly — the winnowing per-document guarantee means per-batch
+    evaluation loses nothing."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.quality import (
+        eval_winnow_fingerprints,
+        merge_expectations,
+        start_decontamination_stream,
+    )
+
+    docs = load(spark, sf, "documents")
+    fps = eval_winnow_fingerprints(
+        docs.where(F.col("doc_id") % 23 == 0), k=8, window=4
+    )
+    base = tempfile.mkdtemp(prefix="stream_decon_")
+    src = f"{base}/src"
+    train = docs.where(F.col("doc_id") % 23 != 0).select("doc_id", "text")
+    train.where(F.col("doc_id") % 2 == 0).repartition(2).write.parquet(src)
+    train.where(F.col("doc_id") % 2 != 0).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q_ = start_decontamination_stream(
+        stream, fps, f"{base}/store", f"{base}/ckpt", id_col="doc_id",
+        k=8, window=4, min_shared=2, available_now=True,
+    )
+    q_.awaitTermination()
+    return merge_expectations(spark, f"{base}/store")
 
 
 @q(
@@ -8159,8 +8245,9 @@ _GATE_PRIORITY: list[str] = [
     # the oracle layer has ever disagreed on --
     "core_oracle_canary",
     # -- r11 new capability --
-    "stream_exec_unique_gate",          # stateful uniqueness gate
+    "stream_exec_unique_gate",          # seen-key-store uniqueness gate
     "sim_cosine_topk_auto_approx",      # degraded-tier recall floor
+    "stream_exec_decontaminate",        # streaming contamination gate
     # -- r11 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "dedup_winnow_pairs",               # winnow oracle normalization
@@ -8210,7 +8297,6 @@ _GATE_PRIORITY: list[str] = [
     "stream_exec_enrich",
     "stream_exec_sessionize",
     "tpch_q13_customer_distribution",
-    "tpch_q21_waiting_supplier",
 ]
 
 

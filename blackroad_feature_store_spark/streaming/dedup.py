@@ -64,26 +64,29 @@ _DUP_COUNT_SCHEMA = T.StructType(
 def duplicate_counts(
     stream: DataFrame, key_col: str
 ) -> DataFrame:
-    """First-seen-wins GLOBAL duplicate accounting over a stream —
-    the keyed stateful operator that makes a uniqueness gate
-    expressible on streams (VERDICT r10 item 5): per micro-batch it
-    emits one row per key seen in that batch, ``(key, n_rows,
-    n_dup)``, where ``n_dup`` counts the rows that duplicate an
-    EARLIER-SEEN occurrence of the key — across batches, not just
-    within one. Summing ``n_dup`` over every batch therefore equals
-    the whole-history ``count(*) - count(distinct key)``, which is
-    what lets `streaming/quality.py::start_unique_gate_stream` fold
-    a 'unique' expectation mergeably where a naive per-batch
-    uniqueness check provably under-counts (a key unique within each
-    batch can still repeat across them).
+    """First-seen-wins GLOBAL duplicate accounting over a stream as a
+    keyed STATEFUL operator (`applyInPandasWithState`): per
+    micro-batch it emits one row per key seen in that batch, ``(key,
+    n_rows, n_dup)``, where ``n_dup`` counts the rows that duplicate
+    an EARLIER-SEEN occurrence of the key — across batches, not just
+    within one. Summing ``n_dup`` over every batch equals the
+    whole-history ``count(*) - count(distinct key)``.
 
     State is one empty-marker entry per distinct key with NO timeout:
     exact global uniqueness inherently needs memory of every key ever
     seen (O(distinct keys) — the same state a shuffle-dedup of the
     full history would hold; a bounded-horizon variant is
     :func:`dedup_stream`, with the documented weaker contract). Keys
-    are compared by their string cast, exactly like the DuckDB
-    oracle's DISTINCT on the same column."""
+    are compared by their string cast.
+
+    COST BOUNDARY: `applyInPandasWithState` invokes the Python worker
+    once PER KEY per batch, so this is only the right form when key
+    cardinality per batch is modest (10^3-10^4 — e.g. per-entity or
+    per-session keys). At 10^5 keys/batch it already measures ~10x
+    slower than the all-JVM seen-key-store form
+    `streaming/quality.py::process_unique_gate_batch` uses, and the
+    gap grows linearly — the uniqueness GATE therefore composes the
+    key store, not this operator."""
     import pandas as pd
     from pyspark.sql.streaming.state import (
         GroupState,

@@ -1617,20 +1617,20 @@ def test_streaming_unique_gate_counts_cross_batch_duplicates(
     # 9 rows, 6 distinct -> 3 violations (2 cross-batch + 1 in-batch)
     assert r["total"] == 9 and r["violations"] == 3 and not r["passed"]
 
-    # replay idempotence: a batch's partial write is a dynamic
-    # partition OVERWRITE keyed on batch_id, so re-processing the
-    # same batch (Spark replays a batch after a foreachBatch crash)
-    # must not double-count — pin on a fresh store so the counts are
-    # exactly the replayed micro-batch, independent of file order
-    counts = spark.createDataFrame(
-        [("3", 1, 1), ("4", 1, 1), ("5", 1, 0), ("6", 2, 2)],
-        "key string, n_rows long, n_dup long",
-    )
+    # replay idempotence: both the partial AND the seen-key store are
+    # batch_id-partitioned, and the seen read filters batch_id <
+    # current — so re-processing a batch (Spark replays after a
+    # foreachBatch crash) recomputes the identical partial whether or
+    # not the crashed attempt got either write out
     store2 = str(tmp_path / "store2")
-    process_unique_gate_batch(counts, 0, store2, "k")
+    b0 = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    b1 = spark.createDataFrame([(2,), (3,)], "k long")
+    process_unique_gate_batch(b0, 0, store2, "k")
+    process_unique_gate_batch(b1, 1, store2, "k")
     once = merge_expectations(spark, store2).collect()
-    assert once[0]["total"] == 5 and once[0]["violations"] == 4
-    process_unique_gate_batch(counts, 0, store2, "k")
+    # 5 rows, 3 distinct -> 2 violations (one in-batch, one cross)
+    assert once[0]["total"] == 5 and once[0]["violations"] == 2
+    process_unique_gate_batch(b1, 1, store2, "k")
     assert merge_expectations(spark, store2).collect() == once
 
     # the row-local spec is still rejected, pointing at the gate
@@ -1638,6 +1638,125 @@ def test_streaming_unique_gate_counts_cross_batch_duplicates(
         start_expectations_stream(
             stream, store, str(tmp_path / "c2"), [{"check": "unique"}]
         )
+
+
+def test_duplicate_counts_stateful_operator(spark, tmp_path):
+    """streaming/dedup.py::duplicate_counts — the per-key stateful
+    (applyInPandasWithState) form of global duplicate accounting for
+    modest key cardinality: emits (key, n_rows, n_dup) per batch with
+    duplicate-ness decided against ALL history, so the summed n_dup
+    across >= 2 real micro-batches equals count(*) - count(distinct)
+    over the union."""
+    from blackroad_feature_store_spark.streaming.dedup import (
+        duplicate_counts,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a",), ("b",), ("b",)], "k string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("a",), ("c",)], "k string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        duplicate_counts(stream, "k")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    # 5 rows, 3 distinct -> 2 duplicates in total, at the right keys:
+    # one in-batch ('b' twice in batch 0) and one cross-batch ('a')
+    assert sum(r["n_dup"] for r in rows) == 2
+    per_key = {}
+    for r in rows:
+        per_key[r["key"]] = per_key.get(r["key"], 0) + r["n_dup"]
+    assert per_key == {"a": 1, "b": 1, "c": 0}
+
+
+def test_streaming_decontamination_gate_matches_batch(spark, tmp_path):
+    """streaming/quality.py::start_decontamination_stream: the fold
+    over >= 2 real micro-batches equals the batch decontaminate_winnow
+    verdict over the union — a doc with a verbatim >= k+window-1
+    normalized-char overlap with the eval set is flagged in whichever
+    batch it arrives, clean docs are not, and the eval-set bound
+    raises loudly on a corpus-sized frame."""
+    import pytest as _p
+
+    from blackroad_feature_store_spark.operators.corpus import (
+        decontaminate_winnow,
+    )
+    from blackroad_feature_store_spark.streaming.quality import (
+        eval_winnow_fingerprints,
+        merge_expectations,
+        start_decontamination_stream,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    # 1,3 contain verbatim >= 11-char normalized overlap (k=8,
+    # window=4); 2,4 are clean
+    train_rows = [
+        (1, "intro text then the quick brown fox appears here"),
+        (2, "completely unrelated content about spark plans"),
+        (3, "JUMPS   OVER THE LAZY dog is spliced mid sentence"),
+        (4, "another clean document with no shared substring"),
+    ]
+    fps = eval_winnow_fingerprints(bench, k=8, window=4)
+    assert fps and all(isinstance(f, int) for f in fps)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        train_rows[:2], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        train_rows[2:], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    q = start_decontamination_stream(
+        stream, fps, store, str(tmp_path / "ckpt"), id_col="doc_id",
+        k=8, window=4, min_shared=1, available_now=True,
+    )
+    q.awaitTermination()
+    r = merge_expectations(spark, store).collect()
+    assert len(r) == 1
+    assert (r[0]["check"], r[0]["target"]) == ("decontaminate", "text")
+    assert r[0]["total"] == 4 and r[0]["violations"] == 2
+    assert not r[0]["passed"]
+
+    # fold == batch recompute over the union, doc for doc
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, text string"
+    )
+    batch = decontaminate_winnow(
+        train, bench, id_col="doc_id", k=8, window=4, min_shared=1
+    )
+    flagged = {
+        row["doc_id"] for row in batch.collect() if row["contaminated"]
+    }
+    assert flagged == {1, 3}
+    assert r[0]["violations"] == len(flagged)
+
+    # a corpus-sized "eval set" must refuse, not OOM the driver
+    with _p.raises(ValueError, match="max_fingerprints"):
+        eval_winnow_fingerprints(train, max_fingerprints=2)
 
 
 def test_streaming_expectations_store(spark, tmp_path):

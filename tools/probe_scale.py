@@ -80,9 +80,56 @@ def _fixed_eval_decontaminate(word_shingles: bool):
     return build
 
 
+def _fixed_eval_stream_decontaminate(spark, scaled_dir):
+    """Contract-true STREAMING decontamination probe: eval fingerprints
+    from the sf0.1 doc_id%23 slice (static side), the scaled corpus
+    streamed through the gate in >= 2 real micro-batches — the same
+    drain as the catalog query with only the train side scaling."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.sources.testdata import load
+    from blackroad_feature_store_spark.streaming.quality import (
+        eval_winnow_fingerprints,
+        merge_expectations,
+        start_decontamination_stream,
+    )
+
+    fps = eval_winnow_fingerprints(
+        load(spark, BASE_DIR, "documents").where(
+            F.col("doc_id") % 23 == 0
+        ),
+        k=8, window=4,
+    )
+    base = tempfile.mkdtemp(prefix="probe_decon_")
+    src = f"{base}/src"
+    train = (
+        load(spark, scaled_dir, "documents")
+        .where(F.col("doc_id") % 23 != 0)
+        .select("doc_id", "text")
+    )
+    train.where(F.col("doc_id") % 2 == 0).repartition(8).write.parquet(src)
+    train.where(F.col("doc_id") % 2 != 0).repartition(8).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "8")
+        .parquet(src)
+    )
+    q_ = start_decontamination_stream(
+        stream, fps, f"{base}/store", f"{base}/ckpt", id_col="doc_id",
+        k=8, window=4, min_shared=2, available_now=True,
+    )
+    q_.awaitTermination()
+    return merge_expectations(spark, f"{base}/store")
+
+
 FIXED_EVAL = {
     "pipeline_decontaminate": _fixed_eval_decontaminate(True),
     "pipeline_decontaminate_winnow": _fixed_eval_decontaminate(False),
+    "stream_exec_decontaminate": _fixed_eval_stream_decontaminate,
 }
 
 
