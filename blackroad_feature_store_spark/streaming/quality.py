@@ -166,15 +166,9 @@ def process_unique_gate_batch(
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    seen_path = os.path.join(out_path, "seen")
-    try:
-        seen = (
-            spark.read.parquet(seen_path)
-            .where(F.col("batch_id") < batch_id)
-            .select("key")
-        )
-    except Exception:  # noqa: BLE001 — first batch: store absent
-        seen = None
+    seen = _live_seen_keys(
+        spark, os.path.join(out_path, "seen"), below_batch=batch_id
+    )
     new_keys = (
         counts.join(seen, "key", "left_anti")
         if seen is not None
@@ -198,8 +192,116 @@ def process_unique_gate_batch(
     )
     _land_partial(partial, batch_id, out_path)
     _overwrite_batch_partition(
-        new_keys.select("key"), batch_id, seen_path
+        new_keys.select("key"),
+        batch_id,
+        os.path.join(out_path, "seen", "batches"),
     )
+
+
+def _live_seen_keys(
+    spark: SparkSession, seen_path: str, below_batch: int
+) -> DataFrame | None:
+    """Every key first seen in a batch STRICTLY BELOW ``below_batch``:
+    the compacted fold at the marker's floor (covers batch_id <=
+    floor) plus live batch partitions in (floor, below_batch). The
+    strict bound is the replay-idempotence contract — a crashed
+    attempt's own partition is invisible to its replay. Returns None
+    when no key has been landed yet (first batch)."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        _compaction_floor,
+    )
+
+    floor = _compaction_floor(seen_path)
+    parts: list[DataFrame] = []
+    try:
+        parts.append(
+            spark.read.parquet(os.path.join(seen_path, "batches"))
+            .where(
+                (F.col("batch_id") > floor)
+                & (F.col("batch_id") < below_batch)
+            )
+            .select("key")
+        )
+    except Exception:  # noqa: BLE001 — no batch partition yet
+        pass
+    if floor >= 0:
+        parts.append(
+            spark.read.parquet(os.path.join(seen_path, "compacted"))
+            .where(F.col("floor") == floor)
+            .select("key")
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_seen_keys(
+    spark: SparkSession, out_path: str, upto_batch: int
+) -> None:
+    """Fold the uniqueness gate's seen-key batch partitions with
+    ``batch_id <= upto_batch`` (plus the previous compacted fold)
+    into ONE distinct-key partition and retire the originals — the
+    maintenance valve that keeps the per-batch anti-join reading
+    O(1 + recent batches) parquet partitions instead of one per batch
+    ever processed. Set-union is the fold monoid, so this is
+    `streaming/stats.py::compact_stats`' protocol verbatim: write the
+    new ``compacted/floor=<upto>`` directory, atomically flip the
+    marker (the single commit point), best-effort cleanup; a crash on
+    either side of the flip leaves a correct store. Same clamp
+    contract: ``upto_batch`` is clamped to the newest landed
+    batch_id, and only checkpoint-committed batches may be compacted
+    (the one replayable batch is above any committed id)."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        _compaction_floor,
+        _write_compaction_floor,
+    )
+
+    seen_path = os.path.join(out_path, "seen")
+    floor = _compaction_floor(seen_path)
+    if upto_batch <= floor:
+        return
+    batches_dir = os.path.join(seen_path, "batches")
+    try:
+        batches = spark.read.parquet(batches_dir)
+        newest = batches.agg(F.max("batch_id")).first()[0]
+    except Exception:  # noqa: BLE001 — nothing landed above the floor
+        newest = None
+    if newest is None or newest <= floor:
+        return
+    upto_batch = min(int(upto_batch), int(newest))  # the clamp
+    to_fold = batches.where(
+        (F.col("batch_id") > floor) & (F.col("batch_id") <= upto_batch)
+    ).select("key")
+    if floor >= 0:
+        to_fold = to_fold.unionByName(
+            spark.read.parquet(os.path.join(seen_path, "compacted"))
+            .where(F.col("floor") == floor)
+            .select("key")
+        )
+    to_fold.distinct().write.mode("overwrite").parquet(
+        os.path.join(seen_path, "compacted", f"floor={int(upto_batch)}")
+    )
+    _write_compaction_floor(seen_path, upto_batch)  # the commit point
+    # -- best-effort cleanup; correctness never depends on it --
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    retired = [
+        os.path.join(batches_dir, f"batch_id={b}")
+        for b in range(floor + 1, upto_batch + 1)
+    ]
+    if floor >= 0:
+        retired.append(
+            os.path.join(seen_path, "compacted", f"floor={floor}")
+        )
+    for sub in retired:
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(sub)
+            p.getFileSystem(conf).delete(p, True)
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def start_unique_gate_stream(

@@ -1640,6 +1640,48 @@ def test_streaming_unique_gate_counts_cross_batch_duplicates(
         )
 
 
+def test_unique_gate_seen_key_compaction(spark, tmp_path):
+    """streaming/quality.py::compact_seen_keys: folding seen-key
+    batch partitions behind the atomic marker must not change any
+    subsequent batch's verdict — duplicate-ness against compacted
+    history == against the original partitions — and replay of a
+    post-compaction batch stays idempotent. Future upto_batch ids
+    clamp to the newest landed batch."""
+    from blackroad_feature_store_spark.streaming.quality import (
+        compact_seen_keys,
+        merge_expectations,
+        process_unique_gate_batch,
+    )
+
+    store = str(tmp_path / "store")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(r,) for r in rows], "k long"
+    )
+    process_unique_gate_batch(mk([1, 2]), 0, store, "k")
+    process_unique_gate_batch(mk([2, 3]), 1, store, "k")
+    compact_seen_keys(spark, store, 1)
+    # batch 2 decides against COMPACTED history: 1,3 dup; 4 new
+    process_unique_gate_batch(mk([1, 3, 4]), 2, store, "k")
+    r = merge_expectations(spark, store).collect()[0]
+    # 7 rows, 4 distinct -> 3 violations
+    assert r["total"] == 7 and r["violations"] == 3
+    # replay of the post-compaction batch is still idempotent
+    process_unique_gate_batch(mk([1, 3, 4]), 2, store, "k")
+    assert merge_expectations(spark, store).collect()[0] == r
+    # clamp: a future id compacts only what is landed, then batch 3
+    # still counts exactly
+    compact_seen_keys(spark, store, 99)
+    process_unique_gate_batch(mk([4, 5]), 3, store, "k")
+    r2 = merge_expectations(spark, store).collect()[0]
+    assert r2["total"] == 9 and r2["violations"] == 4
+    # the seen store now reads one compacted fold + batch 3 only
+    import glob
+
+    assert glob.glob(f"{store}/seen/compacted/floor=2")
+    live_batches = glob.glob(f"{store}/seen/batches/batch_id=*")
+    assert [b.split("=")[-1] for b in live_batches] == ["3"]
+
+
 def test_duplicate_counts_stateful_operator(spark, tmp_path):
     """streaming/dedup.py::duplicate_counts — the per-key stateful
     (applyInPandasWithState) form of global duplicate accounting for
