@@ -3719,6 +3719,133 @@ def pipeline_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "cluster_id", "split")
 
 
+# Record-linkage fixture: entity "names" are the first 40 chars of each
+# document; each gets one deterministic dirty variant (the char at
+# position doc_id % len + 1 dropped, id shifted by 1e6 — the catalog's
+# shifted-copy convention). Both engines build the identical variant.
+_SQL_LINK_MATCHES = """
+    WITH recs AS (
+        SELECT doc_id AS rec_id, substr(text, 1, 40) AS name
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substr(substr(text, 1, 40), 1,
+                      CAST(doc_id % greatest(
+                          length(substr(text, 1, 40)), 1) AS INT))
+               || substr(substr(text, 1, 40),
+                         CAST(doc_id % greatest(
+                             length(substr(text, 1, 40)), 1) AS INT) + 2)
+        FROM documents),
+    keys AS (
+        SELECT rec_id, name, 'h:' || substr(name, 1, 12) AS bkey
+        FROM recs
+        UNION ALL
+        SELECT rec_id, name,
+               't:' || substr(name, greatest(length(name) - 11, 1), 12)
+        FROM recs),
+    cand AS (
+        SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b,
+                        a.name AS name_a, b.name AS name_b
+        FROM keys a JOIN keys b
+          ON a.bkey = b.bkey AND a.rec_id < b.rec_id),
+    matches AS (
+        SELECT id_a, id_b, sim FROM (
+            SELECT id_a, id_b,
+                   round(1.0 - levenshtein(name_a, name_b)::DOUBLE
+                         / greatest(length(name_a), length(name_b), 1),
+                         6) AS sim
+            FROM cand)
+        WHERE sim >= 0.9)
+"""
+
+
+def _link_records_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark twin of the oracle's ``recs`` CTE (original + one-char-
+    dropped variant per document, variant ids shifted by 1e6)."""
+    docs = load(spark, sf, "documents")
+    name = F.substring("text", 1, 40)
+    base = docs.select(
+        F.col("doc_id").alias("rec_id"), name.alias("name")
+    )
+    m = (
+        F.col("doc_id") % F.greatest(F.length(name), F.lit(1))
+    ).cast("int")
+    variant = F.concat(
+        F.substring(name, F.lit(1), m),
+        F.substring(name, m + F.lit(2), F.length(name)),
+    )
+    dirty = docs.select(
+        (F.col("doc_id") + 1000000).alias("rec_id"),
+        variant.alias("name"),
+    )
+    return base.unionByName(dirty)
+
+
+@q(
+    "link_blocked_pairs",
+    _SQL_LINK_MATCHES + "SELECT id_a, id_b, sim FROM matches",
+)
+def link_blocked_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-linkage match pairs (`operators/linkage.py`): two-pass
+    head/tail substring blocking bounds candidates (a one-char drop
+    cannot invalidate both keys at once for names >= 2*key_len), then
+    JVM-side normalised levenshtein similarity, threshold 0.9. The
+    candidate set is O(sum block^2) with block sizes capped by the
+    12-char key (max block 24 at sf0.1), never O(N^2)."""
+    from blackroad_feature_store_spark.operators.linkage import (
+        link_records,
+    )
+
+    recs = _link_records_frame(spark, sf)
+    return link_records(recs, key_len=12, threshold=0.9)
+
+
+@q(
+    "link_entities",
+    _SQL_LINK_MATCHES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM matches
+              UNION
+              SELECT id_b, id_a FROM matches),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS rec_id, min(b) AS entity_id
+             FROM reach GROUP BY a),
+    assigned AS (
+        SELECT r.rec_id, r.name,
+               COALESCE(c.entity_id, r.rec_id) AS entity_id
+        FROM recs r LEFT JOIN comp c USING (rec_id)),
+    ranked AS (
+        SELECT entity_id, rec_id, name,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY length(name) DESC, rec_id)
+                   AS rn
+        FROM assigned)
+    SELECT entity_id, count(*) AS n_records,
+           max(CASE WHEN rn = 1 THEN rec_id END) AS canonical_rec_id,
+           max(CASE WHEN rn = 1 THEN name END) AS canonical_name
+    FROM ranked GROUP BY entity_id
+    """,
+)
+def link_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end: match pairs -> connected
+    components (pointer-jumping min-label, O(log diameter) rounds;
+    the oracle replays the same components by recursive transitive
+    closure) -> survivorship (canonical record = longest name, ties
+    to smallest id — the most complete record wins). Singletons form
+    their own entity via the left join."""
+    from blackroad_feature_store_spark.operators.linkage import (
+        link_records,
+        resolve_entities,
+    )
+
+    recs = _link_records_frame(spark, sf)
+    matches = link_records(recs, key_len=12, threshold=0.9)
+    return resolve_entities(recs, matches)
+
+
 @q(
     "core_set_ops",
     """
@@ -8248,6 +8375,8 @@ _GATE_PRIORITY: list[str] = [
     "stream_exec_unique_gate",          # seen-key-store uniqueness gate
     "sim_cosine_topk_auto_approx",      # degraded-tier recall floor
     "stream_exec_decontaminate",        # streaming contamination gate
+    "link_blocked_pairs",               # record-linkage match pairs
+    "link_entities",                    # entity resolution + survivorship
     # -- r11 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "dedup_winnow_pairs",               # winnow oracle normalization
@@ -8262,8 +8391,10 @@ _GATE_PRIORITY: list[str] = [
     "stream_exec_expectations",         # quality.py gate composition
     # -- ballast biased toward the OLDEST green rows (standing rule,
     # VERDICT r10 item 7): every r5-tagged row — none has had a
-    # driver-gate pass in 6 rounds — then 15 of the 21 r6-tagged rows
-    # (the remaining six, all tpch_*, rotate in r12) --
+    # driver-gate pass in 6 rounds — then 13 of the 21 r6-tagged rows
+    # (the remaining eight — six tpch_*, stream_exec_sessionize,
+    # tpch_q13_customer_distribution — rotate in r12; two slots went
+    # to the r11 linkage family above) --
     "core_asof_prev_order",
     "core_asof_sql_join",
     "core_date_arith",
@@ -8295,8 +8426,6 @@ _GATE_PRIORITY: list[str] = [
     "store_changes_feed",
     "store_mv_incremental",
     "stream_exec_enrich",
-    "stream_exec_sessionize",
-    "tpch_q13_customer_distribution",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Pins for operators/linkage.py: blocking recall guarantee, skew cap
+determinism, scoring semantics, survivorship, singleton entities."""
+
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark.operators.linkage import (
+    blocking_keys,
+    candidate_pairs,
+    link_records,
+    resolve_entities,
+)
+
+
+def _recs(spark, rows):
+    return spark.createDataFrame(rows, "rec_id bigint, name string")
+
+
+def test_two_pass_blocking_survives_one_char_drop(spark):
+    # For names >= 2*key_len a single dropped char can invalidate the
+    # head key or the tail key, never both: dropping at pos <= k keeps
+    # the tail; dropping at pos > len-k keeps the head.
+    base = "abcdefghijklmnopqrstuvwxyz"  # len 26, key_len 12
+    rows = [(0, base)]
+    for p in range(len(base)):  # every possible drop position
+        rows.append((1000 + p, base[:p] + base[p + 1 :]))
+    pairs = candidate_pairs(
+        _recs(spark, rows), key_len=12
+    ).where(F.col("id_a") == 0)
+    got = {r.id_b for r in pairs.collect()}
+    assert got >= {1000 + p for p in range(len(base))}
+
+
+def test_match_pairs_full_truth_recall_and_precision(spark):
+    # Distinct random-ish names: true matches are (i, i+100) variants.
+    # Leading 10-char run differs entirely between entities, so any
+    # non-truth pair is >= 10 edits on a ~33-char name (sim <= 0.7).
+    names = [
+        f"{chr(65 + i) * 10} entity record {i:06d} ok" for i in range(40)
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    rows += [(i + 100, n[: i % len(n)] + n[i % len(n) + 1 :])
+             for i, n in enumerate(names)]
+    matches = link_records(
+        _recs(spark, rows), key_len=12, threshold=0.9
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in matches}
+    truth = {(i, i + 100) for i in range(40)}
+    assert truth <= got  # 100% recall on the synthetic truth
+    assert got == truth  # and nothing else crosses the 0.9 bar
+    for r in matches:
+        assert r.sim >= 0.9
+
+
+def test_skew_cap_is_deterministic_and_bounded(spark):
+    # 30 identical names -> one degenerate block; cap at 5 keeps the 5
+    # smallest ids -> exactly C(5,2)=10 pairs, same on every run.
+    rows = [(i, "all the same entity name here") for i in range(30)]
+    capped = candidate_pairs(
+        _recs(spark, rows), key_len=12, max_block=5
+    )
+    got = sorted((r.id_a, r.id_b) for r in capped.collect())
+    assert got == [(a, b) for a in range(5) for b in range(a + 1, 5)]
+
+
+def test_resolve_entities_survivorship_and_singletons(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),   # component {1,2,3}
+        (2, "alpha beta gamma delta epsilo"),    # shorter variant
+        (3, "alpha beta gamma delta epsilon!"),  # longest -> canonical
+        (9, "totally unrelated singleton rec"),  # singleton entity
+    ]
+    recs = _recs(spark, rows)
+    matches = spark.createDataFrame(
+        [(1, 2, 0.96), (2, 3, 0.95)],
+        "id_a bigint, id_b bigint, sim double",
+    )
+    out = {r.entity_id: r for r in resolve_entities(recs, matches).collect()}
+    assert set(out) == {1, 9}
+    assert out[1].n_records == 3
+    assert out[1].canonical_rec_id == 3  # longest name wins
+    assert out[1].canonical_name == "alpha beta gamma delta epsilon!"
+    assert out[9].n_records == 1 and out[9].canonical_rec_id == 9
+
+
+def test_blocking_keys_shape(spark):
+    keys = blocking_keys(
+        _recs(spark, [(7, "abcdefghijklmnopqrstuvwxyz")]), key_len=12
+    ).collect()
+    got = {r.bkey for r in keys}
+    assert got == {"h:abcdefghijkl", "t:opqrstuvwxyz"}
