@@ -1,0 +1,172 @@
+"""Distributed k-means over embedding columns, built to be exactly
+replayable: every cross-row accumulation is integer arithmetic, so the
+result is independent of partitioning / aggregation order and a SQL
+oracle can certify the full iterative run hash-for-hash.
+
+The reference engine has no clustering surface; this powers the
+pipeline steps that need trained coarse structure over embeddings —
+IVF index training (`operators/similarity.py` takes "any deterministic
+centroid" frame; this produces one), SemDeDup-style cluster-then-dedup,
+and topic-balanced sampling.
+
+Numeric design (why this is exactly certifiable)
+------------------------------------------------
+* Vectors are quantized ONCE: ``q_i = floor(x_i * scale)`` as BIGINT
+  (floor of an IEEE double is unambiguous — no round-half ties to
+  disagree on across engines).
+* **Spherical trick**: cosine similarity is scale-invariant, so the
+  centroid update can keep the component-wise *SUM* of member vectors
+  instead of the mean — no division, all-BIGINT state, exact under any
+  aggregation order. Assignments against sum-centroids equal
+  assignments against mean-centroids.
+* The only floats are the per-(vector, centroid) scores, each computed
+  from exact integers by the same IEEE expression on both engines
+  (``dot/ (sqrt(n2_v) * sqrt(n2_c))``) — identical inputs + identical
+  operation order = identical doubles, so the argmax (ties to the
+  smaller centroid id) agrees bit-for-bit.
+* Overflow headroom: with ``scale=1e4``, 64 dims and N members,
+  ``dot(v, c) <= 64 * 1e4 * N*1e4`` — safe in int64 for N up to ~1e9
+  rows per cluster; shrink ``scale`` for wider/longer inputs.
+
+Scale design
+------------
+Assignment is a broadcast of k (sum-vector) centroids against the
+corpus — one map-side pass, no shuffle; the update is one
+``posexplode -> partial-agg -> (cid, pos)`` aggregation (map-side
+combine does most of the work: k*dim output rows). Per-iteration
+lineage is cut with ``localCheckpoint`` exactly like
+``dedup.duplicate_clusters``. Clusters that receive no members vanish
+(k shrinks) — deterministic and oracle-replayable; production systems
+that prefer re-seeding can split the largest cluster instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "quantize_vectors",
+    "kmeans_assign",
+    "kmeans_fit_predict",
+]
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product (order-independent by exactness)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantize_vectors(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """(id, qv BIGINT array, n2 BIGINT squared norm): the exact-integer
+    working form every other function here consumes."""
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    return df.select(F.col(id_col).alias("id"), qv.alias("qv")).withColumn(
+        "n2", _idot(F.col("qv"), F.col("qv"))
+    )
+
+
+def _score(qn2: Column, cn2: Column, dot_: Column) -> Column:
+    # Zero-norm guard: all-zero vectors sort below every real score.
+    return F.when((qn2 == 0) | (cn2 == 0), F.lit(-1.0)).otherwise(
+        dot_.cast("double")
+        / (F.sqrt(qn2.cast("double")) * F.sqrt(cn2.cast("double")))
+    )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by max cosine (ties to the smaller
+    centroid id). ``vectors`` is quantize_vectors output; ``centroids``
+    carries (cid, cv, cn2). Centroids are broadcast — assignment is a
+    single map-side pass over the corpus."""
+    c = F.broadcast(centroids.select("cid", "cv", "cn2"))
+    scored = vectors.crossJoin(c).select(
+        "id",
+        "cid",
+        _score(F.col("n2"), F.col("cn2"), _idot(F.col("qv"), F.col("cv"))).alias(
+            "__s"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__s").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "cid")
+    )
+
+
+def _update_centroids(assign: DataFrame, vectors: DataFrame) -> DataFrame:
+    """Sum-centroids from an assignment: component-wise BIGINT sums
+    (spherical k-means — cosine ignores centroid magnitude, so the sum
+    stands in for the mean with zero division error)."""
+    comp = (
+        assign.join(vectors.select("id", "qv"), "id")
+        .select("cid", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("v").cast("long").alias("s"))
+    )
+    cents = comp.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda x: x["s"],
+        ).alias("cv")
+    )
+    return cents.withColumn("cn2", _idot(F.col("cv"), F.col("cv")))
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 10_000,
+    return_centroids: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Lloyd's algorithm, exactly certifiable end-to-end.
+
+    Init: the k records with the smallest ids (deterministic and
+    trivially replayable; for dense 0-based ids this is ``id < k``).
+    Returns the final assignment (id_col, ``cluster_id``); with
+    ``return_centroids=True`` also the post-update sum-centroids
+    (cid, cv, cn2) ready for :func:`ivf` index building."""
+    q = quantize_vectors(
+        df, id_col=id_col, vec_col=vec_col, scale=scale
+    ).localCheckpoint()
+    cents = (
+        q.orderBy("id")
+        .limit(k)
+        .select(F.col("id").alias("cid"), F.col("qv").alias("cv"),
+                F.col("n2").alias("cn2"))
+        .localCheckpoint()
+    )
+    # Per round, only the k-row centroid frame is checkpointed (cut
+    # lineage + force one job); the assignment stays LAZY — the final
+    # one is evaluated by the consumer against the already-checkpointed
+    # previous centroids, so each Lloyd round costs exactly one pass
+    # over the corpus instead of three.
+    assign = None
+    for _ in range(iterations):
+        assign = kmeans_assign(q, cents)
+        cents = _update_centroids(assign, q).localCheckpoint()
+    out = assign.select(
+        F.col("id").alias(id_col), F.col("cid").alias("cluster_id")
+    )
+    if return_centroids:
+        return out, cents
+    return out

@@ -3846,6 +3846,146 @@ def link_entities(spark: SparkSession, sf: str) -> DataFrame:
     return resolve_entities(recs, matches)
 
 
+def _sql_kmeans(iters: int, k: int, scale: int) -> str:
+    """Unrolled-iteration oracle for the exactly-certifiable k-means
+    (`operators/clustering.py`): vectors quantized to BIGINT once,
+    sum-centroids (spherical trick — cosine ignores magnitude, so no
+    division anywhere), scores as doubles computed from exact integers
+    by the same IEEE expression the Spark side uses. Produces CTEs
+    qz/qzn/cents0..cents{iters}/assign1..assign{iters}."""
+    parts = [
+        f"""
+    WITH qz AS (SELECT vec_id,
+            list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+                AS qv
+        FROM embeddings),
+    qzn AS (SELECT vec_id, qv,
+            CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+        FROM qz),
+    cents0 AS (SELECT vec_id AS cid, qv AS cv,
+            CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS cn2
+        FROM qz WHERE vec_id < {k})"""
+    ]
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    assign{i} AS (SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid, row_number() OVER (
+            PARTITION BY q.vec_id ORDER BY
+                CASE WHEN q.n2 = 0 OR c.cn2 = 0 THEN -1.0
+                     ELSE CAST(list_sum(list_transform(
+                              list_zip(q.qv, c.cv),
+                              p -> p[1] * p[2])) AS DOUBLE)
+                          / (sqrt(CAST(q.n2 AS DOUBLE))
+                             * sqrt(CAST(c.cn2 AS DOUBLE))) END DESC,
+                c.cid) AS rn
+        FROM qzn q CROSS JOIN {prev} c) WHERE rn = 1),
+    cents{i} AS (SELECT cid, list(s ORDER BY pos) AS cv,
+        CAST(list_sum(list_transform(
+            list(s ORDER BY pos), x -> x * x)) AS BIGINT) AS cn2
+        FROM (SELECT a.cid, pos, CAST(sum(v) AS BIGINT) AS s FROM (
+            SELECT a.cid, unnest(q.qv) AS v,
+                   generate_subscripts(q.qv, 1) AS pos
+            FROM assign{i} a JOIN qz q USING (vec_id)) a
+          GROUP BY cid, pos)
+        GROUP BY cid)""")
+        prev = f"cents{i}"
+    return "".join(parts)
+
+
+@q(
+    "ml_kmeans_clusters",
+    _sql_kmeans(3, 8, 10_000)
+    + """
+    SELECT vec_id, cid AS cluster_id FROM assign3
+    """,
+)
+def ml_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed k-means (`operators/clustering.py`), k=8, 3 Lloyd
+    iterations, certified end-to-end: integer-exact sum-centroids make
+    the whole iterative run independent of aggregation order, so the
+    oracle replays every iteration hash-for-hash. Assignment is a
+    broadcast map-side pass; the update is one map-side-combined
+    (cid, pos) aggregation producing k*dim rows per round."""
+    from blackroad_feature_store_spark.operators.clustering import (
+        kmeans_fit_predict,
+    )
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    return kmeans_fit_predict(emb, k=8, iterations=3)
+
+
+@q(
+    "sim_cosine_topk_ivf_kmeans",
+    _sql_kmeans(3, 8, 10_000)
+    + f""",
+    cents AS (SELECT cid, list_transform(cv, x -> x::DOUBLE) AS cvec
+              FROM cents3),
+    corp AS (SELECT vec_id, embedding FROM embeddings),
+    assign_scored AS (
+        SELECT c.vec_id, k.cid,
+               {_sql_cos('c.embedding', 'k.cvec')} AS sim
+        FROM corp c CROSS JOIN cents k),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM assign_scored) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qvec
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+    probe_scored AS (
+        SELECT q.qid, q.qvec, k.cid,
+               {_sql_cos('q.qvec', 'k.cvec')} AS sim
+        FROM q CROSS JOIN cents k),
+    probes AS (
+        SELECT qid, qvec, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+            FROM probe_scored) WHERE rn <= 2),
+    scored AS (
+        SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+               {_sql_cos('p.qvec', 'e.embedding')} AS score
+        FROM probes p
+        JOIN assigned a ON a.cid = p.cid
+        JOIN corp e ON e.vec_id = a.vec_id
+        WHERE a.vec_id != p.qid)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+              AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids — delivers the swap
+    `sim_cosine_topk_ivf`'s docstring promises: the coarse quantizer is
+    the 3-iteration exactly-certifiable k-means, so index training AND
+    search are one hash-certified pipeline. Sum-centroids feed the
+    index directly (cosine is scale-invariant); same nprobe=2 plan
+    shape as the hash-picked variant, better list balance."""
+    from blackroad_feature_store_spark.operators.clustering import (
+        kmeans_fit_predict,
+    )
+    from blackroad_feature_store_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    _, cents = kmeans_fit_predict(
+        emb, k=8, iterations=3, return_centroids=True
+    )
+    centroids = cents.select(
+        F.col("cid").alias("centroid_id"),
+        F.transform("cv", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk_ivf(emb, queries, centroids, k=5, nprobe=2)
+
+
 @q(
     "core_set_ops",
     """
@@ -8377,6 +8517,8 @@ _GATE_PRIORITY: list[str] = [
     "stream_exec_decontaminate",        # streaming contamination gate
     "link_blocked_pairs",               # record-linkage match pairs
     "link_entities",                    # entity resolution + survivorship
+    "ml_kmeans_clusters",               # exact-replay iterative k-means
+    "sim_cosine_topk_ivf_kmeans",       # IVF with trained centroids
     # -- r11 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "dedup_winnow_pairs",               # winnow oracle normalization
@@ -8391,10 +8533,11 @@ _GATE_PRIORITY: list[str] = [
     "stream_exec_expectations",         # quality.py gate composition
     # -- ballast biased toward the OLDEST green rows (standing rule,
     # VERDICT r10 item 7): every r5-tagged row — none has had a
-    # driver-gate pass in 6 rounds — then 13 of the 21 r6-tagged rows
-    # (the remaining eight — six tpch_*, stream_exec_sessionize,
-    # tpch_q13_customer_distribution — rotate in r12; two slots went
-    # to the r11 linkage family above) --
+    # driver-gate pass in 6 rounds — then 11 of the 21 r6-tagged rows
+    # (the remaining ten — six tpch_*, stream_exec_sessionize,
+    # tpch_q13_customer_distribution, stream_exec_enrich,
+    # store_mv_incremental — rotate in r12; four slots went to the
+    # r11 linkage + k-means families above) --
     "core_asof_prev_order",
     "core_asof_sql_join",
     "core_date_arith",
@@ -8424,8 +8567,6 @@ _GATE_PRIORITY: list[str] = [
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
     "store_changes_feed",
-    "store_mv_incremental",
-    "stream_exec_enrich",
 ]
 
 

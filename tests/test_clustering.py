@@ -1,0 +1,121 @@
+"""Pins for operators/clustering.py: parity with a pure-Python replay
+of the quantized spherical Lloyd, partition-order independence,
+scale-invariance of assignments, empty-cluster vanish semantics."""
+
+import math
+
+from blackroad_feature_store_spark.operators.clustering import (
+    kmeans_fit_predict,
+    quantize_vectors,
+)
+
+
+def _py_kmeans(vectors, k, iterations, scale=10_000):
+    """Reference: identical quantized spherical Lloyd, sum-centroids."""
+    q = {
+        i: [math.floor(x * scale) for x in v] for i, v in vectors.items()
+    }
+    n2 = {i: sum(x * x for x in v) for i, v in q.items()}
+    cents = {i: list(q[i]) for i in sorted(q)[:k]}
+
+    def score(vid, cid):
+        cv = cents[cid]
+        cn2 = sum(x * x for x in cv)
+        if n2[vid] == 0 or cn2 == 0:
+            return -1.0
+        d = sum(a * b for a, b in zip(q[vid], cv))
+        return float(d) / (math.sqrt(float(n2[vid])) * math.sqrt(float(cn2)))
+
+    assign = {}
+    for _ in range(iterations):
+        assign = {
+            vid: max(sorted(cents), key=lambda c: (score(vid, c), -c))
+            for vid in q
+        }
+        new = {}
+        for vid, cid in assign.items():
+            acc = new.setdefault(cid, [0] * len(q[vid]))
+            for p, x in enumerate(q[vid]):
+                acc[p] += x
+        cents = new
+    return assign, cents
+
+
+def _vec_df(spark, vectors):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_matches_pure_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vectors = {
+        i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(40)
+    }
+    got, cents_df = kmeans_fit_predict(
+        _vec_df(spark, vectors), k=4, iterations=3, return_centroids=True
+    )
+    want, want_cents = _py_kmeans(vectors, k=4, iterations=3)
+    assert {r.vec_id: r.cluster_id for r in got.collect()} == want
+    got_cents = {r.cid: list(r.cv) for r in cents_df.collect()}
+    assert got_cents == want_cents
+
+
+def test_partition_order_independence(spark):
+    import random
+
+    rng = random.Random(11)
+    vectors = {i: [rng.uniform(-1, 1) for _ in range(5)] for i in range(60)}
+    df = _vec_df(spark, vectors)
+    a = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_fit_predict(
+            df.repartition(1), k=3, iterations=2
+        ).collect()
+    }
+    b = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_fit_predict(
+            df.repartition(7), k=3, iterations=2
+        ).collect()
+    }
+    assert a == b  # integer-exact accumulation: layout can't move it
+
+
+def test_assignment_is_scale_invariant(spark):
+    # Cosine ignores magnitude: doubling a vector (exactly, in the
+    # quantized domain) must not change its cluster.
+    base = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [0.5, 0.25], 3: [1.0, 0.5]}
+    out = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_fit_predict(
+            _vec_df(spark, base), k=2, iterations=2
+        ).collect()
+    }
+    assert out[3] == out[2]  # [1.0,0.5] is exactly 2x [0.5,0.25]
+
+
+def test_empty_cluster_vanishes(spark):
+    # v0 == v1, so init centroids 0 and 1 are identical; ties go to the
+    # smaller cid, cluster 1 receives nothing and vanishes after the
+    # first update — deterministically, on both engines.
+    vectors = {0: [1.0, 0.0], 1: [1.0, 0.0], 2: [0.0, 1.0]}
+    out = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_fit_predict(
+            _vec_df(spark, vectors), k=3, iterations=2
+        ).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 2}
+
+
+def test_quantize_floor_semantics(spark):
+    df = _vec_df(spark, {0: [0.00015, -0.00015]})
+    row = quantize_vectors(df).collect()[0]
+    # floor, not round: 1.5 -> 1 and -1.5 -> -2 (unambiguous across
+    # engines, unlike round-half conventions).
+    assert list(row.qv) == [1, -2]
+    assert row.n2 == 5
