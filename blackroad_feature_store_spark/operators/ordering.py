@@ -1,0 +1,95 @@
+"""Deterministic global ordering: seeded training-order shuffle and a
+scale-correct global sort index.
+
+The reference engine has no ordering surface; this covers the last
+step of a training-data pipeline — fixing the epoch order of a corpus
+reproducibly (same seed = same order on any cluster, any partitioning)
+without a single-reducer global window.
+
+Scale design
+------------
+``global_sort_index`` never funnels the corpus through one partition:
+
+1. range-repartition on the order key (distributed sort),
+2. per-partition counts -> driver-side prefix offsets (one tiny
+   collect, bounded by the partition count),
+3. within-partition ``row_number`` + broadcast offset join.
+
+The range boundaries Spark samples are nondeterministic, but the
+OUTPUT is not: with unique keys, within-partition rank plus the count
+of rows in earlier ranges equals the global rank wherever the
+boundaries land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["global_sort_index", "epoch_shuffle"]
+
+
+def global_sort_index(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    index_col: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based global rank over ``order_cols`` (which must be
+    duplicate-free as a tuple) without a global single-partition
+    window. Costs one range shuffle + one tiny count job + one
+    pid-local window."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE materialized partitioning: the range
+    # partitioner SAMPLES its boundaries, so without it the counts job
+    # and the downstream consumer could each re-execute the shuffle
+    # with different boundaries and the offsets would not correspond
+    # to the pids the window sees.
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("__pid").count().collect()
+    offsets, running = {}, 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = running
+        running += row["count"]
+    off = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off bigint",
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn(
+            index_col, (F.col("__off") + F.col("__rn")).cast("long")
+        )
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    epoch: str | int = 1,
+    index_col: str = "epoch_pos",
+) -> DataFrame:
+    """Seeded global shuffle for training order: rank by
+    ``md5(id || ':' || epoch)`` (id tie-break), reproducible across
+    runs, clusters and partitionings. Returns (id_col, index_col)."""
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(f":{epoch}")
+            )
+        ).alias("__k"),
+    )
+    return global_sort_index(
+        keyed, ["__k", id_col], index_col=index_col
+    ).select(id_col, index_col)

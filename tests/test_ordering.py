@@ -1,0 +1,62 @@
+"""Pins for operators/ordering.py: the distributed global index equals
+the single-sort rank, is stable across partitionings (the range
+boundaries are sampled — the OUTPUT must not move), and epoch seeds
+permute reproducibly."""
+
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark.operators.ordering import (
+    epoch_shuffle,
+    global_sort_index,
+)
+
+
+def _df(spark, n, parts=1):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id")
+    ).repartition(parts)
+
+
+def test_global_index_equals_single_sort_rank(spark):
+    df = _df(spark, 997, parts=5).withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    )
+    got = {
+        r.doc_id: r.pos
+        for r in global_sort_index(
+            df, ["k", "doc_id"], num_partitions=7
+        ).collect()
+    }
+    want = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            df.orderBy("k", "doc_id").select("doc_id").collect()
+        )
+    }
+    assert got == want
+
+
+def test_index_stable_across_partition_counts(spark):
+    df = _df(spark, 400, parts=3).withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    )
+    a = {
+        r.doc_id: r.pos
+        for r in global_sort_index(df, ["k"], num_partitions=2).collect()
+    }
+    b = {
+        r.doc_id: r.pos
+        for r in global_sort_index(df, ["k"], num_partitions=13).collect()
+    }
+    assert a == b
+
+
+def test_epoch_shuffle_is_permutation_and_seeded(spark):
+    df = _df(spark, 300, parts=4)
+    e1 = {r.doc_id: r.epoch_pos for r in epoch_shuffle(df, epoch=1).collect()}
+    e1b = {r.doc_id: r.epoch_pos for r in epoch_shuffle(df, epoch=1).collect()}
+    e2 = {r.doc_id: r.epoch_pos for r in epoch_shuffle(df, epoch=2).collect()}
+    assert sorted(e1.values()) == list(range(1, 301))  # dense 1..N
+    assert e1 == e1b  # same seed -> identical order, re-run
+    assert e1 != e2  # different epoch -> different order
+    assert sorted(e2.values()) == list(range(1, 301))
