@@ -4068,6 +4068,79 @@ def dedup_semantic_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "label", "centroid_id", "centroid_sim")
 
 
+def _sql_pagerank_trade(iters: int, scale: int) -> str:
+    """Unrolled oracle for the integer fixed-point PageRank
+    (`operators/graph.py`): edge shares and contributions floor-divide
+    per edge (exact, order-independent), damping is integer too."""
+    s = f"CAST({scale} AS BIGINT)"
+    parts = [
+        f"""
+    WITH ew AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM ew
+              UNION SELECT dst FROM ew),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+             FROM ew GROUP BY src),
+    shares AS (SELECT e.src, e.dst, (e.w * {s}) // o.out_w AS p
+               FROM ew e JOIN outw o USING (src)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, {s} // nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    c{i} AS (SELECT sh.dst,
+                CAST(sum((r.rank * sh.p) // {s}) AS BIGINT) AS c
+             FROM shares sh JOIN r{i - 1} r ON r.node = sh.src
+             GROUP BY sh.dst),
+    r{i} AS (SELECT n.node,
+                CAST((15 * {s}) // (100 * nn.n)
+                     + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS rank
+             FROM nodes n CROSS JOIN nn
+             LEFT JOIN c{i} c ON c.dst = n.node)""")
+    parts.append(f"""
+    SELECT nation.n_name, r{iters}.rank
+    FROM r{iters} JOIN nation ON n_nationkey = r{iters}.node
+    """)
+    return "".join(parts)
+
+
+@q("graph_pagerank_trade", _sql_pagerank_trade(3, 1_000_000_000))
+def graph_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank over the supplier-nation -> customer-nation
+    trade graph (`operators/graph.py::pagerank`), 3 iterations,
+    hash-certified: ranks live in 1e-9 fixed-point units and every
+    accumulation is integer-exact, so the iterative run replays on
+    any partitioning. The 100 TB cost center is the fact-to-graph
+    reduction — broadcast dim joins + one map-side-combined
+    groupBy(src, dst) — not the iteration on the reduced graph."""
+    from blackroad_feature_store_spark.operators.graph import pagerank
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    ords = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+    )
+    pr = pagerank(edges, iterations=3)
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return pr.join(
+        F.broadcast(nation), pr.node == nation.n_nationkey
+    ).select("n_name", "rank")
+
+
 @q(
     "core_set_ops",
     """
@@ -8603,6 +8676,7 @@ _GATE_PRIORITY: list[str] = [
     "sim_cosine_topk_ivf_kmeans",       # IVF with trained centroids
     "dedup_semantic_kmeans",            # SemDeDup under trained clusters
     "pipeline_epoch_shuffle",           # seeded training-order shuffle
+    "graph_pagerank_trade",             # integer fixed-point PageRank
     # -- r11 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "dedup_winnow_pairs",               # winnow oracle normalization
@@ -8617,12 +8691,14 @@ _GATE_PRIORITY: list[str] = [
     "stream_exec_expectations",         # quality.py gate composition
     # -- ballast biased toward the OLDEST green rows (standing rule,
     # VERDICT r10 item 7): every r5-tagged row — none has had a
-    # driver-gate pass in 6 rounds — then 9 of the 21 r6-tagged rows
-    # (the remaining twelve — six tpch_*, stream_exec_sessionize,
+    # driver-gate pass in 6 rounds — then 8 of the 21 r6-tagged rows
+    # (the remaining thirteen — six tpch_*, stream_exec_sessionize,
     # tpch_q13_customer_distribution, stream_exec_enrich,
-    # store_mv_incremental, store_changes_feed, source_jsonl_roundtrip
-    # — rotate in r12; six slots went to the r11 linkage, k-means,
-    # SemDeDup-trained and epoch-shuffle queries above) --
+    # store_mv_incremental, store_changes_feed, source_jsonl_roundtrip,
+    # pipeline_paragraph_dedup (fresh independent pass in the judge's
+    # r10 replica) — rotate in r12; seven slots went to the r11
+    # linkage, k-means, SemDeDup-trained, epoch-shuffle and PageRank
+    # queries above) --
     "core_asof_prev_order",
     "core_asof_sql_join",
     "core_date_arith",
@@ -8648,7 +8724,6 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_dedup_report",
     "pipeline_domain_cap",
     "pipeline_mixture_weights",
-    "pipeline_paragraph_dedup",
     "source_csv_roundtrip",
 ]
 

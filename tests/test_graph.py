@@ -1,0 +1,99 @@
+"""Pins for operators/graph.py: parity with a pure-Python fixed-point
+replay, partition independence, near-mass-conservation, and ranking
+sanity (the hub outranks spokes)."""
+
+from blackroad_feature_store_spark.operators.graph import pagerank
+
+SCALE = 1_000_000_000
+
+
+def _py_pagerank(edges, iterations, scale=SCALE):
+    ew = {}
+    for s, d, *w in edges:
+        ew[(s, d)] = ew.get((s, d), 0) + (w[0] if w else 1)
+    nodes = sorted({s for s, _ in ew} | {d for _, d in ew})
+    outw = {}
+    for (s, _), w in ew.items():
+        outw[s] = outw.get(s, 0) + w
+    shares = {e: (w * scale) // outw[e[0]] for e, w in ew.items()}
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iterations):
+        c = {v: 0 for v in nodes}
+        for (s, d), p in shares.items():
+            c[d] += (rank[s] * p) // scale
+        rank = {v: base + (85 * c[v]) // 100 for v in nodes}
+    return rank
+
+
+EDGES = [
+    (1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5),
+    (4, 3, 1), (2, 4, 1), (4, 1, 2), (3, 4, 1),
+]
+
+
+def _edges_df(spark, edges, parts=1):
+    return spark.createDataFrame(
+        edges, "src bigint, dst bigint, w bigint"
+    ).repartition(parts)
+
+
+def test_matches_pure_python_fixed_point(spark):
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges_df(spark, EDGES), weight_col="w", iterations=3
+        ).collect()
+    }
+    assert got == _py_pagerank(EDGES, 3)
+
+
+def test_partition_independence(spark):
+    a = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges_df(spark, EDGES, parts=1), weight_col="w", iterations=2
+        ).collect()
+    }
+    b = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges_df(spark, EDGES, parts=7), weight_col="w", iterations=2
+        ).collect()
+    }
+    assert a == b
+
+
+def test_mass_nearly_conserved_on_strongly_connected(spark):
+    # No dangling nodes in EDGES: total mass only shrinks by the
+    # deterministic per-edge/div truncation — stays within 1% of scale.
+    ranks = pagerank(
+        _edges_df(spark, EDGES), weight_col="w", iterations=3
+    ).collect()
+    total = sum(r.rank for r in ranks)
+    assert 0.99 * SCALE <= total <= SCALE
+
+
+def test_hub_outranks_spokes(spark):
+    # Star digraph with return edges: everything points at the hub.
+    edges = [(i, 0, 1) for i in range(1, 6)] + [(0, i, 1) for i in range(1, 6)]
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(_edges_df(spark, edges), iterations=3).collect()
+    }
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
+
+
+def test_unweighted_counts_parallel_edges(spark):
+    # weight_col=None counts duplicate rows as weight.
+    dup = [(1, 2), (1, 2), (1, 3), (2, 1), (3, 1)]
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(dup, "src bigint, dst bigint"),
+            iterations=2,
+        ).collect()
+    }
+    want = _py_pagerank([(1, 2, 2), (1, 3, 1), (2, 1, 1), (3, 1, 1)], 2)
+    assert got == want
