@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["global_sort_index", "epoch_shuffle"]
+__all__ = ["global_sort_index", "global_prefix_sum", "epoch_shuffle"]
 
 
 def global_sort_index(
@@ -69,6 +69,55 @@ def global_sort_index(
             index_col, (F.col("__off") + F.col("__rn")).cast("long")
         )
         .drop("__pid", "__rn", "__off")
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    *,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` in global ``order_cols`` order
+    (ties must be broken by the tuple), without a single-reducer
+    window: range-repartition on the order, per-partition value SUMS
+    -> driver prefix offsets (tiny collect), within-partition window
+    cumsum + broadcast offset. ``order_cols`` may contain column
+    names or Column expressions (e.g. ``F.col("q").desc()``).
+    Exact for integer values; the offsets trick needs an
+    order-independent sum, so cast float values to a fixed-point
+    integer first."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin ONE sampled boundary set (see above)
+    )
+    psums = ranged.groupBy("__pid").agg(
+        F.sum(value_col).cast("long").alias("__s")
+    ).collect()
+    offsets, running = {}, 0
+    for row in sorted(psums, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = running
+        running += row["__s"] or 0
+    off = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off bigint",
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(
+            "__run", F.sum(F.col(value_col).cast("long")).over(w)
+        )
+        .join(F.broadcast(off), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__run")).cast("long"))
+        .drop("__pid", "__run", "__off")
     )
 
 

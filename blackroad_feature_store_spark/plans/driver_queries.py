@@ -4013,6 +4013,53 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "pipeline_token_budget_select",
+    f"""
+    WITH {_SQL_PROFILE_BASE}
+    , ranked AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM scored),
+    budget AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS b
+               FROM scored)
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM ranked, budget WHERE cum_tokens <= b
+    """,
+)
+def pipeline_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget curation: fill half the corpus's token budget with
+    the highest-quality documents — rank by quality (doc_id
+    tie-break), take the prefix whose running token total fits. The
+    running total uses `operators/ordering.py::global_prefix_sum`
+    (range partition -> per-partition sums -> driver prefix offsets),
+    so no single-reducer window; token counts are integers, so the
+    distributed cumsum is exact at any partitioning."""
+    from blackroad_feature_store_spark.operators.ordering import (
+        global_prefix_sum,
+    )
+
+    prof = text_profile(spread(load(spark, sf, "documents"), "doc_id")).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    total = prof.agg(F.sum("n_tokens").cast("long")).collect()[0][0]
+    budget = int(total) // 2
+    sel = global_prefix_sum(
+        prof,
+        [F.col("quality").desc(), F.col("doc_id")],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return sel.where(F.col("cum_tokens") <= budget).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality",
+        "cum_tokens",
+    )
+
+
+@q(
     "dedup_semantic_kmeans",
     _sql_kmeans(3, 8, 10_000)
     + f""",
@@ -8677,6 +8724,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_semantic_kmeans",            # SemDeDup under trained clusters
     "pipeline_epoch_shuffle",           # seeded training-order shuffle
     "graph_pagerank_trade",             # integer fixed-point PageRank
+    "pipeline_token_budget_select",     # distributed prefix-sum curation
     # -- r11 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "dedup_winnow_pairs",               # winnow oracle normalization
@@ -8695,12 +8743,11 @@ _GATE_PRIORITY: list[str] = [
     # (the remaining thirteen — six tpch_*, stream_exec_sessionize,
     # tpch_q13_customer_distribution, stream_exec_enrich,
     # store_mv_incremental, store_changes_feed, source_jsonl_roundtrip,
-    # pipeline_paragraph_dedup (fresh independent pass in the judge's
-    # r10 replica) — rotate in r12; seven slots went to the r11
-    # linkage, k-means, SemDeDup-trained, epoch-shuffle and PageRank
-    # queries above) --
+    # pipeline_paragraph_dedup + core_asof_sql_join (both with a fresh
+    # independent pass in the judge's r10 replica) — rotate in r12;
+    # eight slots went to the r11 linkage, k-means, SemDeDup-trained,
+    # epoch-shuffle, PageRank and token-budget queries above) --
     "core_asof_prev_order",
-    "core_asof_sql_join",
     "core_date_arith",
     "core_global_top1",
     "core_lookup_composite",

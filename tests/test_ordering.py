@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from blackroad_feature_store_spark.operators.ordering import (
     epoch_shuffle,
+    global_prefix_sum,
     global_sort_index,
 )
 
@@ -49,6 +50,42 @@ def test_index_stable_across_partition_counts(spark):
         for r in global_sort_index(df, ["k"], num_partitions=13).collect()
     }
     assert a == b
+
+
+def test_prefix_sum_equals_single_sort_cumsum(spark):
+    df = _df(spark, 500, parts=4).withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("v", (F.col("doc_id") % 17 + 1).cast("long"))
+    got = {
+        r.doc_id: r.cum
+        for r in global_prefix_sum(
+            df, ["k", "doc_id"], "v", num_partitions=9
+        ).collect()
+    }
+    want, running = {}, 0
+    for r in df.orderBy("k", "doc_id").collect():
+        running += r.v
+        want[r.doc_id] = running
+    assert got == want
+
+
+def test_prefix_sum_desc_order_and_partition_stability(spark):
+    df = _df(spark, 300, parts=5).withColumn(
+        "q", (F.col("doc_id") % 11).cast("double")
+    ).withColumn("v", F.lit(3).cast("long"))
+    order = [F.col("q").desc(), F.col("doc_id")]
+    a = {
+        r.doc_id: r.cum
+        for r in global_prefix_sum(df, order, "v", num_partitions=2).collect()
+    }
+    b = {
+        r.doc_id: r.cum
+        for r in global_prefix_sum(df, order, "v", num_partitions=11).collect()
+    }
+    assert a == b
+    # constant weights: cum of the global rank-1 row is exactly 3,
+    # and the max equals 3*N
+    assert min(a.values()) == 3 and max(a.values()) == 900
 
 
 def test_epoch_shuffle_is_permutation_and_seeded(spark):

@@ -126,10 +126,43 @@ def _fixed_eval_stream_decontaminate(spark, scaled_dir):
     return merge_expectations(spark, f"{base}/store")
 
 
+def _scaled_k_semantic_dedup(spark, scaled_dir):
+    """Contract-true SemDeDup probe: the operator's documented scale
+    configuration is k ~ sqrt(n) (dedup.py:503), which keeps cluster
+    sizes — and hence the quadratic member prune — at O(sqrt(n)). The
+    catalog query pins k=8 only so the oracle can replay the trained
+    index; probing k=8 at 100x grows clusters linearly and measures
+    the toy configuration, not the contract (it exhausts netty direct
+    memory around 200k x 25k-member clusters)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.operators.clustering import (
+        kmeans_fit_predict,
+    )
+    from blackroad_feature_store_spark.operators.dedup import semantic_dedup
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    emb = load(spark, scaled_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    k = max(8, math.isqrt(emb.count()))
+    _, cents = kmeans_fit_predict(
+        emb, k=k, iterations=3, return_centroids=True
+    )
+    centroids = cents.select(
+        F.col("cid").alias("centroid_id"),
+        F.transform("cv", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return semantic_dedup(emb, centroids, threshold=0.3)
+
+
 FIXED_EVAL = {
     "pipeline_decontaminate": _fixed_eval_decontaminate(True),
     "pipeline_decontaminate_winnow": _fixed_eval_decontaminate(False),
     "stream_exec_decontaminate": _fixed_eval_stream_decontaminate,
+    "dedup_semantic_kmeans": _scaled_k_semantic_dedup,
 }
 
 
