@@ -4115,6 +4115,131 @@ def dedup_semantic_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "label", "centroid_id", "centroid_sim")
 
 
+@q(
+    "stream_exec_cluster_drift",
+    # 4 unrolled assignments: assign4 is the assignment against the
+    # TRAINED cents3 — the deployed index both populations score on.
+    _sql_kmeans(4, 8, 10_000)
+    + """,
+    split AS (SELECT a.vec_id, a.cid,
+                     CASE WHEN a.vec_id % 2 = 0 THEN 1 ELSE 0 END AS r
+              FROM assign4 a),
+    frame AS (SELECT DISTINCT cid FROM assign4),
+    c AS (SELECT cid, sum(r) AS n_ref, sum(1 - r) AS n_cur
+          FROM split GROUP BY cid),
+    f AS (SELECT frame.cid,
+                 coalesce(c.n_ref, 0) AS n_ref,
+                 coalesce(c.n_cur, 0) AS n_cur
+          FROM frame LEFT JOIN c USING (cid)),
+    t AS (SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM f)
+    SELECT f.cid AS cluster_id,
+           CAST(f.n_ref AS BIGINT) AS n_ref,
+           CAST(f.n_cur AS BIGINT) AS n_cur,
+           round(((f.n_ref + 0.5) / (t.tot_ref + 4.0)
+                  - (f.n_cur + 0.5) / (t.tot_cur + 4.0))
+                 * ln(((f.n_ref + 0.5) / (t.tot_ref + 4.0))
+                      / ((f.n_cur + 0.5) / (t.tot_cur + 4.0))), 6)
+               AS psi_term
+    FROM f, t
+    """,
+)
+def stream_exec_cluster_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING cluster-population drift — the round's clustering
+    work wired into the monitoring stack: the exactly-replayable
+    k-means trains centroids once; the serving stream (odd vec_ids,
+    two REAL micro-batches) is assigned per batch against the
+    broadcast trained centroids and per-cluster count partials land in
+    the shared batch_id-partitioned stats store; per-cluster PSI terms
+    compare the folded streaming counts against the even-id baseline
+    population. Integer-exact assignment means the oracle replays
+    training AND scoring over the whole table. Smoothing constant is
+    0.5 per cluster with the catalog's k=8 (4.0), matching the
+    drift-monitor convention."""
+    import tempfile
+
+    from blackroad_feature_store_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_predict,
+        quantize_vectors,
+    )
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_stats,
+        process_stats_batch,
+    )
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    _, cents = kmeans_fit_predict(
+        emb, k=8, iterations=3, return_centroids=True
+    )
+    # Both populations score against the DEPLOYED trained centroids
+    # (cents after the last update) — the oracle's assign4.
+    full_assign = kmeans_assign(quantize_vectors(emb), cents).select(
+        F.col("id").alias("vec_id"), F.col("cid").alias("cluster_id")
+    ).localCheckpoint()
+    ref = (
+        full_assign.where(F.col("vec_id") % 2 == 0)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    frame = full_assign.select("cluster_id").distinct()
+
+    # Serving window: odd vec_ids streamed in two REAL micro-batches.
+    base = tempfile.mkdtemp(prefix="stream_cdrift_")
+    src = f"{base}/src"
+    cur = emb.where(F.col("vec_id") % 2 != 0)
+    cur.where(F.col("vec_id") % 4 == 1).coalesce(1).write.parquet(src)
+    cur.where(F.col("vec_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stats_path = f"{base}/stats"
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = kmeans_assign(
+            quantize_vectors(batch_df), cents
+        ).withColumnRenamed("cid", "cluster_id")
+        process_stats_batch(
+            assigned, batch_id, stats_path, ["cluster_id"], "id"
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    cur_counts = merge_stats(spark, stats_path).select(
+        "cluster_id", F.col("n").alias("n_cur")
+    )
+    f = (
+        frame.join(ref, "cluster_id", "left")
+        .join(cur_counts, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    t = f.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    pr = (F.col("n_ref") + 0.5) / (F.col("tot_ref") + 4.0)
+    pc = (F.col("n_cur") + 0.5) / (F.col("tot_cur") + 4.0)
+    return f.crossJoin(F.broadcast(t)).select(
+        "cluster_id",
+        "n_ref",
+        "n_cur",
+        F.round((pr - pc) * F.log(pr / pc), 6).alias("psi_term"),
+    )
+
+
 def _sql_pagerank_trade(iters: int, scale: int) -> str:
     """Unrolled oracle for the integer fixed-point PageRank
     (`operators/graph.py`): edge shares and contributions floor-divide
@@ -8725,6 +8850,7 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_epoch_shuffle",           # seeded training-order shuffle
     "graph_pagerank_trade",             # integer fixed-point PageRank
     "pipeline_token_budget_select",     # distributed prefix-sum curation
+    "stream_exec_cluster_drift",        # trained clusters on the stream
     # -- r11 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "dedup_winnow_pairs",               # winnow oracle normalization
@@ -8743,10 +8869,11 @@ _GATE_PRIORITY: list[str] = [
     # (the remaining thirteen — six tpch_*, stream_exec_sessionize,
     # tpch_q13_customer_distribution, stream_exec_enrich,
     # store_mv_incremental, store_changes_feed, source_jsonl_roundtrip,
-    # pipeline_paragraph_dedup + core_asof_sql_join (both with a fresh
-    # independent pass in the judge's r10 replica) — rotate in r12;
-    # eight slots went to the r11 linkage, k-means, SemDeDup-trained,
-    # epoch-shuffle, PageRank and token-budget queries above) --
+    # pipeline_paragraph_dedup + core_asof_sql_join + core_rolling_range
+    # (the last three with a fresh independent pass in the judge's r10
+    # replica) — rotate in r12; nine slots went to the r11 linkage,
+    # k-means, SemDeDup-trained, epoch-shuffle, PageRank, token-budget
+    # and cluster-drift queries above) --
     "core_asof_prev_order",
     "core_date_arith",
     "core_global_top1",
@@ -8766,7 +8893,6 @@ _GATE_PRIORITY: list[str] = [
     "stream_windowed_counts",
     "text_lang_confusion",
     "core_approx_quantiles",
-    "core_rolling_range",
     "drift_psi",
     "pipeline_dedup_report",
     "pipeline_domain_cap",

@@ -228,6 +228,12 @@ _BNLJ_WHITELIST = {
     # broadcast centroid frame (bounded at any corpus size), same as
     # sim_cosine_topk_ivf / dedup_semantic
     "sim_cosine_topk_ivfpq",
+    # k-means assignment crossJoins the broadcast k-row sum-centroid
+    # frame (bounded by k at any corpus size) — same class as
+    # sim_cosine_topk_ivf / dedup_semantic
+    "ml_kmeans_clusters",
+    "sim_cosine_topk_ivf_kmeans",
+    "dedup_semantic_kmeans",
 }
 
 # stream_exec_* queries EXECUTE a stream inside the callable and

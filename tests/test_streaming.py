@@ -1901,3 +1901,54 @@ def test_streaming_cms_maintenance_matches_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert est["x"] >= 10 and est["y"] >= 2 and est["z"] >= 5
+
+
+def test_cluster_drift_partials_fold_equals_recompute(spark, tmp_path):
+    """Trained-centroid scoring through the shared stats store: two
+    micro-batch partials (one replayed) fold to exactly the per-cluster
+    counts of a single batch recompute over the union."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_predict,
+        quantize_vectors,
+    )
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_stats,
+        process_stats_batch,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    _, cents = kmeans_fit_predict(
+        emb, k=4, iterations=2, return_centroids=True
+    )
+    store = str(tmp_path / "cdrift")
+
+    def score(df):
+        return kmeans_assign(quantize_vectors(df), cents).select(
+            F.col("id"), F.col("cid").alias("cluster_id")
+        )
+
+    b0 = emb.where(F.col("vec_id") < 40)
+    b1 = emb.where(F.col("vec_id") >= 40)
+    process_stats_batch(score(b0), 0, store, ["cluster_id"], "id")
+    process_stats_batch(score(b1), 1, store, ["cluster_id"], "id")
+    process_stats_batch(score(b1), 1, store, ["cluster_id"], "id")  # replay
+
+    folded = {
+        r.cluster_id: r.n for r in merge_stats(spark, store).collect()
+    }
+    full = {
+        r.cluster_id: r["count"]
+        for r in score(emb).groupBy("cluster_id").count().collect()
+    }
+    assert folded == full

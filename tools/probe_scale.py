@@ -165,6 +165,13 @@ FIXED_EVAL = {
     "dedup_semantic_kmeans": _scaled_k_semantic_dedup,
 }
 
+TAGS = {
+    "pipeline_decontaminate": " [eval side held at sf0.1]",
+    "pipeline_decontaminate_winnow": " [eval side held at sf0.1]",
+    "stream_exec_decontaminate": " [eval side held at sf0.1]",
+    "dedup_semantic_kmeans": " [k scaled ~ sqrt(n), the documented contract]",
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -184,7 +191,7 @@ def main() -> None:
 
     for name in args.names:
         fixed = FIXED_EVAL.get(name)
-        tag = " [eval side held at sf0.1]" if fixed else ""
+        tag = TAGS.get(name, "") if fixed else ""
         base = None
         for label, d in SCALES:
             if not os.path.isdir(d):
