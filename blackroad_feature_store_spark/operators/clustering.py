@@ -92,7 +92,15 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment by max cosine (ties to the smaller
     centroid id). ``vectors`` is quantize_vectors output; ``centroids``
     carries (cid, cv, cn2). Centroids are broadcast — assignment is a
-    single map-side pass over the corpus."""
+    single map-side pass over the corpus.
+
+    The argmax is a ``max_by`` AGGREGATE, not a window: the N×k scored
+    rows collapse to one row per vector in the map-side combine, so
+    the exchange carries N rows instead of N×k — the difference
+    between minutes and hours once k reaches the ~sqrt(n) production
+    range. ``struct(score, -cid)`` makes the max prefer the smaller
+    centroid id on exact ties, identical to the oracle's
+    (score DESC, cid) row_number ordering."""
     c = F.broadcast(centroids.select("cid", "cv", "cn2"))
     scored = vectors.crossJoin(c).select(
         "id",
@@ -101,11 +109,8 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
             "__s"
         ),
     )
-    w = Window.partitionBy("id").orderBy(F.col("__s").desc(), F.col("cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("id", "cid")
+    return scored.groupBy("id").agg(
+        F.expr("max_by(cid, struct(__s, -cid))").alias("cid")
     )
 
 
