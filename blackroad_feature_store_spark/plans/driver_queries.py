@@ -4116,6 +4116,82 @@ def dedup_semantic_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_hll_distinct",
+    """
+    SELECT source,
+           count(DISTINCT text) AS n_distinct,
+           1 AS sketch_within_3pct
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def stream_exec_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING distinct counting — per-batch HLL sketch partials
+    (`streaming/stats.py::process_hll_batch`) through the shared
+    batch_id store, folded by sketch UNION (associative and
+    idempotent: the one store replay cannot skew even in principle).
+    Two REAL micro-batches; the in-query 3% envelope against the exact
+    whole-table distinct is the certification, same contract as the
+    batch `stats_hll_distinct`. This is how a 100 TB stream maintains
+    distinct counts: kilobyte sketches at ingest, union at read,
+    never a rescan."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_hll,
+        process_hll_batch,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+    base = tempfile.mkdtemp(prefix="stream_hll_")
+    src = f"{base}/src"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    hll_path = f"{base}/hll"
+    q_ = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: process_hll_batch(
+                batch_df, batch_id, hll_path, ["source"], "text"
+            )
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    folded = merge_hll(spark, hll_path).select(
+        "source", F.hll_sketch_estimate("sketch").alias("approx_distinct")
+    )
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("n_distinct")
+    )
+    return (
+        exact.join(folded, "source")
+        .select(
+            "source",
+            "n_distinct",
+            F.when(
+                F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+                / F.col("n_distinct")
+                <= 0.03,
+                1,
+            )
+            .otherwise(0)
+            .alias("sketch_within_3pct"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "stream_exec_cluster_drift",
     # 4 unrolled assignments: assign4 is the assignment against the
     # TRAINED cents3 — the deployed index both populations score on.
@@ -8851,6 +8927,7 @@ _GATE_PRIORITY: list[str] = [
     "graph_pagerank_trade",             # integer fixed-point PageRank
     "pipeline_token_budget_select",     # distributed prefix-sum curation
     "stream_exec_cluster_drift",        # trained clusters on the stream
+    "stream_exec_hll_distinct",         # mergeable sketches on the stream
     # -- r11 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "dedup_winnow_pairs",               # winnow oracle normalization
@@ -8870,10 +8947,11 @@ _GATE_PRIORITY: list[str] = [
     # tpch_q13_customer_distribution, stream_exec_enrich,
     # store_mv_incremental, store_changes_feed, source_jsonl_roundtrip,
     # pipeline_paragraph_dedup + core_asof_sql_join + core_rolling_range
-    # (the last three with a fresh independent pass in the judge's r10
-    # replica) — rotate in r12; nine slots went to the r11 linkage,
-    # k-means, SemDeDup-trained, epoch-shuffle, PageRank, token-budget
-    # and cluster-drift queries above) --
+    # (those three with a fresh independent pass in the judge's r10
+    # replica) + source_csv_roundtrip — rotate in r12; ten slots went
+    # to the r11 linkage, k-means, SemDeDup-trained, epoch-shuffle,
+    # PageRank, token-budget, cluster-drift and streaming-HLL queries
+    # above) --
     "core_asof_prev_order",
     "core_date_arith",
     "core_global_top1",
@@ -8897,7 +8975,6 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_dedup_report",
     "pipeline_domain_cap",
     "pipeline_mixture_weights",
-    "source_csv_roundtrip",
 ]
 
 

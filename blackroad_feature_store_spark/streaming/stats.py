@@ -149,6 +149,24 @@ def _fold(partials: DataFrame) -> DataFrame:
     and histogram partials (key…, bin, n) fold by summing counts.
     Lets one compaction/merge machinery serve every store kind."""
     cols = set(partials.columns)
+    if any(
+        f.name == "sketch" and f.dataType.typeName() == "binary"
+        for f in partials.schema.fields
+    ):
+        # HLL sketch partials: fold = sketch union (associative AND
+        # idempotent — even a double-counted replay cannot skew it).
+        # Dispatch requires the BINARY type, not just the name, so a
+        # stats store grouping by a string column called "sketch"
+        # cannot be mis-routed (same doctrine as the expectation
+        # branch below).
+        group_cols = [
+            c
+            for c in partials.columns
+            if c not in ("sketch", "batch_id", "floor")
+        ]
+        return partials.groupBy(*group_cols).agg(
+            F.hll_union_agg("sketch").alias("sketch")
+        )
     if {"check", "target", "total", "violations"} <= cols:
         group_cols = [
             c
@@ -569,3 +587,45 @@ def merge_cms(spark: SparkSession, cms_path: str) -> DataFrame:
     """Fold the live CMS partials into one sketch (row, col, n);
     query it with `operators/stats.py::cms_estimate`."""
     return _fold(_live_partials(spark, cms_path))
+
+
+def process_hll_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    hll_path: str,
+    keys: list[str],
+    col: str,
+    lgk: int = 12,
+) -> None:
+    """One micro-batch of incremental distinct-count maintenance
+    (`operators/stats.py::hll_sketches`): the batch's per-key HLL
+    sketches land in their own batch_id partition. Sketch union is
+    associative and IDEMPOTENT, so this store is the best-behaved of
+    the family: replay cannot double count even in principle, and
+    :func:`compact_stats` folds sketch partials through the same
+    `_fold` dispatch (binary ``sketch`` column)."""
+    from blackroad_feature_store_spark.operators.stats import hll_sketches
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    partial = hll_sketches(batch_df, keys, col, lgk=lgk)
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partial.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(
+            os.path.join(hll_path, "batches")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_hll(spark: SparkSession, hll_path: str) -> DataFrame:
+    """Fold the live sketch partials into one sketch per key; estimate
+    with ``F.hll_sketch_estimate`` or roll up further with
+    `operators/stats.py::hll_rollup`."""
+    return _fold(_live_partials(spark, hll_path))

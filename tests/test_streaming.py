@@ -1952,3 +1952,43 @@ def test_cluster_drift_partials_fold_equals_recompute(spark, tmp_path):
         for r in score(emb).groupBy("cluster_id").count().collect()
     }
     assert folded == full
+
+
+def test_hll_store_fold_replay_and_compaction(spark, tmp_path):
+    """Sketch partials: fold estimate tracks the exact distinct of the
+    union, replay is a no-op (union idempotence), and compact_stats
+    serves the binary-sketch store through the same _fold dispatch."""
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        compact_stats,
+        merge_hll,
+        process_hll_batch,
+    )
+
+    store = str(tmp_path / "hll")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k string, v string")
+
+    b0 = [("a", f"x{i}") for i in range(300)]
+    b1 = [("a", f"x{i}") for i in range(150, 450)] + [
+        ("b", f"y{i}") for i in range(100)
+    ]
+    process_hll_batch(mk(b0), 0, store, ["k"], "v")
+    process_hll_batch(mk(b1), 1, store, ["k"], "v")
+    process_hll_batch(mk(b1), 1, store, ["k"], "v")  # replay
+
+    def estimates():
+        return {
+            r.k: r.est
+            for r in merge_hll(spark, store)
+            .select("k", F.hll_sketch_estimate("sketch").alias("est"))
+            .collect()
+        }
+
+    est = estimates()
+    assert abs(est["a"] - 450) / 450 <= 0.03  # overlap deduped
+    assert abs(est["b"] - 100) / 100 <= 0.03
+    compact_stats(spark, store, upto_batch=1)
+    assert estimates() == est  # compaction folds sketches losslessly
