@@ -184,6 +184,20 @@ HEADLINE = [
     "sim_cosine_topk_ivfpq",
     "stream_exec_expectations",
     "pipeline_decontaminate_winnow",
+    # -- r11 additions --
+    "stream_exec_unique_gate",
+    "sim_cosine_topk_auto_approx",
+    "stream_exec_decontaminate",
+    "link_blocked_pairs",
+    "link_entities",
+    "ml_kmeans_clusters",
+    "sim_cosine_topk_ivf_kmeans",
+    "dedup_semantic_kmeans",
+    "pipeline_epoch_shuffle",
+    "graph_pagerank_trade",
+    "pipeline_token_budget_select",
+    "stream_exec_cluster_drift",
+    "stream_exec_hll_distinct",
 ]
 
 
