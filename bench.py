@@ -198,6 +198,7 @@ HEADLINE = [
     "pipeline_token_budget_select",
     "stream_exec_cluster_drift",
     "stream_exec_hll_distinct",
+    "stream_exec_quantile_monitor",
 ]
 
 

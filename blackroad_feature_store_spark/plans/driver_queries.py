@@ -4192,6 +4192,112 @@ def stream_exec_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_quantile_monitor",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(value, 0.95), 6) AS DOUBLE) AS p95,
+           1 AS hist_p50_within_2bins, 1 AS hist_p95_within_2bins
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_exec_quantile_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING quantile monitoring from the mergeable histogram
+    store: per-batch (key, bin, n) partials fold by count sum, and
+    p50/p95 are interpolated from the FOLDED histogram — no raw-value
+    state, no rescan, bounded error by construction (the estimate and
+    the true quantile live within one bin of each other; boundary
+    rank conventions add at most one more). The emitted
+    ``*_within_2bins`` flags are the certification: the oracle pins
+    them to 1 next to the EXACT interpolated percentiles, so a broken
+    fold or estimator hash-fails the gate. 50 bins over [0, 500) —
+    width 10 on values spanning 500, i.e. a 2% error envelope from
+    kilobytes of state per key."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_histogram,
+        process_hist_batch,
+    )
+
+    lo, hi, n_bins = 0.0, 500.0, 50
+    width = (hi - lo) / n_bins
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="stream_qmon_")
+    src = f"{base}/src"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    hist_path = f"{base}/hist"
+    q_ = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: process_hist_batch(
+                batch_df, batch_id, hist_path,
+                ["event_type"], "value", lo, hi, n_bins,
+            )
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    hist = merge_histogram(spark, hist_path)
+    wb = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("n").over(wb)).withColumn(
+        "tot", F.sum("n").over(wt)
+    )
+
+    def hist_q(q: float, out: str) -> DataFrame:
+        pos = F.col("tot") * F.lit(q)
+        inbin = (F.col("cum") >= pos) & ((F.col("cum") - F.col("n")) < pos)
+        est = (
+            F.lit(lo)
+            + F.col("bin") * F.lit(width)
+            + F.lit(width)
+            * (pos - (F.col("cum") - F.col("n")))
+            / F.col("n")
+        )
+        return (
+            cum.where(inbin)
+            .groupBy("event_type")
+            .agg(F.min(est).alias(out))
+        )
+
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    out = (
+        exact.join(hist_q(0.5, "h50"), "event_type")
+        .join(hist_q(0.95, "h95"), "event_type")
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "p50",
+        "p95",
+        F.when(F.abs(F.col("h50") - F.col("p50")) <= 2 * width, 1)
+        .otherwise(0)
+        .alias("hist_p50_within_2bins"),
+        F.when(F.abs(F.col("h95") - F.col("p95")) <= 2 * width, 1)
+        .otherwise(0)
+        .alias("hist_p95_within_2bins"),
+    ).orderBy("event_type")
+
+
+@q(
     "stream_exec_cluster_drift",
     # 4 unrolled assignments: assign4 is the assignment against the
     # TRAINED cents3 — the deployed index both populations score on.
@@ -8928,6 +9034,7 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_token_budget_select",     # distributed prefix-sum curation
     "stream_exec_cluster_drift",        # trained clusters on the stream
     "stream_exec_hll_distinct",         # mergeable sketches on the stream
+    "stream_exec_quantile_monitor",     # histogram-store quantiles
     # -- r11 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "dedup_winnow_pairs",               # winnow oracle normalization
@@ -8948,9 +9055,10 @@ _GATE_PRIORITY: list[str] = [
     # store_mv_incremental, store_changes_feed, source_jsonl_roundtrip,
     # pipeline_paragraph_dedup + core_asof_sql_join + core_rolling_range
     # (those three with a fresh independent pass in the judge's r10
-    # replica) + source_csv_roundtrip — rotate in r12; ten slots went
-    # to the r11 linkage, k-means, SemDeDup-trained, epoch-shuffle,
-    # PageRank, token-budget, cluster-drift and streaming-HLL queries
+    # replica) + source_csv_roundtrip + pipeline_dedup_report — rotate
+    # in r12; eleven slots went to the r11 linkage, k-means,
+    # SemDeDup-trained, epoch-shuffle, PageRank, token-budget,
+    # cluster-drift, streaming-HLL and quantile-monitor queries
     # above) --
     "core_asof_prev_order",
     "core_date_arith",
@@ -8972,7 +9080,6 @@ _GATE_PRIORITY: list[str] = [
     "text_lang_confusion",
     "core_approx_quantiles",
     "drift_psi",
-    "pipeline_dedup_report",
     "pipeline_domain_cap",
     "pipeline_mixture_weights",
 ]

@@ -1992,3 +1992,44 @@ def test_hll_store_fold_replay_and_compaction(spark, tmp_path):
     assert abs(est["b"] - 100) / 100 <= 0.03
     compact_stats(spark, store, upto_batch=1)
     assert estimates() == est  # compaction folds sketches losslessly
+
+
+def test_histogram_quantile_estimator_bounds(spark, tmp_path):
+    """The folded-histogram quantile estimate lands within one bin
+    width of the exact interpolated percentile on a controlled
+    distribution (the catalog query certifies <= 2 bins end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_histogram,
+        process_hist_batch,
+    )
+    from pyspark.sql.window import Window
+
+    rows = [("k", float(v % 97) + 0.25) for v in range(991)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    store = str(tmp_path / "hist")
+    half = 991 // 2
+    process_hist_batch(df.limit(half), 0, store, ["event_type"],
+                       "value", 0.0, 100.0, 20)
+    process_hist_batch(
+        df.subtract(df.limit(half)), 1, store, ["event_type"],
+        "value", 0.0, 100.0, 20,
+    )
+    hist = merge_histogram(spark, store)
+    wb = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("n").over(wb)).withColumn(
+        "tot", F.sum("n").over(wt)
+    )
+    width = 5.0
+    for q in (0.1, 0.5, 0.9):
+        pos = F.col("tot") * F.lit(q)
+        inbin = (F.col("cum") >= pos) & ((F.col("cum") - F.col("n")) < pos)
+        est_col = (
+            F.col("bin") * F.lit(width)
+            + F.lit(width) * (pos - (F.col("cum") - F.col("n"))) / F.col("n")
+        )
+        est = cum.where(inbin).agg(F.min(est_col)).collect()[0][0]
+        exact = df.agg(F.expr(f"percentile(value, {q})")).collect()[0][0]
+        assert abs(est - exact) <= width, (q, est, exact)
