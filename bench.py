@@ -199,6 +199,7 @@ HEADLINE = [
     "stream_exec_cluster_drift",
     "stream_exec_hll_distinct",
     "stream_exec_quantile_monitor",
+    "stream_exec_kmeans_update",
 ]
 
 
