@@ -149,7 +149,17 @@ def kmeans_fit_predict(
     trivially replayable; for dense 0-based ids this is ``id < k``).
     Returns the final assignment (id_col, ``cluster_id``); with
     ``return_centroids=True`` also the post-update sum-centroids
-    (cid, cv, cn2) ready for :func:`ivf` index building."""
+    (cid, cv, cn2) ready for :func:`ivf` index building.
+
+    NULL components (or NULL vectors) are the caller's problem by
+    contract — a NULL inside ``vec_col`` propagates to a NULL norm
+    and the vector sorts below every real centroid score."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 1:
+        # iterations=0 has no defined output (no assignment exists);
+        # the loop below would otherwise fall through to assign=None.
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     q = quantize_vectors(
         df, id_col=id_col, vec_col=vec_col, scale=scale
     ).localCheckpoint()

@@ -58,9 +58,12 @@ def pagerank(
     """Weighted PageRank (damping 0.85) in exact integer fixed-point.
 
     ``edges``: one row per (src, dst [, weight]); parallel edges are
-    combined. Returns (``node``, ``rank``) with rank in ``scale``
-    units (initial total mass = ``scale``, minus deterministic
-    truncation and dangling leakage).
+    combined. Weights must be positive (a zero/negative weight would
+    produce nonsensical negative shares — raise upstream). Returns
+    (``node``, ``rank``) with rank in ``scale`` units (initial total
+    mass = ``scale``, minus deterministic truncation and dangling
+    leakage). An EMPTY edge set returns an empty (node, rank) frame
+    rather than dividing by a zero node count.
     """
     w = (
         F.col(weight_col).cast("long")
@@ -97,6 +100,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
     base = (15 * scale) // (100 * n)
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
     for _ in range(iterations):

@@ -130,7 +130,10 @@ def epoch_shuffle(
 ) -> DataFrame:
     """Seeded global shuffle for training order: rank by
     ``md5(id || ':' || epoch)`` (id tie-break), reproducible across
-    runs, clusters and partitionings. Returns (id_col, index_col)."""
+    runs, clusters and partitionings. Returns (id_col, index_col).
+    ``id_col`` must be unique — duplicate ids produce duplicate order
+    tuples and the within-partition row_number between them is then
+    arbitrary (the global_sort_index contract)."""
     keyed = df.select(
         F.col(id_col),
         F.md5(

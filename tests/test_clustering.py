@@ -119,3 +119,13 @@ def test_quantize_floor_semantics(spark):
     # engines, unlike round-half conventions).
     assert list(row.qv) == [1, -2]
     assert row.n2 == 5
+
+
+def test_invalid_k_and_iterations_raise(spark):
+    import pytest
+
+    df = _vec_df(spark, {0: [1.0, 0.0], 1: [0.0, 1.0]})
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        kmeans_fit_predict(df, k=0, iterations=1)
+    with pytest.raises(ValueError, match="iterations must be >= 1"):
+        kmeans_fit_predict(df, k=2, iterations=0)

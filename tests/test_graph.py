@@ -97,3 +97,10 @@ def test_unweighted_counts_parallel_edges(spark):
     }
     want = _py_pagerank([(1, 2, 2), (1, 3, 1), (2, 1, 1), (3, 1, 1)], 2)
     assert got == want
+
+
+def test_empty_edge_set_returns_empty_frame(spark):
+    empty = spark.createDataFrame([], "src bigint, dst bigint, w bigint")
+    out = pagerank(empty, weight_col="w", iterations=2)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
