@@ -315,16 +315,29 @@ def main() -> None:
     ):
         # a probe added after the reference was pinned (stream_fixed,
         # r11): backfill its reference value from the current run —
-        # only sound when done at a machine state the EXISTING probes
-        # certify as matched, which the round that adds the probe
-        # verifies before committing the updated CAL_REF.
-        cal_ref = {**calibration, **cal_ref}
-        try:
-            with open(cal_ref_path, "w") as f:
-                json.dump(cal_ref, f, indent=1)
-                f.write("\n")
-        except OSError:
-            pass
+        # ONLY when the existing probes certify this machine state as
+        # matched to the pinned one (each shared probe within ±10%),
+        # or under an explicit SPARK_GRAFT_REPIN=1. Otherwise a run on
+        # a drifted machine would write itself in as the permanent
+        # reference and every future correction would divide by it.
+        shared = [k for k in calibration if k in cal_ref]
+        matched = shared and all(
+            cal_ref[k] > 0
+            and 0.9 <= calibration[k] / cal_ref[k] <= 1.1
+            for k in shared
+        )
+        if matched or os.environ.get("SPARK_GRAFT_REPIN") == "1":
+            cal_ref = {**calibration, **cal_ref}
+            try:
+                with open(cal_ref_path, "w") as f:
+                    json.dump(cal_ref, f, indent=1)
+                    f.write("\n")
+            except OSError:
+                pass
+        else:
+            # refuse to self-certify: fall back to the current run's
+            # value for THIS run's arithmetic without persisting it.
+            cal_ref = {**calibration, **cal_ref}
     if cal_ref is None:
         try:
             with open(cal_ref_path, "w") as f:
@@ -343,6 +356,7 @@ def main() -> None:
         return time.time() - t0
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         t = run_once(name)
         if t < rep_threshold:
@@ -351,11 +365,30 @@ def main() -> None:
             extra = 1
         else:
             extra = 0
-        if extra:
-            t = min([t] + [run_once(name) for _ in range(extra)])
-        timings[name] = round(t, 3)
+        ss = [t] + ([run_once(name) for _ in range(extra)] if extra else [])
+        timings[name] = round(min(ss), 3)
+        samples[name] = [round(x, 3) for x in ss]
 
     total = round(sum(timings.values()), 3)
+    # Dispersion summary (VERDICT r11 missing #1): per-query spread =
+    # max/min across this run's reps, plus the median spread — enough
+    # to read a committed artifact as "hot machine" vs "regression"
+    # without a second run. Single-sample (long) queries report no
+    # spread; sustained cross-run host-state shifts still need the
+    # calibration probes, which is what machine_factor/pin_factor are.
+    spreads = {
+        n: round(max(s) / min(s), 2)
+        for n, s in samples.items()
+        if len(s) > 1 and min(s) > 0
+    }
+    dispersion = None
+    if spreads:
+        vals = sorted(spreads.values())
+        dispersion = {
+            "median_spread": vals[len(vals) // 2],
+            "max_spread": vals[-1],
+            "n_repeated": len(vals),
+        }
     out = {
         "metric": "headline_total",
         "value": total,
@@ -364,6 +397,8 @@ def main() -> None:
         "sf": sf,
         "calibration": calibration,
     }
+    if dispersion:
+        out["dispersion"] = dispersion
     machine_factor = None
     if cal_ref.get("spark_fixed", 0) > 0:
         machine_factor = round(
@@ -473,7 +508,9 @@ def main() -> None:
     )
     try:
         with open(full_path, "w") as f:
-            json.dump(out, f, indent=1)
+            # the committed artifact carries every rep sample so a
+            # reader can distinguish jitter from regression per query
+            json.dump({**out, "query_samples": samples}, f, indent=1)
             f.write("\n")
     except OSError:
         pass

@@ -24,9 +24,21 @@ Numeric design (why this is exactly certifiable)
   (``dot/ (sqrt(n2_v) * sqrt(n2_c))``) — identical inputs + identical
   operation order = identical doubles, so the argmax (ties to the
   smaller centroid id) agrees bit-for-bit.
-* Overflow headroom: with ``scale=1e4``, 64 dims and N members,
-  ``dot(v, c) <= 64 * 1e4 * N*1e4`` — safe in int64 for N up to ~1e9
-  rows per cluster; shrink ``scale`` for wider/longer inputs.
+* Overflow headroom — two distinct bounds, and the TIGHTER one is the
+  centroid's own squared norm, not the dot product:
+  ``cn2 = dot(c, c) <= dim * (N*scale)^2`` wraps int64 at
+  ``N ~ sqrt(2^63 / (dim * scale^2))`` — with ``scale=1e4`` and 64
+  dims that is only ~4e4 members per cluster, far below the ~1e9 the
+  dot-product bound suggests. A wrapped cn2 is not merely imprecise:
+  a negative value would turn the score into sqrt(NaN) which sorts
+  ABOVE every real double in ``max_by``, silently corrupting
+  assignments. :func:`_guard_centroid_norms` therefore checks every
+  update round on the k-row centroid frame (cost: one tiny job) that
+  ``dim * max(|component|)^2`` fits in int64 — a bound computed in
+  unbounded Python ints, so it cannot itself wrap — and raises with
+  the member-count / scale remedy instead of assigning garbage.
+  (Component sums themselves stay exact far longer: |sum| <= N*scale
+  wraps only past N ~ 9e14 members, so the cn2 guard binds first.)
 
 Scale design
 ------------
@@ -78,6 +90,46 @@ def quantize_vectors(
     return df.select(F.col(id_col).alias("id"), qv.alias("qv")).withColumn(
         "n2", _idot(F.col("qv"), F.col("qv"))
     )
+
+
+_I64_MAX = (1 << 63) - 1
+
+
+def _guard_centroid_norms(cents: DataFrame) -> None:
+    """Raise before a wrapped centroid norm can corrupt assignments.
+
+    ``cn2 = dot(cv, cv)`` accumulates ``dim`` non-negative terms each
+    ``<= max(|component|)^2``, so if ``dim * max(|component|)^2``
+    fits in int64 (checked in unbounded Python arithmetic) neither
+    the final value NOR any intermediate partial can wrap. Runs on
+    the k-row centroid frame — one tiny job per Lloyd round."""
+    row = cents.select(
+        F.max(
+            F.aggregate(
+                F.transform("cv", lambda x: F.abs(x)),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("mx"),
+        F.max(F.size("cv")).alias("dim"),
+        F.min("cn2").alias("mn"),
+    ).first()
+    if row["mx"] is None:
+        return
+    if row["mn"] is not None and row["mn"] < 0:
+        raise ArithmeticError(
+            "kmeans: centroid squared norm wrapped int64 (cn2 < 0) — "
+            "shrink `scale` or the per-cluster member count"
+        )
+    if row["dim"] * row["mx"] * row["mx"] > _I64_MAX:
+        raise ArithmeticError(
+            f"kmeans: centroid norm bound dim*max|comp|^2 = "
+            f"{row['dim']} * {row['mx']}**2 exceeds int64 — cn2 can "
+            "wrap and a negative norm would make scores NaN (which "
+            "max_by sorts ABOVE real doubles, silently corrupting "
+            "assignments); shrink `scale` (bound: members-per-cluster "
+            "N <~ sqrt(2**63 / (dim * scale**2)))"
+        )
 
 
 def _score(qn2: Column, cn2: Column, dot_: Column) -> Column:
@@ -170,6 +222,7 @@ def kmeans_fit_predict(
                 F.col("n2").alias("cn2"))
         .localCheckpoint()
     )
+    _guard_centroid_norms(cents)  # raw vectors can wrap too (huge x*scale)
     # Per round, only the k-row centroid frame is checkpointed (cut
     # lineage + force one job); the assignment stays LAZY — the final
     # one is evaluated by the consumer against the already-checkpointed
@@ -179,6 +232,7 @@ def kmeans_fit_predict(
     for _ in range(iterations):
         assign = kmeans_assign(q, cents)
         cents = _update_centroids(assign, q).localCheckpoint()
+        _guard_centroid_norms(cents)
     out = assign.select(
         F.col("id").alias(id_col), F.col("cid").alias("cluster_id")
     )

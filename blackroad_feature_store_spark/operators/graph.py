@@ -58,17 +58,36 @@ def pagerank(
     """Weighted PageRank (damping 0.85) in exact integer fixed-point.
 
     ``edges``: one row per (src, dst [, weight]); parallel edges are
-    combined. Weights must be positive (a zero/negative weight would
-    produce nonsensical negative shares — raise upstream). Returns
-    (``node``, ``rank``) with rank in ``scale`` units (initial total
-    mass = ``scale``, minus deterministic truncation and dangling
-    leakage). An EMPTY edge set returns an empty (node, rank) frame
-    rather than dividing by a zero node count.
+    combined. Weights must be INTEGRAL and >= 1 — enforced here, not
+    just documented: fractional weights would silently truncate under
+    the long cast (0.9 -> 0), a node whose weights all truncate to 0
+    gets ``out_w = 0`` and its outflow vanishes through NULL integer
+    division. Pre-scale float weights to integer units (same doctrine
+    as the fixed-point ranks). Returns (``node``, ``rank``) with rank
+    in ``scale`` units (initial total mass = ``scale``, minus
+    deterministic truncation and dangling leakage). An EMPTY edge set
+    returns an empty (node, rank) frame rather than dividing by a
+    zero node count.
     """
     w = (
         F.col(weight_col).cast("long")
         if weight_col is not None
         else F.lit(1).cast("long")
+    )
+    # Validation rides the reduction aggregation (map-side combined,
+    # zero extra passes): per-edge min weight and a truncation flag
+    # must be checked BEFORE parallel edges are summed — a (-5, +6)
+    # pair sums to a plausible +1.
+    frac = (
+        F.max(
+            F.when(
+                F.col("__worig").cast("double")
+                != F.col("__w").cast("double"),
+                1,
+            ).otherwise(0)
+        )
+        if weight_col is not None
+        else F.max(F.lit(0))
     )
     # The fact-to-graph reduction is the expensive pass — materialize
     # it ONCE; nodes/out-weights/shares all derive from the (small)
@@ -77,12 +96,37 @@ def pagerank(
         edges.select(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
-            w.alias("w"),
+            w.alias("__w"),
+            *(
+                [F.col(weight_col).alias("__worig")]
+                if weight_col is not None
+                else []
+            ),
         )
         .groupBy("src", "dst")
-        .agg(F.sum("w").alias("w"))
+        .agg(
+            F.sum("__w").alias("w"),
+            F.min("__w").alias("__wmin"),
+            frac.alias("__frac"),
+        )
         .localCheckpoint()
     )
+    bad = ew.agg(
+        F.min("__wmin").alias("mn"), F.max("__frac").alias("fx")
+    ).first()
+    if bad["fx"]:
+        raise ValueError(
+            "pagerank: fractional weights detected — the long cast "
+            "would silently truncate them (0.9 -> 0); pre-scale float "
+            "weights to integer units first"
+        )
+    if bad["mn"] is not None and bad["mn"] < 1:
+        raise ValueError(
+            f"pagerank: weights must be >= 1 after the integer cast "
+            f"(min per-edge weight = {bad['mn']}); zero/negative "
+            "weights produce NULL or negative routing shares"
+        )
+    ew = ew.select("src", "dst", "w")
     nodes = (
         ew.select(F.col("src").alias("node"))
         .unionByName(ew.select(F.col("dst").alias("node")))

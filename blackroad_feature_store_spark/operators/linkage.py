@@ -55,10 +55,18 @@ def blocking_keys(
     id_col: str = "rec_id",
     name_col: str = "name",
     key_len: int = 12,
+    sorted_tokens: bool = False,
 ) -> DataFrame:
     """Multi-pass blocking keys: one row per (record, pass) with a
-    prefixed key so head and tail passes never collide with each
-    other. Output: (id_col, name_col, ``bkey``)."""
+    prefixed key so the passes never collide with each other.
+    Output: (id_col, name_col, ``bkey``).
+
+    ``sorted_tokens=True`` adds a third family — the first
+    ``key_len`` chars of the whitespace-tokenized, lexicographically
+    sorted, space-rejoined name ("s:" prefix) — so word-order
+    transpositions ("ACME Corp" / "Corp ACME") land in one block,
+    which neither the head nor the tail substring key can do (both
+    are invalidated at once by a transposition)."""
     name = F.col(name_col)
     head = F.concat(F.lit("h:"), F.substring(name, 1, key_len))
     tail = F.concat(
@@ -70,9 +78,27 @@ def blocking_keys(
         ),
     )
     base = records.select(id_col, name_col)
-    return base.select(id_col, name_col, head.alias("bkey")).unionByName(
+    out = base.select(id_col, name_col, head.alias("bkey")).unionByName(
         base.select(id_col, name_col, tail.alias("bkey"))
     )
+    if sorted_tokens:
+        skey = F.concat(
+            F.lit("s:"),
+            F.substring(
+                F.array_join(
+                    F.array_sort(
+                        F.filter(
+                            F.split(name, r"\s+"), lambda x: x != ""
+                        )
+                    ),
+                    " ",
+                ),
+                1,
+                key_len,
+            ),
+        )
+        out = out.unionByName(base.select(id_col, name_col, skey.alias("bkey")))
+    return out
 
 
 def candidate_pairs(
@@ -81,16 +107,27 @@ def candidate_pairs(
     id_col: str = "rec_id",
     name_col: str = "name",
     key_len: int = 12,
-    max_block: int | None = None,
+    max_block: int | None = 1024,
+    sorted_tokens: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one
     blocking key, names carried along: (id_a, id_b, name_a, name_b).
 
     ``max_block`` caps each block deterministically (keep the
     ``max_block`` smallest ids) before pairing — bounded recall loss,
-    hard quadratic ceiling per block."""
+    hard quadratic ceiling per block. The cap is ON BY DEFAULT
+    (1024): a short ``key_len`` or a skewed name distribution (every
+    record starting "The ") otherwise degenerates to unbounded
+    quadratic pair generation inside the hot block — the exact
+    failure mode ``dedup.minhash_candidate_pairs(max_bucket=...)``
+    defends against. Pass ``max_block=None`` to opt out explicitly
+    when the key design provably bounds blocks."""
     keys = blocking_keys(
-        records, id_col=id_col, name_col=name_col, key_len=key_len
+        records,
+        id_col=id_col,
+        name_col=name_col,
+        key_len=key_len,
+        sorted_tokens=sorted_tokens,
     )
     if max_block is not None:
         w = Window.partitionBy("bkey").orderBy(F.col(id_col))
@@ -144,17 +181,21 @@ def link_records(
     id_col: str = "rec_id",
     name_col: str = "name",
     key_len: int = 12,
-    max_block: int | None = None,
+    max_block: int | None = 1024,
+    sorted_tokens: bool = False,
     threshold: float = 0.9,
 ) -> DataFrame:
     """End-to-end match-pair generation: blocking -> scoring ->
-    threshold. Output: (id_a, id_b, sim) with sim >= threshold."""
+    threshold. Output: (id_a, id_b, sim) with sim >= threshold.
+    ``max_block`` defaults to the 1024 skew cap (see
+    :func:`candidate_pairs`); pass None to opt out explicitly."""
     cand = candidate_pairs(
         records,
         id_col=id_col,
         name_col=name_col,
         key_len=key_len,
         max_block=max_block,
+        sorted_tokens=sorted_tokens,
     )
     return score_pairs(cand).where(F.col("sim") >= threshold)
 

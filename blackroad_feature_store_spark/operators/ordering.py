@@ -86,9 +86,20 @@ def global_prefix_sum(
     -> driver prefix offsets (tiny collect), within-partition window
     cumsum + broadcast offset. ``order_cols`` may contain column
     names or Column expressions (e.g. ``F.col("q").desc()``).
-    Exact for integer values; the offsets trick needs an
-    order-independent sum, so cast float values to a fixed-point
-    integer first."""
+    ``value_col`` must be an INTEGRAL column (raises otherwise): the
+    offsets trick needs an order-independent sum, and a silently
+    cast float column would make the driver offsets (sum-then-cast)
+    disagree with the within-partition running totals
+    (cast-then-sum) — internally inconsistent output, not merely
+    truncated. Quantize floats to fixed point upstream."""
+    vtype = dict(df.dtypes).get(value_col)
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"global_prefix_sum: value_col {value_col!r} must be an "
+            f"integral column (got {vtype!r}) — quantize floats to "
+            "fixed-point integers first; the offset fold is only "
+            "order-independent for exact integer sums"
+        )
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(parts, *order_cols)

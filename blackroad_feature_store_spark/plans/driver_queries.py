@@ -3797,7 +3797,10 @@ def link_blocked_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     recs = _link_records_frame(spark, sf)
-    return link_records(recs, key_len=12, threshold=0.9)
+    # max_block=None: the oracle replays UNCAPPED blocking, and this
+    # fixture's 12-char keys provably bound blocks (~24 at sf0.1) —
+    # the explicit opt-out the capped-by-default API requires.
+    return link_records(recs, key_len=12, max_block=None, threshold=0.9)
 
 
 @q(
@@ -3842,7 +3845,9 @@ def link_entities(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     recs = _link_records_frame(spark, sf)
-    matches = link_records(recs, key_len=12, threshold=0.9)
+    matches = link_records(
+        recs, key_len=12, max_block=None, threshold=0.9
+    )  # uncapped to mirror the oracle; fixture blocks are key-bounded
     return resolve_entities(recs, matches)
 
 

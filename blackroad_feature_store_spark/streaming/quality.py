@@ -225,9 +225,16 @@ def _live_seen_keys(
     except Exception:  # noqa: BLE001 — no batch partition yet
         pass
     if floor >= 0:
+        # The compacted fold keeps each key's FIRST-SEEN batch_id, so
+        # the strict `< below_batch` replay bound survives compaction:
+        # even if a crashed, checkpoint-uncommitted batch was folded
+        # (the clamp in compact_seen_keys cannot distinguish landed
+        # from committed), its keys carry its batch_id and stay
+        # invisible to that batch's own replay.
         parts.append(
             spark.read.parquet(os.path.join(seen_path, "compacted"))
             .where(F.col("floor") == floor)
+            .where(F.col("first_batch") < below_batch)
             .select("key")
         )
     if not parts:
@@ -250,10 +257,13 @@ def compact_seen_keys(
     `streaming/stats.py::compact_stats`' protocol verbatim: write the
     new ``compacted/floor=<upto>`` directory, atomically flip the
     marker (the single commit point), best-effort cleanup; a crash on
-    either side of the flip leaves a correct store. Same clamp
-    contract: ``upto_batch`` is clamped to the newest landed
-    batch_id, and only checkpoint-committed batches may be compacted
-    (the one replayable batch is above any committed id)."""
+    either side of the flip leaves a correct store. ``upto_batch`` is
+    clamped to the newest landed batch_id — which can include a
+    crashed, checkpoint-UNCOMMITTED batch, so the fold persists each
+    key's first-seen ``batch_id`` (min across occurrences): the
+    per-batch read keeps its strict ``batch_id < current`` replay
+    bound over compacted keys too, and folding an uncommitted batch
+    is harmless rather than a docstring-only contract."""
     from blackroad_feature_store_spark.streaming.stats import (
         _compaction_floor,
         _write_compaction_floor,
@@ -274,14 +284,19 @@ def compact_seen_keys(
     upto_batch = min(int(upto_batch), int(newest))  # the clamp
     to_fold = batches.where(
         (F.col("batch_id") > floor) & (F.col("batch_id") <= upto_batch)
-    ).select("key")
+    ).select("key", F.col("batch_id").cast("long").alias("first_batch"))
     if floor >= 0:
         to_fold = to_fold.unionByName(
             spark.read.parquet(os.path.join(seen_path, "compacted"))
             .where(F.col("floor") == floor)
-            .select("key")
+            .select("key", "first_batch")
         )
-    to_fold.distinct().write.mode("overwrite").parquet(
+    # min(first_batch) is the fold monoid on the (key -> first batch)
+    # map: set-union on keys, earliest sighting wins — matches the
+    # live store's first-seen-wins semantics exactly.
+    to_fold.groupBy("key").agg(
+        F.min("first_batch").alias("first_batch")
+    ).write.mode("overwrite").parquet(
         os.path.join(seen_path, "compacted", f"floor={int(upto_batch)}")
     )
     _write_compaction_floor(seen_path, upto_batch)  # the commit point

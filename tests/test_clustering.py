@@ -129,3 +129,17 @@ def test_invalid_k_and_iterations_raise(spark):
         kmeans_fit_predict(df, k=0, iterations=1)
     with pytest.raises(ValueError, match="iterations must be >= 1"):
         kmeans_fit_predict(df, k=2, iterations=0)
+
+
+def test_centroid_norm_overflow_raises_not_corrupts(spark):
+    # ADVICE r11 (medium): cn2 = dot(cv, cv) on sum-centroids wraps
+    # int64 around N ~ sqrt(2^63/(dim*scale^2)) members — far below
+    # the dot-product bound — and a wrapped-negative norm would turn
+    # scores into NaN, which max_by sorts above every real double.
+    # The guard must raise loudly instead.
+    import pytest
+
+    rows = [(i, [1.0e9, 1.0e9, 1.0e9, 1.0e9]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(ArithmeticError, match="int64"):
+        kmeans_fit_predict(df, k=2, iterations=1, scale=10_000)

@@ -104,3 +104,36 @@ def test_empty_edge_set_returns_empty_frame(spark):
     out = pagerank(empty, weight_col="w", iterations=2)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_fractional_weights_raise(spark):
+    # ADVICE r11: a float-weighted edge list must not silently
+    # truncate (0.9 -> 0 kills a node's outflow through NULL shares).
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 1, 1.0)], "src bigint, dst bigint, w double"
+    )
+    with pytest.raises(ValueError, match="fractional"):
+        pagerank(df, weight_col="w", iterations=1)
+
+
+def test_zero_and_negative_weights_raise(spark):
+    import pytest
+
+    for bad in (0, -3):
+        df = spark.createDataFrame(
+            [(1, 2, bad), (2, 1, 1)], "src bigint, dst bigint, w bigint"
+        )
+        with pytest.raises(ValueError, match=">= 1"):
+            pagerank(df, weight_col="w", iterations=1)
+
+
+def test_integral_double_weights_pass(spark):
+    # doubles that ARE whole numbers cast losslessly and must work
+    df = spark.createDataFrame(
+        [(1, 2, 3.0), (2, 1, 2.0)], "src bigint, dst bigint, w double"
+    )
+    got = {r.node: r.rank for r in
+           pagerank(df, weight_col="w", iterations=2).collect()}
+    assert got == _py_pagerank([(1, 2, 3), (2, 1, 2)], 2)

@@ -97,3 +97,16 @@ def test_epoch_shuffle_is_permutation_and_seeded(spark):
     assert e1 == e1b  # same seed -> identical order, re-run
     assert e1 != e2  # different epoch -> different order
     assert sorted(e2.values()) == list(range(1, 301))
+
+
+def test_prefix_sum_rejects_non_integral_values(spark):
+    # ADVICE r11: sum-then-cast (driver offsets) and cast-then-sum
+    # (within-partition running totals) disagree on floats — the
+    # integer-only contract is now enforced, not just documented.
+    import pytest
+
+    df = _df(spark, 10).withColumn(
+        "v", F.col("doc_id").cast("double") / 2
+    )
+    with pytest.raises(ValueError, match="integral"):
+        global_prefix_sum(df, ["doc_id"], "v")

@@ -2033,3 +2033,37 @@ def test_histogram_quantile_estimator_bounds(spark, tmp_path):
         est = cum.where(inbin).agg(F.min(est_col)).collect()[0][0]
         exact = df.agg(F.expr(f"percentile(value, {q})")).collect()[0][0]
         assert abs(est - exact) <= width, (q, est, exact)
+
+
+def test_unique_gate_compaction_keeps_strict_replay_bound(spark, tmp_path):
+    """ADVICE r11: compact_seen_keys clamps to the newest LANDED
+    batch, which can include a crashed checkpoint-uncommitted batch.
+    The compacted fold persists per-key first-seen batch_id, so the
+    replaying batch's strict `batch_id < current` bound still
+    excludes its own folded keys and the replayed partial is
+    identical."""
+    from blackroad_feature_store_spark.streaming.quality import (
+        compact_seen_keys,
+        merge_expectations,
+        process_unique_gate_batch,
+    )
+
+    store = str(tmp_path / "store")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(r,) for r in rows], "k long"
+    )
+    process_unique_gate_batch(mk([1, 2]), 0, store, "k")
+    # batch 1 lands, then crashes before its checkpoint commit;
+    # maintenance compacts everything landed — batch 1 included
+    process_unique_gate_batch(mk([2, 3]), 1, store, "k")
+    before = merge_expectations(spark, store).collect()
+    compact_seen_keys(spark, store, 1)
+    # the fold carries first-seen batch ids
+    comp = spark.read.parquet(f"{store}/seen/compacted")
+    got = {r["key"]: r["first_batch"] for r in comp.collect()}
+    assert got == {"1": 0, "2": 0, "3": 1}
+    # replay of batch 1: its own folded key (3) must be invisible,
+    # so the recomputed partial — and the merged verdict — are
+    # byte-identical to the pre-crash state
+    process_unique_gate_batch(mk([2, 3]), 1, store, "k")
+    assert merge_expectations(spark, store).collect() == before
