@@ -200,6 +200,9 @@ HEADLINE = [
     "stream_exec_hll_distinct",
     "stream_exec_quantile_monitor",
     "stream_exec_kmeans_update",
+    # -- r12 additions --
+    "dedup_exact_substr",
+    "pipeline_exact_substr_removal",
 ]
 
 

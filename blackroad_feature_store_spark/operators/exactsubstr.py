@@ -1,0 +1,259 @@
+"""ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+Makes Language Models Better", §4.1): find every MAXIMAL token span of
+length >= L that appears verbatim more than once in the corpus, and
+the remove-all-but-one rewrite over those spans.
+
+The reference engine (BlackRoad-Labs/blackroad-feature-store) has no
+dedup surface at all; within THIS engine the operator completes the
+dedup ladder — `corpus.duplicated_ngram_spans` measures fixed-n
+coverage, `corpus.remove_duplicated_spans` rewrites at fixed n, and
+this module is the threshold-length tier a production LLM pipeline
+runs (ExactSubstr with L ~ 50): "drop any >= L-token span that occurs
+verbatim elsewhere".
+
+Semantics (exact, certifiable)
+------------------------------
+Lee et al. find maximal repeats with a suffix array; the distributed
+reduction here is the standard L-gram one: a position is DUPLICATED
+when the L-token window starting there occurs at >= ``min_count``
+locations corpus-wide (any doc, any offset — self-repeats count, as
+in ExactSubstr). Reported spans are maximal runs of tokens covered by
+duplicated windows. Every true repeated span of length >= L is fully
+covered (each of its L-windows repeats wherever the span does), and
+every reported token sits inside SOME >= L-token window that occurs
+verbatim at least twice — the same guarantee the removal step needs.
+Matching is verbatim on whitespace-normalized tokens (case preserved;
+tokenization collapses runs of whitespace, the catalog's shared
+convention).
+
+Scale design (why this survives 100 TB)
+---------------------------------------
+A naive implementation shuffles every L-token window STRING — ~L x
+the corpus through the exchange (x50 at the production L). Instead:
+
+1. **Stride-1 rolling index, hashes only.** Windows are materialized
+   inside the token array (``transform`` over a ``sequence`` of
+   starts, exactly `corpus.duplicated_ngram_spans`' generate) but
+   only ``xxhash64(window)`` leaves the row — the pass-1 exchange
+   carries (id, start, hash): ~16 bytes per position regardless of L.
+2. **Bucketed collision verification.** Positions whose hash count
+   >= min_count are candidates (window count over the hash — one
+   narrow shuffle). Candidates rejoin their documents' token arrays
+   to recompute the window STRING, and a second count over
+   (hash, window) confirms true verbatim duplication — an xxhash64
+   collision can therefore never fabricate a duplicate; it only costs
+   one extra string comparison inside a bucket. Only candidate
+   windows' strings ever shuffle, and only candidate docs' token
+   arrays re-ship (AQE turns the rejoin into a broadcast when the
+   candidate set is small).
+3. **Gaps-and-islands span merge.** Duplicated windows overlap at
+   stride 1; merging [start, start+L-1] intervals per document is
+   the same per-doc window pass `duplicated_ngram_spans` uses (plus
+   adjacency: touching spans merge into one maximal span). No
+   position explode on the detect path.
+4. The removal rewrite explodes positions only for DROPPED windows
+   (bounded by L x duplicated windows) and rebuilds documents with
+   one sort-within-group aggregation — `remove_duplicated_spans`'
+   shape, inheriting its keep-one-occurrence contract: the first
+   (doc, start) occurrence of every duplicated window survives.
+
+Everything is built-in JVM expressions — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from blackroad_feature_store_spark.operators.util import spread
+
+__all__ = [
+    "exact_substr_spans",
+    "exact_substr_removal",
+]
+
+
+def _tokenized(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, __t tokens, __nt count): whitespace-split, empties
+    dropped, case preserved (verbatim matching)."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    return spread(df, id_col).select(
+        F.col(id_col), toks.alias("__t")
+    ).withColumn("__nt", F.size("__t"))
+
+
+def _window_expr(start_1b, L: int):
+    """The L-token window string starting at 1-based position
+    ``start_1b`` of the __t array."""
+    return F.concat_ws(" ", F.slice(F.col("__t"), start_1b, L))
+
+
+def _verified_windows(
+    base: DataFrame, L: int, id_col: str, min_count: int
+) -> DataFrame:
+    """Duplicated L-token windows, hash-indexed then string-verified:
+    (id, __start, __end) — 1-based inclusive token positions.
+    Two narrow shuffles plus one candidate-bounded rejoin; window
+    strings never shuffle corpus-wide (see module docstring)."""
+    hgrams = base.where(F.col("__nt") >= L).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__nt") - (L - 1)),
+                lambda i: F.xxhash64(_window_expr(i, L)),
+            )
+        ).alias("__pos", "__h"),
+    ).select(id_col, (F.col("__pos") + 1).alias("__start"), "__h")
+    wh = Window.partitionBy("__h")
+    cand = hgrams.withColumn(
+        "__hc", F.count(F.lit(1)).over(wh)
+    ).where(F.col("__hc") >= min_count).drop("__hc")
+    # collision verification: recompute the window STRING for
+    # candidates only (AQE broadcasts the rejoin when candidates are
+    # few) and count again over the exact pair (hash leads the key so
+    # the sort compares longs; the string tags along to break
+    # collisions exactly — dedup_paragraphs' key trick)
+    cand_str = cand.join(base.select(id_col, "__t"), id_col).select(
+        id_col,
+        "__start",
+        "__h",
+        _window_expr(F.col("__start"), L).alias("__gram"),
+    )
+    wv = Window.partitionBy("__h", "__gram")
+    return (
+        cand_str.withColumn("__vc", F.count(F.lit(1)).over(wv))
+        .where(F.col("__vc") >= min_count)
+        .select(
+            id_col,
+            "__start",
+            (F.col("__start") + (L - 1)).alias("__end"),
+            "__h",
+            "__gram",
+        )
+    )
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    L: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans of length >= ``L``: one row per
+    (document, span) — ``(id_col, span_start, span_end,
+    span_tokens)`` with 1-based inclusive token positions. Documents
+    with no duplicated span produce no rows. ``min_count`` is the
+    corpus-wide occurrence threshold (default 2 = "appears verbatim
+    elsewhere", counting self-repeats like ExactSubstr).
+    """
+    if L < 1:
+        raise ValueError(f"L must be >= 1, got {L}")
+    base = _tokenized(df, id_col, text_col)
+    dwin = _verified_windows(base, L, id_col, min_count)
+    # gaps-and-islands with ADJACENCY merge: intervals [s, s+L-1] and
+    # [s', s'+L-1] merge when s' <= prev_end + 1, so touching covered
+    # regions report as ONE maximal span
+    wd = Window.partitionBy(id_col).orderBy("__start")
+    prev_end = F.max("__end").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = dwin.withColumn(
+        "__new_island",
+        F.when(
+            prev_end.isNull() | (F.col("__start") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("__island", F.sum("__new_island").over(wd))
+    return spans.groupBy(id_col, "__island").agg(
+        F.min("__start").alias("span_start"),
+        F.max("__end").alias("span_end"),
+        (F.max("__end") - F.min("__start") + 1)
+        .cast("bigint")
+        .alias("span_tokens"),
+    ).drop("__island")
+
+
+def exact_substr_removal(
+    df: DataFrame,
+    L: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """The ExactSubstr rewrite (remove all but ONE occurrence): for
+    every duplicated L-token window the first (doc, start) occurrence
+    is the keeper; tokens covered exclusively by non-keeper duplicated
+    windows are deleted and each document is reassembled from its
+    remaining tokens in order (whitespace normalized to single
+    spaces). Returns ``(id_col, text, n_tokens, n_removed)`` — one
+    row per input document; ``text`` may become empty for documents
+    that were pure boilerplate.
+
+    Keeper protection is per position (`remove_duplicated_spans`'
+    contract): a token inside ANY keeper window of its document
+    survives, so exactly one full copy of every repeated region
+    remains."""
+    if L < 1:
+        raise ValueError(f"L must be >= 1, got {L}")
+    base = _tokenized(df, id_col, text_col)
+    dwin = _verified_windows(base, L, id_col, min_count)
+    wv = Window.partitionBy("__h", "__gram")
+    marked = dwin.withColumn(
+        "__keeper",
+        F.min(F.struct(F.col(id_col), F.col("__start"))).over(wv)
+        == F.struct(F.col(id_col), F.col("__start")),
+    )
+    keep_cov = (
+        marked.where(F.col("__keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__end"))
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    drop_pos = (
+        marked.where(~F.col("__keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__end"))
+            ).alias("__p"),
+        )
+        .distinct()
+        .join(keep_cov, [id_col, "__p"], "left_anti")
+    )
+    exploded = base.select(
+        id_col, "__nt", F.posexplode("__t").alias("__pos0", "__tok")
+    ).select(id_col, "__nt", (F.col("__pos0") + 1).alias("__p"), "__tok")
+    kept = exploded.join(drop_pos, [id_col, "__p"], "left_anti")
+    rebuilt = kept.groupBy(id_col, "__nt").agg(
+        F.count(F.lit(1)).alias("__kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return (
+        base.select(id_col, "__nt")
+        .join(rebuilt.drop("__nt"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("__nt").alias("n_tokens"),
+            (F.col("__nt") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

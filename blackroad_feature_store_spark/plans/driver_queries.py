@@ -7144,6 +7144,135 @@ def pipeline_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_exact_substr",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+    grams AS (
+        SELECT doc_id, i AS start, i + 29 AS fin,
+               array_to_string(list_slice(t, i, i + 29), ' ') AS gram
+        FROM sized, UNNEST(range(1, nt - 28)) AS u(i)
+        WHERE nt >= 30),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    dwin AS (SELECT g.doc_id, g.start, g.fin
+             FROM grams g JOIN dup USING (gram)),
+    cov AS (SELECT DISTINCT doc_id, p
+            FROM dwin, UNNEST(range(start, fin + 1)) AS v(p)),
+    runs AS (SELECT doc_id, p,
+                    p - row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY p) AS grp
+             FROM cov)
+    SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr detect (`operators/exactsubstr.py::
+    exact_substr_spans` — Lee et al. 2021 §4.1, threshold L=30):
+    every maximal token span whose every position sits inside a
+    30-token window occurring verbatim >= 2 times corpus-wide
+    (self-repeats count). The Spark side indexes stride-1 window
+    HASHES (16-byte shuffle rows at any L), verifies candidate
+    buckets on the exact window string, and merges intervals with a
+    gaps-and-islands pass; the oracle is an INDEPENDENT formulation —
+    group-by the window string directly, explode covered positions,
+    and read maximal spans as consecutive-position runs (the
+    pos - row_number trick). Same semantics, different algorithm on
+    both the duplicate test AND the merge, so agreement certifies
+    the operator rather than replaying it."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_spans,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    out = exact_substr_spans(docs, L=30)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "span_tokens",
+    )
+
+
+@q(
+    "pipeline_exact_substr_removal",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+    grams AS (
+        SELECT doc_id, i AS start, i + 29 AS fin,
+               array_to_string(list_slice(t, i, i + 29), ' ') AS gram
+        FROM sized, UNNEST(range(1, nt - 28)) AS u(i)
+        WHERE nt >= 30),
+    marked AS (
+        SELECT doc_id, start, fin,
+               count(*) OVER (PARTITION BY gram) >= 2 AS dup,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, start) = 1 AS keeper
+        FROM grams),
+    keepcov AS (
+        SELECT DISTINCT doc_id, p
+        FROM marked, UNNEST(range(start, fin + 1)) AS v(p)
+        WHERE dup AND keeper),
+    dropp AS (
+        SELECT nk.doc_id, nk.p
+        FROM (SELECT DISTINCT doc_id, p
+              FROM marked, UNNEST(range(start, fin + 1)) AS v(p)
+              WHERE dup AND NOT keeper) nk
+        ANTI JOIN keepcov kc
+          ON nk.doc_id = kc.doc_id AND nk.p = kc.p),
+    tokrows AS (
+        SELECT doc_id, u.p, t[u.p] AS tok
+        FROM sized, UNNEST(range(1, nt + 1)) AS u(p)),
+    kept AS (
+        SELECT k.doc_id, k.p, k.tok FROM tokrows k
+        ANTI JOIN dropp d ON k.doc_id = d.doc_id AND k.p = d.p),
+    reb AS (
+        SELECT doc_id, count(*) AS kept_n,
+               string_agg(tok, ' ' ORDER BY p) AS text
+        FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, md5(COALESCE(r.text, '')) AS text_md5,
+           s.nt AS n_tokens,
+           CAST(s.nt - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed
+    FROM sized s LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def pipeline_exact_substr_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """The ExactSubstr rewrite (`operators/exactsubstr.py::
+    exact_substr_removal` — remove all but one occurrence at L=30):
+    every duplicated 30-token window keeps its first (doc, position)
+    occurrence, tokens covered exclusively by non-keeper duplicated
+    windows are deleted, documents reassembled in token order. The
+    oracle replays keeper selection and reassembly on the window
+    STRINGS (no hash index — so the Spark side's hash-bucket +
+    collision-verification path is certified against plain string
+    semantics); text is md5-pinned so the full rewritten corpus
+    round-trips through the value hash."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_removal,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    out = exact_substr_removal(docs, L=30)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_tokens",
+        "n_removed",
+    )
+
+
 _SQL_SOURCE_ROUNDTRIP = """
     SELECT lang,
            count(*) AS n_docs,

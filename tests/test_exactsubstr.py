@@ -1,0 +1,199 @@
+"""Pins for operators/exactsubstr.py: brute-force parity on random
+small-vocab corpora (spans AND removal), the planted-repeat guarantee,
+keep-one-occurrence semantics, verbatim (case-sensitive) matching, and
+contract errors."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark.operators.exactsubstr import (
+    exact_substr_removal,
+    exact_substr_spans,
+)
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+
+def _brute_covered(docs, L, min_count=2):
+    """doc_id -> set of 1-based positions covered by a duplicated
+    L-window (occurrences counted corpus-wide incl. self-repeats)."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in docs}
+    cnt = Counter()
+    for t in toks.values():
+        for s in range(len(t) - L + 1):
+            cnt[tuple(t[s : s + L])] += 1
+    cov = {}
+    for i, t in toks.items():
+        c = set()
+        for s in range(len(t) - L + 1):
+            if cnt[tuple(t[s : s + L])] >= min_count:
+                c.update(range(s + 1, s + L + 1))
+        cov[i] = c
+    return cov
+
+
+def _runs(positions):
+    out, run = [], []
+    for p in sorted(positions):
+        if run and p == run[-1] + 1:
+            run.append(p)
+        else:
+            if run:
+                out.append((run[0], run[-1]))
+            run = [p]
+    if run:
+        out.append((run[0], run[-1]))
+    return out
+
+
+def _brute_spans(docs, L, min_count=2):
+    cov = _brute_covered(docs, L, min_count)
+    return {
+        (i, a, b, b - a + 1)
+        for i, c in cov.items()
+        for (a, b) in _runs(c)
+    }
+
+
+def _brute_removal(docs, L, min_count=2):
+    """(doc_id -> (text, n_tokens, n_removed)) under first-(doc,start)
+    keeper protection."""
+    from collections import defaultdict
+
+    toks = {i: t.split() for i, t in docs}
+    occ = defaultdict(list)
+    for i in sorted(toks):
+        t = toks[i]
+        for s in range(len(t) - L + 1):
+            occ[tuple(t[s : s + L])].append((i, s + 1))
+    keep_cov, drop = defaultdict(set), defaultdict(set)
+    for gram, locs in occ.items():
+        if len(locs) < min_count:
+            continue
+        ki, ks = min(locs)
+        keep_cov[ki].update(range(ks, ks + L))
+        for i, s in locs:
+            if (i, s) != (ki, ks):
+                drop[i].update(range(s, s + L))
+    out = {}
+    for i, t in toks.items():
+        gone = drop[i] - keep_cov[i]
+        kept = [w for p, w in enumerate(t, start=1) if p not in gone]
+        out[i] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+def _random_corpus(seed, n_docs=6, vocab=("aa", "bb", "cc")):
+    rng = random.Random(seed)
+    return [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(4, 14))
+            ),
+        )
+        for i in range(n_docs)
+    ]
+
+
+def test_spans_match_bruteforce_on_random_corpora(spark):
+    for seed in range(6):
+        docs = _random_corpus(seed)
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in exact_substr_spans(
+                _docs_df(spark, docs), L=3
+            ).collect()
+        }
+        assert got == _brute_spans(docs, 3), f"seed={seed}"
+
+
+def test_removal_matches_bruteforce_on_random_corpora(spark):
+    for seed in range(6):
+        docs = _random_corpus(seed + 100)
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.n_removed)
+            for r in exact_substr_removal(
+                _docs_df(spark, docs), L=3
+            ).collect()
+        }
+        assert got == _brute_removal(docs, 3), f"seed={seed}"
+
+
+def test_planted_repeat_is_fully_reported(spark):
+    # a 7-token span pasted into two otherwise-distinct documents
+    # must come back as ONE maximal span covering all 7 tokens
+    span = "the quick brown fox jumps over dogs"
+    docs = [
+        (1, f"alpha beta {span} gamma delta epsilon zeta"),
+        (2, f"one two three four {span} five six"),
+    ]
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substr_spans(_docs_df(spark, docs), L=5).collect()
+    }
+    assert got == {(1, 3, 9), (2, 5, 11)}
+
+
+def test_removal_keeps_exactly_one_occurrence(spark):
+    body = " ".join(f"w{i}" for i in range(10))
+    docs = [(1, body), (2, body), (3, body)]
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in exact_substr_removal(_docs_df(spark, docs), L=10).collect()
+    }
+    # first (doc, start) keeper = doc 1; docs 2 and 3 empty out
+    assert got[1] == (body, 0)
+    assert got[2] == ("", 10) and got[3] == ("", 10)
+
+
+def test_matching_is_verbatim_case_sensitive(spark):
+    docs = [
+        (1, "Alpha Beta Gamma Delta"),
+        (2, "alpha beta gamma delta"),
+    ]
+    assert exact_substr_spans(_docs_df(spark, docs), L=4).count() == 0
+
+
+def test_short_docs_and_no_dup_corpora(spark):
+    docs = [(1, "only three tokens"), (2, "four distinct tokens here")]
+    assert exact_substr_spans(_docs_df(spark, docs), L=5).count() == 0
+    out = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in exact_substr_removal(_docs_df(spark, docs), L=5).collect()
+    }
+    assert out == {
+        1: ("only three tokens", 3, 0),
+        2: ("four distinct tokens here", 4, 0),
+    }
+
+
+def test_invalid_L_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="L must be"):
+        exact_substr_spans(_docs_df(spark, [(1, "a b")]), L=0)
+    with pytest.raises(ValueError, match="L must be"):
+        exact_substr_removal(_docs_df(spark, [(1, "a b")]), L=-1)
+
+
+def test_adjacent_covered_regions_merge_to_one_span(spark):
+    # two duplicated windows whose intervals touch (prev_end + 1)
+    # must merge into ONE maximal span: doc 3 carries X at 1..3 and
+    # Y at 4..6 back-to-back while X and Y each repeat elsewhere.
+    x, y = "x1 x2 x3", "y1 y2 y3"
+    docs = [
+        (1, f"{x} filler1 fillerA fillerB"),
+        (2, f"fillerC fillerD {y} fillerE"),
+        (3, f"{x} {y}"),
+    ]
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in exact_substr_spans(_docs_df(spark, docs), L=3).collect()
+    }
+    assert (3, 1, 6, 6) in got
