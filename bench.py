@@ -203,6 +203,7 @@ HEADLINE = [
     # -- r12 additions --
     "dedup_exact_substr",
     "pipeline_exact_substr_removal",
+    "stream_exec_ivf_maintained",
 ]
 
 

@@ -62,6 +62,8 @@ __all__ = [
     "quantize_vectors",
     "kmeans_assign",
     "kmeans_fit_predict",
+    "fold_centroid_update",
+    "kmeans_reassign_incremental",
 ]
 
 
@@ -103,7 +105,7 @@ def _guard_centroid_norms(cents: DataFrame) -> None:
     fits in int64 (checked in unbounded Python arithmetic) neither
     the final value NOR any intermediate partial can wrap. Runs on
     the k-row centroid frame — one tiny job per Lloyd round."""
-    row = cents.select(
+    sel = [
         F.max(
             F.aggregate(
                 F.transform("cv", lambda x: F.abs(x)),
@@ -112,11 +114,19 @@ def _guard_centroid_norms(cents: DataFrame) -> None:
             )
         ).alias("mx"),
         F.max(F.size("cv")).alias("dim"),
-        F.min("cn2").alias("mn"),
-    ).first()
+    ]
+    # run BEFORE cn2 is evaluated wherever possible: in ANSI mode an
+    # overflowing cn2 throws an opaque mid-job error; with ANSI off it
+    # silently wraps — the bound check below turns both into one
+    # diagnosable message. When a cn2 column already exists, also
+    # catch a wrapped-negative value (non-ANSI sessions).
+    has_cn2 = "cn2" in cents.columns
+    if has_cn2:
+        sel.append(F.min("cn2").alias("mn"))
+    row = cents.select(*sel).first()
     if row["mx"] is None:
         return
-    if row["mn"] is not None and row["mn"] < 0:
+    if has_cn2 and row["mn"] is not None and row["mn"] < 0:
         raise ArithmeticError(
             "kmeans: centroid squared norm wrapped int64 (cn2 < 0) — "
             "shrink `scale` or the per-cluster member count"
@@ -176,13 +186,122 @@ def _update_centroids(assign: DataFrame, vectors: DataFrame) -> DataFrame:
         .groupBy("cid", "pos")
         .agg(F.sum("v").cast("long").alias("s"))
     )
-    cents = comp.groupBy("cid").agg(
+    # cn2 is NOT attached here: callers guard the (cid, cv) frame
+    # first (see _guard_centroid_norms) and only then evaluate the
+    # norm — so an overflowing norm is reported diagnosably instead
+    # of throwing mid-job (ANSI) or wrapping silently (non-ANSI).
+    return comp.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "s"))),
             lambda x: x["s"],
         ).alias("cv")
     )
-    return cents.withColumn("cn2", _idot(F.col("cv"), F.col("cv")))
+
+
+def fold_centroid_update(
+    centroids: DataFrame,
+    delta_sums: DataFrame,
+    *,
+    cid_col: str = "cluster_id",
+    pos_col: str = "pos",
+    sum_col: str = "s",
+) -> DataFrame:
+    """Apply per-(cluster, component) delta SUMS to sum-centroids:
+    ``C'_c = C_c + delta_c`` — the payoff of the spherical no-division
+    design: ingesting new members into cluster ``c`` updates ONLY
+    ``c``'s centroid, exactly, with no rescan of existing members
+    (this is what `stream_exec_kmeans_update`'s folded store feeds).
+    ``delta_sums`` carries (cid_col, pos_col 1-based, sum_col);
+    clusters absent from it keep their centroid bit-identically.
+    Returns updated (cid, cv, cn2), norm-guarded like every Lloyd
+    round."""
+    dcv = delta_sums.groupBy(F.col(cid_col).alias("cid")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(pos_col), F.col(sum_col)))
+            ),
+            lambda x: x[sum_col].cast("long"),
+        ).alias("__dv")
+    )
+    folded = centroids.join(dcv, "cid", "left").select(
+        "cid",
+        F.when(F.col("__dv").isNull(), F.col("cv"))
+        .otherwise(F.zip_with("cv", "__dv", lambda a, b: a + b))
+        .alias("cv"),
+    )
+    _guard_centroid_norms(folded)  # before the norm evaluates
+    return folded.withColumn("cn2", _idot(F.col("cv"), F.col("cv")))
+
+
+def kmeans_reassign_incremental(
+    vectors: DataFrame,
+    old_assign: DataFrame,
+    centroids: DataFrame,
+    changed_cids,
+) -> DataFrame:
+    """Exact nearest-centroid reassignment after a centroid update
+    that touched only ``changed_cids`` — equals
+    :func:`kmeans_assign` (vectors, updated centroids) bit-for-bit
+    while scoring most vectors against |changed| + 1 centroids
+    instead of k.
+
+    Why it is exact: scores against UNCHANGED centroids are
+    unchanged, so for a vector whose old assignment ``old_cid`` is
+    unchanged, ``old_cid`` still dominates every unchanged centroid
+    (it was the min-cid argmax over a superset) — the new argmax can
+    only be ``old_cid`` or a CHANGED centroid, and the min-cid
+    tie-break over that reduced set equals the full argmax's.
+    Vectors whose old assignment IS a changed centroid lost their
+    dominance witness and rescore against all k (the "rebuild
+    changed lists" term — bounded by the lists the update touched).
+
+    ``vectors`` is quantize_vectors output; ``old_assign`` MUST be
+    ``kmeans_assign(vectors, pre_update_centroids)`` — the argmax at
+    exactly the centroids the update was folded from. A training
+    loop's final assignment does NOT qualify (it is the argmax at the
+    PREVIOUS round's centroids; the dominance witness then fails —
+    caught by the 100x probe's in-query certificate before it became
+    a catalog bug). ``centroids`` is the post-update (cid, cv, cn2)
+    frame containing every old cid."""
+    changed = sorted(set(changed_cids))
+    if not changed:
+        return old_assign.select("id", "cid")
+    va = vectors.join(
+        old_assign.withColumnRenamed("cid", "__old"), "id"
+    )
+    moved = va.where(F.col("__old").isin(changed))
+    stay = va.where(~F.col("__old").isin(changed))
+    m_assign = kmeans_assign(
+        moved.select("id", "qv", "n2"), centroids
+    )
+    own = stay.join(
+        F.broadcast(centroids.withColumnRenamed("cid", "__old")),
+        "__old",
+    ).select(
+        "id",
+        F.col("__old").alias("cid"),
+        _score(
+            F.col("n2"), F.col("cn2"), _idot(F.col("qv"), F.col("cv"))
+        ).alias("__s"),
+    )
+    ch = F.broadcast(
+        centroids.where(F.col("cid").isin(changed)).select(
+            "cid", "cv", "cn2"
+        )
+    )
+    vs_changed = stay.crossJoin(ch).select(
+        "id",
+        "cid",
+        _score(
+            F.col("n2"), F.col("cn2"), _idot(F.col("qv"), F.col("cv"))
+        ).alias("__s"),
+    )
+    s_assign = (
+        own.unionByName(vs_changed)
+        .groupBy("id")
+        .agg(F.expr("max_by(cid, struct(__s, -cid))").alias("cid"))
+    )
+    return s_assign.unionByName(m_assign)
 
 
 def kmeans_fit_predict(
@@ -231,8 +350,9 @@ def kmeans_fit_predict(
     assign = None
     for _ in range(iterations):
         assign = kmeans_assign(q, cents)
-        cents = _update_centroids(assign, q).localCheckpoint()
-        _guard_centroid_norms(cents)
+        cv_only = _update_centroids(assign, q).localCheckpoint()
+        _guard_centroid_norms(cv_only)  # before the norm evaluates
+        cents = cv_only.withColumn("cn2", _idot(F.col("cv"), F.col("cv")))
     out = assign.select(
         F.col("id").alias(id_col), F.col("cid").alias("cluster_id")
     )

@@ -4289,6 +4289,279 @@ def stream_exec_kmeans_update(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SQL_IVFM_SCORE = """
+            CASE WHEN q.n2 = 0 OR c.cn2 = 0 THEN -1.0
+                 ELSE CAST(list_sum(list_transform(
+                          list_zip(q.qv, c.cv),
+                          p -> p[1] * p[2])) AS DOUBLE)
+                      / (sqrt(CAST(q.n2 AS DOUBLE))
+                         * sqrt(CAST(c.cn2 AS DOUBLE))) END
+"""
+
+
+@q(
+    "stream_exec_ivf_maintained",
+    _sql_kmeans(4, 8, 10_000)
+    + f""",
+    delta AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
+                     AS vec_id, embedding
+              FROM embeddings WHERE vec_id % 5 = 2),
+    dqz AS (SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+                AS qv
+            FROM delta),
+    dqzn AS (SELECT vec_id, qv,
+                CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                    AS n2
+             FROM dqz),
+    dassign AS (SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid, row_number() OVER (
+            PARTITION BY q.vec_id ORDER BY {_SQL_IVFM_SCORE} DESC,
+            c.cid) AS rn
+        FROM dqzn q CROSS JOIN cents4 c) WHERE rn = 1),
+    dsums AS (SELECT cid, pos, CAST(sum(v) AS BIGINT) AS s FROM (
+        SELECT a.cid, unnest(q.qv) AS v,
+               generate_subscripts(q.qv, 1) AS pos
+        FROM dassign a JOIN dqz q USING (vec_id)) t GROUP BY cid, pos),
+    dcv AS (SELECT cid, list(s ORDER BY pos) AS dv FROM dsums
+            GROUP BY cid),
+    centsM AS (SELECT cid, cv,
+            CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT)
+                AS cn2
+        FROM (SELECT c.cid,
+                CASE WHEN d.dv IS NULL THEN c.cv
+                     ELSE list_transform(list_zip(c.cv, d.dv),
+                                         p -> p[1] + p[2]) END AS cv
+              FROM cents4 c LEFT JOIN dcv d USING (cid))),
+    uq AS (SELECT * FROM qzn UNION ALL SELECT * FROM dqzn),
+    lists AS (SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid, row_number() OVER (
+            PARTITION BY q.vec_id ORDER BY {_SQL_IVFM_SCORE} DESC,
+            c.cid) AS rn
+        FROM uq q CROSS JOIN centsM c) WHERE rn = 1),
+    centsD AS (SELECT cid, list_transform(cv, x -> x::DOUBLE) AS cvec
+               FROM centsM),
+    corp AS (SELECT vec_id, embedding FROM embeddings
+             UNION ALL SELECT vec_id, embedding FROM delta),
+    qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           WHERE vec_id >= 100 AND vec_id < 105),
+    probe_scored AS (
+        SELECT qs.qid, qs.qvec, k.cid,
+               {_sql_cos('qs.qvec', 'k.cvec')} AS sim
+        FROM qs CROSS JOIN centsD k),
+    probes AS (SELECT qid, qvec, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM probe_scored) WHERE rn <= 2),
+    scored AS (
+        SELECT p.qid AS query_id, l.vec_id AS neighbor_id,
+               {_sql_cos('p.qvec', 'e.embedding')} AS score
+        FROM probes p
+        JOIN lists l ON l.cid = p.cid
+        JOIN corp e ON e.vec_id = l.vec_id
+        WHERE l.vec_id != p.qid)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+              AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def stream_exec_ivf_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF list maintenance END-TO-END (VERDICT r11 item
+    8): a deployed index (4-iteration exactly-certifiable k-means:
+    sum-centroids + inverted lists) ingests a delta corpus through
+    REAL micro-batches — each batch assigned against the deployed
+    centroids, its per-(cluster, component) BIGINT partials landed in
+    the mergeable store — then
+
+    1. the folded partials are APPLIED additively
+       (`clustering.fold_centroid_update`: only clusters that
+       received vectors change, no rescan of existing members),
+    2. inverted lists are rebuilt INCREMENTALLY
+       (`kmeans_reassign_incremental`: vectors whose old cluster is
+       unchanged score against |changed|+1 centroids, not k — exact
+       by the dominance argument in its docstring),
+    3. an in-query certificate asserts the maintained lists equal a
+       from-scratch assignment at the updated centroids (raises on
+       any divergence), and
+    4. a top-k IVF search (nprobe=2) answers FROM the maintained
+       lists, hash-certified against the oracle's full recompute.
+
+    This is the complete "keep the ANN index fresh at ingest" story a
+    100 TB pipeline needs: mergeable update partials, additive
+    centroid fold, changed-lists-only rebuild, searchable at every
+    step."""
+    import tempfile
+
+    from blackroad_feature_store_spark.operators.clustering import (
+        fold_centroid_update,
+        kmeans_assign,
+        kmeans_fit_predict,
+        kmeans_reassign_incremental,
+        quantize_vectors,
+    )
+    from blackroad_feature_store_spark.operators.similarity import (
+        dot,
+        norm,
+    )
+    from blackroad_feature_store_spark.streaming.stats import (
+        merge_stats,
+        process_stats_batch,
+    )
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    _, cents = kmeans_fit_predict(
+        emb, k=8, iterations=4, return_centroids=True
+    )
+    # Deployed inverted lists are the argmax against the DEPLOYED
+    # centroids — the incremental reassign's dominance argument is
+    # stated at exactly these centroids. (Passing the training run's
+    # last assignment — argmax at the PREVIOUS round's centroids —
+    # is wrong: the 100x probe's in-query certificate caught 17k
+    # diverging vectors before this was a catalog bug.)
+    q_old = quantize_vectors(emb)
+    lists0 = kmeans_assign(q_old, cents)
+    # delta ids shift past the ACTUAL max corpus id (a fixed +1e6
+    # shift collides with real ids at the 100x probe scale — the
+    # certificate caught the duplicate-id union as 17k "divergences")
+    shift = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    delta = emb.where(F.col("vec_id") % 5 == 2).select(
+        (F.col("vec_id") + F.lit(shift)).alias("vec_id"), "embedding"
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ivfm_")
+    src = f"{base}/src"
+    delta.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(src)
+    delta.where(F.col("vec_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = f"{base}/upd"
+
+    def _update_partials(batch_df: DataFrame, batch_id: int) -> None:
+        q_vecs = quantize_vectors(batch_df)
+        comps = (
+            kmeans_assign(q_vecs, cents)
+            .join(q_vecs.select("id", "qv"), "id")
+            .select(
+                F.col("cid").alias("cluster_id"),
+                F.posexplode("qv").alias("pos0", "v"),
+            )
+            .select(
+                "cluster_id",
+                (F.col("pos0") + 1).cast("int").alias("pos"),
+                "v",
+            )
+        )
+        process_stats_batch(
+            comps, batch_id, store, ["cluster_id", "pos"], "v"
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(_update_partials)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    ds = merge_stats(spark, store).select(
+        "cluster_id", "pos", F.col("sum_value").cast("long").alias("s")
+    )
+    cents_new = fold_centroid_update(cents, ds).localCheckpoint()
+    changed = [
+        r["cluster_id"]
+        for r in ds.select("cluster_id").distinct().collect()
+    ]  # k-bounded collect
+    q_delta = quantize_vectors(delta)
+    lists = (
+        kmeans_reassign_incremental(
+            q_old,
+            lists0,
+            cents_new,
+            changed,
+        )
+        .unionByName(kmeans_assign(q_delta, cents_new))
+        .localCheckpoint()
+    )
+    # in-query certificate: the maintained lists ARE a from-scratch
+    # assignment at the updated centroids
+    full = kmeans_assign(q_old.unionByName(q_delta), cents_new)
+    diverged = (
+        lists.withColumnRenamed("cid", "cid_inc")
+        .join(full, "id")
+        .where(F.col("cid_inc") != F.col("cid"))
+        .count()
+    )
+    if diverged:
+        raise AssertionError(
+            f"maintained IVF lists diverge from the full rebuild on "
+            f"{diverged} vector(s)"
+        )
+
+    # top-k search FROM the maintained lists (nprobe=2)
+    union_emb = emb.unionByName(delta)
+    cents_d = cents_new.select(
+        F.col("cid").alias("centroid_id"),
+        F.transform("cv", lambda x: x.cast("double")).alias("cvec"),
+    )
+    cq = F.broadcast(
+        cents_d.withColumn("__cnorm", norm(F.col("cvec")))
+    )
+    qs = emb.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("__qid"), F.col("embedding").alias("__qvec")
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    probe_w = Window.partitionBy("__qid").orderBy(
+        F.round(
+            dot(F.col("__qvec"), F.col("cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ).desc(),
+        F.col("centroid_id").asc(),
+    )
+    probes = F.broadcast(
+        qs.crossJoin(cq)
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .where(F.col("__rn") <= 2)
+        .select("__qid", "__qvec", "__qnorm", "centroid_id")
+    )
+    members = (
+        lists.select(
+            F.col("id").alias("vec_id"),
+            F.col("cid").alias("centroid_id"),
+        )
+        .join(union_emb, "vec_id")
+        .withColumn("__vnorm", norm(F.col("embedding")))
+    )
+    scored = members.join(probes, "centroid_id").where(
+        F.col("vec_id") != F.col("__qid")
+    ).select(
+        F.col("__qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("__qvec"), F.col("embedding"))
+            / (F.col("__qnorm") * F.col("__vnorm")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
+
+
 @q(
     "stream_exec_quantile_monitor",
     """

@@ -137,9 +137,89 @@ def test_centroid_norm_overflow_raises_not_corrupts(spark):
     # the dot-product bound — and a wrapped-negative norm would turn
     # scores into NaN, which max_by sorts above every real double.
     # The guard must raise loudly instead.
+    # Values sized so every pre-guard expression stays in int64
+    # (qv = 1.5e9: n2 = 2.25e18, init bound 4*mx^2 = 9e18 <= 2^63-1)
+    # while the 6-member sum-centroid (component 9e9) pushes the
+    # update-time bound to 3.2e20 — the guard must fire BEFORE the
+    # norm evaluates (in ANSI mode the norm itself would otherwise
+    # throw an opaque mid-job overflow).
     import pytest
 
-    rows = [(i, [1.0e9, 1.0e9, 1.0e9, 1.0e9]) for i in range(6)]
+    rows = [(i, [1.5e5, 0.0, 0.0, 0.0]) for i in range(6)]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     with pytest.raises(ArithmeticError, match="int64"):
-        kmeans_fit_predict(df, k=2, iterations=1, scale=10_000)
+        kmeans_fit_predict(df, k=1, iterations=1, scale=10_000)
+
+
+def test_incremental_reassign_equals_full_and_fold_is_local(spark):
+    """VERDICT r11 item 8 machinery: (a) fold_centroid_update changes
+    ONLY clusters that received delta sums, bit-identically keeping
+    the rest; (b) kmeans_reassign_incremental equals a from-scratch
+    kmeans_assign at the updated centroids while the delta hits a
+    strict subset of clusters."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.operators.clustering import (
+        fold_centroid_update,
+        kmeans_assign,
+        kmeans_reassign_incremental,
+    )
+
+    rng = random.Random(7)
+    # three well-separated axis clusters in 4d
+    vectors = {}
+    for i in range(30):
+        axis = i % 3
+        v = [rng.uniform(0.0, 0.05) for _ in range(4)]
+        v[axis] = 1.0 + rng.uniform(0.0, 0.1)
+        vectors[i] = v
+    df = _vec_df(spark, vectors)
+    _, cents = kmeans_fit_predict(
+        df, k=3, iterations=2, return_centroids=True
+    )
+    # deployed lists = argmax at the DEPLOYED centroids (the training
+    # loop's last assignment is argmax at the previous round's — the
+    # incremental contract rejects it)
+    q_base = quantize_vectors(df)
+    assign = kmeans_assign(q_base, cents)
+    # delta: new members near axis 0 ONLY -> exactly one cluster hit
+    delta = {1000 + j: [1.0, 0.01, 0.01, 0.01] for j in range(4)}
+    ddf = _vec_df(spark, delta)
+    dq = quantize_vectors(ddf)
+    dassign = kmeans_assign(dq, cents)
+    dsums = (
+        dassign.join(dq.select("id", "qv"), "id")
+        .select(F.col("cid").alias("cluster_id"),
+                F.posexplode("qv").alias("pos0", "v"))
+        .select("cluster_id", (F.col("pos0") + 1).alias("pos"), "v")
+        .groupBy("cluster_id", "pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    changed = [r.cluster_id for r in
+               dsums.select("cluster_id").distinct().collect()]
+    assert len(changed) == 1  # the delta hit a strict subset
+    old = {r.cid: r.cv for r in cents.collect()}
+    cents_new = fold_centroid_update(cents, dsums)
+    new = {r.cid: r.cv for r in cents_new.collect()}
+    for cid in old:
+        if cid in changed:
+            assert new[cid] != old[cid]
+        else:
+            assert new[cid] == old[cid]  # untouched = bit-identical
+    # incremental reassign == full reassign at the updated centroids
+    q_all = quantize_vectors(df).unionByName(dq)
+    old_assign = assign.unionByName(dassign)
+    inc = kmeans_reassign_incremental(
+        q_all, old_assign, cents_new, changed
+    )
+    full = kmeans_assign(q_all, cents_new)
+    got = {r.id: r.cid for r in inc.collect()}
+    want = {r.id: r.cid for r in full.collect()}
+    assert got == want
+    # empty changed set short-circuits to the old assignment
+    same = kmeans_reassign_incremental(q_all, old_assign, cents_new, [])
+    assert {r.id: r.cid for r in same.collect()} == {
+        r.id: r.cid for r in old_assign.collect()
+    }
