@@ -3759,6 +3759,25 @@ _SQL_LINK_MATCHES = """
 """
 
 
+# The same match pipeline with the token-sorted key family unioned in
+# (VERDICT r11 item 7): word-order transpositions share the "s:" key,
+# which neither substring key can provide. The oracle unions the same
+# third family, so the hash certifies the union blocking end-to-end.
+_SQL_LINK_MATCHES_SORTED = _SQL_LINK_MATCHES.replace(
+    """               't:' || substr(name, greatest(length(name) - 11, 1), 12)
+        FROM recs),""",
+    """               't:' || substr(name, greatest(length(name) - 11, 1), 12)
+        FROM recs
+        UNION ALL
+        SELECT rec_id, name,
+               's:' || substr(array_to_string(list_sort(
+                   list_filter(string_split_regex(name, '\\s+'),
+                               x -> x <> '')), ' '), 1, 12)
+        FROM recs),""",
+)
+assert _SQL_LINK_MATCHES_SORTED != _SQL_LINK_MATCHES
+
+
 def _link_records_frame(spark: SparkSession, sf: str) -> DataFrame:
     """Spark twin of the oracle's ``recs`` CTE (original + one-char-
     dropped variant per document, variant ids shifted by 1e6)."""
@@ -3801,6 +3820,32 @@ def link_blocked_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # fixture's 12-char keys provably bound blocks (~24 at sf0.1) —
     # the explicit opt-out the capped-by-default API requires.
     return link_records(recs, key_len=12, max_block=None, threshold=0.9)
+
+
+@q(
+    "link_blocked_pairs_sorted",
+    _SQL_LINK_MATCHES_SORTED + "SELECT id_a, id_b, sim FROM matches",
+)
+def link_blocked_pairs_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-linkage match pairs under the THREE-family blocking
+    union (`linkage.blocking_keys(sorted_tokens=True)`): head/tail
+    substring keys plus the token-sorted key, so word-order
+    transpositions ("ACME Corp" / "Corp ACME") — invisible to both
+    substring families — still become candidates. Same scoring and
+    threshold as `link_blocked_pairs`; the oracle unions the same
+    third key family, certifying the union blocking end-to-end."""
+    from blackroad_feature_store_spark.operators.linkage import (
+        link_records,
+    )
+
+    recs = _link_records_frame(spark, sf)
+    return link_records(
+        recs,
+        key_len=12,
+        max_block=None,
+        sorted_tokens=True,
+        threshold=0.9,
+    )
 
 
 @q(
