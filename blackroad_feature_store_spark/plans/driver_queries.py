@@ -9565,68 +9565,63 @@ _GATE_PRIORITY: list[str] = [
     # -- divergence canary: literal-valued probe of every construct
     # the oracle layer has ever disagreed on --
     "core_oracle_canary",
-    # -- r11 new capability --
-    "stream_exec_unique_gate",          # seen-key-store uniqueness gate
-    "sim_cosine_topk_auto_approx",      # degraded-tier recall floor
-    "stream_exec_decontaminate",        # streaming contamination gate
-    "link_blocked_pairs",               # record-linkage match pairs
-    "link_entities",                    # entity resolution + survivorship
-    "ml_kmeans_clusters",               # exact-replay iterative k-means
-    "sim_cosine_topk_ivf_kmeans",       # IVF with trained centroids
-    "dedup_semantic_kmeans",            # SemDeDup under trained clusters
-    "pipeline_epoch_shuffle",           # seeded training-order shuffle
-    "graph_pagerank_trade",             # integer fixed-point PageRank
-    "pipeline_token_budget_select",     # distributed prefix-sum curation
-    "stream_exec_cluster_drift",        # trained clusters on the stream
-    "stream_exec_hll_distinct",         # mergeable sketches on the stream
-    "stream_exec_quantile_monitor",     # histogram-store quantiles
-    "stream_exec_kmeans_update",        # exact incremental Lloyd update
-    # -- r11 changed execution paths (every query whose code moved
+    # -- r12 new capability --
+    "dedup_exact_substr",               # ExactSubstr maximal spans >= L
+    "pipeline_exact_substr_removal",    # remove-all-but-one rewrite
+    "stream_exec_ivf_maintained",       # incremental IVF maintenance e2e
+    "link_blocked_pairs_sorted",        # token-sorted blocking family
+    # -- r12 changed execution paths (every query whose code moved
     # this round re-certifies) --
-    "dedup_winnow_pairs",               # winnow oracle normalization
-    "pipeline_decontaminate_winnow",    # same + spread parallelize
-    "pipeline_decontaminate",           # spread parallelize
-    "sim_cosine_topk_auto",             # single-collect size gate
-    "sim_cosine_topk_gemm",             # threaded _qrows path
-    "text_lang_id",                     # shared tokenization scan
-    "pipeline_nb_source_classify",      # shared tokenization scan
-    "stream_exec_incremental_stats",    # fold dispatch on full column set
-    "stream_exec_drift_monitor",        # shared store machinery
-    "stream_exec_expectations",         # quality.py gate composition
-    # -- ballast biased toward the OLDEST green rows (standing rule,
-    # VERDICT r10 item 7): every r5-tagged row — none has had a
-    # driver-gate pass in 6 rounds — then 8 of the 21 r6-tagged rows
-    # (the remaining thirteen — six tpch_*, stream_exec_sessionize,
-    # tpch_q13_customer_distribution, stream_exec_enrich,
-    # store_mv_incremental, store_changes_feed, source_jsonl_roundtrip,
-    # pipeline_paragraph_dedup + core_asof_sql_join + core_rolling_range
-    # (those three with a fresh independent pass in the judge's r10
-    # replica) + source_csv_roundtrip + pipeline_dedup_report +
-    # pipeline_domain_cap — rotate in r12; twelve slots went to the
-    # r11 linkage, k-means, SemDeDup-trained, epoch-shuffle, PageRank,
-    # token-budget, cluster-drift, streaming-HLL, quantile-monitor and
-    # kmeans-update queries above) --
-    "core_asof_prev_order",
-    "core_date_arith",
-    "core_global_top1",
-    "core_lookup_composite",
-    "core_rollup",
-    "core_router_triggers",
-    "core_salted_hot_keys",
-    "core_semi_anti",
-    "core_set_ops",
-    "mm_frame_samples",
-    "mm_image_features",
-    "sim_cosine_topk",
-    "sim_cosine_topk_lsh",
-    "store_registry_ops",
-    "stream_exec_dedup",
-    "stream_exec_windowed",
-    "stream_windowed_counts",
-    "text_lang_confusion",
-    "core_approx_quantiles",
-    "drift_psi",
-    "pipeline_mixture_weights",
+    "link_blocked_pairs",               # explicit max_block opt-out
+    "link_entities",                    # same call-path change
+    "graph_pagerank_trade",             # weight-validation aggregates
+    "ml_kmeans_clusters",               # norm guard before cn2 evaluates
+    "sim_cosine_topk_ivf_kmeans",       # consumes restructured k-means
+    "dedup_semantic_kmeans",            # consumes restructured k-means
+    "stream_exec_kmeans_update",        # kmeans internals
+    "stream_exec_cluster_drift",        # kmeans internals
+    "stream_exec_unique_gate",          # compacted first_batch schema
+    "pipeline_token_budget_select",     # prefix-sum integral assertion
+    # -- ballast biased toward the OLDEST green rows (standing rule):
+    # the single r5 row, ALL eighteen r6 rows (nothing r6-tagged
+    # stays out this round), then thirteen r7 rows — preferring the
+    # ones no judge replica has independently re-checked (the r11
+    # replica covered core_cube, core_event_funnel,
+    # core_retention_cohorts, core_asof_tolerance,
+    # core_correlated_subquery, store_pit_precedence,
+    # mm_audio_features; those wait for r13) --
+    "core_asof_sql_join",               # r5 — oldest row in the catalog
+    "core_rolling_range",               # r6 cohort, complete from here
+    "pipeline_dedup_report",
+    "pipeline_domain_cap",
+    "pipeline_paragraph_dedup",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "store_changes_feed",
+    "store_mv_incremental",
+    "stream_exec_enrich",
+    "stream_exec_sessionize",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunct_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "core_histogram",                   # r7 rows, judge-unchecked first
+    "core_json_props",
+    "core_salted_join",
+    "core_sliding_windows",
+    "store_bitemporal",
+    "store_time_travel",
+    "text_outlier_docs",
+    "text_tfidf_top_terms",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_modes",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
 ]
 
 
