@@ -204,6 +204,7 @@ HEADLINE = [
     "dedup_exact_substr",
     "pipeline_exact_substr_removal",
     "stream_exec_ivf_maintained",
+    "link_blocked_pairs_sorted",
 ]
 
 
