@@ -205,6 +205,7 @@ HEADLINE = [
     "pipeline_exact_substr_removal",
     "stream_exec_ivf_maintained",
     "link_blocked_pairs_sorted",
+    "stream_exec_exact_substr_gate",
 ]
 
 

@@ -2682,6 +2682,81 @@ def stream_exec_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_exec_exact_substr_gate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+    grams AS (
+        SELECT doc_id, array_to_string(list_slice(t, i, i + 19), ' ')
+                   AS gram
+        FROM sized, UNNEST(range(1, nt - 18)) AS u(i)
+        WHERE nt >= 20),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0),
+    hits AS (
+        SELECT g.doc_id
+        FROM (SELECT DISTINCT doc_id, gram FROM grams
+              WHERE doc_id % 23 <> 0) g
+        JOIN bench USING (gram)
+        GROUP BY g.doc_id HAVING count(*) >= 1)
+    SELECT 'exact_substr' AS check, 'text' AS target,
+           CAST((SELECT count(*) FROM documents
+                 WHERE doc_id % 23 <> 0) AS BIGINT) AS total,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS violations,
+           (SELECT count(*) FROM hits) = 0 AS passed
+    """,
+)
+def stream_exec_exact_substr_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING ExactSubstr decontamination gate (streaming/
+    quality.py::start_exact_substr_stream) — the exact verbatim-span
+    tier next to the winnow fingerprint gate: the eval slice
+    (doc_id%23) contributes its distinct 20-token windows ONCE
+    (`eval_exact_substr_grams`, string windows — a hash collision can
+    never flag a clean document); the training docs stream in over
+    >= 2 REAL micro-batches, each batch's stride-1 windows broadcast
+    semi-joined against the static set by STRING equality, partials
+    folded through the shared expectation store. The oracle
+    recomputes the whole-corpus verdict in one pass; parity certifies
+    fold-of-batches == whole-corpus recompute exactly (per-document
+    decisions against a static set are additive). This is the GPT-3
+    "n-gram overlap with eval" decontamination run at ingest instead
+    of as a batch rescan."""
+    import tempfile
+
+    from blackroad_feature_store_spark.streaming.quality import (
+        eval_exact_substr_grams,
+        merge_expectations,
+        start_exact_substr_stream,
+    )
+
+    docs = load(spark, sf, "documents")
+    grams = eval_exact_substr_grams(
+        docs.where(F.col("doc_id") % 23 == 0), L=20
+    )
+    base = tempfile.mkdtemp(prefix="stream_exsub_")
+    src = f"{base}/src"
+    train = docs.where(F.col("doc_id") % 23 != 0).select("doc_id", "text")
+    train.where(F.col("doc_id") % 2 == 0).repartition(2).write.parquet(src)
+    train.where(F.col("doc_id") % 2 != 0).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q_ = start_exact_substr_stream(
+        stream, grams, f"{base}/store", f"{base}/ckpt", id_col="doc_id",
+        L=20, min_shared=1, available_now=True,
+    )
+    q_.awaitTermination()
+    return merge_expectations(spark, f"{base}/store")
+
+
+@q(
     "stream_exec_enrich_pit",
     """
     WITH rec AS (SELECT user_id, ts, value, event_id FROM events
@@ -9570,6 +9645,7 @@ _GATE_PRIORITY: list[str] = [
     "pipeline_exact_substr_removal",    # remove-all-but-one rewrite
     "stream_exec_ivf_maintained",       # incremental IVF maintenance e2e
     "link_blocked_pairs_sorted",        # token-sorted blocking family
+    "stream_exec_exact_substr_gate",    # ExactSubstr gate at ingest
     # -- r12 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "link_blocked_pairs",               # explicit max_block opt-out
@@ -9589,7 +9665,9 @@ _GATE_PRIORITY: list[str] = [
     # replica covered core_cube, core_event_funnel,
     # core_retention_cohorts, core_asof_tolerance,
     # core_correlated_subquery, store_pit_precedence,
-    # mm_audio_features; those wait for r13) --
+    # mm_audio_features; those wait for r13 — as does
+    # tpch_q16_supplier_count, displaced by the late-round
+    # stream_exec_exact_substr_gate addition above) --
     "core_asof_sql_join",               # r5 — oldest row in the catalog
     "core_rolling_range",               # r6 cohort, complete from here
     "pipeline_dedup_report",
@@ -9621,7 +9699,6 @@ _GATE_PRIORITY: list[str] = [
     "tpch_q11_important_stock",
     "tpch_q12_shipping_priority_modes",
     "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
 ]
 
 

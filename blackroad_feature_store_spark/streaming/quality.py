@@ -490,6 +490,154 @@ def start_decontamination_stream(
     return writer.start()
 
 
+def eval_exact_substr_grams(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    L: int = 30,
+    max_grams: int = 2_000_000,
+) -> list[str]:
+    """The eval set's distinct L-token windows, collected ONCE to the
+    driver — the static side of the ExactSubstr decontamination gate
+    (the GPT-3/PaLM-style "drop training docs sharing a >= L-token
+    verbatim span with an eval example", here with the exact operator
+    from `operators/exactsubstr.py` instead of an approximate
+    fingerprint). Eval sets are MBs by contract — the same bound that
+    lets `eval_winnow_fingerprints` collect — and ``max_grams``
+    enforces it with a loud error instead of a silent driver OOM.
+    Window STRINGS are collected (not hashes), so the gate's verdict
+    is exactly string-equality — a hash collision cannot flag a
+    clean document."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        _tokenized,
+        _window_expr,
+    )
+
+    base = _tokenized(
+        benchmark.select(F.lit(0).alias("__bid"), F.col(text_col)),
+        "__bid",
+        text_col,
+    )
+    rows = (
+        base.where(F.col("__nt") >= L)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nt") - (L - 1)),
+                    lambda i: _window_expr(i, L),
+                )
+            ).alias("gram")
+        )
+        .distinct()
+        .limit(max_grams + 1)
+        .collect()
+    )
+    if len(rows) > max_grams:
+        raise ValueError(
+            f"eval_exact_substr_grams: benchmark yields more than "
+            f"max_grams={max_grams} distinct {L}-token windows — that "
+            "is a corpus, not an eval set; decontaminate in batch "
+            "(operators/exactsubstr.py) or raise the bound explicitly"
+        )
+    return [r["gram"] for r in rows]
+
+
+def process_exact_substr_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    grams: list[str],
+    id_col: str,
+    text_col: str = "text",
+    L: int = 30,
+    min_shared: int = 1,
+) -> None:
+    """One micro-batch of the ExactSubstr decontamination gate:
+    stride-1 L-token windows over the batch's documents, broadcast
+    semi-join against the static eval window set (string equality —
+    exact by construction), and land (check='exact_substr',
+    target=text_col, total=|batch docs|, violations=|docs sharing >=
+    min_shared distinct eval windows|). Additive across batches for
+    the same reason as the winnow gate: each document arrives whole
+    and its verdict depends only on itself and the static eval set."""
+    if batch_df.isEmpty():
+        return
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        _tokenized,
+        _window_expr,
+    )
+
+    spark = batch_df.sparkSession
+    g_df = F.broadcast(
+        spark.createDataFrame([(g,) for g in grams], "gram string")
+    )
+    base = _tokenized(
+        batch_df.select(F.col(id_col), F.col(text_col)), id_col, text_col
+    )
+    doc_grams = base.where(F.col("__nt") >= L).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__nt") - (L - 1)),
+                lambda i: _window_expr(i, L),
+            )
+        ).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(g_df, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("gram")).alias("__n"))
+        .where(F.col("__n") >= min_shared)
+        .select(id_col)
+    )
+    partial = (
+        batch_df.select(F.col(id_col))
+        .join(hits.withColumn("__hit", F.lit(1)), id_col, "left")
+        .agg(
+            F.lit("exact_substr").alias("check"),
+            F.lit(text_col).alias("target"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.count("__hit").cast("long").alias("violations"),
+        )
+        .select("check", "target", "total", "violations")
+    )
+    _land_partial(partial, batch_id, out_path)
+
+
+def start_exact_substr_stream(
+    records: DataFrame,
+    benchmark_grams: list[str],
+    out_path: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str = "text",
+    L: int = 30,
+    min_shared: int = 1,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The streaming ExactSubstr decontamination gate — the exact
+    verbatim-span tier next to the winnow (fingerprint) gate:
+    documents stream in, each micro-batch's L-token windows are
+    checked by STRING equality against the static eval window set
+    (pass :func:`eval_exact_substr_grams`' result), and per-batch
+    (total, violations) partials fold through
+    :func:`merge_expectations` to exactly the whole-corpus verdict.
+    Use the same L the eval grams were built with; give the gate its
+    own ``out_path``."""
+    writer = (
+        records.writeStream.foreachBatch(
+            lambda batch_df, batch_id: process_exact_substr_batch(
+                batch_df, batch_id, out_path, benchmark_grams,
+                id_col, text_col, L=L, min_shared=min_shared,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_expectations_stream(
     records: DataFrame,
     out_path: str,

@@ -2067,3 +2067,65 @@ def test_unique_gate_compaction_keeps_strict_replay_bound(spark, tmp_path):
     # byte-identical to the pre-crash state
     process_unique_gate_batch(mk([2, 3]), 1, store, "k")
     assert merge_expectations(spark, store).collect() == before
+
+def test_streaming_exact_substr_gate_matches_batch(spark, tmp_path):
+    """streaming/quality.py::start_exact_substr_stream: the fold over
+    >= 2 real micro-batches equals the whole-corpus exact verdict — a
+    doc sharing a verbatim >= L-token window with the eval set is
+    flagged in whichever batch it arrives (STRING equality: case and
+    token boundaries are exact), clean docs are not, and the eval-set
+    bound raises loudly on a corpus-sized frame."""
+    import pytest as _p
+
+    from blackroad_feature_store_spark.streaming.quality import (
+        eval_exact_substr_grams,
+        merge_expectations,
+        start_exact_substr_stream,
+    )
+
+    span = "alpha beta gamma delta epsilon"  # 5 tokens
+    bench = spark.createDataFrame(
+        [(0, f"lead-in {span} trailing words here")],
+        "doc_id long, text string",
+    )
+    train_rows = [
+        (1, f"copied verbatim: {span} and more"),       # hit
+        (2, "completely unrelated content one"),         # clean
+        (3, f"{span.upper()} differs by case only ok"),  # clean (verbatim!)
+        (4, f"prefix {span} suffix"),                    # hit
+    ]
+    grams = eval_exact_substr_grams(bench, L=5)
+    assert all(isinstance(g, str) for g in grams) and grams
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        train_rows[:2], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        train_rows[2:], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    q = start_exact_substr_stream(
+        stream, grams, store, str(tmp_path / "ckpt"), id_col="doc_id",
+        L=5, min_shared=1, available_now=True,
+    )
+    q.awaitTermination()
+    r = merge_expectations(spark, store).collect()
+    assert len(r) == 1
+    assert (r[0]["check"], r[0]["target"]) == ("exact_substr", "text")
+    assert r[0]["total"] == 4 and r[0]["violations"] == 2
+    assert not r[0]["passed"]
+
+    # the eval bound refuses a corpus-sized frame instead of OOMing
+    big = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"w{i}t{j}" for j in range(8)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    with _p.raises(ValueError, match="max_grams"):
+        eval_exact_substr_grams(big, L=5, max_grams=3)
