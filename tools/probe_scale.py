@@ -126,6 +126,52 @@ def _fixed_eval_stream_decontaminate(spark, scaled_dir):
     return merge_expectations(spark, f"{base}/store")
 
 
+def _fixed_eval_stream_exact_substr(spark, scaled_dir):
+    """Contract-true STREAMING ExactSubstr gate probe: eval window
+    strings from the sf0.1 doc_id%23 slice (static side), the scaled
+    corpus streamed through the gate in >= 2 real micro-batches —
+    only the train side scales."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.sources.testdata import load
+    from blackroad_feature_store_spark.streaming.quality import (
+        eval_exact_substr_grams,
+        merge_expectations,
+        start_exact_substr_stream,
+    )
+
+    grams = eval_exact_substr_grams(
+        load(spark, BASE_DIR, "documents").where(
+            F.col("doc_id") % 23 == 0
+        ),
+        L=20,
+    )
+    base = tempfile.mkdtemp(prefix="probe_exsub_")
+    src = f"{base}/src"
+    train = (
+        load(spark, scaled_dir, "documents")
+        .where(F.col("doc_id") % 23 != 0)
+        .select("doc_id", "text")
+    )
+    train.where(F.col("doc_id") % 2 == 0).repartition(8).write.parquet(src)
+    train.where(F.col("doc_id") % 2 != 0).repartition(8).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "8")
+        .parquet(src)
+    )
+    q_ = start_exact_substr_stream(
+        stream, grams, f"{base}/store", f"{base}/ckpt", id_col="doc_id",
+        L=20, min_shared=1, available_now=True,
+    )
+    q_.awaitTermination()
+    return merge_expectations(spark, f"{base}/store")
+
+
 def _scaled_k_semantic_dedup(spark, scaled_dir):
     """Contract-true SemDeDup probe: the operator's documented scale
     configuration is k ~ sqrt(n) (dedup.py:503), which keeps cluster
@@ -162,6 +208,7 @@ FIXED_EVAL = {
     "pipeline_decontaminate": _fixed_eval_decontaminate(True),
     "pipeline_decontaminate_winnow": _fixed_eval_decontaminate(False),
     "stream_exec_decontaminate": _fixed_eval_stream_decontaminate,
+    "stream_exec_exact_substr_gate": _fixed_eval_stream_exact_substr,
     "dedup_semantic_kmeans": _scaled_k_semantic_dedup,
 }
 
@@ -169,6 +216,7 @@ TAGS = {
     "pipeline_decontaminate": " [eval side held at sf0.1]",
     "pipeline_decontaminate_winnow": " [eval side held at sf0.1]",
     "stream_exec_decontaminate": " [eval side held at sf0.1]",
+    "stream_exec_exact_substr_gate": " [eval side held at sf0.1]",
     "dedup_semantic_kmeans": " [k scaled ~ sqrt(n), the documented contract]",
 }
 
