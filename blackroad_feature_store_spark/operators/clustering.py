@@ -212,9 +212,13 @@ def fold_centroid_update(
     ``c``'s centroid, exactly, with no rescan of existing members
     (this is what `stream_exec_kmeans_update`'s folded store feeds).
     ``delta_sums`` carries (cid_col, pos_col 1-based, sum_col);
-    clusters absent from it keep their centroid bit-identically.
-    Returns updated (cid, cv, cn2), norm-guarded like every Lloyd
-    round."""
+    clusters absent from it keep their centroid bit-identically, and
+    a delta cid with NO matching centroid raises (an assignment
+    produced by :func:`kmeans_assign` can never emit one, so an
+    unknown cid means the caller folded sums against the wrong
+    centroid generation — silently dropping its mass would corrupt
+    the maintained index). Returns updated (cid, cv, cn2),
+    norm-guarded like every Lloyd round."""
     dcv = delta_sums.groupBy(F.col(cid_col).alias("cid")).agg(
         F.transform(
             F.array_sort(
@@ -223,6 +227,19 @@ def fold_centroid_update(
             lambda x: x[sum_col].cast("long"),
         ).alias("__dv")
     )
+    orphans = [
+        r["cid"]
+        for r in dcv.join(centroids.select("cid"), "cid", "left_anti")
+        .select("cid")
+        .collect()  # k-bounded: dcv has at most one row per cluster
+    ]
+    if orphans:
+        raise ValueError(
+            f"fold_centroid_update: delta sums reference cluster ids "
+            f"with no centroid ({sorted(orphans)[:5]}...) — the "
+            "partials were folded against a different centroid "
+            "generation; dropping their mass would corrupt the index"
+        )
     folded = centroids.join(dcv, "cid", "left").select(
         "cid",
         F.when(F.col("__dv").isNull(), F.col("cv"))

@@ -223,3 +223,25 @@ def test_incremental_reassign_equals_full_and_fold_is_local(spark):
     assert {r.id: r.cid for r in same.collect()} == {
         r.id: r.cid for r in old_assign.collect()
     }
+
+
+def test_fold_rejects_orphan_cluster_ids(spark):
+    # delta sums naming a cluster with no centroid = partials folded
+    # against the wrong centroid generation; must raise, not drop mass
+    import pytest
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.operators.clustering import (
+        fold_centroid_update,
+        kmeans_fit_predict,
+    )
+
+    vectors = {i: [1.0, 0.0] for i in range(4)}
+    _, cents = kmeans_fit_predict(
+        _vec_df(spark, vectors), k=1, iterations=1, return_centroids=True
+    )
+    bad = spark.createDataFrame(
+        [(99, 1, 5), (99, 2, 5)], "cluster_id bigint, pos int, s bigint"
+    )
+    with pytest.raises(ValueError, match="no centroid"):
+        fold_centroid_update(cents, bad)
