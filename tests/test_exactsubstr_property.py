@@ -1,0 +1,161 @@
+"""Hypothesis fuzz of the ExactSubstr family (operators/exactsubstr.py)
+against a pure-Python reference implementing the same public contract:
+whitespace-split tokenization (case preserved), a position is
+duplicated when its L-token window occurs >= min_count times
+corpus-wide (self-repeats count), maximal spans are runs of covered
+positions, and the removal keeps the first (doc, start) occurrence of
+every duplicated window while protecting keeper-covered positions.
+
+Shrinking fuzz targets the boundary classes the seeded tests can miss:
+documents exactly L / L-1 tokens long, duplicated windows meeting at
+exactly adjacency distance (merge) vs one past it (split), all-same-
+token documents (every window identical — keeper protection inside
+one doc), verbatim duplicate docs, and empty/whitespace-only texts.
+The two guarantees are asserted on every generated corpus: every
+planted >= L-token verbatim repeat is fully covered by some reported
+span, and removal output tokens are always a subsequence of the
+original."""
+
+from blackroad_feature_store_spark.operators.exactsubstr import (
+    exact_substr_removal,
+    exact_substr_spans,
+)
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+def _runs(positions):
+    out, run = [], []
+    for p in sorted(positions):
+        if run and p == run[-1] + 1:
+            run.append(p)
+        else:
+            if run:
+                out.append((run[0], run[-1]))
+            run = [p]
+    if run:
+        out.append((run[0], run[-1]))
+    return out
+
+
+def _py_spans(docs, L, min_count=2):
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in docs}
+    cnt = Counter()
+    for t in toks.values():
+        for s in range(len(t) - L + 1):
+            cnt[tuple(t[s : s + L])] += 1
+    out = set()
+    for i, t in toks.items():
+        cov = set()
+        for s in range(len(t) - L + 1):
+            if cnt[tuple(t[s : s + L])] >= min_count:
+                cov.update(range(s + 1, s + L + 1))
+        for a, b in _runs(cov):
+            out.add((i, a, b, b - a + 1))
+    return out
+
+
+def _py_removal(docs, L, min_count=2):
+    from collections import defaultdict
+
+    toks = {i: t.split() for i, t in docs}
+    occ = defaultdict(list)
+    for i in sorted(toks):
+        t = toks[i]
+        for s in range(len(t) - L + 1):
+            occ[tuple(t[s : s + L])].append((i, s + 1))
+    keep_cov, drop = defaultdict(set), defaultdict(set)
+    for locs in occ.values():
+        if len(locs) < min_count:
+            continue
+        ki, ks = min(locs)
+        keep_cov[ki].update(range(ks, ks + L))
+        for i, s in locs:
+            if (i, s) != (ki, ks):
+                drop[i].update(range(s, s + L))
+    out = {}
+    for i, t in toks.items():
+        gone = drop[i] - keep_cov[i]
+        kept = [w for p, w in enumerate(t, start=1) if p not in gone]
+        out[i] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+if _HAVE_HYPOTHESIS:
+
+    # tiny vocab forces dense window collisions; phrases seed planted
+    # repeats; whitespace runs exercise tokenization edges
+    _PIECE = st.sampled_from(
+        ["aa bb cc", "aa aa aa", "xx", "yy zz", "  ", "aa BB cc",
+         "planted repeat span here", "q"]
+    )
+
+    @st.composite
+    def _case(draw):
+        n = draw(st.integers(min_value=1, max_value=5))
+        docs = []
+        for i in range(n):
+            text = " ".join(
+                draw(st.lists(_PIECE, min_size=0, max_size=5))
+            )
+            docs.append((i, text))
+        # occasionally duplicate a doc verbatim (whole-doc repeat)
+        if n >= 2 and draw(st.booleans()):
+            docs[-1] = (docs[-1][0], docs[0][1])
+        L = draw(st.integers(min_value=2, max_value=5))
+        min_count = draw(st.integers(min_value=2, max_value=3))
+        return docs, L, min_count
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(_case())
+    def test_exactsubstr_matches_python_reference(spark, case):
+        docs, L, min_count = case
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        got_spans = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in exact_substr_spans(
+                df, L=L, min_count=min_count
+            ).collect()
+        }
+        want_spans = _py_spans(docs, L, min_count)
+        assert got_spans == want_spans, (
+            f"spans diverged (L={L}, min_count={min_count}): "
+            f"docs={docs!r}"
+        )
+
+        got_rm = {
+            r.doc_id: (r.text, r.n_tokens, r.n_removed)
+            for r in exact_substr_removal(
+                df, L=L, min_count=min_count
+            ).collect()
+        }
+        want_rm = _py_removal(docs, L, min_count)
+        assert got_rm == want_rm, (
+            f"removal diverged (L={L}, min_count={min_count}): "
+            f"docs={docs!r}"
+        )
+
+        # invariants: removal output is a subsequence of the original
+        # tokens, and every reported span lies inside its document
+        toks = {i: t.split() for i, t in docs}
+        for i, (text, n_tokens, n_removed) in got_rm.items():
+            kept = text.split() if text else []
+            it = iter(toks[i])
+            assert all(w in it for w in kept), f"not a subsequence: {i}"
+            assert n_tokens == len(toks[i])
+            assert n_removed == len(toks[i]) - len(kept)
+        for i, a, b, n in got_spans:
+            assert 1 <= a <= b <= len(toks[i]) and n == b - a + 1
