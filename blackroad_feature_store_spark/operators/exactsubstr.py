@@ -36,16 +36,20 @@ the corpus through the exchange (x50 at the production L). Instead:
    starts, exactly `corpus.duplicated_ngram_spans`' generate) but
    only ``xxhash64(window)`` leaves the row — the pass-1 exchange
    carries (id, start, hash): ~16 bytes per position regardless of L.
-2. **Bucketed collision verification.** Positions whose hash count
-   >= min_count are candidates (window count over the hash — one
-   narrow shuffle). Candidates rejoin their documents' token arrays
-   to recompute the window STRING, and a second count over
-   (hash, window) confirms true verbatim duplication — an xxhash64
-   collision can therefore never fabricate a duplicate; it only costs
-   one extra string comparison inside a bucket. Only candidate
-   windows' strings ever shuffle, and only candidate docs' token
-   arrays re-ship (AQE turns the rejoin into a broadcast when the
-   candidate set is small).
+2. **Bucketed collision verification, skew-proof.** Positions whose
+   hash count >= min_count are candidates; both duplicate tests are
+   map-side-combined GROUP-BYs joined back rather than
+   count-over-partition windows, because a production boilerplate
+   window can repeat billions of times and a window partition would
+   funnel that key into one task (the groupBy reduces it map-side to
+   one row; AQE's skew-join splits the hot probe side). Candidates
+   rejoin their documents' token arrays to recompute the window
+   STRING, and a second count over (hash, window) confirms true
+   verbatim duplication — an xxhash64 collision can therefore never
+   fabricate a duplicate; it only costs one extra string comparison
+   inside a bucket. Only candidate windows' strings ever shuffle,
+   and only candidate docs' token arrays re-ship (AQE turns the
+   rejoin into a broadcast when the candidate set is small).
 3. **Gaps-and-islands span merge.** Duplicated windows overlap at
    stride 1; merging [start, start+L-1] intervals per document is
    the same per-doc window pass `duplicated_ngram_spans` uses (plus
@@ -97,9 +101,21 @@ def _verified_windows(
     base: DataFrame, L: int, id_col: str, min_count: int
 ) -> DataFrame:
     """Duplicated L-token windows, hash-indexed then string-verified:
-    (id, __start, __end) — 1-based inclusive token positions.
-    Two narrow shuffles plus one candidate-bounded rejoin; window
-    strings never shuffle corpus-wide (see module docstring)."""
+    (id, __start, __end, __h, __gram, __keeper) — 1-based inclusive
+    token positions; ``__keeper`` marks the first (doc, start)
+    occurrence of each verified window (the removal path's
+    keep-one-occurrence witness).
+
+    Both duplicate tests are map-side-combined GROUP-BYs joined back,
+    NOT count-over-partition windows: a production boilerplate window
+    can repeat billions of times, and ``Window.partitionBy(hash)``
+    would funnel that entire key into ONE task, while the groupBy
+    reduces it map-side to a single row and AQE's skew-join splits
+    the join probe of the hot key across tasks. Window strings never
+    shuffle corpus-wide: pass 1 exchanges only (id, start, hash);
+    only candidate rows' strings enter the verification join, and
+    candidate docs' token arrays re-ship once (AQE broadcasts the
+    rejoin when candidates are few)."""
     hgrams = base.where(F.col("__nt") >= L).select(
         id_col,
         F.posexplode(
@@ -109,32 +125,44 @@ def _verified_windows(
             )
         ).alias("__pos", "__h"),
     ).select(id_col, (F.col("__pos") + 1).alias("__start"), "__h")
-    wh = Window.partitionBy("__h")
-    cand = hgrams.withColumn(
-        "__hc", F.count(F.lit(1)).over(wh)
-    ).where(F.col("__hc") >= min_count).drop("__hc")
+    dup_h = (
+        hgrams.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__hc"))
+        .where(F.col("__hc") >= min_count)
+        .select("__h")
+    )
+    cand = hgrams.join(dup_h, "__h")
     # collision verification: recompute the window STRING for
-    # candidates only (AQE broadcasts the rejoin when candidates are
-    # few) and count again over the exact pair (hash leads the key so
-    # the sort compares longs; the string tags along to break
-    # collisions exactly — dedup_paragraphs' key trick)
+    # candidates only and re-count over the exact (hash, string) pair
+    # — an xxhash64 collision can therefore never fabricate a
+    # duplicate, it only costs one string comparison in a bucket
     cand_str = cand.join(base.select(id_col, "__t"), id_col).select(
         id_col,
         "__start",
         "__h",
         _window_expr(F.col("__start"), L).alias("__gram"),
     )
-    wv = Window.partitionBy("__h", "__gram")
-    return (
-        cand_str.withColumn("__vc", F.count(F.lit(1)).over(wv))
-        .where(F.col("__vc") >= min_count)
-        .select(
-            id_col,
-            "__start",
-            (F.col("__start") + (L - 1)).alias("__end"),
-            "__h",
-            "__gram",
+    stats = (
+        cand_str.groupBy("__h", "__gram")
+        .agg(
+            F.count(F.lit(1)).alias("__vc"),
+            F.min(F.struct(F.col(id_col), F.col("__start"))).alias(
+                "__keep"
+            ),
         )
+        .where(F.col("__vc") >= min_count)
+        .select("__h", "__gram", "__keep")
+    )
+    return cand_str.join(stats, ["__h", "__gram"]).select(
+        id_col,
+        "__start",
+        (F.col("__start") + (L - 1)).alias("__end"),
+        "__h",
+        "__gram",
+        (
+            F.col("__keep")
+            == F.struct(F.col(id_col), F.col("__start"))
+        ).alias("__keeper"),
     )
 
 
@@ -201,13 +229,7 @@ def exact_substr_removal(
     if L < 1:
         raise ValueError(f"L must be >= 1, got {L}")
     base = _tokenized(df, id_col, text_col)
-    dwin = _verified_windows(base, L, id_col, min_count)
-    wv = Window.partitionBy("__h", "__gram")
-    marked = dwin.withColumn(
-        "__keeper",
-        F.min(F.struct(F.col(id_col), F.col("__start"))).over(wv)
-        == F.struct(F.col(id_col), F.col("__start")),
-    )
+    marked = _verified_windows(base, L, id_col, min_count)
     keep_cov = (
         marked.where(F.col("__keeper"))
         .select(
