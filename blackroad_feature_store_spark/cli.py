@@ -267,6 +267,50 @@ def cmd_list_groups(args, store: FeatureStore) -> None:
         print(f"  {g.name} v{g.version} [{g.frequency}] → {feats}")
 
 
+def cmd_dedup_spans(args, store: FeatureStore) -> None:
+    """ExactSubstr over an external corpus path
+    (`operators/exactsubstr.py`): without ``--rewrite``, print the
+    span count and the first ``--limit`` spans (doc, start, end,
+    tokens); with ``--rewrite OUT``, write the remove-all-but-one
+    rewritten corpus as parquet and print the removal totals. The
+    store handle is unused (the corpus lives outside the store) but
+    its Spark session drives the job."""
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_removal,
+        exact_substr_spans,
+    )
+    from blackroad_feature_store_spark.sources.files import read_documents
+
+    docs = read_documents(
+        store.spark, args.path, format=args.format
+    ).select("doc_id", "text")
+    if args.rewrite:
+        out = exact_substr_removal(docs, L=args.min_length)
+        out.write.mode("overwrite").parquet(args.rewrite)
+        tot = store.spark.read.parquet(args.rewrite).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum("n_removed").cast("long").alias("removed"),
+        ).first()
+        print(
+            f"✓ Rewrote {tot['docs']} document(s) to {args.rewrite}: "
+            f"removed {tot['removed']} of {tot['tokens']} token(s) "
+            f"(L={args.min_length})"
+        )
+        return
+    spans = exact_substr_spans(docs, L=args.min_length)
+    rows = spans.orderBy("doc_id", "span_start").limit(args.limit).collect()
+    n = spans.count()
+    print(f"{n} duplicated span(s) of >= {args.min_length} token(s)")
+    for r in rows:
+        print(
+            f"  doc {r['doc_id']}: tokens {r['span_start']}-"
+            f"{r['span_end']} ({r['span_tokens']})"
+        )
+
+
 def cmd_sql(args, store: FeatureStore) -> None:
     """Ad-hoc SQL over the store's views (fs_features / fs_groups /
     fs_records / fs_history), with ``ASOF [LEFT] JOIN`` support — a
@@ -493,6 +537,29 @@ def build_parser() -> argparse.ArgumentParser:
         help="rows to display (default 100)",
     )
     p.set_defaults(func=cmd_sql)
+
+    p = sub.add_parser(
+        "dedup-spans",
+        help="ExactSubstr span dedup over a document corpus: report "
+             "(or --rewrite away) maximal verbatim repeated spans of "
+             ">= L tokens (Lee et al. 2021)",
+    )
+    p.add_argument("path", help="corpus path (doc_id + text columns)")
+    p.add_argument(
+        "--format", default="parquet",
+        choices=["parquet", "jsonl", "csv", "text", "orc"],
+        help="corpus format (sources/files.py::read_documents)",
+    )
+    p.add_argument("--min-length", type=int, default=50, metavar="L",
+                   help="minimum span length in tokens (default 50)")
+    p.add_argument(
+        "--rewrite", metavar="OUT",
+        help="write the remove-all-but-one rewritten corpus (parquet) "
+             "to OUT instead of reporting spans",
+    )
+    p.add_argument("--limit", type=int, default=20,
+                   help="spans to print without --rewrite (default 20)")
+    p.set_defaults(func=cmd_dedup_spans)
 
     p = sub.add_parser(
         "route", help="Route an @mention prompt to a local Ollama"

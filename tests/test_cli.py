@@ -244,3 +244,35 @@ def test_cli_describe(run):
     assert "version 0, 1 commit(s), 1 live file(s)" in out
     assert "snap→v0" in out
     assert f"group g v1 [{gid}] features=age" in out
+
+
+def test_cli_dedup_spans_and_rewrite(run, spark, tmp_path):
+    """The dedup-spans verb (ExactSubstr over an external corpus):
+    reports maximal spans, and --rewrite writes the remove-all-but-one
+    corpus with correct removal totals."""
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "prefix alpha beta gamma delta epsilon zeta eta theta x"),
+            (3, "totally unrelated words in this one here"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+
+    out = run("dedup-spans", src, "--min-length", "5")
+    assert "2 duplicated span(s) of >= 5 token(s)" in out
+    assert "doc 1: tokens 1-8 (8)" in out
+    assert "doc 2: tokens 2-9 (8)" in out
+
+    clean = str(tmp_path / "clean")
+    out = run("dedup-spans", src, "--min-length", "5", "--rewrite", clean)
+    assert "Rewrote 3 document(s)" in out
+    assert "removed 8 of" in out
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in spark.read.parquet(clean).collect()
+    }
+    # keeper = first (doc, start): doc 1 untouched, doc 2 loses the span
+    assert got[1][1] == 0 and got[3][1] == 0
+    assert got[2] == ("prefix x", 8)
