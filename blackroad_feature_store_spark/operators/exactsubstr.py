@@ -55,11 +55,20 @@ the corpus through the exchange (x50 at the production L). Instead:
    the same per-doc window pass `duplicated_ngram_spans` uses (plus
    adjacency: touching spans merge into one maximal span). No
    position explode on the detect path.
-4. The removal rewrite explodes positions only for DROPPED windows
-   (bounded by L x duplicated windows) and rebuilds documents with
-   one sort-within-group aggregation — `remove_duplicated_spans`'
-   shape, inheriting its keep-one-occurrence contract: the first
-   (doc, start) occurrence of every duplicated window survives.
+4. **Untouched documents never re-shuffle in the rewrite.** The
+   removal path explodes positions only for DROPPED windows (bounded
+   by L x duplicated windows), aggregates them into one sorted
+   position array per touched document (rows <= touched docs, a tiny
+   fraction of the corpus in production), and LEFT-joins that small
+   side back to the token frame — AQE broadcasts it, so the corpus
+   side crosses no exchange. Each touched document is rebuilt
+   IN-ROW with a higher-order ``filter`` over its token array
+   (O(|doc| x |drops|) comparisons, only on touched docs); an
+   untouched document is a narrow ``concat_ws`` projection of the
+   tokens it already holds. No corpus-wide posexplode, no
+   ``collect_list`` reassembly shuffle. Keep-one-occurrence contract
+   unchanged: the first (doc, start) occurrence of every duplicated
+   window survives.
 
 Everything is built-in JVM expressions — zero Python UDFs.
 """
@@ -82,9 +91,14 @@ def _tokenized(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, __t tokens, __nt count): whitespace-split, empties
-    dropped, case preserved (verbatim matching)."""
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    dropped, case preserved (verbatim matching). NULL text coalesces
+    to an empty token array so ``__nt`` is 0, not the -1 that
+    ``F.size(NULL)`` returns under non-ANSI settings."""
+    toks = F.coalesce(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ),
+        F.array().cast("array<string>"),
     )
     return spread(df, id_col).select(
         F.col(id_col), toks.alias("__t")
@@ -225,7 +239,15 @@ def exact_substr_removal(
     Keeper protection is per position (`remove_duplicated_spans`'
     contract): a token inside ANY keeper window of its document
     survives, so exactly one full copy of every repeated region
-    remains."""
+    remains.
+
+    Scale shape: dropped positions aggregate to ONE sorted int array
+    per touched document; that small frame LEFT-joins to the token
+    frame (AQE broadcast — the corpus side crosses no exchange) and
+    each document is rebuilt in-row with a higher-order ``filter``.
+    Untouched documents (the vast majority in production) are a
+    narrow ``concat_ws`` projection — they never posexplode, never
+    enter a ``collect_list`` aggregate, never re-shuffle."""
     if L < 1:
         raise ValueError(f"L must be >= 1, got {L}")
     base = _tokenized(df, id_col, text_col)
@@ -251,31 +273,25 @@ def exact_substr_removal(
         .distinct()
         .join(keep_cov, [id_col, "__p"], "left_anti")
     )
-    exploded = base.select(
-        id_col, "__nt", F.posexplode("__t").alias("__pos0", "__tok")
-    ).select(id_col, "__nt", (F.col("__pos0") + 1).alias("__p"), "__tok")
-    kept = exploded.join(drop_pos, [id_col, "__p"], "left_anti")
-    rebuilt = kept.groupBy(id_col, "__nt").agg(
-        F.count(F.lit(1)).alias("__kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__p"), F.col("__tok")))
-                ),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("text"),
+    # one sorted dropped-position array per TOUCHED document — rows
+    # <= touched docs; the corpus-side token frame left-joins this
+    # small side (AQE broadcast) instead of posexploding every token
+    # of every document into a collect_list reassembly shuffle
+    drops = drop_pos.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("__p")).alias("__drops")
     )
-    return (
-        base.select(id_col, "__nt")
-        .join(rebuilt.drop("__nt"), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            F.col("__nt").alias("n_tokens"),
-            (F.col("__nt") - F.coalesce(F.col("__kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-        )
+    untouched = F.col("__drops").isNull()
+    kept_toks = F.filter(
+        F.col("__t"),
+        lambda _tok, i: ~F.array_contains(F.col("__drops"), i + 1),
+    )
+    return base.join(drops, id_col, "left").select(
+        id_col,
+        F.when(untouched, F.concat_ws(" ", F.col("__t")))
+        .otherwise(F.concat_ws(" ", kept_toks))
+        .alias("text"),
+        F.col("__nt").alias("n_tokens"),
+        F.coalesce(F.size("__drops"), F.lit(0))
+        .cast("bigint")
+        .alias("n_removed"),
     )

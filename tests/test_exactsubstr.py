@@ -197,3 +197,24 @@ def test_adjacent_covered_regions_merge_to_one_span(spark):
         for r in exact_substr_spans(_docs_df(spark, docs), L=3).collect()
     }
     assert (3, 1, 6, 6) in got
+
+
+def test_null_and_empty_text_report_zero_tokens(spark):
+    # F.size(NULL array) is -1 under non-ANSI settings; _tokenized
+    # coalesces NULL text to an empty token array so n_tokens /
+    # n_removed read 0, not -1, and the rewrite returns empty text.
+    docs = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "a b c a b c a b c")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in exact_substr_removal(docs, L=3).collect()
+    }
+    assert rows[1].n_tokens == 0 and rows[1].n_removed == 0
+    assert rows[1].text == ""
+    assert rows[2].n_tokens == 0 and rows[2].n_removed == 0
+    assert rows[3].n_tokens == 9 and rows[3].n_removed > 0
+    # and the detect path reports no span for NULL/blank docs
+    got = exact_substr_spans(docs, L=3).collect()
+    assert {r.doc_id for r in got} == {3}

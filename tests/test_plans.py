@@ -492,3 +492,42 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exactsubstr_removal_untouched_docs_never_reshuffle(spark):
+    # The r12 rebuild posexploded EVERY token of EVERY document and
+    # reassembled via collect_list + array_sort — a full-corpus
+    # shuffle even when <10% of documents contain duplicated spans.
+    # The rewrite aggregates dropped positions into ONE sorted array
+    # per TOUCHED document, LEFT-joins that small side to the token
+    # frame, and rebuilds in-row with a higher-order filter: an
+    # untouched document is a narrow concat_ws projection that never
+    # enters an exchange.
+    df = dq.pipeline_exact_substr_removal(spark, SF)
+    plan = formatted_plan(df)
+    assert "collect_list" not in plan  # no reassembly aggregate
+    # the only generators left are the hash-window posexplode
+    # (posexplode(transform(sequence(...xxhash64...)))) and the
+    # keeper/drop position explodes (explode(sequence(start, end)))
+    # — all bounded by duplicated windows. A bare posexplode of the
+    # token array itself means the corpus-wide token explode is back.
+    gen_args = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments:" in ln and "explode(" in ln
+    ]
+    assert gen_args, plan
+    for ln in gen_args:
+        assert (
+            "explode(sequence(" in ln
+            or "posexplode(transform(sequence(" in ln
+        ), ln
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final_section = final.partition("== Initial Plan ==")[0]
+    # AQE broadcasts the per-touched-doc drops side: the corpus side
+    # of the LeftOuter rebuild join crosses no exchange
+    assert any(
+        "BroadcastHashJoin" in ln and "LeftOuter" in ln
+        for ln in final_section.splitlines()
+    ), final_section

@@ -204,7 +204,23 @@ def _scaled_k_semantic_dedup(spark, scaled_dir):
     return semantic_dedup(emb, centroids, threshold=0.3)
 
 
+def _exact_substr_removal_L50(spark, scaled_dir):
+    """Production-parameter probe (VERDICT r12 ask #7): the ExactSubstr
+    rewrite at the advertised L=50 over the scaled corpus. The catalog
+    runs L=30 so toy SFs have non-zero violations (right for oracles);
+    this row exercises the headline configuration on the 10x/100x
+    shards so the production parameter is measured somewhere."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_removal,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    docs = load(spark, scaled_dir, "documents").select("doc_id", "text")
+    return exact_substr_removal(docs, L=50)
+
+
 FIXED_EVAL = {
+    "dedup_exact_substr_L50": _exact_substr_removal_L50,
     "pipeline_decontaminate": _fixed_eval_decontaminate(True),
     "pipeline_decontaminate_winnow": _fixed_eval_decontaminate(False),
     "stream_exec_decontaminate": _fixed_eval_stream_decontaminate,
@@ -213,6 +229,7 @@ FIXED_EVAL = {
 }
 
 TAGS = {
+    "dedup_exact_substr_L50": " [removal at production L=50]",
     "pipeline_decontaminate": " [eval side held at sf0.1]",
     "pipeline_decontaminate_winnow": " [eval side held at sf0.1]",
     "stream_exec_decontaminate": " [eval side held at sf0.1]",
