@@ -211,27 +211,35 @@ def fold_centroid_update(
     design: ingesting new members into cluster ``c`` updates ONLY
     ``c``'s centroid, exactly, with no rescan of existing members
     (this is what `stream_exec_kmeans_update`'s folded store feeds).
-    ``delta_sums`` carries (cid_col, pos_col 1-based, sum_col);
-    clusters absent from it keep their centroid bit-identically, and
-    a delta cid with NO matching centroid raises (an assignment
-    produced by :func:`kmeans_assign` can never emit one, so an
-    unknown cid means the caller folded sums against the wrong
-    centroid generation — silently dropping its mass would corrupt
-    the maintained index). Returns updated (cid, cv, cn2),
-    norm-guarded like every Lloyd round."""
-    dcv = delta_sums.groupBy(F.col(cid_col).alias("cid")).agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(pos_col), F.col(sum_col)))
-            ),
-            lambda x: x[sum_col].cast("long"),
-        ).alias("__dv")
+    ``delta_sums`` carries (cid_col, pos_col 1-based, sum_col) and may
+    be SPARSE per cluster — components without a delta row fold +0
+    (the delta array is built DENSELY via a pos-keyed map lookup, not
+    by array index, so a cluster whose delta touched only component 5
+    cannot land that mass on component 1). Clusters absent from it
+    keep their centroid bit-identically. Three corruption classes
+    raise instead of folding: a delta cid with NO matching centroid
+    (partials folded against the wrong centroid generation), a
+    duplicated (cid, pos) pair (the same partials folded twice), and
+    a pos outside [1, dim] (mass that a positional lookup would
+    silently drop). Returns updated (cid, cv, cn2), norm-guarded like
+    every Lloyd round."""
+    dstats = delta_sums.groupBy(F.col(cid_col).alias("cid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col(pos_col).cast("int").alias("pos"),
+                F.col(sum_col).cast("long").alias("s"),
+            )
+        ).alias("__entries"),
+        F.count(F.lit(1)).alias("__np"),
+        F.count_distinct(F.col(pos_col)).alias("__nd"),
+        F.min(F.col(pos_col).cast("int")).alias("__pmin"),
+        F.max(F.col(pos_col).cast("int")).alias("__pmax"),
     )
     orphans = [
         r["cid"]
-        for r in dcv.join(centroids.select("cid"), "cid", "left_anti")
+        for r in dstats.join(centroids.select("cid"), "cid", "left_anti")
         .select("cid")
-        .collect()  # k-bounded: dcv has at most one row per cluster
+        .collect()  # k-bounded: dstats has at most one row per cluster
     ]
     if orphans:
         raise ValueError(
@@ -240,10 +248,50 @@ def fold_centroid_update(
             "partials were folded against a different centroid "
             "generation; dropping their mass would corrupt the index"
         )
+    malformed = (
+        dstats.join(
+            centroids.select("cid", F.size("cv").alias("__dim")), "cid"
+        )
+        .where(
+            (F.col("__np") != F.col("__nd"))
+            | (F.col("__pmin") < 1)
+            | (F.col("__pmax") > F.col("__dim"))
+        )
+        .select("cid", "__np", "__nd", "__pmin", "__pmax", "__dim")
+        .collect()  # k-bounded
+    )
+    if malformed:
+        r = malformed[0]
+        raise ValueError(
+            f"fold_centroid_update: malformed delta sums for cluster "
+            f"{r['cid']} ({len(malformed)} cluster(s) total): "
+            f"{r['__np']} rows over {r['__nd']} distinct components, "
+            f"pos range [{r['__pmin']}, {r['__pmax']}] vs dim "
+            f"{r['__dim']} — duplicated (cid, pos) pairs mean the same "
+            "partials were folded twice; out-of-range pos would drop "
+            "mass silently"
+        )
+    # dense pos-keyed fold: the map build only evaluates after the
+    # duplicate check above, so map_from_entries can never hit a
+    # duplicate key mid-job
+    dcv = dstats.select(
+        "cid", F.map_from_entries("__entries").alias("__dm")
+    )
     folded = centroids.join(dcv, "cid", "left").select(
         "cid",
-        F.when(F.col("__dv").isNull(), F.col("cv"))
-        .otherwise(F.zip_with("cv", "__dv", lambda a, b: a + b))
+        F.when(F.col("__dm").isNull(), F.col("cv"))
+        .otherwise(
+            F.zip_with(
+                "cv",
+                F.transform(
+                    F.sequence(F.lit(1), F.size("cv")),
+                    lambda i: F.coalesce(
+                        F.element_at("__dm", i), F.lit(0).cast("long")
+                    ),
+                ),
+                lambda a, b: a + b,
+            )
+        )
         .alias("cv"),
     )
     _guard_centroid_norms(folded)  # before the norm evaluates
@@ -279,14 +327,31 @@ def kmeans_reassign_incremental(
     PREVIOUS round's centroids; the dominance witness then fails —
     caught by the 100x probe's in-query certificate before it became
     a catalog bug). ``centroids`` is the post-update (cid, cv, cn2)
-    frame containing every old cid."""
+    frame containing every old cid.
+
+    Every row of ``vectors`` is assigned: a vector MISSING from
+    ``old_assign`` has no dominance witness, so it routes through the
+    full k-centroid rescore (exact regardless) instead of being
+    silently dropped the way an inner join would — a stale or partial
+    ``old_assign`` therefore degrades to extra scoring work, never to
+    a shrunken index. Rows of ``old_assign`` absent from ``vectors``
+    are ignored (the result is an assignment FOR ``vectors``)."""
     changed = sorted(set(changed_cids))
-    if not changed:
-        return old_assign.select("id", "cid")
     va = vectors.join(
-        old_assign.withColumnRenamed("cid", "__old"), "id"
+        old_assign.withColumnRenamed("cid", "__old"), "id", "left"
     )
-    moved = va.where(F.col("__old").isin(changed))
+    if not changed:
+        # no centroid moved: witnessed rows keep their assignment;
+        # unwitnessed rows still need the full rescore
+        missing = va.where(F.col("__old").isNull())
+        return va.where(F.col("__old").isNotNull()).select(
+            "id", F.col("__old").alias("cid")
+        ).unionByName(
+            kmeans_assign(missing.select("id", "qv", "n2"), centroids)
+        )
+    moved = va.where(
+        F.col("__old").isNull() | F.col("__old").isin(changed)
+    )
     stay = va.where(~F.col("__old").isin(changed))
     m_assign = kmeans_assign(
         moved.select("id", "qv", "n2"), centroids

@@ -58,7 +58,7 @@ def pagerank(
     """Weighted PageRank (damping 0.85) in exact integer fixed-point.
 
     ``edges``: one row per (src, dst [, weight]); parallel edges are
-    combined. Weights must be INTEGRAL and >= 1 — enforced here, not
+    combined. Weights must be non-NULL, INTEGRAL and >= 1 — enforced here, not
     just documented: fractional weights would silently truncate under
     the long cast (0.9 -> 0), a node whose weights all truncate to 0
     gets ``out_w = 0`` and its outflow vanishes through NULL integer
@@ -89,6 +89,17 @@ def pagerank(
         if weight_col is not None
         else F.max(F.lit(0))
     )
+    # NULL post-cast weights (a NULL weight, or a string that casts to
+    # NULL) would slip BOTH checks below — min/max aggregates skip
+    # NULLs and `NULL != NULL` is NULL, so the fractional flag stays 0
+    # — and the edge's mass would then vanish through the NULL sum:
+    # exactly the silent-mass-loss failure this validation exists to
+    # prevent. Flag them in the same map-side-combined aggregation.
+    nullw = (
+        F.max(F.when(F.col("__w").isNull(), 1).otherwise(0))
+        if weight_col is not None
+        else F.max(F.lit(0))
+    )
     # The fact-to-graph reduction is the expensive pass — materialize
     # it ONCE; nodes/out-weights/shares all derive from the (small)
     # reduced edge list.
@@ -108,12 +119,22 @@ def pagerank(
             F.sum("__w").alias("w"),
             F.min("__w").alias("__wmin"),
             frac.alias("__frac"),
+            nullw.alias("__nullw"),
         )
         .localCheckpoint()
     )
     bad = ew.agg(
-        F.min("__wmin").alias("mn"), F.max("__frac").alias("fx")
+        F.min("__wmin").alias("mn"),
+        F.max("__frac").alias("fx"),
+        F.max("__nullw").alias("nw"),
     ).first()
+    if bad["nw"]:
+        raise ValueError(
+            "pagerank: NULL weight after the integer cast (a NULL "
+            "weight value, or a string that does not parse as a "
+            "number) — its edge mass would vanish silently through "
+            "the NULL sum; drop or default such edges explicitly first"
+        )
     if bad["fx"]:
         raise ValueError(
             "pagerank: fractional weights detected — the long cast "

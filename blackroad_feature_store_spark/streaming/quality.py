@@ -198,6 +198,25 @@ def process_unique_gate_batch(
     )
 
 
+def _read_compacted_fold(
+    spark: SparkSession, seen_path: str, floor: int
+) -> DataFrame:
+    """The compacted seen-key fold at ``floor``, normalized to
+    (key, first_batch). Folds written before the first-seen column
+    existed (pre-``first_batch`` stores) carry only ``key``; their
+    keys are treated as ``first_batch = -1`` — first seen before every
+    real batch — which reproduces the legacy fold's visible-to-every-
+    replay behavior instead of throwing AnalysisException on upgrade."""
+    fold = spark.read.parquet(os.path.join(seen_path, "compacted")).where(
+        F.col("floor") == floor
+    )
+    if "first_batch" not in fold.columns:
+        fold = fold.withColumn(
+            "first_batch", F.lit(-1).cast("long")
+        )
+    return fold.select("key", "first_batch")
+
+
 def _live_seen_keys(
     spark: SparkSession, seen_path: str, below_batch: int
 ) -> DataFrame | None:
@@ -232,8 +251,7 @@ def _live_seen_keys(
         # from committed), its keys carry its batch_id and stay
         # invisible to that batch's own replay.
         parts.append(
-            spark.read.parquet(os.path.join(seen_path, "compacted"))
-            .where(F.col("floor") == floor)
+            _read_compacted_fold(spark, seen_path, floor)
             .where(F.col("first_batch") < below_batch)
             .select("key")
         )
@@ -287,9 +305,7 @@ def compact_seen_keys(
     ).select("key", F.col("batch_id").cast("long").alias("first_batch"))
     if floor >= 0:
         to_fold = to_fold.unionByName(
-            spark.read.parquet(os.path.join(seen_path, "compacted"))
-            .where(F.col("floor") == floor)
-            .select("key", "first_batch")
+            _read_compacted_fold(spark, seen_path, floor)
         )
     # min(first_batch) is the fold monoid on the (key -> first batch)
     # map: set-union on keys, earliest sighting wins — matches the

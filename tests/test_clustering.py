@@ -245,3 +245,91 @@ def test_fold_rejects_orphan_cluster_ids(spark):
     )
     with pytest.raises(ValueError, match="no centroid"):
         fold_centroid_update(cents, bad)
+
+
+def test_fold_sparse_delta_lands_on_the_right_component(spark):
+    """ADVICE r12 (medium): a SPARSE delta — only some components
+    carry a sum — must fold onto exactly the named components via the
+    pos-keyed lookup, not slide onto component 1 by array index."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from blackroad_feature_store_spark.operators.clustering import (
+        fold_centroid_update,
+        kmeans_fit_predict,
+    )
+
+    vectors = {i: [1.0, 2.0, 3.0, 4.0] for i in range(4)}
+    _, cents = kmeans_fit_predict(
+        _vec_df(spark, vectors), k=1, iterations=1, return_centroids=True
+    )
+    before = cents.collect()[0].cv
+    # delta touches ONLY component 3 (1-based)
+    delta = spark.createDataFrame(
+        [(0, 3, 70)], "cluster_id bigint, pos int, s bigint"
+    )
+    after = fold_centroid_update(cents, delta).collect()[0].cv
+    assert after[0] == before[0] and after[1] == before[1]
+    assert after[2] == before[2] + 70
+    assert after[3] == before[3]
+
+
+def test_fold_rejects_duplicated_and_out_of_range_pos(spark):
+    import pytest
+
+    from blackroad_feature_store_spark.operators.clustering import (
+        fold_centroid_update,
+        kmeans_fit_predict,
+    )
+
+    vectors = {i: [1.0, 0.0] for i in range(4)}
+    _, cents = kmeans_fit_predict(
+        _vec_df(spark, vectors), k=1, iterations=1, return_centroids=True
+    )
+    # duplicated (cid, pos): the same partials folded twice
+    dup = spark.createDataFrame(
+        [(0, 1, 5), (0, 1, 5)], "cluster_id bigint, pos int, s bigint"
+    )
+    with pytest.raises(ValueError, match="malformed delta"):
+        fold_centroid_update(cents, dup)
+    # pos outside [1, dim]: a positional lookup would drop the mass
+    for bad_pos in (0, 3):
+        oob = spark.createDataFrame(
+            [(0, bad_pos, 5)], "cluster_id bigint, pos int, s bigint"
+        )
+        with pytest.raises(ValueError, match="malformed delta"):
+            fold_centroid_update(cents, oob)
+
+
+def test_reassign_routes_unwitnessed_vectors_through_full_rescore(spark):
+    """ADVICE r12: a vector missing from old_assign must still be
+    assigned (full k-centroid rescore) — an inner join would silently
+    shrink the index. Checked for both a non-empty and an empty
+    changed set."""
+    from blackroad_feature_store_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_predict,
+        kmeans_reassign_incremental,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vectors = {}
+    for i in range(24):
+        axis = i % 3
+        v = [rng.uniform(0.0, 0.05) for _ in range(4)]
+        v[axis] = 1.0 + rng.uniform(0.0, 0.1)
+        vectors[i] = v
+    df = _vec_df(spark, vectors)
+    _, cents = kmeans_fit_predict(
+        df, k=3, iterations=2, return_centroids=True
+    )
+    q = quantize_vectors(df)
+    full = kmeans_assign(q, cents)
+    # drop a third of the witnesses: those vectors must still appear
+    partial = full.where("id % 3 != 0")
+    want = {r.id: r.cid for r in full.collect()}
+    for changed in ([0], []):
+        inc = kmeans_reassign_incremental(q, partial, cents, changed)
+        got = {r.id: r.cid for r in inc.collect()}
+        assert got == want, f"changed={changed}"

@@ -137,3 +137,20 @@ def test_integral_double_weights_pass(spark):
     got = {r.node: r.rank for r in
            pagerank(df, weight_col="w", iterations=2).collect()}
     assert got == _py_pagerank([(1, 2, 3), (2, 1, 2)], 2)
+
+
+def test_null_weights_raise(spark):
+    # ADVICE r12: NULL post-cast weights slip min/max aggregates (they
+    # skip NULLs) and the fractional flag (NULL != NULL is NULL), then
+    # vanish through the NULL sum — silent mass loss. Must raise, for
+    # both a NULL weight value and a string that casts to NULL.
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 2, None), (2, 1, 5)], "src bigint, dst bigint, w bigint"
+    )
+    with pytest.raises(ValueError, match="NULL weight"):
+        pagerank(df, weight_col="w", iterations=1)
+    # (an uncastable STRING weight needs no check of ours: under the
+    # session's ANSI default the cast itself throws loudly; non-ANSI
+    # sessions fall into the same NULL-weight raise above)

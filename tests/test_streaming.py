@@ -2129,3 +2129,45 @@ def test_streaming_exact_substr_gate_matches_batch(spark, tmp_path):
     )
     with _p.raises(ValueError, match="max_grams"):
         eval_exact_substr_grams(big, L=5, max_grams=3)
+
+
+def test_unique_gate_reads_legacy_key_only_compacted_fold(spark, tmp_path):
+    """ADVICE r12: compacted folds written before the ``first_batch``
+    column existed carry only ``key``; an upgraded engine must keep
+    reading them (keys treated as first seen before every real batch —
+    the legacy fold's visible-to-every-replay behavior) instead of
+    throwing AnalysisException on both the per-batch read and the next
+    compaction."""
+    import glob
+
+    from blackroad_feature_store_spark.streaming.quality import (
+        compact_seen_keys,
+        merge_expectations,
+        process_unique_gate_batch,
+    )
+
+    store = str(tmp_path / "store")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(r,) for r in rows], "k long"
+    )
+    process_unique_gate_batch(mk([1, 2]), 0, store, "k")
+    process_unique_gate_batch(mk([2, 3]), 1, store, "k")
+    compact_seen_keys(spark, store, 1)
+    # rewrite the fold to the PRE-first_batch schema (key only)
+    fold_dir = f"{store}/seen/compacted/floor=1"
+    assert glob.glob(fold_dir)
+    legacy = spark.read.parquet(fold_dir).select("key")
+    legacy.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(
+        fold_dir
+    )
+    assert spark.read.parquet(fold_dir).columns == ["key"]
+    # per-batch read over the legacy fold: 1,3 dup; 4 new
+    process_unique_gate_batch(mk([1, 3, 4]), 2, store, "k")
+    r = merge_expectations(spark, store).collect()[0]
+    assert r["total"] == 7 and r["violations"] == 3
+    # and the NEXT compaction folds the legacy fold forward
+    compact_seen_keys(spark, store, 2)
+    assert glob.glob(f"{store}/seen/compacted/floor=2")
+    process_unique_gate_batch(mk([4, 5]), 3, store, "k")
+    r2 = merge_expectations(spark, store).collect()[0]
+    assert r2["total"] == 9 and r2["violations"] == 4
