@@ -1040,12 +1040,28 @@ _SQL_MINHASH_PAIRS = f"""
 """
 
 
+# Shifted-copy convention (VERDICT r12 missing #2): synthetic-duplicate
+# fixtures re-key their copies past the ACTUAL max corpus id instead of
+# a fixed +1e6 — the fixed shift collided with real ids once the 100x
+# probe corpus grew past 1e6 rows (stream_exec_ivf_maintained's
+# certificate caught the duplicate-id union as 17k "divergences").
+# Both engines compute the same shift: the oracle as a scalar subquery,
+# Spark as a one-row bounded aggregate.
+_SQL_DOC_SHIFT = "(SELECT max(doc_id) + 1 FROM documents)"
+
+
+def _doc_id_shift(docs: DataFrame) -> int:
+    """max(doc_id) + 1 over the corpus — the shifted-copy convention's
+    collision-proof offset (one-row bounded collect)."""
+    return int(docs.agg(F.max("doc_id")).first()[0]) + 1
+
+
 @q(
     "dedup_exact",
     f"""
     WITH u AS (SELECT doc_id, text FROM documents
                UNION ALL
-               SELECT doc_id + 1000000, text FROM documents)
+               SELECT doc_id + {_SQL_DOC_SHIFT}, text FROM documents)
     SELECT {_SQL_FINGERPRINT} AS fp,
            count(*)   AS dup_count,
            min(doc_id) AS keep_id
@@ -1057,8 +1073,9 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     shuffle on md5. Run over documents ∪ re-keyed documents so real
     duplicate groups exist at every sf."""
     docs = load(spark, sf, "documents").select("doc_id", "text")
+    shift = _doc_id_shift(docs)
     u = docs.unionByName(
-        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        docs.select((F.col("doc_id") + shift).alias("doc_id"), "text")
     )
     return exact_duplicates(u).select("fp", "dup_count", "keep_id")
 
@@ -2039,10 +2056,10 @@ def mm_asset_metadata(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "mm_dhash_pairs",
-    """
+    f"""
     WITH u AS (SELECT doc_id, text FROM documents
                UNION ALL
-               SELECT doc_id + 1000000, text FROM documents)
+               SELECT doc_id + {_SQL_DOC_SHIFT}, text FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(0 AS INT) AS distance
     FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
@@ -2066,7 +2083,7 @@ def mm_dhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     u = docs.unionByName(
-        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+        docs.withColumn("doc_id", F.col("doc_id") + _doc_id_shift(docs))
     )
     assets = documents_as_assets(u)
     hashes = image_dhash(assets, fake=True)
@@ -3315,7 +3332,8 @@ def core_asof_sql_join(spark: SparkSession, sf: str) -> DataFrame:
     WITH {_SQL_PROFILE_BASE},
     u AS (SELECT doc_id, fingerprint, source, quality FROM scored
           UNION ALL
-          SELECT doc_id + 1000000, fingerprint, source, quality FROM scored),
+          SELECT doc_id + {_SQL_DOC_SHIFT}, fingerprint, source, quality
+          FROM scored),
     filtered AS (SELECT * FROM u WHERE quality >= 0.5),
     keep AS (SELECT min(doc_id) AS keep_id
              FROM filtered GROUP BY fingerprint),
@@ -3333,11 +3351,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     with synthetic duplicates. The shape every LLM data pipeline runs:
     filter early (cheap narrow projection), dedup on the survivors,
     aggregate last."""
-    prof = text_profile(spread(load(spark, sf, "documents"), "doc_id")).select(
+    docs = load(spark, sf, "documents")
+    prof = text_profile(spread(docs, "doc_id")).select(
         "doc_id", "fingerprint", "source", "quality"
     )
     u = prof.unionByName(
-        prof.withColumn("doc_id", F.col("doc_id") + 1000000)
+        prof.withColumn("doc_id", F.col("doc_id") + _doc_id_shift(docs))
     )
     filtered = u.where(F.col("quality") >= 0.5)
     keep = filtered.groupBy("fingerprint").agg(
@@ -3796,14 +3815,15 @@ def pipeline_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
 
 # Record-linkage fixture: entity "names" are the first 40 chars of each
 # document; each gets one deterministic dirty variant (the char at
-# position doc_id % len + 1 dropped, id shifted by 1e6 — the catalog's
-# shifted-copy convention). Both engines build the identical variant.
-_SQL_LINK_MATCHES = """
+# position doc_id % len + 1 dropped, id shifted past max(doc_id) — the
+# catalog's collision-proof shifted-copy convention). Both engines
+# build the identical variant.
+_SQL_LINK_MATCHES = f"""
     WITH recs AS (
         SELECT doc_id AS rec_id, substr(text, 1, 40) AS name
         FROM documents
         UNION ALL
-        SELECT doc_id + 1000000,
+        SELECT doc_id + {_SQL_DOC_SHIFT},
                substr(substr(text, 1, 40), 1,
                       CAST(doc_id % greatest(
                           length(substr(text, 1, 40)), 1) AS INT))
@@ -3855,7 +3875,8 @@ assert _SQL_LINK_MATCHES_SORTED != _SQL_LINK_MATCHES
 
 def _link_records_frame(spark: SparkSession, sf: str) -> DataFrame:
     """Spark twin of the oracle's ``recs`` CTE (original + one-char-
-    dropped variant per document, variant ids shifted by 1e6)."""
+    dropped variant per document, variant ids shifted past
+    max(doc_id) — the collision-proof shifted-copy convention)."""
     docs = load(spark, sf, "documents")
     name = F.substring("text", 1, 40)
     base = docs.select(
@@ -3869,7 +3890,7 @@ def _link_records_frame(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(name, m + F.lit(2), F.length(name)),
     )
     dirty = docs.select(
-        (F.col("doc_id") + 1000000).alias("rec_id"),
+        (F.col("doc_id") + _doc_id_shift(docs)).alias("rec_id"),
         variant.alias("name"),
     )
     return base.unionByName(dirty)
