@@ -206,6 +206,8 @@ HEADLINE = [
     "stream_exec_ivf_maintained",
     "link_blocked_pairs_sorted",
     "stream_exec_exact_substr_gate",
+    # -- r13 additions --
+    "stream_exec_exact_substr_index",
 ]
 
 

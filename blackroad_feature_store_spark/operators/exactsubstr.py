@@ -70,6 +70,15 @@ the corpus through the exchange (x50 at the production L). Instead:
    unchanged: the first (doc, start) occurrence of every duplicated
    window survives.
 
+5. **Maintain at ingest.** :func:`exact_substr_index` /
+   :func:`fold_exact_substr_index` persist the duplicate test as an
+   additive (hash → count, keeper-witness) index — per-batch indexes
+   fold to the whole-corpus index bit-for-bit, so daily ingest never
+   re-hashes old documents — and
+   :func:`exact_substr_spans_from_index` answers detection FROM the
+   maintained index (string verification still decides, so the hash
+   tier can never fabricate a duplicate).
+
 Everything is built-in JVM expressions — zero Python UDFs.
 """
 
@@ -84,6 +93,9 @@ from blackroad_feature_store_spark.operators.util import spread
 __all__ = [
     "exact_substr_spans",
     "exact_substr_removal",
+    "exact_substr_index",
+    "fold_exact_substr_index",
+    "exact_substr_spans_from_index",
 ]
 
 
@@ -111,8 +123,27 @@ def _window_expr(start_1b, L: int):
     return F.concat_ws(" ", F.slice(F.col("__t"), start_1b, L))
 
 
+def _hgrams(base: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Pass-1 rolling index: (id, __start 1-based, __h) for every
+    stride-1 L-token window — only ``xxhash64(window)`` leaves the
+    row, ~16 bytes per position regardless of L."""
+    return base.where(F.col("__nt") >= L).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__nt") - (L - 1)),
+                lambda i: F.xxhash64(_window_expr(i, L)),
+            )
+        ).alias("__pos", "__h"),
+    ).select(id_col, (F.col("__pos") + 1).alias("__start"), "__h")
+
+
 def _verified_windows(
-    base: DataFrame, L: int, id_col: str, min_count: int
+    base: DataFrame,
+    L: int,
+    id_col: str,
+    min_count: int,
+    dup_h: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicated L-token windows, hash-indexed then string-verified:
     (id, __start, __end, __h, __gram, __keeper) — 1-based inclusive
@@ -129,23 +160,22 @@ def _verified_windows(
     shuffle corpus-wide: pass 1 exchanges only (id, start, hash);
     only candidate rows' strings enter the verification join, and
     candidate docs' token arrays re-ship once (AQE broadcasts the
-    rejoin when candidates are few)."""
-    hgrams = base.where(F.col("__nt") >= L).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("__nt") - (L - 1)),
-                lambda i: F.xxhash64(_window_expr(i, L)),
-            )
-        ).alias("__pos", "__h"),
-    ).select(id_col, (F.col("__pos") + 1).alias("__start"), "__h")
-    dup_h = (
-        hgrams.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__hc"))
-        .where(F.col("__hc") >= min_count)
-        .select("__h")
-    )
-    cand = hgrams.join(dup_h, "__h")
+    rejoin when candidates are few).
+
+    ``dup_h``, when given, replaces the in-pass hash count with a
+    precomputed duplicated-hash frame (one ``__h`` column) — the
+    maintained-index path. String verification still recounts within
+    ``base``, so a too-wide ``dup_h`` only costs extra candidate
+    comparisons, never a fabricated duplicate."""
+    hgrams = _hgrams(base, L, id_col)
+    if dup_h is None:
+        dup_h = (
+            hgrams.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__hc"))
+            .where(F.col("__hc") >= min_count)
+            .select("__h")
+        )
+    cand = hgrams.join(dup_h.select("__h"), "__h")
     # collision verification: recompute the window STRING for
     # candidates only and re-count over the exact (hash, string) pair
     # — an xxhash64 collision can therefore never fabricate a
@@ -198,9 +228,13 @@ def exact_substr_spans(
         raise ValueError(f"L must be >= 1, got {L}")
     base = _tokenized(df, id_col, text_col)
     dwin = _verified_windows(base, L, id_col, min_count)
-    # gaps-and-islands with ADJACENCY merge: intervals [s, s+L-1] and
-    # [s', s'+L-1] merge when s' <= prev_end + 1, so touching covered
-    # regions report as ONE maximal span
+    return _merge_spans(dwin, id_col)
+
+
+def _merge_spans(dwin: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands with ADJACENCY merge: intervals [s, s+L-1] and
+    [s', s'+L-1] merge when s' <= prev_end + 1, so touching covered
+    regions report as ONE maximal span."""
     wd = Window.partitionBy(id_col).orderBy("__start")
     prev_end = F.max("__end").over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
@@ -218,6 +252,109 @@ def exact_substr_spans(
         .cast("bigint")
         .alias("span_tokens"),
     ).drop("__island")
+
+
+def exact_substr_index(
+    df: DataFrame,
+    L: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The maintain-at-ingest form of the ExactSubstr duplicate test:
+    one row per distinct window HASH over every stride-1 L-token
+    window of ``df`` — ``(__h, n, keep_id, keep_start)`` where ``n``
+    is the occurrence count and (keep_id, keep_start) the first
+    (min id, then min start) occurrence — the keep-one-occurrence
+    witness. ~16 bytes/position through the exchange at any L (only
+    hashes leave the row), and the whole frame is one
+    map-side-combined groupBy.
+
+    The index is a FOLD MONOID (see :func:`fold_exact_substr_index`):
+    per-batch indexes over a partition of the corpus fold to exactly
+    the whole-corpus index, so a daily-ingest pipeline maintains it
+    additively without re-reading old documents — the exact-tier
+    sibling of `dedup.incremental_candidate_pairs`. Collisions are
+    NOT resolved here by design: detection via
+    :func:`exact_substr_spans_from_index` re-verifies candidate
+    windows on the exact STRING inside the corpus, so a hash
+    collision can widen the candidate set but never fabricate a
+    duplicate."""
+    if L < 1:
+        raise ValueError(f"L must be >= 1, got {L}")
+    base = _tokenized(df, id_col, text_col)
+    return (
+        _hgrams(base, L, id_col)
+        .groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.struct(F.col(id_col), F.col("__start"))).alias(
+                "__keep"
+            ),
+        )
+        .select(
+            "__h",
+            "n",
+            F.col("__keep")[id_col].alias("keep_id"),
+            F.col("__keep")["__start"].alias("keep_start"),
+        )
+    )
+
+
+def fold_exact_substr_index(
+    index: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """Fold a new batch's window index into the persisted one:
+    counts add, the keeper witness is the struct-min of the two —
+    commutative and associative, so ANY fold order over per-batch
+    indexes equals :func:`exact_substr_index` over the union corpus
+    bit-for-bit (each document must arrive whole in one batch, the
+    same contract every ingest gate here states)."""
+    cols = ["__h", "n", "keep_id", "keep_start"]
+    return (
+        index.select(cols)
+        .unionByName(delta.select(cols))
+        .groupBy("__h")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.min(F.struct("keep_id", "keep_start")).alias("__keep"),
+        )
+        .select(
+            "__h",
+            "n",
+            F.col("__keep")["keep_id"].alias("keep_id"),
+            F.col("__keep")["keep_start"].alias("keep_start"),
+        )
+    )
+
+
+def exact_substr_spans_from_index(
+    df: DataFrame,
+    index: DataFrame,
+    L: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """:func:`exact_substr_spans` answered FROM a maintained index:
+    the corpus-wide hash count comes from ``index`` (built/folded at
+    the same ``L``) instead of an in-pass groupBy, skipping the
+    full-corpus hash exchange — the payoff of maintaining the index
+    at ingest. ``df`` must be exactly the corpus the index was
+    maintained over; the output then equals
+    ``exact_substr_spans(df, L, ...)`` row-for-row, because the
+    index's hash counts equal the in-pass counts and the bucketed
+    STRING verification (which still runs, inside ``df``) decides
+    identically. An index over a SUPERSET of ``df`` only widens the
+    candidate set (string verification rejects the extras); an index
+    that UNDER-counts ``df`` loses spans — certify with a
+    fold-vs-recompute check at maintenance time, as
+    `stream_exec_exact_substr_index` does in-query."""
+    if L < 1:
+        raise ValueError(f"L must be >= 1, got {L}")
+    base = _tokenized(df, id_col, text_col)
+    dup_h = index.where(F.col("n") >= min_count).select("__h")
+    dwin = _verified_windows(base, L, id_col, min_count, dup_h=dup_h)
+    return _merge_spans(dwin, id_col)
 
 
 def exact_substr_removal(

@@ -218,3 +218,84 @@ def test_null_and_empty_text_report_zero_tokens(spark):
     # and the detect path reports no span for NULL/blank docs
     got = exact_substr_spans(docs, L=3).collect()
     assert {r.doc_id for r in got} == {3}
+
+
+def _index_rows(df):
+    return sorted(
+        (r["__h"], r["n"], r["keep_id"], r["keep_start"])
+        for r in df.collect()
+    )
+
+
+def test_index_fold_equals_recompute(spark):
+    """VERDICT r12 ask #5 pin: per-batch indexes folded in ANY order
+    equal exact_substr_index over the union corpus bit-for-bit (each
+    doc arrives whole in one batch)."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_index,
+        fold_exact_substr_index,
+    )
+
+    for seed in range(4):
+        docs = _random_corpus(seed, n_docs=9)
+        batches = [
+            [d for d in docs if d[0] % 3 == r] for r in range(3)
+        ]
+        parts = [
+            exact_substr_index(_docs_df(spark, b), L=3) for b in batches
+        ]
+        folded_fwd = fold_exact_substr_index(
+            fold_exact_substr_index(parts[0], parts[1]), parts[2]
+        )
+        folded_rev = fold_exact_substr_index(
+            parts[2], fold_exact_substr_index(parts[1], parts[0])
+        )
+        want = _index_rows(
+            exact_substr_index(_docs_df(spark, docs), L=3)
+        )
+        assert _index_rows(folded_fwd) == want, f"seed={seed}"
+        assert _index_rows(folded_rev) == want, f"seed={seed}"
+
+
+def test_spans_from_index_equals_batch_spans(spark):
+    """Detection answered FROM the maintained index == the one-shot
+    batch operator, including on corpora with hash-tier candidates
+    that string verification must reject (random small-vocab)."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_index,
+        exact_substr_spans,
+        exact_substr_spans_from_index,
+    )
+
+    for seed in range(4):
+        docs = _random_corpus(seed, n_docs=8)
+        df = _docs_df(spark, docs)
+        idx = exact_substr_index(df, L=3)
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in exact_substr_spans_from_index(
+                df, idx, L=3
+            ).collect()
+        }
+        want = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in exact_substr_spans(df, L=3).collect()
+        }
+        assert got == want == _brute_spans(docs, 3), f"seed={seed}"
+
+
+def test_index_keeper_witness_is_global_first_occurrence(spark):
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_index,
+        fold_exact_substr_index,
+    )
+
+    docs = [(1, "x y z w"), (2, "x y z q"), (7, "x y z r")]
+    # batch split puts the SMALLEST doc id in the LAST batch: the fold
+    # must still return it as the keeper
+    b1 = exact_substr_index(_docs_df(spark, docs[1:]), L=3)
+    b2 = exact_substr_index(_docs_df(spark, docs[:1]), L=3)
+    folded = fold_exact_substr_index(b1, b2)
+    row = [r for r in folded.collect() if r["n"] == 3]
+    assert len(row) == 1  # "x y z" occurs in all three docs
+    assert (row[0]["keep_id"], row[0]["keep_start"]) == (1, 1)
