@@ -9780,65 +9780,64 @@ _GATE_PRIORITY: list[str] = [
     # -- divergence canary: literal-valued probe of every construct
     # the oracle layer has ever disagreed on --
     "core_oracle_canary",
-    # -- r12 new capability --
-    "dedup_exact_substr",               # ExactSubstr maximal spans >= L
-    "pipeline_exact_substr_removal",    # remove-all-but-one rewrite
-    "stream_exec_ivf_maintained",       # incremental IVF maintenance e2e
-    "link_blocked_pairs_sorted",        # token-sorted blocking family
-    "stream_exec_exact_substr_gate",    # ExactSubstr gate at ingest
-    # -- r12 changed execution paths (every query whose code moved
+    # -- r13 new capability --
+    "stream_exec_exact_substr_index",   # incremental ExactSubstr e2e
+    # -- r13 changed execution paths (every query whose code moved
     # this round re-certifies) --
-    "link_blocked_pairs",               # explicit max_block opt-out
-    "link_entities",                    # same call-path change
-    "graph_pagerank_trade",             # weight-validation aggregates
-    "ml_kmeans_clusters",               # norm guard before cn2 evaluates
-    "sim_cosine_topk_ivf_kmeans",       # consumes restructured k-means
-    "dedup_semantic_kmeans",            # consumes restructured k-means
-    "stream_exec_kmeans_update",        # kmeans internals
-    "stream_exec_cluster_drift",        # kmeans internals
-    "stream_exec_unique_gate",          # compacted first_batch schema
-    "pipeline_token_budget_select",     # prefix-sum integral assertion
-    # -- ballast biased toward the OLDEST green rows (standing rule):
-    # the single r5 row, ALL eighteen r6 rows (nothing r6-tagged
-    # stays out this round), then thirteen r7 rows — preferring the
-    # ones no judge replica has independently re-checked (the r11
-    # replica covered core_cube, core_event_funnel,
-    # core_retention_cohorts, core_asof_tolerance,
-    # core_correlated_subquery, store_pit_precedence,
-    # mm_audio_features; those wait for r13 — as does
-    # tpch_q16_supplier_count, displaced by the late-round
-    # stream_exec_exact_substr_gate addition above) --
-    "core_asof_sql_join",               # r5 — oldest row in the catalog
-    "core_rolling_range",               # r6 cohort, complete from here
-    "pipeline_dedup_report",
-    "pipeline_domain_cap",
-    "pipeline_paragraph_dedup",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "store_changes_feed",
-    "store_mv_incremental",
-    "stream_exec_enrich",
-    "stream_exec_sessionize",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunct_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "core_histogram",                   # r7 rows, judge-unchecked first
-    "core_json_props",
-    "core_salted_join",
-    "core_sliding_windows",
-    "store_bitemporal",
-    "store_time_travel",
-    "text_outlier_docs",
-    "text_tfidf_top_terms",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipping_priority_modes",
-    "tpch_q15_top_supplier",
+    "dedup_exact_substr",               # _hgrams refactor
+    "pipeline_exact_substr_removal",    # in-row rebuild (post-r12-gate)
+    "stream_exec_exact_substr_gate",    # _tokenized NULL-coalesce
+    "dedup_exact",                      # max(id)+1 fixture rotation
+    "mm_dhash_pairs",                   # fixture rotation
+    "pipeline_clean_corpus",            # fixture rotation
+    "link_blocked_pairs",               # fixture rotation (linkage recs)
+    "link_blocked_pairs_sorted",        # fixture rotation
+    "link_entities",                    # fixture rotation
+    "stream_exec_ivf_maintained",       # dense fold + left-join reassign
+    "stream_exec_unique_gate",          # legacy-fold read path
+    "graph_pagerank_trade",             # NULL-weight validation aggregate
+    # -- VERDICT r12 ask #4 ballast: tpch_q16 (displaced in r12, last
+    # driver-gate row r7), the full r7 cohort the r11 judge replica
+    # left for this round, and r8 text_repetition --
+    "tpch_q16_supplier_count",
+    "core_asof_tolerance",
+    "core_correlated_subquery",
+    "core_cube",
+    "core_event_funnel",
+    "core_retention_cohorts",
+    "mm_audio_features",
+    "store_pit_precedence",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_part_promotion",
+    "text_repetition",
+    # -- remaining slots: oldest green rows (r9, then r10) that NO
+    # judge replica has independently re-checked (the r12 replica
+    # covered the r9 dedup family, sources, stats sketches, several
+    # pipeline rows — those are deprioritized per VERDICT r12 ask #4;
+    # the two rows-only-by-design shape queries are excluded as weak
+    # checks) --
+    "core_pit_join_pandas",
+    "dedup_canonical",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_skewed_pairs",
+    "pipeline_cluster_split",
+    "pipeline_dsir_select",
+    "pipeline_sentence_chunks",
+    "pipeline_sentence_windows",
+    "pipeline_split_leakage",
+    "source_orc_roundtrip",
+    "stream_exec_enrich_pit",
+    "stream_exec_interval_join",
+    "stream_exec_sessionize_et",
+    "text_bigram_logprob",
+    "core_approx_distinct",             # r10 from here
+    "core_asof_forward_label",
+    "core_bucketed_join",
 ]
 
 
