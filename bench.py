@@ -1,10 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"} plus
-"vs_baseline" — per-query time ratios against the pinned round-2
-numbers (BASELINE_r2.json), so a regression is attributable to a
-specific query, not just the headline total. Ratio > 1 = slower than
-round 2.
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"} plus two
+calibrated per-query ratio families, so a regression is attributable
+to a specific query, not just the headline total:
+
+* "vs_pin" — against the calibrated pins (BASELINE_r10.json for the
+  r10 catalog, BASELINE_SUPP.json for queries born later), each ratio
+  divided by the machine-drift factor measured against THAT pin's own
+  calibration probes. Ratio > 1 = the plan got slower.
+* "vs_baseline_normalized" — against the historical round-2 numbers
+  (BASELINE_r2.json), divided by machine_factor. Raw r2 ratios are no
+  longer emitted (VERDICT r12 item 8): they predate the calibration
+  harness and misread hot-machine runs as regressions.
 
 Each query is forced through a noop sink so every output column is
 actually computed (a bare .count() would let Catalyst prune the
@@ -419,15 +426,21 @@ def main() -> None:
     if os.path.exists(baseline_path) and sf == 0.1:
         with open(baseline_path) as f:
             base = json.load(f)["queries"]
-        out["vs_baseline"] = {
-            name: round(t / base[name], 2)
+        # Only the NORMALIZED ratios are emitted (VERDICT r12 item 8):
+        # the raw r2 ratios were the last uncalibrated numbers in the
+        # artifact a reader could misread as regressions on a hot
+        # machine; with vs_pin now covering the full catalog they add
+        # nothing. The r2 pin itself stays in history (BASELINE_r2.json
+        # and BENCH_r* tails) for cross-round archaeology.
+        raw = {
+            name: t / base[name]
             for name, t in timings.items()
             if name in base and base[name] > 0
         }
         if machine_factor and machine_factor > 0:
             out["vs_baseline_normalized"] = {
                 name: round(r / machine_factor, 2)
-                for name, r in out["vs_baseline"].items()
+                for name, r in raw.items()
             }
     # ---- calibrated pin (VERDICT r9 item 1) ----
     # The r2 pin predates the calibration harness, so machine drift
@@ -440,9 +453,28 @@ def main() -> None:
     pin_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_r10.json"
     )
+    supp_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_SUPP.json"
+    )
     if os.path.exists(pin_path) and sf == 0.1:
         with open(pin_path) as f:
             pin = json.load(f)
+        # name -> (pinned seconds, calibration of the run that pinned
+        # it). The immutable r10 pin is authoritative; queries born
+        # after it carry a SUPPLEMENTARY pin recorded at registration
+        # (tools/pin_new_queries.py, VERDICT r12 item 2) with its own
+        # calibration, so every catalog query gets a calibrated vs_pin
+        # and the plan_changed wire is armed from birth.
+        pins: dict[str, tuple[float, dict]] = {
+            name: (t, pin.get("calibration", {}))
+            for name, t in pin["queries"].items()
+        }
+        if os.path.exists(supp_path):
+            with open(supp_path) as f:
+                supp = json.load(f)
+            for name, e in supp.get("entries", {}).items():
+                if name not in pins and e.get("t", 0) > 0:
+                    pins[name] = (e["t"], e.get("calibration", {}))
         pin_cal = pin.get("calibration", {}).get("spark_fixed", 0)
         pin_factor = (
             round(calibration["spark_fixed"] / pin_cal, 3)
@@ -462,13 +494,23 @@ def main() -> None:
         )
         out["stream_factor"] = stream_factor
 
-        def _factor(name: str) -> float:
+        def _factor(name: str, pin_calib: dict) -> float:
+            key = (
+                "stream_fixed"
+                if name.startswith("stream")
+                else "spark_fixed"
+            )
+            ref = pin_calib.get(key, 0)
+            if ref > 0:
+                return round(calibration[key] / ref, 3)
             return stream_factor if name.startswith("stream") else pin_factor
 
         out["vs_pin"] = {
-            name: round(t / pin["queries"][name] / _factor(name), 2)
+            name: round(
+                t / pins[name][0] / _factor(name, pins[name][1]), 2
+            )
             for name, t in timings.items()
-            if pin["queries"].get(name, 0) > 0
+            if pins.get(name, (0, {}))[0] > 0
         }
         # ---- plan-digest self-attribution (VERDICT r10 item 4) ----
         # Any >0.5 s query drifting past 1.25x its calibrated pin gets

@@ -223,14 +223,23 @@ def regen_coverage_totals(round_no: int) -> int:
             f"{len(over)} at/above 1.0 ({', '.join(f'{k} {v}' for k, v in sorted(over.items()))})"
             if over else "all below 1.0"
         )
-        raw = bench.get("vs_baseline", {})
-        if normalized and raw:
-            rmean = sum(raw.values()) / len(raw)
-            ratio_bits += (
-                f" (raw: mean {rmean:.2f}, max {max(raw.values()):.2f})"
-            )
     else:
         ratio_bits = "no baseline comparison in this run (sf != 0.1)"
+    # calibrated per-query pins (r10 pin + pin-at-birth supplement)
+    vp = bench.get("vs_pin", {})
+    if vp:
+        flagged = {k: v for k, v in vp.items() if v > 1.25}
+        unpinned = len(bench["queries"]) - len(vp)
+        ratio_bits += (
+            f"; vs_pin over {len(vp)} pinned queries: mean "
+            f"{sum(vp.values()) / len(vp):.2f}, max {max(vp.values()):.2f}"
+        )
+        ratio_bits += (
+            f", {len(flagged)} above the 1.25 wire ({', '.join(f'{k} {v}' for k, v in sorted(flagged.items()))})"
+            if flagged else ", none above the 1.25 wire"
+        )
+        if unpinned:
+            ratio_bits += f", {unpinned} unpinned"
 
     gate_bits = ""
     gates = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
@@ -251,6 +260,16 @@ def regen_coverage_totals(round_no: int) -> int:
             f"{ok} hash-pass / {fail} fail / {rows_only} rows-only "
             f"of {len(g)}."
         )
+        # The gate file for the round BEING CLOSED lands only after
+        # round close runs (inherent ordering) — say so instead of
+        # silently citing the previous round's file (VERDICT r12
+        # wrong #2 nit).
+        m2 = re.search(r"_r(\d+)\.json$", gates[-1])
+        if m2 and int(m2.group(1)) < round_no:
+            gate_bits += (
+                f" (the r{round_no} gate file is pending at totals-"
+                f"generation time — it lands after round close)"
+            )
 
     para = (
         f"{TOTALS_BEGIN}\n"
