@@ -16,6 +16,15 @@ r10 `vs_pin` arithmetic, per entry).
 
     python tools/pin_new_queries.py --round 13            # from BENCH_FULL.json
     python tools/pin_new_queries.py --round 13 --dry-run
+    python tools/pin_new_queries.py --round 13 \
+        --extra /tmp/runA.json /tmp/runB.json   # best-of-N across runs
+
+With ``--extra``, the pinned seconds are the per-query MINIMUM across
+the given same-epoch bench runs and the recorded calibration is the
+per-probe minimum across the same runs — the same best-of estimator
+bench.py uses within a run, with N times the samples. Use this when
+single runs are jittery (same-session back-to-back runs only; mixing
+epochs would pair times and probes from different machine states).
 
 Policy mirror of BASELINE.md: an entry is written ONCE, at the
 query's registration round, and never updated to absorb a regression.
@@ -38,12 +47,27 @@ def main() -> None:
                     help="round number recorded on new entries")
     ap.add_argument("--bench", default=os.path.join(REPO, "BENCH_FULL.json"),
                     help="bench artifact to pin from (must be sf0.1)")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="additional same-epoch bench artifacts; pin = "
+                         "per-query/per-probe min across all runs")
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
     with open(args.bench) as f:
         bench = json.load(f)
     assert bench["sf"] == 0.1, "pin only from an sf0.1 run"
+    for path in args.extra:
+        with open(path) as f:
+            other = json.load(f)
+        assert other["sf"] == 0.1, f"{path}: pin only from sf0.1 runs"
+        for name, t in other.get("queries", {}).items():
+            if t > 0 and (bench["queries"].get(name, 0) <= 0
+                          or t < bench["queries"][name]):
+                bench["queries"][name] = t
+        for probe, v in other.get("calibration", {}).items():
+            cur = bench.setdefault("calibration", {}).get(probe, 0)
+            if v > 0 and (cur <= 0 or v < cur):
+                bench["calibration"][probe] = v
 
     with open(os.path.join(REPO, "BASELINE_r10.json")) as f:
         r10 = set(json.load(f)["queries"])
