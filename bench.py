@@ -314,7 +314,6 @@ def main() -> None:
         "spark_fixed": round(min(_spark_probe() for _ in range(3)), 3),
         "stream_fixed": round(min(_stream_probe() for _ in range(3)), 3),
     }
-    shutil.rmtree(_probe_dir, ignore_errors=True)
     cal_ref_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "CAL_REF.json"
     )
@@ -384,6 +383,29 @@ def main() -> None:
         timings[name] = round(min(ss), 3)
         samples[name] = [round(x, 3) for x in ss]
 
+    # ---- end-of-run calibration re-probe (round 13) ----
+    # The fixed-work probes run ONCE at bench start; a turbo burst or
+    # contention spike during that window writes an unrepresentative
+    # machine_factor that then skews EVERY normalized ratio (observed
+    # same-session spark_fixed readings of 1.12-3.20 while the query
+    # loop ran at normal speed — ~116 phantom vs_pin flags in one
+    # artifact). Re-probing after the query loop does not change any
+    # ratio arithmetic (pin comparability requires the start-min
+    # estimator), but records whether the calibration window matched
+    # the run it claims to describe: calibration_unstable=true tells a
+    # reader to trust plan_changed/dispersion, not the ratios.
+    calibration_end = {
+        "spark_fixed": round(min(_spark_probe() for _ in range(2)), 3),
+        "stream_fixed": round(_stream_probe(), 3),
+    }
+    shutil.rmtree(_probe_dir, ignore_errors=True)
+    _drift = (
+        calibration_end["spark_fixed"] / calibration["spark_fixed"]
+        if calibration["spark_fixed"] > 0
+        else 1.0
+    )
+    calibration_unstable = not (0.8 <= _drift <= 1.25)
+
     total = round(sum(timings.values()), 3)
     # Dispersion summary (VERDICT r11 missing #1): per-query spread =
     # max/min across this run's reps, plus the median spread — enough
@@ -411,6 +433,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration": calibration,
+        "calibration_end": calibration_end,
+        "calibration_unstable": calibration_unstable,
     }
     if dispersion:
         out["dispersion"] = dispersion
