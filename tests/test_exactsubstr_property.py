@@ -17,8 +17,11 @@ span, and removal output tokens are always a subsequence of the
 original."""
 
 from blackroad_feature_store_spark.operators.exactsubstr import (
+    exact_substr_index,
     exact_substr_removal,
     exact_substr_spans,
+    exact_substr_spans_from_index,
+    fold_exact_substr_index,
 )
 
 try:
@@ -159,3 +162,54 @@ if _HAVE_HYPOTHESIS:
             assert n_removed == len(toks[i]) - len(kept)
         for i, a, b, n in got_spans:
             assert 1 <= a <= b <= len(toks[i]) and n == b - a + 1
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(_case(), st.integers(min_value=2, max_value=3))
+    def test_index_path_matches_python_reference(spark, case, n_batches):
+        """The maintained-index detection path (r13): per-batch
+        indexes folded in arbitrary batch splits equal the one-shot
+        index, and spans answered FROM the fold equal the pure-Python
+        reference — fuzzing the fold monoid and the dup_h-injection
+        branch of _verified_windows together."""
+        docs, L, min_count = case
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        parts = [
+            [d for d in docs if d[0] % n_batches == r]
+            for r in range(n_batches)
+        ]
+        folded = None
+        for p in parts:
+            pidx = exact_substr_index(
+                spark.createDataFrame(p, "doc_id long, text string")
+                if p
+                else spark.createDataFrame([], "doc_id long, text string"),
+                L=L,
+            )
+            folded = (
+                pidx
+                if folded is None
+                else fold_exact_substr_index(folded, pidx)
+            )
+        one_shot = {
+            (r["__h"], r["n"], r["keep_id"], r["keep_start"])
+            for r in exact_substr_index(df, L=L).collect()
+        }
+        got_idx = {
+            (r["__h"], r["n"], r["keep_id"], r["keep_start"])
+            for r in folded.collect()
+        }
+        assert got_idx == one_shot, f"fold != recompute: docs={docs!r}"
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in exact_substr_spans_from_index(
+                df, folded, L=L, min_count=min_count
+            ).collect()
+        }
+        assert got == _py_spans(docs, L, min_count), (
+            f"index-path spans diverged (L={L}, min_count={min_count},"
+            f" n_batches={n_batches}): docs={docs!r}"
+        )
