@@ -234,6 +234,12 @@ def fold_centroid_update(
         F.count_distinct(F.col(pos_col)).alias("__nd"),
         F.min(F.col(pos_col).cast("int")).alias("__pmin"),
         F.max(F.col(pos_col).cast("int")).alias("__pmax"),
+        # a NULL sum would otherwise coalesce to +0 in the dense build
+        # — silent mass loss, the exact failure class this validation
+        # exists for
+        F.max(
+            F.when(F.col(sum_col).isNull(), 1).otherwise(0)
+        ).alias("__snull"),
     )
     orphans = [
         r["cid"]
@@ -256,8 +262,11 @@ def fold_centroid_update(
             (F.col("__np") != F.col("__nd"))
             | (F.col("__pmin") < 1)
             | (F.col("__pmax") > F.col("__dim"))
+            | (F.col("__snull") == 1)
         )
-        .select("cid", "__np", "__nd", "__pmin", "__pmax", "__dim")
+        .select(
+            "cid", "__np", "__nd", "__pmin", "__pmax", "__dim", "__snull"
+        )
         .collect()  # k-bounded
     )
     if malformed:
@@ -267,8 +276,9 @@ def fold_centroid_update(
             f"{r['cid']} ({len(malformed)} cluster(s) total): "
             f"{r['__np']} rows over {r['__nd']} distinct components, "
             f"pos range [{r['__pmin']}, {r['__pmax']}] vs dim "
-            f"{r['__dim']} — duplicated (cid, pos) pairs mean the same "
-            "partials were folded twice; out-of-range pos would drop "
+            f"{r['__dim']}, null sums={bool(r['__snull'])} — "
+            "duplicated (cid, pos) pairs mean the same partials were "
+            "folded twice; out-of-range pos or NULL sums would drop "
             "mass silently"
         )
     # dense pos-keyed fold: the map build only evaluates after the

@@ -207,8 +207,16 @@ def _read_compacted_fold(
     keys are treated as ``first_batch = -1`` — first seen before every
     real batch — which reproduces the legacy fold's visible-to-every-
     replay behavior instead of throwing AnalysisException on upgrade."""
-    fold = spark.read.parquet(os.path.join(seen_path, "compacted")).where(
-        F.col("floor") == floor
+    # Read the live floor DIRECTORY directly, not the parent + filter:
+    # cleanup of retired floors is best-effort, so a stale fold with
+    # the other schema generation can coexist — parent-dir schema
+    # inference could then sample the WRONG generation's files and
+    # either drop the live fold's first_batch (keys read as legacy)
+    # or project NULL first_batch onto legacy files (keys silently
+    # filtered out by the strict replay bound). A direct path makes
+    # inference see only the live fold.
+    fold = spark.read.parquet(
+        os.path.join(seen_path, "compacted", f"floor={int(floor)}")
     )
     if "first_batch" not in fold.columns:
         fold = fold.withColumn(

@@ -333,3 +333,24 @@ def test_reassign_routes_unwitnessed_vectors_through_full_rescore(spark):
         inc = kmeans_reassign_incremental(q, partial, cents, changed)
         got = {r.id: r.cid for r in inc.collect()}
         assert got == want, f"changed={changed}"
+
+
+def test_fold_rejects_null_delta_sums(spark):
+    # a NULL sum would coalesce to +0 in the dense build — silent
+    # mass loss; must raise like every other malformed-delta class
+    import pytest
+
+    from blackroad_feature_store_spark.operators.clustering import (
+        fold_centroid_update,
+        kmeans_fit_predict,
+    )
+
+    vectors = {i: [1.0, 0.0] for i in range(4)}
+    _, cents = kmeans_fit_predict(
+        _vec_df(spark, vectors), k=1, iterations=1, return_centroids=True
+    )
+    bad = spark.createDataFrame(
+        [(0, 1, None), (0, 2, 5)], "cluster_id bigint, pos int, s bigint"
+    )
+    with pytest.raises(ValueError, match="malformed delta"):
+        fold_centroid_update(cents, bad)
