@@ -215,6 +215,7 @@ HEADLINE = [
     "stream_exec_exact_substr_gate",
     # -- r13 additions --
     "stream_exec_exact_substr_index",
+    "stream_exec_exact_substr_rewrite",
 ]
 
 

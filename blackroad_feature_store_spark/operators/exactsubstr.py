@@ -72,12 +72,19 @@ the corpus through the exchange (x50 at the production L). Instead:
 
 5. **Maintain at ingest.** :func:`exact_substr_index` /
    :func:`fold_exact_substr_index` persist the duplicate test as an
-   additive (hash → count, keeper-witness) index — per-batch indexes
-   fold to the whole-corpus index bit-for-bit, so daily ingest never
-   re-hashes old documents — and
+   additive (hash-pair → count, keeper-witness) index — per-batch
+   indexes fold to the whole-corpus index bit-for-bit, so daily
+   ingest never re-hashes old documents.
    :func:`exact_substr_spans_from_index` answers detection FROM the
    maintained index (string verification still decides, so the hash
-   tier can never fabricate a duplicate).
+   tier can never fabricate a duplicate), and
+   :func:`exact_substr_batch_rewrite` rewrites each ARRIVING batch
+   against all history without re-reading it — cross-batch duplicate
+   matching is on the pair of independent 64-bit hashes (~2^-128
+   false-duplicate odds per pair; a single 64-bit hash would see
+   birthday collisions past ~1e9 windows), the one deliberate step
+   down from string-exactness in this module, taken only where
+   history text is unavailable by design.
 
 Everything is built-in JVM expressions — zero Python UDFs.
 """
@@ -96,6 +103,7 @@ __all__ = [
     "exact_substr_index",
     "fold_exact_substr_index",
     "exact_substr_spans_from_index",
+    "exact_substr_batch_rewrite",
 ]
 
 
@@ -123,19 +131,50 @@ def _window_expr(start_1b, L: int):
     return F.concat_ws(" ", F.slice(F.col("__t"), start_1b, L))
 
 
-def _hgrams(base: DataFrame, L: int, id_col: str) -> DataFrame:
-    """Pass-1 rolling index: (id, __start 1-based, __h) for every
-    stride-1 L-token window — only ``xxhash64(window)`` leaves the
-    row, ~16 bytes per position regardless of L."""
+def _hgrams(
+    base: DataFrame, L: int, id_col: str, with_h2: bool = False
+) -> DataFrame:
+    """Pass-1 rolling index: (id, __start 1-based, __h [, __h2]) for
+    every stride-1 L-token window — only hashes leave the row, ~16
+    (~24 with ``with_h2``) bytes per position regardless of L.
+
+    ``__h2`` is a SECOND independent 64-bit hash of the same window
+    (xxhash64 chained with a constant discriminator column, i.e. a
+    different initial state): paths that cannot re-verify the window
+    STRING — the cross-batch test in :func:`exact_substr_batch_rewrite`,
+    where history text is not re-read — match on the (h, h2) pair, so
+    a false duplicate needs a simultaneous collision in both hashes
+    (~2^-128 per pair: zero at any corpus size that fits on hardware).
+    String-verifying paths ignore it."""
+    if not with_h2:
+        return base.where(F.col("__nt") >= L).select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nt") - (L - 1)),
+                    lambda i: F.xxhash64(_window_expr(i, L)),
+                )
+            ).alias("__pos", "__h"),
+        ).select(id_col, (F.col("__pos") + 1).alias("__start"), "__h")
     return base.where(F.col("__nt") >= L).select(
         id_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.col("__nt") - (L - 1)),
-                lambda i: F.xxhash64(_window_expr(i, L)),
+                lambda i: F.struct(
+                    F.xxhash64(_window_expr(i, L)).alias("__h"),
+                    F.xxhash64(_window_expr(i, L), F.lit(1)).alias(
+                        "__h2"
+                    ),
+                ),
             )
-        ).alias("__pos", "__h"),
-    ).select(id_col, (F.col("__pos") + 1).alias("__start"), "__h")
+        ).alias("__pos", "__hs"),
+    ).select(
+        id_col,
+        (F.col("__pos") + 1).alias("__start"),
+        F.col("__hs.__h").alias("__h"),
+        F.col("__hs.__h2").alias("__h2"),
+    )
 
 
 def _verified_windows(
@@ -273,18 +312,24 @@ def exact_substr_index(
     per-batch indexes over a partition of the corpus fold to exactly
     the whole-corpus index, so a daily-ingest pipeline maintains it
     additively without re-reading old documents — the exact-tier
-    sibling of `dedup.incremental_candidate_pairs`. Collisions are
-    NOT resolved here by design: detection via
-    :func:`exact_substr_spans_from_index` re-verifies candidate
-    windows on the exact STRING inside the corpus, so a hash
-    collision can widen the candidate set but never fabricate a
-    duplicate."""
+    sibling of `dedup.incremental_candidate_pairs`.
+
+    Rows are keyed on the PAIR of independent 64-bit hashes
+    (``__h``, ``__h2``): paths that can re-read the corpus
+    (:func:`exact_substr_spans_from_index`) still re-verify candidate
+    windows on the exact STRING — a collision can widen the candidate
+    set but never fabricate a duplicate — while the ingest-time
+    rewrite (:func:`exact_substr_batch_rewrite`), which cannot
+    re-read history text, matches on the pair: a false cross-batch
+    duplicate needs a simultaneous collision in both hashes (~2^-128
+    per pair — zero at any real corpus size, where a single 64-bit
+    hash would see birthday collisions past ~10^9 windows)."""
     if L < 1:
         raise ValueError(f"L must be >= 1, got {L}")
     base = _tokenized(df, id_col, text_col)
     return (
-        _hgrams(base, L, id_col)
-        .groupBy("__h")
+        _hgrams(base, L, id_col, with_h2=True)
+        .groupBy("__h", "__h2")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.min(F.struct(F.col(id_col), F.col("__start"))).alias(
@@ -293,6 +338,7 @@ def exact_substr_index(
         )
         .select(
             "__h",
+            "__h2",
             "n",
             F.col("__keep")[id_col].alias("keep_id"),
             F.col("__keep")["__start"].alias("keep_start"),
@@ -309,17 +355,18 @@ def fold_exact_substr_index(
     indexes equals :func:`exact_substr_index` over the union corpus
     bit-for-bit (each document must arrive whole in one batch, the
     same contract every ingest gate here states)."""
-    cols = ["__h", "n", "keep_id", "keep_start"]
+    cols = ["__h", "__h2", "n", "keep_id", "keep_start"]
     return (
         index.select(cols)
         .unionByName(delta.select(cols))
-        .groupBy("__h")
+        .groupBy("__h", "__h2")
         .agg(
             F.sum("n").cast("long").alias("n"),
             F.min(F.struct("keep_id", "keep_start")).alias("__keep"),
         )
         .select(
             "__h",
+            "__h2",
             "n",
             F.col("__keep")["keep_id"].alias("keep_id"),
             F.col("__keep")["keep_start"].alias("keep_start"),
@@ -352,7 +399,12 @@ def exact_substr_spans_from_index(
     if L < 1:
         raise ValueError(f"L must be >= 1, got {L}")
     base = _tokenized(df, id_col, text_col)
-    dup_h = index.where(F.col("n") >= min_count).select("__h")
+    # distinct: two (h, h2) index rows can share __h (a 64-bit
+    # collision); a duplicated probe row would double-count the
+    # string-verification tallies downstream
+    dup_h = (
+        index.where(F.col("n") >= min_count).select("__h").distinct()
+    )
     dwin = _verified_windows(base, L, id_col, min_count, dup_h=dup_h)
     return _merge_spans(dwin, id_col)
 
@@ -410,10 +462,20 @@ def exact_substr_removal(
         .distinct()
         .join(keep_cov, [id_col, "__p"], "left_anti")
     )
-    # one sorted dropped-position array per TOUCHED document — rows
-    # <= touched docs; the corpus-side token frame left-joins this
-    # small side (AQE broadcast) instead of posexploding every token
-    # of every document into a collect_list reassembly shuffle
+    return _rebuild_from_drops(base, drop_pos, id_col)
+
+
+def _rebuild_from_drops(
+    base: DataFrame, drop_pos: DataFrame, id_col: str
+) -> DataFrame:
+    """Reassemble documents minus their dropped positions, in-row:
+    one sorted dropped-position array per TOUCHED document — rows
+    <= touched docs; the corpus-side token frame left-joins this
+    small side (AQE broadcast) instead of posexploding every token
+    of every document into a collect_list reassembly shuffle.
+    ``base`` is `_tokenized` output; ``drop_pos`` carries
+    (id_col, __p 1-based). Returns (id_col, text, n_tokens,
+    n_removed)."""
     drops = drop_pos.groupBy(id_col).agg(
         F.array_sort(F.collect_set("__p")).alias("__drops")
     )
@@ -432,3 +494,130 @@ def exact_substr_removal(
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+def exact_substr_batch_rewrite(
+    batch: DataFrame,
+    history_index: DataFrame,
+    L: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The ExactSubstr rewrite AT INGEST: rewrite a NEW batch of
+    documents against all previously ingested history using only the
+    maintained index — history text is never re-read. Returns
+    ``(rewritten, delta_index)``; the caller appends the batch by
+    folding ``delta_index`` into ``history_index``
+    (:func:`fold_exact_substr_index`) for the next increment — the
+    removal-tier sibling of `dedup.incremental_candidate_pairs`'
+    ``(pairs, new_sigs)`` contract. Cost per increment is
+    O(|batch| + index-join collisions), independent of corpus size.
+
+    Exactness contract (MOMENT-OF-INGEST semantics): provided (a)
+    ``history_index`` is the index over exactly the documents
+    ingested so far, and (b) ids are MONOTONE with arrival (every
+    batch id > every history id — the same arrival-order contract the
+    other ingest paths state), the output equals
+    ``exact_substr_removal(history ∪ batch)`` restricted to the
+    batch's documents, row-for-row, AT THE MOMENT OF INGEST:
+    occurrence counts are ``history n + batch n`` by the fold monoid,
+    and the keep-first-occurrence keeper is the history keeper
+    whenever the window was ever seen before (history ids are
+    smaller), else the batch's first (doc, start).
+
+    This is deliberately NOT the retrospective whole-corpus rewrite:
+    a duplicate arriving in a LATER batch cannot reach back into
+    already-emitted documents — neither to remove a span that only
+    became duplicated later (its first occurrence is the keeper and
+    survives by construction), nor to PROTECT a position that the
+    end-of-time rewrite would have spared because a future repeat
+    turns one of its windows into a keeper. Already-shipped training
+    shards are immutable in production, so moment-of-ingest is the
+    semantics an ingest pipeline actually has; run the batch
+    :func:`exact_substr_removal` over the full corpus when the
+    retrospective answer is wanted.
+
+    Duplicate matching here is on the INDEPENDENT HASH PAIR
+    (``__h``, ``__h2``), not the verified string: history text is
+    not available to re-verify, which is the one semantic difference
+    from :func:`exact_substr_removal` (string-exact). A false
+    duplicate therefore needs a simultaneous collision in two
+    independent 64-bit hashes of the same window — ~2^-128 per pair,
+    i.e. zero at any corpus size that fits on hardware (a single
+    64-bit hash would see real birthday collisions past ~10^9
+    windows, which is why the index carries the pair).
+
+    Scale shape: one map-side-combined groupBy over the batch's
+    window pairs (count + first-occurrence witness), one join of
+    those pairs against the index (AQE broadcasts the batch side
+    when small; the index side is pre-reduced to one row per
+    distinct window), and the same bounded drop-position explode +
+    in-row rebuild as the batch rewrite — untouched batch documents
+    never enter an exchange. Zero Python UDFs."""
+    if L < 1:
+        raise ValueError(f"L must be >= 1, got {L}")
+    base = _tokenized(batch, id_col, text_col)
+    bwin = _hgrams(base, L, id_col, with_h2=True)
+    bstats = bwin.groupBy("__h", "__h2").agg(
+        F.count(F.lit(1)).alias("__bn"),
+        F.min(F.struct(F.col(id_col), F.col("__start"))).alias(
+            "__bkeep"
+        ),
+    )
+    hist = history_index.select(
+        "__h", "__h2", F.col("n").alias("__hn")
+    )
+    marked = (
+        bwin.join(bstats, ["__h", "__h2"])
+        .join(hist, ["__h", "__h2"], "left")
+        .select(
+            id_col,
+            "__start",
+            (F.col("__start") + (L - 1)).alias("__end"),
+            (
+                (F.col("__bn") + F.coalesce(F.col("__hn"), F.lit(0)))
+                >= min_count
+            ).alias("__dup"),
+            (
+                F.col("__hn").isNull()
+                & (
+                    F.struct(F.col(id_col), F.col("__start"))
+                    == F.col("__bkeep")
+                )
+            ).alias("__keeper"),
+        )
+        .where(F.col("__dup"))
+    )
+    keep_cov = (
+        marked.where(F.col("__keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__end"))
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    drop_pos = (
+        marked.where(~F.col("__keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__end"))
+            ).alias("__p"),
+        )
+        .distinct()
+        .join(keep_cov, [id_col, "__p"], "left_anti")
+    )
+    rewritten = _rebuild_from_drops(base, drop_pos, id_col)
+    # bstats is already one row per distinct (h, h2) pair — it IS the
+    # batch's delta index
+    delta = bstats.select(
+        "__h",
+        "__h2",
+        F.col("__bn").cast("long").alias("n"),
+        F.col("__bkeep")[id_col].alias("keep_id"),
+        F.col("__bkeep")["__start"].alias("keep_start"),
+    )
+    return rewritten, delta

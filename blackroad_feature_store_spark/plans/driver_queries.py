@@ -7786,7 +7786,7 @@ def stream_exec_exact_substr_index(
     maintained = maintained.localCheckpoint()
     # in-query certificate: the folded index IS the from-scratch index
     full = exact_substr_index(docs, L=30)
-    cols = ["__h", "n", "keep_id", "keep_start"]
+    cols = ["__h", "__h2", "n", "keep_id", "keep_start"]
     diverged = (
         maintained.select(cols)
         .exceptAll(full.select(cols))
@@ -7803,6 +7803,182 @@ def stream_exec_exact_substr_index(
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_end").cast("long").alias("span_end"),
         "span_tokens",
+    )
+
+
+def _sql_removal_scoped(corpus_where: str, out_where: str) -> str:
+    """`pipeline_exact_substr_removal`'s plain-string oracle, scoped:
+    duplication/keepers decided over ``corpus_where`` documents, rows
+    emitted for ``out_where`` documents — the building block for the
+    moment-of-ingest oracle (each batch's verdict is the one-shot
+    removal over exactly the documents ingested by then)."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE {corpus_where}),
+    sized AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+    grams AS (
+        SELECT doc_id, i AS start, i + 29 AS fin,
+               array_to_string(list_slice(t, i, i + 29), ' ') AS gram
+        FROM sized, UNNEST(range(1, nt - 28)) AS u(i)
+        WHERE nt >= 30),
+    marked AS (
+        SELECT doc_id, start, fin,
+               count(*) OVER (PARTITION BY gram) >= 2 AS dup,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, start) = 1 AS keeper
+        FROM grams),
+    keepcov AS (
+        SELECT DISTINCT doc_id, p
+        FROM marked, UNNEST(range(start, fin + 1)) AS v(p)
+        WHERE dup AND keeper),
+    dropp AS (
+        SELECT nk.doc_id, nk.p
+        FROM (SELECT DISTINCT doc_id, p
+              FROM marked, UNNEST(range(start, fin + 1)) AS v(p)
+              WHERE dup AND NOT keeper) nk
+        ANTI JOIN keepcov kc
+          ON nk.doc_id = kc.doc_id AND nk.p = kc.p),
+    tokrows AS (
+        SELECT doc_id, u.p, t[u.p] AS tok
+        FROM sized, UNNEST(range(1, nt + 1)) AS u(p)),
+    kept AS (
+        SELECT k.doc_id, k.p, k.tok FROM tokrows k
+        ANTI JOIN dropp d ON k.doc_id = d.doc_id AND k.p = d.p),
+    reb AS (
+        SELECT doc_id, count(*) AS kept_n,
+               string_agg(tok, ' ' ORDER BY p) AS text
+        FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, md5(COALESCE(r.text, '')) AS text_md5,
+           s.nt AS n_tokens,
+           CAST(s.nt - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed
+    FROM sized s LEFT JOIN reb r USING (doc_id)
+    WHERE {out_where}
+    """
+
+
+# the two-batch split point both engines share: lower-id half arrives
+# first (monotone-id arrival contract of the ingest rewrite)
+_SQL_DOC_MID = "(SELECT (max(doc_id) + 1) // 2 FROM documents)"
+
+
+@q(
+    "stream_exec_exact_substr_rewrite",
+    f"""
+    SELECT * FROM ({_sql_removal_scoped(f"doc_id < {_SQL_DOC_MID}", "1=1")})
+    UNION ALL
+    SELECT * FROM ({_sql_removal_scoped("1=1", f"s.doc_id >= {_SQL_DOC_MID}")})
+    """,
+)
+def stream_exec_exact_substr_rewrite(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """ExactSubstr removal AT INGEST (`operators/exactsubstr.py::
+    exact_substr_batch_rewrite` — the removal tier of the
+    maintain-at-ingest story): documents arrive in REAL micro-batches
+    in id order (lower-id half first — the monotone-arrival
+    contract); each batch is rewritten against ALL history using only
+    the maintained (hash-pair → count, keeper) index — history text
+    is never re-read — and its delta index folds into the store for
+    the next batch. Moment-of-ingest semantics: each batch's output
+    equals the one-shot `exact_substr_removal` over exactly the
+    documents ingested by then (a later duplicate can neither remove
+    nor protect already-emitted text), which is what the oracle
+    replays — batch 1 scoped to the first half, batch 2 over the
+    full corpus restricted to the second half, both in plain string
+    semantics with no hash index and no batching machinery. An
+    in-query certificate additionally proves the final folded index
+    equals a from-scratch rebuild."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_batch_rewrite,
+        exact_substr_index,
+        fold_exact_substr_index,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    mid = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) // 2
+    base = tempfile.mkdtemp(prefix="stream_xsrw_")
+    src = f"{base}/src"
+    # id order = arrival order: modification-time ordering of the two
+    # files gives the lower-id half to batch 0
+    docs.where(F.col("doc_id") < mid).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") >= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    idx_store = f"{base}/idx"
+    out_store = f"{base}/out"
+
+    def _rewrite_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import glob as _g
+
+        sp = batch_df.sparkSession
+        hist = None
+        for p in sorted(_g.glob(f"{idx_store}/batch_id=*")):
+            part = sp.read.parquet(p)
+            hist = (
+                part if hist is None
+                else fold_exact_substr_index(hist, part)
+            )
+        if hist is None:
+            hist = exact_substr_index(
+                sp.createDataFrame([], "doc_id long, text string"),
+                L=30,
+            )
+        rewritten, delta = exact_substr_batch_rewrite(
+            batch_df, hist, L=30
+        )
+        # deterministic per-batch partitions: a crashed-batch replay
+        # overwrites its own output and delta, never double-counts
+        rewritten.write.mode("overwrite").parquet(
+            f"{out_store}/batch_id={int(batch_id)}"
+        )
+        delta.write.mode("overwrite").parquet(
+            f"{idx_store}/batch_id={int(batch_id)}"
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(_rewrite_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    import glob as _glob
+
+    parts = sorted(_glob.glob(f"{idx_store}/batch_id=*"))
+    assert len(parts) >= 2, "expected >= 2 real micro-batches"
+    maintained = spark.read.parquet(parts[0])
+    for p in parts[1:]:
+        maintained = fold_exact_substr_index(
+            maintained, spark.read.parquet(p)
+        )
+    full = exact_substr_index(docs, L=30)
+    cols = ["__h", "__h2", "n", "keep_id", "keep_start"]
+    diverged = (
+        maintained.select(cols)
+        .exceptAll(full.select(cols))
+        .unionByName(full.select(cols).exceptAll(maintained.select(cols)))
+        .count()
+    )
+    if diverged:
+        raise AssertionError(
+            f"maintained ExactSubstr index diverges from the "
+            f"from-scratch rebuild on {diverged} row(s)"
+        )
+    return spark.read.parquet(out_store).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_tokens",
+        "n_removed",
     )
 
 
@@ -9782,6 +9958,7 @@ _GATE_PRIORITY: list[str] = [
     "core_oracle_canary",
     # -- r13 new capability --
     "stream_exec_exact_substr_index",   # incremental ExactSubstr e2e
+    "stream_exec_exact_substr_rewrite",  # removal at ingest e2e
     # -- r13 changed execution paths (every query whose code moved
     # this round re-certifies) --
     "dedup_exact_substr",               # _hgrams refactor
@@ -9837,7 +10014,10 @@ _GATE_PRIORITY: list[str] = [
     "text_bigram_logprob",
     "core_approx_distinct",             # r10 from here
     "core_asof_forward_label",
-    "core_bucketed_join",
+    # (core_bucketed_join, the newest ballast candidate, was displaced
+    # by the late-round stream_exec_exact_substr_rewrite addition —
+    # the same one-for-one swap r12 documented for tpch_q16; it waits
+    # for r14)
 ]
 
 

@@ -222,7 +222,7 @@ def test_null_and_empty_text_report_zero_tokens(spark):
 
 def _index_rows(df):
     return sorted(
-        (r["__h"], r["n"], r["keep_id"], r["keep_start"])
+        (r["__h"], r["__h2"], r["n"], r["keep_id"], r["keep_start"])
         for r in df.collect()
     )
 
@@ -299,3 +299,67 @@ def test_index_keeper_witness_is_global_first_occurrence(spark):
     row = [r for r in folded.collect() if r["n"] == 3]
     assert len(row) == 1  # "x y z" occurs in all three docs
     assert (row[0]["keep_id"], row[0]["keep_start"]) == (1, 1)
+
+
+def test_batch_rewrite_equals_removal_at_moment_of_ingest(spark):
+    """exact_substr_batch_rewrite's contract: each batch's output ==
+    exact_substr_removal(history ∪ batch) restricted to the batch's
+    documents AT THAT MOMENT (monotone ids). Deliberately NOT the
+    retrospective whole-corpus rewrite — a later duplicate can
+    neither reach back to remove nor to protect already-emitted text
+    (the docstring's stated difference; random collision-prone
+    corpora exercise both directions)."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_batch_rewrite,
+        exact_substr_index,
+        fold_exact_substr_index,
+    )
+
+    for seed in range(4):
+        docs = _random_corpus(seed, n_docs=9)
+        # monotone arrival: batches are contiguous id ranges
+        batches = [docs[0:3], docs[3:6], docs[6:9]]
+        # empty-history bootstrap: index over an empty frame
+        index = exact_substr_index(_docs_df(spark, []), L=3)
+        seen: list = []
+        for b in batches:
+            bdf = _docs_df(spark, b)
+            rewritten, delta = exact_substr_batch_rewrite(
+                bdf, index, L=3
+            )
+            got = {
+                r[0]: (r["text"], r["n_tokens"], r["n_removed"])
+                for r in rewritten.collect()
+            }
+            seen = seen + b
+            moment = _brute_removal(seen, 3)
+            want = {i: moment[i] for i, _ in b}
+            assert got == want, f"seed={seed} batch={[i for i,_ in b]}"
+            index = fold_exact_substr_index(index, delta)
+        # the folded index after all batches == the one-shot index
+        assert _index_rows(index) == _index_rows(
+            exact_substr_index(_docs_df(spark, docs), L=3)
+        ), f"seed={seed}"
+
+
+def test_batch_rewrite_drops_history_duplicates_keeps_new(spark):
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_batch_rewrite,
+        exact_substr_index,
+    )
+
+    hist = _docs_df(spark, [(1, "x y z w q")])
+    index = exact_substr_index(hist, L=3)
+    batch = _docs_df(
+        spark,
+        [
+            (10, "x y z w q"),        # verbatim history copy -> emptied
+            (11, "a b c d e"),        # new content -> untouched
+            (12, "a b c d e"),        # in-batch dup of 11 -> emptied
+        ],
+    )
+    rewritten, _ = exact_substr_batch_rewrite(batch, index, L=3)
+    got = {r[0]: (r["text"], r["n_removed"]) for r in rewritten.collect()}
+    assert got[10] == ("", 5)       # history holds the keeper
+    assert got[11] == ("a b c d e", 0)  # first in-batch occurrence kept
+    assert got[12] == ("", 5)

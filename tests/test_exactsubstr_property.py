@@ -195,11 +195,11 @@ if _HAVE_HYPOTHESIS:
                 else fold_exact_substr_index(folded, pidx)
             )
         one_shot = {
-            (r["__h"], r["n"], r["keep_id"], r["keep_start"])
+            (r["__h"], r["__h2"], r["n"], r["keep_id"], r["keep_start"])
             for r in exact_substr_index(df, L=L).collect()
         }
         got_idx = {
-            (r["__h"], r["n"], r["keep_id"], r["keep_start"])
+            (r["__h"], r["__h2"], r["n"], r["keep_id"], r["keep_start"])
             for r in folded.collect()
         }
         assert got_idx == one_shot, f"fold != recompute: docs={docs!r}"

@@ -190,11 +190,11 @@ def main() -> int:
                 else fold_exact_substr_index(folded, pidx)
             )
         one = sorted(
-            (r["__h"], r["n"], r["keep_id"], r["keep_start"])
+            (r["__h"], r["__h2"], r["n"], r["keep_id"], r["keep_start"])
             for r in exact_substr_index(df, L=L).collect()
         )
         got_idx = sorted(
-            (r["__h"], r["n"], r["keep_id"], r["keep_start"])
+            (r["__h"], r["__h2"], r["n"], r["keep_id"], r["keep_start"])
             for r in folded.collect()
         )
         if got_idx != one:
