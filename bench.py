@@ -219,6 +219,22 @@ HEADLINE = [
 ]
 
 
+def calibration_is_unstable(
+    calibration: dict, calibration_end: dict
+) -> bool:
+    """True when EITHER fixed-work probe's end/start drift leaves
+    [0.8, 1.25] (ADVICE r13 low: a contention burst confined to the
+    streaming probe window skews every stream-query vs_pin ratio
+    without moving spark_fixed — so stream_fixed drift gates too).
+    Probes missing or zero on either side contribute no drift."""
+    drifts = [
+        calibration_end[k] / calibration[k]
+        for k in ("spark_fixed", "stream_fixed")
+        if calibration.get(k, 0) > 0 and calibration_end.get(k, 0) > 0
+    ]
+    return any(not (0.8 <= d <= 1.25) for d in drifts)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -400,12 +416,9 @@ def main() -> None:
         "stream_fixed": round(_stream_probe(), 3),
     }
     shutil.rmtree(_probe_dir, ignore_errors=True)
-    _drift = (
-        calibration_end["spark_fixed"] / calibration["spark_fixed"]
-        if calibration["spark_fixed"] > 0
-        else 1.0
+    calibration_unstable = calibration_is_unstable(
+        calibration, calibration_end
     )
-    calibration_unstable = not (0.8 <= _drift <= 1.25)
 
     total = round(sum(timings.values()), 3)
     # Dispersion summary (VERDICT r11 missing #1): per-query spread =

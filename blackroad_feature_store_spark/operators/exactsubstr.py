@@ -138,9 +138,15 @@ def _hgrams(
     every stride-1 L-token window — only hashes leave the row, ~16
     (~24 with ``with_h2``) bytes per position regardless of L.
 
-    ``__h2`` is a SECOND independent 64-bit hash of the same window
-    (xxhash64 chained with a constant discriminator column, i.e. a
-    different initial state): paths that cannot re-verify the window
+    ``__h2`` is a SECOND independent 64-bit hash of the same window:
+    ``xxhash64(lit(1), window)`` — the constant discriminator comes
+    FIRST, because Spark's multi-arg xxhash64 folds children left to
+    right using the running hash as the next seed, so a leading
+    ``lit(1)`` re-seeds the window hash (effective seed
+    ``hashLong(1, 42)`` != the default 42) while a TRAILING
+    discriminator would make ``__h2`` a pure function of ``__h``
+    (index format changed in r14 accordingly; no persisted indexes
+    predate the change). Paths that cannot re-verify the window
     STRING — the cross-batch test in :func:`exact_substr_batch_rewrite`,
     where history text is not re-read — match on the (h, h2) pair, so
     a false duplicate needs a simultaneous collision in both hashes
@@ -163,7 +169,14 @@ def _hgrams(
                 F.sequence(F.lit(1), F.col("__nt") - (L - 1)),
                 lambda i: F.struct(
                     F.xxhash64(_window_expr(i, L)).alias("__h"),
-                    F.xxhash64(_window_expr(i, L), F.lit(1)).alias(
+                    # Discriminator FIRST: Spark's multi-arg xxhash64
+                    # chains children with the running hash as seed, so
+                    # xxhash64(window, lit(1)) == hashLong(1, seed=__h)
+                    # — a pure function of __h whose collisions track
+                    # __h's exactly. xxhash64(lit(1), window) hashes the
+                    # window under a DIFFERENT effective seed
+                    # (hashLong(1, 42)), giving an independent hash.
+                    F.xxhash64(F.lit(1), _window_expr(i, L)).alias(
                         "__h2"
                     ),
                 ),

@@ -7892,9 +7892,11 @@ def stream_exec_exact_substr_rewrite(
     in-query certificate additionally proves the final folded index
     equals a from-scratch rebuild."""
     from blackroad_feature_store_spark.operators.exactsubstr import (
-        exact_substr_batch_rewrite,
         exact_substr_index,
         fold_exact_substr_index,
+    )
+    from blackroad_feature_store_spark.streaming.ingest import (
+        exact_substr_ingest_batch,
     )
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
@@ -7902,11 +7904,22 @@ def stream_exec_exact_substr_rewrite(
     base = tempfile.mkdtemp(prefix="stream_xsrw_")
     src = f"{base}/src"
     # id order = arrival order: modification-time ordering of the two
-    # files gives the lower-id half to batch 0
+    # files gives the lower-id half to batch 0. FileStreamSource
+    # breaks mtime TIES arbitrarily, so force the second half's files
+    # strictly later (ADVICE r13 low) — and the in-batch monotone
+    # assert below fails loudly if order still flips.
+    import os as _os
+
     docs.where(F.col("doc_id") < mid).coalesce(1).write.parquet(src)
+    first_files = set(_os.listdir(src))
     docs.where(F.col("doc_id") >= mid).coalesce(1).write.mode(
         "append"
     ).parquet(src)
+    bump = max(
+        _os.path.getmtime(_os.path.join(src, f)) for f in first_files
+    ) + 2.0
+    for f in set(_os.listdir(src)) - first_files:
+        _os.utime(_os.path.join(src, f), (bump, bump))
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -7915,36 +7928,19 @@ def stream_exec_exact_substr_rewrite(
     idx_store = f"{base}/idx"
     out_store = f"{base}/out"
 
-    def _rewrite_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import glob as _g
-
-        sp = batch_df.sparkSession
-        hist = None
-        for p in sorted(_g.glob(f"{idx_store}/batch_id=*")):
-            part = sp.read.parquet(p)
-            hist = (
-                part if hist is None
-                else fold_exact_substr_index(hist, part)
-            )
-        if hist is None:
-            hist = exact_substr_index(
-                sp.createDataFrame([], "doc_id long, text string"),
-                L=30,
-            )
-        rewritten, delta = exact_substr_batch_rewrite(
-            batch_df, hist, L=30
-        )
-        # deterministic per-batch partitions: a crashed-batch replay
-        # overwrites its own output and delta, never double-counts
-        rewritten.write.mode("overwrite").parquet(
-            f"{out_store}/batch_id={int(batch_id)}"
-        )
-        delta.write.mode("overwrite").parquet(
-            f"{idx_store}/batch_id={int(batch_id)}"
-        )
-
+    # replay-safe + monotone-arrival-checked foreachBatch step
+    # (streaming/ingest.py::exact_substr_ingest_batch): history folds
+    # ONLY partials with batch id < this batch (a crash-after-write
+    # replay must not see its own delta as history — counts would
+    # double and batch-unique windows would drop with no keeper), and
+    # a batch whose min id <= max history keeper id raises instead of
+    # silently certifying a diverged rewrite.
     q_ = (
-        stream.writeStream.foreachBatch(_rewrite_batch)
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: exact_substr_ingest_batch(
+                batch_df, batch_id, idx_store, out_store, L=30
+            )
+        )
         .option("checkpointLocation", f"{base}/ckpt")
         .outputMode("append")
         .trigger(availableNow=True)

@@ -229,3 +229,115 @@ def materialize_windowed_features(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_exact_substr_partials(
+    spark,
+    idx_store: str,
+    before_batch_id: int | None = None,
+    L: int = 30,
+) -> DataFrame | None:
+    """Fold persisted per-batch ExactSubstr index partials (laid out
+    as ``idx_store/batch_id=N``, one directory per committed
+    micro-batch) into a single history index via
+    :func:`~blackroad_feature_store_spark.operators.exactsubstr.fold_exact_substr_index`.
+
+    ``before_batch_id`` bounds history to partials with parsed batch
+    id STRICTLY BELOW it — the replay-safety contract (ADVICE r13
+    medium): a crash between "partial written" and "checkpoint
+    committed" replays batch N with N's own delta already on disk;
+    folding it as history would double every window count of the
+    batch, so even batch-unique windows read as duplicated and are
+    dropped with NO keeper protection. Batch ids are monotone, so
+    ``id < batch_id`` is exactly "everything ingested before me".
+    Returns ``None`` when no partial qualifies (first batch)."""
+    import glob as _g
+    import os as _os
+
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        fold_exact_substr_index,
+    )
+
+    hist: DataFrame | None = None
+    for p in sorted(
+        _g.glob(_os.path.join(idx_store, "batch_id=*")),
+        key=lambda s: int(s.rsplit("=", 1)[1]),
+    ):
+        pid = int(p.rsplit("=", 1)[1])
+        if before_batch_id is not None and pid >= before_batch_id:
+            continue
+        part = spark.read.parquet(p)
+        hist = part if hist is None else fold_exact_substr_index(hist, part)
+    return hist
+
+
+def exact_substr_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    idx_store: str,
+    out_store: str,
+    L: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> None:
+    """One ``foreachBatch`` step of ExactSubstr removal AT INGEST:
+    rewrite the arriving batch against all history using only the
+    maintained (hash-pair → count, keeper) index — history text is
+    never re-read — then land the rewritten docs and the batch's
+    delta index under deterministic per-batch partitions
+    (``.../batch_id=N``), so a crashed-batch replay overwrites its
+    own output instead of double-counting.
+
+    Two in-batch contracts fail loudly (both ADVICE r13):
+
+    * History folds ONLY partials with batch id < ``batch_id``
+      (:func:`fold_exact_substr_partials`) — a replayed batch never
+      sees its own delta as history.
+    * Monotone-id arrival: every id in the batch must exceed every
+      history keeper id (the moment-of-ingest exactness precondition
+      of ``exact_substr_batch_rewrite``). A source that delivers
+      batches out of id order (e.g. FileStreamSource breaking mtime
+      ties arbitrarily) raises here instead of silently certifying a
+      diverged rewrite.
+    """
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_batch_rewrite,
+        exact_substr_index,
+    )
+
+    sp = batch_df.sparkSession
+    hist = fold_exact_substr_partials(
+        sp, idx_store, before_batch_id=int(batch_id), L=L
+    )
+    if hist is None:
+        hist = exact_substr_index(
+            sp.createDataFrame([], f"{id_col} long, {text_col} string"),
+            L=L,
+            id_col=id_col,
+            text_col=text_col,
+        )
+    else:
+        hi = hist.agg(F.max("keep_id")).first()[0]
+        lo = batch_df.agg(F.min(id_col)).first()[0]
+        if hi is not None and lo is not None and lo <= hi:
+            raise AssertionError(
+                f"monotone-id arrival violated in batch {batch_id}: "
+                f"batch min {id_col}={lo} <= max history keeper id "
+                f"{hi} — the source delivered batches out of id "
+                f"order, so moment-of-ingest semantics do not hold"
+            )
+    rewritten, delta = exact_substr_batch_rewrite(
+        batch_df,
+        hist,
+        L=L,
+        id_col=id_col,
+        text_col=text_col,
+        min_count=min_count,
+    )
+    rewritten.write.mode("overwrite").parquet(
+        f"{out_store}/batch_id={int(batch_id)}"
+    )
+    delta.write.mode("overwrite").parquet(
+        f"{idx_store}/batch_id={int(batch_id)}"
+    )

@@ -57,3 +57,36 @@ def test_query_matches_oracle(spark, duck, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     problems = compare(name, df, duck, entrymod.oracle_sql()[name])
     assert not problems, problems
+
+
+def test_bench_calibration_unstable_gates_on_both_probes():
+    """ADVICE r13 (low) pin: stream_fixed drift alone must flag the
+    run — a contention burst confined to the streaming probe window
+    skews every stream-query vs_pin ratio without moving spark_fixed."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    stable = {"spark_fixed": 1.5, "stream_fixed": 3.0}
+    assert not bench.calibration_is_unstable(
+        stable, {"spark_fixed": 1.6, "stream_fixed": 3.1}
+    )
+    # spark drift alone
+    assert bench.calibration_is_unstable(
+        stable, {"spark_fixed": 3.0, "stream_fixed": 3.0}
+    )
+    # stream drift alone — the case the r13 flag missed
+    assert bench.calibration_is_unstable(
+        stable, {"spark_fixed": 1.5, "stream_fixed": 6.0}
+    )
+    assert bench.calibration_is_unstable(
+        stable, {"spark_fixed": 1.5, "stream_fixed": 2.0}
+    )
+    # missing/zero probes contribute nothing
+    assert not bench.calibration_is_unstable(
+        {"spark_fixed": 1.5}, {"spark_fixed": 1.5}
+    )

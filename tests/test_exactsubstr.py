@@ -227,6 +227,54 @@ def _index_rows(df):
     )
 
 
+def test_index_h2_is_reseeded_not_chained(spark):
+    """ADVICE r13 (high) pin: ``__h2`` must be
+    ``xxhash64(lit(1), window)`` — discriminator FIRST. Spark's
+    multi-arg xxhash64 folds children using the running hash as the
+    next seed, so the old ``xxhash64(window, lit(1))`` was
+    ``hashLong(1, seed=__h)``, a pure function of ``__h``: any 64-bit
+    collision on ``__h`` collided on ``__h2`` too, and the (h, h2)
+    pair gave only 2^-64 protection on the string-blind
+    batch-rewrite path. Discriminator-first re-seeds the window hash
+    (effective seed hashLong(1, 42)), making the pair independent."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_index,
+    )
+
+    docs = [(1, "a b c d e"), (2, "c d e f g")]
+    idx = {
+        (r["__h"], r["__h2"])
+        for r in exact_substr_index(_docs_df(spark, docs), L=3).collect()
+    }
+    windows = ["a b c", "b c d", "c d e", "d e f", "e f g"]
+    expect = {
+        (r["h"], r["h2"])
+        for r in spark.createDataFrame(
+            [(w,) for w in windows], "w string"
+        )
+        .select(
+            F.xxhash64("w").alias("h"),
+            F.xxhash64(F.lit(1), F.col("w")).alias("h2"),
+        )
+        .collect()
+    }
+    chained = {
+        (r["h"], r["h2"])
+        for r in spark.createDataFrame(
+            [(w,) for w in windows], "w string"
+        )
+        .select(
+            F.xxhash64("w").alias("h"),
+            F.xxhash64(F.col("w"), F.lit(1)).alias("h2"),
+        )
+        .collect()
+    }
+    assert idx == expect
+    # the regression being pinned away: the chained (h-seeded) form
+    # produces different h2 values, so this pin fails on a revert
+    assert idx != chained
+
+
 def test_index_fold_equals_recompute(spark):
     """VERDICT r12 ask #5 pin: per-batch indexes folded in ANY order
     equal exact_substr_index over the union corpus bit-for-bit (each

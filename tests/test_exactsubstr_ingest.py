@@ -1,0 +1,167 @@
+"""Pins for streaming/ingest.py::exact_substr_ingest_batch — the
+replay-safety and monotone-arrival contracts of ExactSubstr removal at
+ingest (ADVICE r13 medium + low).
+
+The crash model: foreachBatch writes the batch's output + delta-index
+partial, then the process dies BEFORE the streaming checkpoint
+commits. The source replays the same batch; the replayed run finds the
+batch's own partial already on disk. History must exclude it — folding
+it would double every window count of the batch, so even batch-unique
+windows read as duplicated and drop with no keeper protection."""
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from blackroad_feature_store_spark.operators.exactsubstr import (
+    exact_substr_removal,
+)
+from blackroad_feature_store_spark.streaming.ingest import (
+    exact_substr_ingest_batch,
+    fold_exact_substr_partials,
+)
+
+L = 3
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+
+# batch 0: doc 1 has an internal repeat (a b c twice -> duplicated at
+# ingest of batch 0); doc 2 is unique text.
+BATCH0 = [
+    (1, "a b c x a b c"),
+    (2, "p q r s t"),
+]
+# batch 1: doc 3 repeats batch-0 text (cross-batch duplicate of
+# "p q r s t"), doc 4 is batch-unique — the replay bug's victim: with
+# doubled history counts it would be marked duplicated and dropped
+# with no keeper.
+BATCH1 = [
+    (3, "p q r s t"),
+    (4, "u v w x y z"),
+]
+
+
+def _out_rows(spark, out_store):
+    return {
+        (r.doc_id, r.text, r.n_tokens, r.n_removed)
+        for r in spark.read.parquet(out_store).collect()
+    }
+
+
+def _run(spark, batches, base, replay=()):
+    """Drive exact_substr_ingest_batch over batches; for ids in
+    ``replay``, run the batch twice (crash-after-write model: the
+    partial and output from the first attempt are on disk when the
+    second attempt runs)."""
+    idx, out = f"{base}/idx", f"{base}/out"
+    for bid, docs in enumerate(batches):
+        exact_substr_ingest_batch(_df(spark, docs), bid, idx, out, L=L)
+        if bid in replay:
+            exact_substr_ingest_batch(
+                _df(spark, docs), bid, idx, out, L=L
+            )
+    return idx, out
+
+
+@pytest.fixture()
+def base():
+    d = tempfile.mkdtemp(prefix="xs_ingest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_clean_run_matches_moment_of_ingest_semantics(spark, base):
+    """Baseline: batch 0's output is the one-shot removal over batch 0;
+    batch 1's output is the one-shot removal over batch0 ∪ batch1
+    restricted to batch 1's docs (moment-of-ingest contract)."""
+    _, out = _run(spark, [BATCH0, BATCH1], base)
+    got = _out_rows(spark, out)
+
+    want0 = {
+        (r.doc_id, r.text, r.n_tokens, r.n_removed)
+        for r in exact_substr_removal(_df(spark, BATCH0), L=L).collect()
+    }
+    want1 = {
+        (r.doc_id, r.text, r.n_tokens, r.n_removed)
+        for r in exact_substr_removal(
+            _df(spark, BATCH0 + BATCH1), L=L
+        ).collect()
+        if r.doc_id in {3, 4}
+    }
+    assert got == want0 | want1
+    # the cross-batch duplicate was removed, the unique doc untouched
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][3] == 5  # doc 3 fully deduplicated against doc 2
+    assert by_id[4][3] == 0  # doc 4 untouched
+
+
+@pytest.mark.parametrize("replay_bid", [0, 1])
+def test_replay_after_crash_is_idempotent(spark, base, replay_bid):
+    """ADVICE r13 (medium) pin: replaying a batch whose partial is
+    already on disk produces bit-identical output — history folds only
+    partials with id < batch_id, so the replay never sees its own
+    delta. Before the fix, the replayed batch saw doubled counts:
+    every window (even batch-unique ones) read as duplicated with a
+    non-null history count, so NO keeper survived and whole documents
+    were emptied."""
+    clean_base = tempfile.mkdtemp(prefix="xs_ingest_clean_")
+    try:
+        _, clean_out = _run(spark, [BATCH0, BATCH1], clean_base)
+        want = _out_rows(spark, clean_out)
+        idx, out = _run(
+            spark, [BATCH0, BATCH1], base, replay={replay_bid}
+        )
+        assert _out_rows(spark, out) == want
+        # delta partials are overwrite-idempotent too: the folded
+        # index after replay equals the clean run's fold
+        clean_idx = f"{clean_base}/idx"
+        a = fold_exact_substr_partials(spark, idx, L=L)
+        b = fold_exact_substr_partials(spark, clean_idx, L=L)
+        cols = ["__h", "__h2", "n", "keep_id", "keep_start"]
+        assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+            map(tuple, b.select(cols).collect())
+        )
+    finally:
+        shutil.rmtree(clean_base, ignore_errors=True)
+
+
+def test_out_of_order_batches_raise(spark, base):
+    """ADVICE r13 (low) pin: a source that delivers batches out of id
+    order (mtime tie broken the wrong way) violates the monotone-id
+    arrival precondition and must fail loudly, not silently certify a
+    diverged rewrite."""
+    exact_substr_ingest_batch(
+        _df(spark, BATCH1), 0, f"{base}/idx", f"{base}/out", L=L
+    )
+    with pytest.raises(AssertionError, match="monotone-id arrival"):
+        exact_substr_ingest_batch(
+            _df(spark, BATCH0), 1, f"{base}/idx", f"{base}/out", L=L
+        )
+
+
+def test_history_fold_excludes_current_and_later_batches(spark, base):
+    """fold_exact_substr_partials(before_batch_id=N) folds exactly the
+    partials with id < N — including numerically (not lexically)
+    parsed ids past 9."""
+    idx = f"{base}/idx"
+    for bid, docs in enumerate([BATCH0, BATCH1]):
+        exact_substr_ingest_batch(
+            _df(spark, docs), bid, idx, f"{base}/out", L=L
+        )
+    # drop a later partial under id=10 to exercise numeric ordering
+    spark.read.parquet(f"{idx}/batch_id=1").write.parquet(
+        f"{idx}/batch_id=10"
+    )
+    assert fold_exact_substr_partials(spark, idx, before_batch_id=0) is None
+    h1 = fold_exact_substr_partials(spark, idx, before_batch_id=1)
+    assert {r["keep_id"] for r in h1.select("keep_id").collect()} <= {1, 2}
+    h2 = fold_exact_substr_partials(spark, idx, before_batch_id=2)
+    n_h2 = h2.agg(F.sum("n")).first()[0]
+    full = fold_exact_substr_partials(spark, idx)  # no bound: all 3
+    assert full.agg(F.sum("n")).first()[0] > n_h2
