@@ -52,6 +52,7 @@ def bpe_train(
     min_freq: int = 2,
     text_col: str = "text",
     max_words: int = 1_000_000,
+    max_driver_bytes: int = 256 * 2**20,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -66,15 +67,34 @@ def bpe_train(
     cut runs distributed (sort + limit → Spark TakeOrdered, never a
     full-dictionary collect) and matches practice: merges are decided
     by mass, which tail types don't have.
-    """
-    counts = {
-        r["word"]: r["freq"]
-        for r in word_counts(df, text_col)
+
+    ``max_driver_bytes`` bounds the dictionary's STRING mass, not just
+    its row count (VERDICT r13 ask #8, mirroring the eval-set loaders'
+    raise-past-bound contract): ``max_words`` caps rows, but the merge
+    loop is O(rows x avg word length) per merge, so a corpus of
+    pathological "words" (minified JS, base64 blobs surviving the
+    alpha filter as long runs) could still swamp the driver. The check
+    is a scalar aggregate over the SAME capped selection the collect
+    reads — it raises before a single dictionary row ships."""
+    capped = (
+        word_counts(df, text_col)
         .where(F.col("freq") >= min_freq)
         .orderBy(F.col("freq").desc(), F.col("word").asc())
         .limit(max_words)
-        .collect()
-    }
+    )
+    dict_bytes = capped.agg(
+        F.coalesce(F.sum(F.length("word")), F.lit(0))
+    ).first()[0]
+    if dict_bytes > max_driver_bytes:
+        raise ValueError(
+            f"bpe_train: the capped word dictionary holds "
+            f"{dict_bytes} bytes of word text "
+            f"(> max_driver_bytes={max_driver_bytes}) — that is not a "
+            "natural-language dictionary; clean the corpus (e.g. "
+            "operators/corpus.py quality filters) or raise the bound "
+            "explicitly"
+        )
+    counts = {r["word"]: r["freq"] for r in capped.collect()}
     # symbol sequences per word, classic BPE
     seqs: dict[str, tuple[str, ...]] = {
         w: tuple(w) + (END,) for w in counts
