@@ -216,6 +216,8 @@ HEADLINE = [
     # -- r13 additions --
     "stream_exec_exact_substr_index",
     "stream_exec_exact_substr_rewrite",
+    # -- r14 additions --
+    "link_blocked_pairs_capped",
 ]
 
 

@@ -3873,6 +3873,28 @@ _SQL_LINK_MATCHES_SORTED = _SQL_LINK_MATCHES.replace(
 assert _SQL_LINK_MATCHES_SORTED != _SQL_LINK_MATCHES
 
 
+# The same match pipeline under the PRODUCTION-DEFAULT skew cap
+# (VERDICT r13 ask #3): blocks truncate to the max_block smallest
+# rec_ids before pairing — a deterministic rank-cap the oracle replays
+# with the identical window, so the hash certifies the cap semantics,
+# not just the uncapped fixture shape. max_block=4 sits below the
+# fixture's hottest block at every SF (7-8 records at sf0.001/0.01),
+# so the cap provably bites: shifted-id dirty variants rank past the
+# cap in hot blocks and the match set visibly shrinks.
+_SQL_LINK_MATCHES_CAPPED = _SQL_LINK_MATCHES.replace(
+    "    cand AS (",
+    """    capped AS (
+        SELECT rec_id, name, bkey FROM (
+            SELECT rec_id, name, bkey,
+                   row_number() OVER (PARTITION BY bkey
+                                      ORDER BY rec_id) AS rn
+            FROM keys)
+        WHERE rn <= 4),
+    cand AS (""",
+).replace("FROM keys a JOIN keys b", "FROM capped a JOIN capped b")
+assert "capped a" in _SQL_LINK_MATCHES_CAPPED
+
+
 def _link_records_frame(spark: SparkSession, sf: str) -> DataFrame:
     """Spark twin of the oracle's ``recs`` CTE (original + one-char-
     dropped variant per document, variant ids shifted past
@@ -3942,6 +3964,31 @@ def link_blocked_pairs_sorted(spark: SparkSession, sf: str) -> DataFrame:
         sorted_tokens=True,
         threshold=0.9,
     )
+
+
+@q(
+    "link_blocked_pairs_capped",
+    _SQL_LINK_MATCHES_CAPPED + "SELECT id_a, id_b, sim FROM matches",
+)
+def link_blocked_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-linkage match pairs with the PRODUCTION-DEFAULT skew cap
+    exercised (`linkage.candidate_pairs(max_block=...)`, VERDICT r13
+    ask #3): each block deterministically truncates to its max_block
+    smallest rec_ids before pairing, turning the uncapped Σblock²
+    candidate curve (the one flagged 37x@100x in `link_blocked_pairs`,
+    where the cap is opted out for oracle fidelity) into a hard
+    O(max_block²)-per-block ceiling — the shape a 100 TB corpus with a
+    degenerate hot block ("The ..." names) actually needs. max_block=4
+    sits below this fixture's hottest block at every SF, so the cap
+    bites and the oracle — which replays the identical
+    rank-by-rec_id-within-block window — certifies the truncation
+    semantics end-to-end, not just the happy path."""
+    from blackroad_feature_store_spark.operators.linkage import (
+        link_records,
+    )
+
+    recs = _link_records_frame(spark, sf)
+    return link_records(recs, key_len=12, max_block=4, threshold=0.9)
 
 
 @q(

@@ -131,3 +131,23 @@ def test_sorted_token_key_blocks_transpositions(spark):
         r.bkey[:2] for r in keys.select("bkey").distinct().collect()
     }
     assert fams == {"h:", "t:", "s:"}
+
+
+def test_capped_catalog_twin_bites_and_is_subset(spark):
+    """VERDICT r13 ask #3 pin: `link_blocked_pairs_capped` (the
+    production-default skew-cap shape) must actually truncate on the
+    shared fixture — strictly fewer matches than the uncapped twin —
+    and every surviving match must be one the uncapped pipeline also
+    finds (the cap only DROPS candidates, never invents them)."""
+    import blackroad_feature_store_spark.plans.driver_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dq.link_blocked_pairs(spark, sf).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dq.link_blocked_pairs_capped(spark, sf).collect()
+    }
+    assert capped < uncapped  # strict subset: the cap bites
