@@ -4571,9 +4571,9 @@ def stream_exec_ivf_maintained(spark: SparkSession, sf: str) -> DataFrame:
        (`kmeans_reassign_incremental`: vectors whose old cluster is
        unchanged score against |changed|+1 centroids, not k — exact
        by the dominance argument in its docstring),
-    3. an in-query certificate asserts the maintained lists equal a
-       from-scratch assignment at the updated centroids (raises on
-       any divergence), and
+    3. maintained-lists == from-scratch-assignment is pytest-pinned
+       (`test_clustering.py`; the per-run certificate was trimmed in
+       r14, VERDICT ask #5), and
     4. a top-k IVF search (nprobe=2) answers FROM the maintained
        lists, hash-certified against the oracle's full recompute.
 
@@ -4679,20 +4679,15 @@ def stream_exec_ivf_maintained(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(kmeans_assign(q_delta, cents_new))
         .localCheckpoint()
     )
-    # in-query certificate: the maintained lists ARE a from-scratch
-    # assignment at the updated centroids
-    full = kmeans_assign(q_old.unionByName(q_delta), cents_new)
-    diverged = (
-        lists.withColumnRenamed("cid", "cid_inc")
-        .join(full, "id")
-        .where(F.col("cid_inc") != F.col("cid"))
-        .count()
-    )
-    if diverged:
-        raise AssertionError(
-            f"maintained IVF lists diverge from the full rebuild on "
-            f"{diverged} vector(s)"
-        )
+    # maintained-lists == full-rebuild-at-updated-centroids is
+    # pytest-pinned (test_clustering.py::
+    # test_incremental_reassign_equals_full_and_fold_is_local and
+    # test_reassign_routes_unwitnessed_vectors_through_full_rescore),
+    # so the query no longer re-proves it per run with a full
+    # kmeans_assign + join (VERDICT r13 ask #5 — this certificate
+    # earned its keep catching the two 100x bugs its docstring
+    # records, both now pinned); the oracle's full recompute below
+    # still certifies the search RESULTS from the maintained lists.
 
     # top-k search FROM the maintained lists (nprobe=2)
     union_emb = emb.unionByName(delta)
@@ -7773,11 +7768,11 @@ def stream_exec_exact_substr_index(
     index (`operators/exactsubstr.py::exact_substr_index` — counts +
     keeper witness, ~16 bytes/position at any L) lands as a per-batch
     partial; the partials FOLD additively
-    (`fold_exact_substr_index`); an in-query certificate proves the
-    maintained index equals a from-scratch rebuild over the union
-    corpus (raises on any divergence — the same machinery that caught
-    two real 100x bugs in the IVF pipeline); and detection is
-    answered FROM the maintained index
+    (`fold_exact_substr_index`; fold == from-scratch rebuild is
+    pytest-pinned by `test_index_fold_equals_recompute`, the
+    hypothesis suite, and `tools/soak_fuzz.py` — the per-run
+    rebuild certificate was trimmed in r14, VERDICT ask #5); and
+    detection is answered FROM the maintained index
     (`exact_substr_spans_from_index` — the corpus-wide hash exchange
     is skipped; bucketed string verification still decides). The
     oracle is `dedup_exact_substr`'s INDEPENDENT plain-string
@@ -7831,20 +7826,13 @@ def stream_exec_exact_substr_index(
             maintained, spark.read.parquet(p)
         )
     maintained = maintained.localCheckpoint()
-    # in-query certificate: the folded index IS the from-scratch index
-    full = exact_substr_index(docs, L=30)
-    cols = ["__h", "__h2", "n", "keep_id", "keep_start"]
-    diverged = (
-        maintained.select(cols)
-        .exceptAll(full.select(cols))
-        .unionByName(full.select(cols).exceptAll(maintained.select(cols)))
-        .count()
-    )
-    if diverged:
-        raise AssertionError(
-            f"maintained ExactSubstr index diverges from the "
-            f"from-scratch rebuild on {diverged} row(s)"
-        )
+    # fold == from-scratch-rebuild is pytest-pinned
+    # (test_exactsubstr.py::test_index_fold_equals_recompute,
+    # test_exactsubstr_property.py, tools/soak_fuzz.py), so the query
+    # no longer re-proves it per run with a full-corpus rebuild +
+    # double exceptAll (VERDICT r13 ask #5 — trim certificate jobs a
+    # pytest already pins); the oracle comparison below still
+    # certifies the OUTPUT of the maintained path end-to-end.
     return exact_substr_spans_from_index(docs, maintained, L=30).select(
         "doc_id",
         F.col("span_start").cast("long").alias("span_start"),
@@ -7935,13 +7923,11 @@ def stream_exec_exact_substr_rewrite(
     nor protect already-emitted text), which is what the oracle
     replays — batch 1 scoped to the first half, batch 2 over the
     full corpus restricted to the second half, both in plain string
-    semantics with no hash index and no batching machinery. An
-    in-query certificate additionally proves the final folded index
-    equals a from-scratch rebuild."""
-    from blackroad_feature_store_spark.operators.exactsubstr import (
-        exact_substr_index,
-        fold_exact_substr_index,
-    )
+    semantics with no hash index and no batching machinery.
+    Fold == from-scratch-rebuild is pytest-pinned
+    (`test_index_fold_equals_recompute`, `tests/test_exactsubstr_
+    ingest.py`, `tools/soak_fuzz.py`), not re-proven per run
+    (VERDICT r13 ask #5)."""
     from blackroad_feature_store_spark.streaming.ingest import (
         exact_substr_ingest_batch,
     )
@@ -7999,24 +7985,12 @@ def stream_exec_exact_substr_rewrite(
 
     parts = sorted(_glob.glob(f"{idx_store}/batch_id=*"))
     assert len(parts) >= 2, "expected >= 2 real micro-batches"
-    maintained = spark.read.parquet(parts[0])
-    for p in parts[1:]:
-        maintained = fold_exact_substr_index(
-            maintained, spark.read.parquet(p)
-        )
-    full = exact_substr_index(docs, L=30)
-    cols = ["__h", "__h2", "n", "keep_id", "keep_start"]
-    diverged = (
-        maintained.select(cols)
-        .exceptAll(full.select(cols))
-        .unionByName(full.select(cols).exceptAll(maintained.select(cols)))
-        .count()
-    )
-    if diverged:
-        raise AssertionError(
-            f"maintained ExactSubstr index diverges from the "
-            f"from-scratch rebuild on {diverged} row(s)"
-        )
+    # fold == from-scratch-rebuild is pytest-pinned
+    # (test_index_fold_equals_recompute, tests/test_exactsubstr_ingest
+    # .py, tools/soak_fuzz.py's per-case ingest replay), so the query
+    # no longer re-proves it with a full rebuild + double exceptAll
+    # per run (VERDICT r13 ask #5); the two-scope oracle below still
+    # certifies each batch's rewritten OUTPUT end-to-end.
     return spark.read.parquet(out_store).select(
         "doc_id",
         F.md5("text").alias("text_md5"),
@@ -9999,68 +9973,63 @@ _GATE_PRIORITY: list[str] = [
     # -- divergence canary: literal-valued probe of every construct
     # the oracle layer has ever disagreed on --
     "core_oracle_canary",
-    # -- r13 new capability --
-    "stream_exec_exact_substr_index",   # incremental ExactSubstr e2e
-    "stream_exec_exact_substr_rewrite",  # removal at ingest e2e
-    # -- r13 changed execution paths (every query whose code moved
-    # this round re-certifies) --
-    "dedup_exact_substr",               # _hgrams refactor
-    "pipeline_exact_substr_removal",    # in-row rebuild (post-r12-gate)
-    "stream_exec_exact_substr_gate",    # _tokenized NULL-coalesce
-    "dedup_exact",                      # max(id)+1 fixture rotation
-    "mm_dhash_pairs",                   # fixture rotation
-    "pipeline_clean_corpus",            # fixture rotation
-    "link_blocked_pairs",               # fixture rotation (linkage recs)
-    "link_blocked_pairs_sorted",        # fixture rotation
-    "link_entities",                    # fixture rotation
-    "stream_exec_ivf_maintained",       # dense fold + left-join reassign
-    "stream_exec_unique_gate",          # legacy-fold read path
-    "graph_pagerank_trade",             # NULL-weight validation aggregate
-    # -- VERDICT r12 ask #4 ballast: tpch_q16 (displaced in r12, last
-    # driver-gate row r7), the full r7 cohort the r11 judge replica
-    # left for this round, and r8 text_repetition --
-    "tpch_q16_supplier_count",
-    "core_asof_tolerance",
-    "core_correlated_subquery",
-    "core_cube",
-    "core_event_funnel",
-    "core_retention_cohorts",
-    "mm_audio_features",
-    "store_pit_precedence",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_part_promotion",
-    "text_repetition",
-    # -- remaining slots: oldest green rows (r9, then r10) that NO
-    # judge replica has independently re-checked (the r12 replica
-    # covered the r9 dedup family, sources, stats sketches, several
-    # pipeline rows — those are deprioritized per VERDICT r12 ask #4;
-    # the two rows-only-by-design shape queries are excluded as weak
-    # checks) --
-    "core_pit_join_pandas",
-    "dedup_canonical",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
-    "dedup_incremental",
-    "dedup_skewed_pairs",
-    "pipeline_cluster_split",
-    "pipeline_dsir_select",
-    "pipeline_sentence_chunks",
-    "pipeline_sentence_windows",
-    "pipeline_split_leakage",
-    "source_orc_roundtrip",
-    "stream_exec_enrich_pit",
-    "stream_exec_interval_join",
-    "stream_exec_sessionize_et",
-    "text_bigram_logprob",
-    "core_approx_distinct",             # r10 from here
-    "core_asof_forward_label",
-    # (core_bucketed_join, the newest ballast candidate, was displaced
-    # by the late-round stream_exec_exact_substr_rewrite addition —
-    # the same one-for-one swap r12 documented for tpch_q16; it waits
-    # for r14)
+    # -- r14 new capability --
+    "link_blocked_pairs_capped",        # skew-capped linkage twin
+    # -- r14 changed execution paths --
+    "stream_exec_exact_substr_rewrite",  # ingest helper + replay fix
+    "stream_exec_exact_substr_index",   # __h2 re-seed + cert trim
+    "stream_exec_ivf_maintained",       # cert trim
+    # -- VERDICT r13 ask #2: the ENTIRE remaining judge-unchecked
+    # cohort (last driver gate r9/r10, no judge replica on record) —
+    # with r13's window this completes at-least-once coverage of
+    # every judge-unchecked query across r13+r14 --
+    "core_bucketed_join",               # the r13 displacee, first
+    "core_current_ts_shape",
+    "core_events_hourly",
+    "core_gapfill_interp",
+    "core_gapfill_locf",
+    "core_percentiles",
+    "core_pivot",
+    "core_range_join",
+    "core_running_total",
+    "core_sessionize",
+    "core_uuid_shape",
+    "mm_asset_metadata",
+    "pipeline_balanced_sample",
+    "pipeline_blocklist",
+    "pipeline_chunks",
+    "pipeline_data_expectations",
+    "pipeline_dup_spans",
+    "pipeline_gopher_rules",
+    "pipeline_normalize_text",
+    "pipeline_pack_sequences",
+    "pipeline_sentence_dedup",
+    "pipeline_span_removal",
+    "pipeline_train_split",
+    "pipeline_weighted_sample",
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_ivfpq",
+    "sim_hard_negatives",
+    "store_changes_deletes",
+    "stream_exec_neardup",
+    "text_bm25_search",
+    "text_hash_embedding_profile",
+    "text_pii_redaction",
+    "text_quality_profile",
+    "text_stats_by_source",
+    "text_top_tokens",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q9_product_profit",
+    # -- ballast: oldest rows of the r12-judge-replica-covered set
+    # (r9 dedup family + sources — already judge-checked once, so
+    # they take the slots AFTER the never-checked cohort above; the
+    # four left out — source_xml_roundtrip and the three stats
+    # sketches — carry the same r12 replica coverage) --
+    "dedup_jaccard",
+    "dedup_semantic",
+    "dedup_simhash",
+    "source_text_roundtrip",
 ]
 
 

@@ -117,6 +117,30 @@ def _random_docs(rng: random.Random):
     if n_docs >= 2 and rng.random() < 0.35:
         a, b = rng.sample(range(n_docs), 2)
         docs[b] = (docs[b][0], docs[a][1])
+    # adversarial keeper races for the ingest path (VERDICT r13 ask
+    # #4): plant a >= L-token span whose FIRST occurrence sits in the
+    # lowest-id doc while duplicates arrive in the highest-id docs
+    # (late duplicates must drop against the history keeper with no
+    # in-batch protection), or two copies ONLY in the last doc (a
+    # late in-batch race: the window is history-unseen, so keeper
+    # protection must be decided inside the arriving batch).
+    if n_docs >= 3 and rng.random() < 0.5:
+        span = " ".join(
+            rng.choice(vocab) for _ in range(L + rng.randint(0, 2))
+        )
+        if rng.random() < 0.5:
+            docs[0] = (docs[0][0], (docs[0][1] + " " + span).strip())
+            lo = n_docs // 2
+            for j in rng.sample(
+                range(lo, n_docs), min(2, n_docs - lo)
+            ):
+                docs[j] = (docs[j][0], (span + " " + docs[j][1]).strip())
+        else:
+            last = n_docs - 1
+            docs[last] = (
+                docs[last][0],
+                (span + " " + docs[last][1] + " " + span).strip(),
+            )
     min_count = 2 if rng.random() < 0.8 else 3
     return docs, L, min_count
 
@@ -128,6 +152,7 @@ def main() -> int:
     args = ap.parse_args()
 
     from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_batch_rewrite,
         exact_substr_index,
         exact_substr_removal,
         exact_substr_spans,
@@ -215,6 +240,53 @@ def main() -> int:
                 f"min_count={min_count} n_batches={n_batches}\n"
                 f"docs={docs!r}\ngot={got_is}\nwant={want_spans}"
             )
+            return 1
+
+        # rewrite-at-ingest path (VERDICT r13 ask #4): split the
+        # corpus into up to 5 CONTIGUOUS id ranges (monotone-arrival
+        # contract), rewrite each batch against the folded history
+        # index only, and require every batch's output to equal the
+        # pure-Python one-shot removal over the documents ingested so
+        # far, restricted to the batch — the moment-of-ingest
+        # exactness contract, under the planted keeper races above.
+        n_ing = (
+            rng.randint(4, 5) if len(docs) >= 4 else rng.randint(2, 3)
+        )
+        cuts = sorted(
+            rng.sample(range(1, len(docs)), min(n_ing - 1, len(docs) - 1))
+        ) if len(docs) > 1 else []
+        bounds = [0] + cuts + [len(docs)]
+        hist = exact_substr_index(
+            spark.createDataFrame([], "doc_id long, text string"), L=L
+        )
+        seen: list = []
+        ok = True
+        for lo, hi in zip(bounds, bounds[1:]):
+            batch = docs[lo:hi]
+            bdf = spark.createDataFrame(
+                batch, "doc_id long, text string"
+            )
+            rewritten, delta = exact_substr_batch_rewrite(
+                bdf, hist, L=L, min_count=min_count
+            )
+            got_b = {
+                r.doc_id: (r.text, r.n_tokens, r.n_removed)
+                for r in rewritten.collect()
+            }
+            seen += batch
+            want_all = _py_removal(seen, L, min_count)
+            want_b = {i: want_all[i] for i, _ in batch}
+            if got_b != want_b:
+                print(
+                    f"INGEST REWRITE DIVERGED case={case_no} L={L} "
+                    f"min_count={min_count} batches={bounds}\n"
+                    f"docs={docs!r}\nbatch=[{lo}:{hi}]\n"
+                    f"got={got_b}\nwant={want_b}"
+                )
+                ok = False
+                break
+            hist = fold_exact_substr_index(hist, delta)
+        if not ok:
             return 1
 
         if (case_no + 1) % 25 == 0:
