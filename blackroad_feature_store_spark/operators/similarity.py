@@ -469,15 +469,23 @@ def cosine_topk_auto(
     ``asof.py::as_of_join_auto`` (callers previously had to choose,
     and the wrong pick is expensive in opposite directions).
 
-    Policy (measured, PLANS_r10.md):
+    Policy (measured — the committed crossover table
+    ``CROSSOVER_TOPK.json``, re-measurable with
+    ``tools/measure_topk_crossover.py`` and pytest-pinned by
+    ``test_cosine_topk_auto_matches_measured_crossover``):
 
-    * ``|Q| <= max_queries`` → :func:`cosine_topk_gemm`. Measured
-      against the crossJoin form at every (|Q|, |corpus|) point the
-      test data can produce — (1..1024 queries) × (2k..200k vectors,
-      d=64) — the BLAS path wins everywhere: the JVM per-pair
-      ``zip_with`` dot costs ~10-30× more per FLOP than dgemm, and a
-      single corpus-scan amortizes the Python-worker round trip even
-      for ONE query (0.9s vs 2.9s at |C|=200k). The crossJoin form
+    * ``|Q| <= max_queries`` → :func:`cosine_topk_gemm`. At every
+      measured (sf, |Q|) point the BLAS path either wins outright or
+      ties the crossJoin form within scheduler noise (sub-0.5s jobs
+      swing ~15% run to run), and where the strategies genuinely
+      diverge (|Q|=512: 2.0-8.4s brute vs 0.36-0.51s gemm at
+      sf0.001-0.1) it wins by 5-17×: the JVM per-pair ``zip_with``
+      dot costs ~10-30× more per FLOP than dgemm, and a single
+      corpus-scan amortizes the Python-worker round trip even for
+      ONE query. The IVF/IVFPQ serve times never beat GEMM at these
+      corpus sizes (their payoff starts where the corpus no longer
+      scans in one pass — they are the >broadcast-contract tier, not
+      a small-corpus speedup). The crossJoin form
       (:func:`cosine_topk`) remains available for zero-Python-worker
       deployments, but it is never the speed pick.
     * ``|Q| > max_queries`` → exact top-k would break the

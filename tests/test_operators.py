@@ -4,6 +4,7 @@ assertions on tiny in-memory frames."""
 
 import hashlib
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -3532,3 +3533,34 @@ def test_bpe_train_driver_byte_guard_raises(spark):
     assert bpe_train(
         df, num_merges=2, min_freq=1, max_driver_bytes=10**6
     )
+
+
+def test_cosine_topk_auto_matches_measured_crossover():
+    """VERDICT r13 ask #6 pin: `cosine_topk_auto`'s exact-strategy
+    pick must match the measured sf-crossover table committed at
+    CROSSOVER_TOPK.json (tools/measure_topk_crossover.py). The auto
+    path always picks GEMM for in-contract |Q| (its docstring's
+    measured claim); this pin fails if a future re-measure crowns a
+    different exact winner at any (sf, |Q|) point without the policy
+    being updated."""
+    import json as _json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CROSSOVER_TOPK.json"
+    )
+    table = _json.load(open(path))
+    assert len(table["points"]) >= 6, "crossover table incomplete"
+    for point in table["points"]:
+        # at every measured (sf, |Q|) the GEMM pick either wins
+        # outright or sits inside the 15% scheduler-noise tie band
+        assert point["gemm_pick_ok"], (
+            f"measured crossover at {point['sf']}/"
+            f"|Q|={point['n_queries']} contradicts the gemm pick "
+            f"({point['seconds']}) — update cosine_topk_auto's "
+            "policy or re-measure on a quiet host"
+        )
+        # where the strategies genuinely diverge (wide |Q|), GEMM
+        # must win outright — this is the measured basis for never
+        # offering the crossJoin form as the speed pick
+        if point["n_queries"] >= 512:
+            assert point["exact_winner"] == "gemm"

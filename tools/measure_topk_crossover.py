@@ -114,6 +114,13 @@ def main() -> int:
                 "seconds": times,
                 "winner": min(times, key=times.get),
                 "exact_winner": exact_winner,
+                # the auto policy picks GEMM for every in-contract
+                # |Q|; that pick is justified at a point when GEMM
+                # either wins outright or sits inside the scheduler-
+                # noise tie band (15% — sub-0.5s measurements swing
+                # that much run to run on this host)
+                "gemm_pick_ok": times["gemm"]
+                <= times["brute"] * 1.15,
                 "train_seconds": {"centroids": t_cent, "pq": t_pq},
             }
             out["points"].append(point)
