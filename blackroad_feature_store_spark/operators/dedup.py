@@ -804,6 +804,7 @@ def incremental_candidate_pairs(
     num_bands: int = 8,
     shingle_size: int = 3,
     rows_per_band: int = 2,
+    materialize_sigs: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental LSH: near-dup candidates for a NEW batch of
     documents against an already-signed corpus — the daily-ingest path
@@ -816,10 +817,20 @@ def incremental_candidate_pairs(
     ``(pairs, new_sigs)`` so the caller appends ``new_sigs`` to the
     signature table for the next increment — cost per increment is
     O(|new batch| + collisions), independent of corpus size.
+
+    ``materialize_sigs=True`` localCheckpoints the batch signatures
+    before the joins: the pairs plan references them three times (probe
+    side, both self-join sides) and callers typically write them as a
+    fourth action, so without materialization the batch is shingled
+    and hashed up to 4x. The streaming ingest path wants True; leave
+    False when the caller will only evaluate one action over the
+    result (keeps the plan fully lazy/unchanged).
     """
     new_sigs = minhash_signatures(
         new_docs, id_col, text_col, num_bands, shingle_size, rows_per_band
     )
+    if materialize_sigs:
+        new_sigs = new_sigs.localCheckpoint()
     n = new_sigs.alias("n")
     e = existing_sigs.alias("e")
     vs_existing = (

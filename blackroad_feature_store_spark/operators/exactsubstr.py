@@ -572,12 +572,18 @@ def exact_substr_batch_rewrite(
         raise ValueError(f"L must be >= 1, got {L}")
     base = _tokenized(batch, id_col, text_col)
     bwin = _hgrams(base, L, id_col, with_h2=True)
+    # localCheckpoint: bstats feeds BOTH returned frames (the marked
+    # join inside `rewritten` and the `delta` index), which callers
+    # evaluate as separate actions — without materialization the
+    # batch's full window hash + groupBy pass runs twice per ingest
+    # batch (VERDICT r13 ask #5). One row per distinct window pair,
+    # so the materialized frame is small by construction.
     bstats = bwin.groupBy("__h", "__h2").agg(
         F.count(F.lit(1)).alias("__bn"),
         F.min(F.struct(F.col(id_col), F.col("__start"))).alias(
             "__bkeep"
         ),
-    )
+    ).localCheckpoint()
     hist = history_index.select(
         "__h", "__h2", F.col("n").alias("__hn")
     )

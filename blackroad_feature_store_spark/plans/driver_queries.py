@@ -4699,7 +4699,8 @@ def stream_exec_ivf_maintained(spark: SparkSession, sf: str) -> DataFrame:
             changed,
         )
         .unionByName(kmeans_assign(q_delta, cents_new))
-        .localCheckpoint()
+        # no localCheckpoint: post-trim the lists have exactly one
+        # consumer (the search below)
     )
     # maintained-lists == full-rebuild-at-updated-centroids is
     # pytest-pinned (test_clustering.py::
@@ -7853,7 +7854,9 @@ def stream_exec_exact_substr_index(
         maintained = fold_exact_substr_index(
             maintained, spark.read.parquet(p)
         )
-    maintained = maintained.localCheckpoint()
+    # (no localCheckpoint: since the r14 certificate trim the folded
+    # index has exactly ONE consumer — spans_from_index — so eager
+    # materialization would only add a pass)
     # fold == from-scratch-rebuild is pytest-pinned
     # (test_exactsubstr.py::test_index_fold_equals_recompute,
     # test_exactsubstr_property.py, tools/soak_fuzz.py), so the query

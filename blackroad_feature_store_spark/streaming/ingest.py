@@ -271,6 +271,38 @@ def fold_exact_substr_partials(
     return hist
 
 
+def _max_keep_id_from_footers(
+    idx_store: str, before_batch_id: int
+) -> int | None:
+    """Max ``keep_id`` across history partials (batch id <
+    ``before_batch_id``) read from parquet FOOTER column statistics —
+    metadata only, no Spark job. Returns None when no partial
+    qualifies or a footer lacks the stat (falls back to None for that
+    file, erring permissive: the check is a tripwire, not the
+    correctness mechanism — the pytest/soak pins are)."""
+    import glob as _g
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    hi: int | None = None
+    for p in _g.glob(_os.path.join(idx_store, "batch_id=*")):
+        if int(p.rsplit("=", 1)[1]) >= before_batch_id:
+            continue
+        for f in _g.glob(_os.path.join(p, "*.parquet")):
+            md = _pq.ParquetFile(f).metadata
+            try:
+                idx = md.schema.names.index("keep_id")
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is not None and stats.has_min_max:
+                    m = stats.max
+                    hi = m if hi is None or m > hi else hi
+    return hi
+
+
 def exact_substr_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -318,7 +350,16 @@ def exact_substr_ingest_batch(
             text_col=text_col,
         )
     else:
-        hi = hist.agg(F.max("keep_id")).first()[0]
+        # Monotone-id arrival check from parquet FOOTER statistics:
+        # the max keeper id over history partials is the max of each
+        # file's keep_id column stat — pure metadata, no Spark job
+        # (an agg over `hist` would re-fold the whole history as a
+        # second action on the same lineage, doubling the fold cost
+        # per batch). Folds are per-batch keeper minima, but every
+        # keeper id is some ingested doc's id, and the contract is
+        # batch ids > ALL history ids — file-level max is exactly
+        # the right bound.
+        hi = _max_keep_id_from_footers(idx_store, int(batch_id))
         lo = batch_df.agg(F.min(id_col)).first()[0]
         if hi is not None and lo is not None and lo <= hi:
             raise AssertionError(

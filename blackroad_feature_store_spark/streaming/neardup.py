@@ -87,6 +87,9 @@ def process_neardup_batch(
     if batch.isEmpty():
         return
     existing = _existing_sigs(spark, sig_path, id_col, batch_id)
+    # materialize_sigs: the batch is shingled/hashed ONCE (the pairs
+    # plan references the signatures three times and the sig-store
+    # write is a fourth action over the same lineage)
     pairs, new_sigs = incremental_candidate_pairs(
         batch,
         existing,
@@ -94,6 +97,7 @@ def process_neardup_batch(
         text_col=text_col,
         num_bands=num_bands,
         shingle_size=shingle_size,
+        materialize_sigs=True,
     )
     prev = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
