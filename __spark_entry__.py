@@ -27,7 +27,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    sf = "/root/testdata/sf0.001"
+    from blackroad_feature_store_spark.sources.testdata import sf_dir
+
+    sf = sf_dir("sf0.001")
     pit = _dq.core_pit_join(spark, sf)
     return pit.groupBy("pit_status").agg(
         F.count(F.lit(1)).alias("n_customers"),

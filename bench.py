@@ -238,7 +238,9 @@ def calibration_is_unstable(
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from blackroad_feature_store_spark.sources.testdata import sf_dir as _sfd
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", _sfd("sf0.1"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 

@@ -75,12 +75,17 @@ def bpe_train(
     pathological "words" (minified JS, base64 blobs surviving the
     alpha filter as long runs) could still swamp the driver. The check
     is a scalar aggregate over the SAME capped selection the collect
-    reads — it raises before a single dictionary row ships."""
+    reads — it raises before a single dictionary row ships. The capped
+    selection is localCheckpointed first so the guard aggregate and
+    the collect share ONE evaluation of the corpus pass + sort (the
+    materialized frame is at most ``max_words`` rows by
+    construction)."""
     capped = (
         word_counts(df, text_col)
         .where(F.col("freq") >= min_freq)
         .orderBy(F.col("freq").desc(), F.col("word").asc())
         .limit(max_words)
+        .localCheckpoint()
     )
     dict_bytes = capped.agg(
         F.coalesce(F.sum(F.length("word")), F.lit(0))

@@ -2587,18 +2587,14 @@ def stream_exec_unique_gate(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="stream_uni_")
     src = f"{base}/src"
-    # event_id-interleaved halves written as 4 files each (parallel
-    # writes — no coalesce(1) serial funnel at scale); with
-    # maxFilesPerTrigger=4 the drain is >=2 REAL micro-batches, and
-    # because first-seen-wins accounting is arrival-order invariant
-    # (the fold sums to count - distinct under ANY file->batch
-    # assignment), mtime-tie nondeterminism in which files share a
-    # batch cannot move the certified result
-    # ONE corpus scan, hash-split into two files = two REAL
-    # micro-batches (maxFilesPerTrigger); the per-batch partials
-    # fold commutatively, so FileStreamSource's arbitrary file
-    # order cannot move the result (VERDICT r13 ask #5: the old
-    # two filtered writes scanned the source twice).
+    # ONE corpus scan, hash-split into 8 files (parallel write — no
+    # coalesce(1) serial funnel at scale); with maxFilesPerTrigger=4
+    # the drain is 2 REAL micro-batches (VERDICT r13 ask #5: the old
+    # two filtered writes scanned the source twice). First-seen-wins
+    # accounting is arrival-order invariant (the fold sums to
+    # count - distinct under ANY file->batch assignment), so
+    # FileStreamSource's arbitrary file order cannot move the
+    # certified result.
     ev.repartition(8, "event_id").write.parquet(src)
     schema = (
         "event_id long, ts timestamp, user_id long, "
@@ -2689,10 +2685,10 @@ def stream_exec_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stream_decon_")
     src = f"{base}/src"
     train = docs.where(F.col("doc_id") % 23 != 0).select("doc_id", "text")
-    # ONE corpus scan, hash-split into two files = two REAL
-    # micro-batches (maxFilesPerTrigger); the per-batch partials
-    # fold commutatively, so FileStreamSource's arbitrary file
-    # order cannot move the result (VERDICT r13 ask #5: the old
+    # ONE corpus scan, hash-split into 4 files; maxFilesPerTrigger=2
+    # makes the drain 2 REAL micro-batches, and the per-batch
+    # partials fold commutatively, so FileStreamSource's arbitrary
+    # file order cannot move the result (VERDICT r13 ask #5: the old
     # two filtered writes scanned the source twice).
     train.repartition(4, "doc_id").write.parquet(src)
     stream = (
@@ -2766,10 +2762,10 @@ def stream_exec_exact_substr_gate(spark: SparkSession, sf: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stream_exsub_")
     src = f"{base}/src"
     train = docs.where(F.col("doc_id") % 23 != 0).select("doc_id", "text")
-    # ONE corpus scan, hash-split into two files = two REAL
-    # micro-batches (maxFilesPerTrigger); the per-batch partials
-    # fold commutatively, so FileStreamSource's arbitrary file
-    # order cannot move the result (VERDICT r13 ask #5: the old
+    # ONE corpus scan, hash-split into 4 files; maxFilesPerTrigger=2
+    # makes the drain 2 REAL micro-batches, and the per-batch
+    # partials fold commutatively, so FileStreamSource's arbitrary
+    # file order cannot move the result (VERDICT r13 ask #5: the old
     # two filtered writes scanned the source twice).
     train.repartition(4, "doc_id").write.parquet(src)
     stream = (

@@ -31,7 +31,32 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def testdata_root() -> str:
+    """Root directory holding the ``sf*`` testdata dirs.
+
+    Defaults to the driver's fixture location; override with
+    ``SPARK_GRAFT_TESTDATA_ROOT`` to run the suite on another machine
+    (generate compatible tables with ``tools/make_testdata.py`` —
+    value-pinned artifacts like PLANDIGESTS skip automatically when
+    the root carries the generator's ``GENERATED.marker``)."""
+    return os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+
+
+def sf_dir(sf: str) -> str:
+    """Path of one scale-factor dir, e.g. ``sf_dir("sf0.01")``."""
+    return os.path.join(testdata_root(), sf)
+
+
+def is_generated_testdata() -> bool:
+    """True when the active testdata was synthesized by
+    ``tools/make_testdata.py`` rather than the driver — schemas and
+    statistics match, exact values do not, so value-pinned artifacts
+    (plan digests pinned on the driver fixtures) must not be compared
+    against it."""
+    return os.path.exists(os.path.join(testdata_root(), "GENERATED.marker"))
+
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", sf_dir("sf0.1"))
 
 # Dimension tables small enough to broadcast at ANY scale factor —
 # region/nation are fixed-size in TPC-H-style generators.

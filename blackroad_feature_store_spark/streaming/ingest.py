@@ -235,7 +235,6 @@ def fold_exact_substr_partials(
     spark,
     idx_store: str,
     before_batch_id: int | None = None,
-    L: int = 30,
 ) -> DataFrame | None:
     """Fold persisted per-batch ExactSubstr index partials (laid out
     as ``idx_store/batch_id=N``, one directory per committed
@@ -250,7 +249,10 @@ def fold_exact_substr_partials(
     batch, so even batch-unique windows read as duplicated and are
     dropped with NO keeper protection. Batch ids are monotone, so
     ``id < batch_id`` is exactly "everything ingested before me".
-    Returns ``None`` when no partial qualifies (first batch)."""
+    Returns ``None`` when no partial qualifies (first batch). The
+    index rows carry no L; the caller owns the contract that every
+    partial under one ``idx_store`` was built at ONE L (mixing Ls
+    would fold apples into oranges silently — keep stores per-L)."""
     import glob as _g
     import os as _os
 
@@ -340,7 +342,7 @@ def exact_substr_ingest_batch(
 
     sp = batch_df.sparkSession
     hist = fold_exact_substr_partials(
-        sp, idx_store, before_batch_id=int(batch_id), L=L
+        sp, idx_store, before_batch_id=int(batch_id)
     )
     if hist is None:
         hist = exact_substr_index(

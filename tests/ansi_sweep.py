@@ -25,7 +25,9 @@ from blackroad_feature_store_spark.session import get_spark
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    from blackroad_feature_store_spark.sources.testdata import sf_dir
+
+    ap.add_argument("--sf", default=sf_dir("sf0.001"))
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 

@@ -74,7 +74,9 @@ def compare(name, spark_df, con, sql):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    from blackroad_feature_store_spark.sources.testdata import sf_dir
+
+    ap.add_argument("--sf", default=sf_dir("sf0.01"))
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 

@@ -14,7 +14,9 @@ import __spark_entry__ as entrymod
 from blackroad_feature_store_spark.sources.testdata import TABLES
 from tests.oracle_harness import compare
 
-SF_DIR = "/root/testdata/sf0.001"
+from blackroad_feature_store_spark.sources.testdata import sf_dir as _sf_dir
+
+SF_DIR = _sf_dir("sf0.001")
 
 # Fast, structurally diverse subset (full catalog runs in the driver).
 SUBSET = [

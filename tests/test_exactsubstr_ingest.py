@@ -121,8 +121,8 @@ def test_replay_after_crash_is_idempotent(spark, base, replay_bid):
         # delta partials are overwrite-idempotent too: the folded
         # index after replay equals the clean run's fold
         clean_idx = f"{clean_base}/idx"
-        a = fold_exact_substr_partials(spark, idx, L=L)
-        b = fold_exact_substr_partials(spark, clean_idx, L=L)
+        a = fold_exact_substr_partials(spark, idx)
+        b = fold_exact_substr_partials(spark, clean_idx)
         cols = ["__h", "__h2", "n", "keep_id", "keep_start"]
         assert sorted(map(tuple, a.select(cols).collect())) == sorted(
             map(tuple, b.select(cols).collect())

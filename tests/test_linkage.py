@@ -141,7 +141,9 @@ def test_capped_catalog_twin_bites_and_is_subset(spark):
     finds (the cap only DROPS candidates, never invents them)."""
     import blackroad_feature_store_spark.plans.driver_queries as dq
 
-    sf = "/root/testdata/sf0.001"
+    from blackroad_feature_store_spark.sources.testdata import sf_dir
+
+    sf = sf_dir("sf0.001")
     uncapped = {
         (r.id_a, r.id_b)
         for r in dq.link_blocked_pairs(spark, sf).collect()

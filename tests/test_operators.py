@@ -6,6 +6,10 @@ import hashlib
 import math
 import os
 
+from blackroad_feature_store_spark.sources.testdata import sf_dir as _sf_dir
+
+SF001 = _sf_dir("sf0.001")
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -231,7 +235,7 @@ def test_lsh_recall_random_planes_and_tables(spark):
     )
     from blackroad_feature_store_spark.sources.testdata import load
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF001
     emb = load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -896,7 +900,7 @@ def test_ivf_trained_centroids_quantization_and_recall(spark):
         train_centroids,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(os.path.join(SF001, "embeddings.parquet"))
     # Disjoint from the query ids below, so no coincidence artifact.
     sampled = emb.where(
         (F.col("vec_id") >= 200) & (F.col("vec_id") < 216)
@@ -1007,7 +1011,7 @@ def test_incremental_candidate_pairs_match_full_recompute(spark):
     )
 
     docs = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet"
+        os.path.join(SF001, "documents.parquet")
     ).select("doc_id", "text")
     old = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
@@ -1125,7 +1129,7 @@ def test_pq_train_and_encode_shapes(spark):
         pq_train,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(os.path.join(SF001, "embeddings.parquet"))
     cb = pq_train(emb, m=4, k=16)
     rows = cb.collect()
     assert len(rows) == 4 * 16
@@ -1179,7 +1183,7 @@ def test_pq_topk_recall_scales_with_rerank_and_m(spark):
     )
     from blackroad_feature_store_spark.sources.testdata import load
 
-    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load(spark, SF001, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1214,7 +1218,7 @@ def test_ivfpq_full_dials_equal_brute_and_dials_raise_recall(spark):
     )
     from blackroad_feature_store_spark.sources.testdata import load
 
-    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load(spark, SF001, "embeddings")
     queries = emb.where(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1265,7 +1269,7 @@ def test_variant_semi_structured_path_agrees_with_json_strings(spark):
     queries use, so either representation can back `events.props`."""
     from blackroad_feature_store_spark.sources.testdata import load
 
-    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev = load(spark, SF001, "events")
     both = ev.select(
         F.get_json_object("props", "$.k").cast("long").alias("s_k"),
         F.try_variant_get(
@@ -1369,7 +1373,7 @@ def test_pq_dimension_mismatch_raises(spark):
         pq_train,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(os.path.join(SF001, "embeddings.parquet"))
     cb = pq_train(emb, m=4, k=4)                  # trained at d=64
     short = spark.createDataFrame(
         [(1, [1.0] * 32)], "vec_id int, embedding array<double>"
@@ -1635,7 +1639,7 @@ def test_cosine_topk_gemm_matches_crossjoin_exactly(spark):
     )
     from blackroad_feature_store_spark.sources.testdata import load
 
-    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load(spark, SF001, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2067,7 +2071,7 @@ def test_observe_quality_rides_downstream_plan_without_extra_scan(spark):
     )
     from blackroad_feature_store_spark.sources.testdata import load
 
-    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    docs = load(spark, SF001, "documents")
     observed, obs = observe_quality(
         docs,
         null_cols=["lang"],
@@ -2216,7 +2220,7 @@ def test_bpe_train_deterministic_across_partitionings(spark):
     from blackroad_feature_store_spark.operators.bpe import bpe_train
     from blackroad_feature_store_spark.sources.testdata import load
 
-    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+    docs = load(spark, SF001, "documents").select(
         "doc_id", "text"
     )
     a = bpe_train(docs, num_merges=30)
@@ -2301,7 +2305,7 @@ def test_sql_udfs_match_column_functions(spark):
     assert {"fs_fingerprint", "fs_token_count", "fs_bpe_token_count"} <= set(
         names
     )
-    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    docs = load(spark, SF001, "documents").limit(50)
     docs.createOrReplaceTempView("udf_docs")
     via_sql = {
         r["doc_id"]: (r["fp"], r["tc"], r["btc"])
@@ -2333,7 +2337,7 @@ def test_sql_udfs_inline_into_plan(spark):
     from blackroad_feature_store_spark.sources.testdata import load
 
     register_sql_functions(spark)
-    load(spark, "/root/testdata/sf0.001", "documents").createOrReplaceTempView(
+    load(spark, SF001, "documents").createOrReplaceTempView(
         "udf_docs2"
     )
     df = spark.sql(
@@ -2444,7 +2448,7 @@ def test_cluster_aware_split_never_leaks(spark):
     )
     from blackroad_feature_store_spark.sources.testdata import load
 
-    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    docs = load(spark, SF001, "documents")
     out = cluster_aware_split(docs)
     rows = out.collect()
     assert len(rows) == docs.count()                   # every doc assigned

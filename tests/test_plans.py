@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from blackroad_feature_store_spark.plans import driver_queries as dq
 
-SF = "/root/testdata/sf0.001"
+from blackroad_feature_store_spark.sources.testdata import sf_dir as _sf_dir
+
+SF = _sf_dir("sf0.001")
 
 
 def formatted_plan(df) -> str:
@@ -366,7 +368,7 @@ def test_bucketed_join_is_shuffle_free_as_sort_merge(spark, tmp_path):
     )
     from blackroad_feature_store_spark.sources.testdata import load
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     write_bucketed(
@@ -422,7 +424,7 @@ def test_dynamic_partition_pruning_prunes_fact_partitions(spark, tmp_path):
     the executed join touches 1 of 5 partition directories."""
     from blackroad_feature_store_spark.sources.testdata import load
 
-    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev = load(spark, SF, "events")
     fact_dir = str(tmp_path / "events_parted")
     ev.write.partitionBy("event_type").mode("overwrite").parquet(fact_dir)
     fact = spark.read.parquet(fact_dir)

@@ -30,17 +30,25 @@ import argparse
 import os
 import shutil
 
+import sys
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 # one row group = ONE Spark scan task regardless of cores (row groups
 # don't split); cap rows per group so scaled shards parallelize like a
 # real multi-file dataset would (r11 probe-straggler finding)
 ROW_GROUP = 16384
 
-SRC = "/root/testdata/sf0.1"
+from blackroad_feature_store_spark.sources.testdata import sf_dir as _sf_dir
+
+SRC = _sf_dir("sf0.1")
 COPY_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem",

@@ -1,0 +1,249 @@
+#!/usr/bin/env python3
+"""Generate driver-compatible synthetic testdata from scratch.
+
+    python tools/make_testdata.py --out /path/testdata --sf 0.001 0.01 [0.1]
+
+Reproduces the SHAPE of the driver's fixtures (TESTDATA.md) — same ten
+tables, same column names/dtypes (int32 keys, timestamp[us] event
+times, float32 embeddings), same scale-factor row counts, compatible
+value distributions (5-language document corpus over a ~30-word
+vocabulary, Jan-2024 event stream with JSON props, TPC-H-ish star
+schema keyed consistently) — so every catalog query, its DuckDB
+oracle, and the pytest suite run on a machine without the driver's
+originals (the CI workflow does exactly this).
+
+It does NOT reproduce the driver's exact VALUES (different generator,
+different stream of randomness). Oracle parity is unaffected — both
+engines read the same parquet — but value-pinned artifacts
+(PLANDIGESTS.json is pinned on the driver fixtures' file sizes /
+statistics) must not be compared against generated data, so the root
+is stamped with ``GENERATED.marker`` and
+``sources/testdata.py::is_generated_testdata`` lets those tests skip.
+Queries that need duplicates/near-duplicates plant their own shifted
+copies (the catalog's max(id)+1 convention), so no duplicate
+structure needs to be baked in here — the driver's own fixtures have
+none either (500/500 distinct texts at sf0.001).
+
+Deterministic: one numpy PCG64 stream seeded per (table, sf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPES = ["ECONOMY", "PROMO", "STANDARD", "SMALL", "LARGE"]
+PADJ = ["cold", "small", "large", "hot", "dim", "bright", "heavy", "light"]
+PNOUN = ["widget", "bolt", "gear", "spring", "valve", "plate", "rod", "cam"]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.5, 0.15, 0.15, 0.1, 0.1]
+VOCAB = (
+    "the a data table row column key value join merge sort scan filter "
+    "group agg window batch stream spark query part order line customer "
+    "hash vector dup small big fast slow"
+).split()
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# rows per table at sf=1 (nation/region fixed-size)
+BASE = {
+    "customer": 150_000,
+    "supplier": 10_000,
+    "part": 200_000,
+    "orders": 1_500_000,
+    "lineitem": 6_000_000,
+    "events": 1_000_000,
+    "documents": 500_000,
+    "embeddings": 500_000,
+}
+
+US = 1_000_000  # microseconds per second
+
+
+def _rng(table: str, sf: float) -> np.random.Generator:
+    return np.random.default_rng(
+        abs(hash((table, round(sf, 6), 42))) % (2**63)
+    )
+
+
+def _write(out_dir: str, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def _ts_us(epoch_seconds: np.ndarray) -> pa.Array:
+    return pa.array(
+        (epoch_seconds * US).astype("int64"), type=pa.timestamp("us")
+    )
+
+
+def generate_sf(out_root: str, sf: float) -> None:
+    n = {k: max(int(v * sf), 5) for k, v in BASE.items()}
+    out = os.path.join(out_root, f"sf{sf:g}")
+    os.makedirs(out, exist_ok=True)
+
+    _write(out, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": REGIONS,
+    }))
+    _write(out, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    g = _rng("customer", sf)
+    _write(out, "customer", pa.table({
+        "c_custkey": pa.array(range(n["customer"]), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n["customer"])],
+        "c_nationkey": pa.array(
+            g.integers(0, 25, n["customer"]), pa.int32()),
+        "c_acctbal": np.round(
+            g.uniform(-999.99, 9999.99, n["customer"]), 2),
+        "c_mktsegment": [
+            SEGMENTS[i] for i in g.integers(0, 5, n["customer"])],
+    }))
+
+    g = _rng("supplier", sf)
+    _write(out, "supplier", pa.table({
+        "s_suppkey": pa.array(range(n["supplier"]), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n["supplier"])],
+        "s_nationkey": pa.array(
+            g.integers(0, 25, n["supplier"]), pa.int32()),
+        "s_acctbal": np.round(
+            g.uniform(-999.99, 9999.99, n["supplier"]), 2),
+    }))
+
+    g = _rng("part", sf)
+    _write(out, "part", pa.table({
+        "p_partkey": pa.array(range(n["part"]), pa.int64()),
+        "p_name": [
+            f"{PADJ[a]} {PNOUN[b]}"
+            for a, b in zip(g.integers(0, len(PADJ), n["part"]),
+                            g.integers(0, len(PNOUN), n["part"]))],
+        "p_brand": [f"Brand#{i}" for i in g.integers(1, 26, n["part"])],
+        "p_type": [PTYPES[i] for i in g.integers(0, len(PTYPES), n["part"])],
+        "p_size": pa.array(g.integers(1, 51, n["part"]), pa.int32()),
+        "p_retailprice": np.round(g.uniform(900, 2000, n["part"]), 2),
+    }))
+
+    g = _rng("orders", sf)
+    d0 = np.datetime64("1995-01-01").astype("datetime64[s]").astype(int)
+    d1 = np.datetime64("2001-12-31").astype("datetime64[s]").astype(int)
+    odate = (
+        g.integers(d0 // 86_400, d1 // 86_400, n["orders"]) * 86_400
+    )
+    _write(out, "orders", pa.table({
+        "o_orderkey": pa.array(range(n["orders"]), pa.int64()),
+        "o_custkey": pa.array(
+            g.integers(0, n["customer"], n["orders"]), pa.int64()),
+        "o_orderstatus": [
+            "OFP"[i] for i in g.integers(0, 3, n["orders"])],
+        "o_totalprice": np.round(g.uniform(1000, 400000, n["orders"]), 2),
+        "o_orderdate": _ts_us(odate),
+        "o_orderpriority": [
+            PRIORITIES[i] for i in g.integers(0, 5, n["orders"])],
+    }))
+
+    g = _rng("lineitem", sf)
+    # ~4 lines per order: draw order ids then number lines within
+    lkeys = np.sort(g.integers(0, n["orders"], n["lineitem"]))
+    linenum = np.ones(n["lineitem"], dtype="int64")
+    same = np.concatenate([[False], lkeys[1:] == lkeys[:-1]])
+    for i in range(1, n["lineitem"]):
+        if same[i]:
+            linenum[i] = linenum[i - 1] + 1
+    ship = odate.min() + g.integers(
+        0, (d1 - d0) + 300 * 86_400, n["lineitem"]
+    ) // 86_400 * 86_400
+    ship = np.minimum(ship, d1 + 310 * 86_400)
+    _write(out, "lineitem", pa.table({
+        "l_orderkey": pa.array(lkeys, pa.int64()),
+        "l_partkey": pa.array(
+            g.integers(0, n["part"], n["lineitem"]), pa.int64()),
+        "l_suppkey": pa.array(
+            g.integers(0, n["supplier"], n["lineitem"]), pa.int64()),
+        "l_linenumber": pa.array(linenum, pa.int32()),
+        "l_quantity": g.integers(1, 51, n["lineitem"]).astype("float64"),
+        "l_extendedprice": np.round(
+            g.uniform(900, 100000, n["lineitem"]), 2),
+        "l_discount": np.round(g.uniform(0, 0.10, n["lineitem"]), 2),
+        "l_tax": np.round(g.uniform(0, 0.08, n["lineitem"]), 2),
+        "l_returnflag": ["RAN"[i] for i in g.integers(0, 3, n["lineitem"])],
+        "l_linestatus": ["OF"[i] for i in g.integers(0, 2, n["lineitem"])],
+        "l_shipdate": _ts_us(ship),
+    }))
+
+    g = _rng("events", sf)
+    t0 = np.datetime64("2024-01-01").astype("datetime64[s]").astype(int)
+    t1 = np.datetime64("2024-01-31").astype("datetime64[s]").astype(int)
+    ets = np.sort(g.uniform(t0, t1, n["events"]))
+    n_users = max(int(15_000 * sf), 3)
+    _write(out, "events", pa.table({
+        "event_id": pa.array(range(n["events"]), pa.int64()),
+        "ts": _ts_us(ets),
+        "user_id": pa.array(
+            g.integers(0, n_users, n["events"]), pa.int64()),
+        "event_type": [
+            EVENT_TYPES[i] for i in g.integers(0, 5, n["events"])],
+        "value": np.round(
+            np.minimum(g.exponential(80, n["events"]), 499.9), 2),
+        "props": [json.dumps({"k": int(k)})
+                  for k in g.integers(0, 100, n["events"])],
+    }))
+
+    g = _rng("documents", sf)
+    lang_idx = g.choice(len(LANGS), n["documents"], p=LANG_W)
+    lens = g.integers(8, 110, n["documents"])
+    words = g.integers(0, len(VOCAB), int(lens.sum()))
+    texts, pos = [], 0
+    for ln in lens:
+        texts.append(" ".join(VOCAB[w] for w in words[pos:pos + ln]))
+        pos += ln
+    _write(out, "documents", pa.table({
+        "doc_id": pa.array(range(n["documents"]), pa.int64()),
+        "text": texts,
+        "lang": [LANGS[i] for i in lang_idx],
+        "source": [f"src{i}" for i in g.integers(0, 20, n["documents"])],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    g = _rng("embeddings", sf)
+    vecs = g.normal(0, 0.15, (n["embeddings"], 64)).astype("float32")
+    _write(out, "embeddings", pa.table({
+        "vec_id": pa.array(range(n["embeddings"]), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), 64
+        ).cast(pa.list_(pa.float32())),
+        "label": pa.array(
+            g.integers(0, 10, n["embeddings"]), pa.int32()),
+    }))
+    print(f"sf{sf:g}: wrote 10 tables -> {out}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--sf", nargs="+", type=float, required=True)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    for sf in args.sf:
+        generate_sf(args.out, sf)
+    with open(os.path.join(args.out, "GENERATED.marker"), "w") as f:
+        f.write(
+            "synthesized by tools/make_testdata.py — schema-compatible "
+            "with the driver fixtures, values differ; value-pinned "
+            "artifacts (PLANDIGESTS.json) skip against this root\n"
+        )
+    print(f"stamped {args.out}/GENERATED.marker")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -31,10 +31,12 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+from blackroad_feature_store_spark.sources.testdata import sf_dir as _sf_dir
+
 SFS = [
-    ("sf0.001", "/root/testdata/sf0.001"),
-    ("sf0.01", "/root/testdata/sf0.01"),
-    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf0.001", _sf_dir("sf0.001")),
+    ("sf0.01", _sf_dir("sf0.01")),
+    ("sf0.1", _sf_dir("sf0.1")),
 ]
 
 

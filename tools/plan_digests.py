@@ -114,7 +114,9 @@ def plan_fingerprint(df) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    from blackroad_feature_store_spark.sources.testdata import sf_dir
+
+    ap.add_argument("--sf", default=sf_dir("sf0.1"))
     ap.add_argument(
         "--out",
         default=os.path.join(

@@ -35,13 +35,15 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+from blackroad_feature_store_spark.sources.testdata import sf_dir as _sf_dir
+
 SCALES = [
-    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf0.1", _sf_dir("sf0.1")),
     ("10x", "/tmp/sf1_synth"),
     ("100x", "/tmp/sf10_synth"),
 ]
 
-BASE_DIR = "/root/testdata/sf0.1"
+BASE_DIR = _sf_dir("sf0.1")
 
 
 def _fixed_eval_decontaminate(word_shingles: bool):

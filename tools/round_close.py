@@ -35,6 +35,11 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from blackroad_feature_store_spark.sources.testdata import (  # noqa: E402
+    sf_dir as _sf_dir,
+)
 
 # Patterns a public-only repo must never match (case-insensitive).
 # Each is (label, regex). Mirrors the driver's LEAKCHECK categories.
@@ -88,7 +93,7 @@ def oracle_type_audit() -> int:
     import __spark_entry__ as entrymod
     from blackroad_feature_store_spark.sources.testdata import TABLES
 
-    sf = "/root/testdata/sf0.001"
+    sf = _sf_dir("sf0.001")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -129,8 +134,8 @@ def vacuity_audit() -> int:
 
     hits = 0
     for sf, gate in (
-        ("/root/testdata/sf0.01", True),
-        ("/root/testdata/sf0.001", False),
+        (_sf_dir("sf0.01"), True),
+        (_sf_dir("sf0.001"), False),
     ):
         con = duckdb.connect()
         for t in TABLES:
@@ -331,7 +336,7 @@ def main() -> int:
     if vacuity_audit() != 0:
         failures.append("vacuity-audit")
     if args.full:
-        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for sf in (_sf_dir("sf0.001"), _sf_dir("sf0.01")):
             if run(f"oracle replica {sf}",
                    [sys.executable, "tests/oracle_harness.py", "--sf", sf]) != 0:
                 failures.append(f"oracle-{sf.rsplit('sf', 1)[1]}")
