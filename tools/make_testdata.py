@@ -19,10 +19,13 @@ engines read the same parquet — but value-pinned artifacts
 statistics) must not be compared against generated data, so the root
 is stamped with ``GENERATED.marker`` and
 ``sources/testdata.py::is_generated_testdata`` lets those tests skip.
-Queries that need duplicates/near-duplicates plant their own shifted
-copies (the catalog's max(id)+1 convention), so no duplicate
-structure needs to be baked in here — the driver's own fixtures have
-none either (500/500 distinct texts at sf0.001).
+Queries that need whole-record duplicates plant their own shifted
+copies (the catalog's max(id)+1 convention), so none are baked in.
+SPAN-level repetition is different: the driver corpus carries
+verbatim >=30-token boilerplate spans (~5%% of its 30-gram windows
+are duplicated at sf0.001) that the ExactSubstr/winnowing family
+detects — this generator plants the same structure (four fixed
+boilerplate sequences injected into ~8%% of documents).
 
 Deterministic: one numpy PCG64 stream seeded per (table, sf).
 """
@@ -40,9 +43,9 @@ import pyarrow.parquet as pq
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-PTYPES = ["ECONOMY", "PROMO", "STANDARD", "SMALL", "LARGE"]
-PADJ = ["cold", "small", "large", "hot", "dim", "bright", "heavy", "light"]
-PNOUN = ["widget", "bolt", "gear", "spring", "valve", "plate", "rod", "cam"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+PADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+PNOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
 LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_W = [0.5, 0.15, 0.15, 0.1, 0.1]
 VOCAB = (
@@ -159,10 +162,12 @@ def generate_sf(out_root: str, sf: float) -> None:
     for i in range(1, n["lineitem"]):
         if same[i]:
             linenum[i] = linenum[i - 1] + 1
-    ship = odate.min() + g.integers(
-        0, (d1 - d0) + 300 * 86_400, n["lineitem"]
-    ) // 86_400 * 86_400
-    ship = np.minimum(ship, d1 + 310 * 86_400)
+    # ship = the line's order date + 1..120 days (the TPC-H shape):
+    # independent uniform ship dates would make any predicate of the
+    # form "most of this pair's quantity shipped within one calendar
+    # year" (tpch_q20) almost surely empty, because a pair's lines
+    # would scatter across the whole 7-year range.
+    ship = odate[lkeys] + g.integers(1, 121, n["lineitem"]) * 86_400
     _write(out, "lineitem", pa.table({
         "l_orderkey": pa.array(lkeys, pa.int64()),
         "l_partkey": pa.array(
@@ -202,10 +207,37 @@ def generate_sf(out_root: str, sf: float) -> None:
     lang_idx = g.choice(len(LANGS), n["documents"], p=LANG_W)
     lens = g.integers(8, 110, n["documents"])
     words = g.integers(0, len(VOCAB), int(lens.sum()))
+    # Boilerplate spans: the driver corpus carries verbatim repeated
+    # >=30-token spans (~5% of its 30-gram windows are duplicated at
+    # sf0.001) — the structure the ExactSubstr family detects and
+    # removes. Plant the same shape: a few fixed 34-40-token
+    # sequences, each injected into many documents, so span-dedup
+    # queries are non-vacuous and the removal plan keeps its
+    # non-degenerate join shape on generated data.
+    # span count scales with the corpus so each span lands in ~10
+    # documents at ANY SF — a fixed handful would concentrate into
+    # hot fingerprint buckets that the dedup family's skew caps
+    # (max_bucket) rightly drop, making those queries vacuous at
+    # larger SFs.
+    bp_rng = _rng("boilerplate", sf)
+    n_spans = max(4, int(n["documents"] * 0.08 / 10))
+    boilerplates = [
+        " ".join(
+            VOCAB[w]
+            for w in bp_rng.integers(0, len(VOCAB), 34 + (b % 4) * 2)
+        )
+        for b in range(n_spans)
+    ]
+    bp_mask = g.random(n["documents"]) < 0.08
+    bp_pick = g.integers(0, len(boilerplates), n["documents"])
     texts, pos = [], 0
-    for ln in lens:
-        texts.append(" ".join(VOCAB[w] for w in words[pos:pos + ln]))
+    for i, ln in enumerate(lens):
+        t = " ".join(VOCAB[w] for w in words[pos:pos + ln])
         pos += ln
+        if bp_mask[i]:
+            bp = boilerplates[bp_pick[i]]
+            t = f"{t} {bp}" if i % 2 else f"{bp} {t}"
+        texts.append(t)
     _write(out, "documents", pa.table({
         "doc_id": pa.array(range(n["documents"]), pa.int64()),
         "text": texts,
