@@ -6,7 +6,10 @@ import hashlib
 import math
 import os
 
-from blackroad_feature_store_spark.sources.testdata import sf_dir as _sf_dir
+from blackroad_feature_store_spark.sources.testdata import (
+    is_generated_testdata,
+    sf_dir as _sf_dir,
+)
 
 SF001 = _sf_dir("sf0.001")
 
@@ -226,10 +229,7 @@ def test_cosine_topk_lsh_same_bucket_only(vectors):
 
 
 @pytest.mark.skipif(
-    __import__(
-        "blackroad_feature_store_spark.sources.testdata",
-        fromlist=["is_generated_testdata"],
-    ).is_generated_testdata(),
+    is_generated_testdata(),
     reason="LSH-recall ordering is pinned on the driver fixtures' specific "
     "random realization (recall@5 over 10 queries moves in 0.02 "
     "steps); on a generated root the ordering can legitimately "
@@ -894,10 +894,7 @@ def test_chunk_documents_exhaustive_coverage(spark):
 
 
 @pytest.mark.skipif(
-    __import__(
-        "blackroad_feature_store_spark.sources.testdata",
-        fromlist=["is_generated_testdata"],
-    ).is_generated_testdata(),
+    is_generated_testdata(),
     reason="the 0.3 recall floor is pinned on the driver fixtures' "
     "specific random realization; a generated root's iid-gaussian "
     "realization can legitimately sit below it — correctness "
@@ -1192,10 +1189,7 @@ def test_pq_encode_exact_on_codeword_composed_vectors(spark):
 
 
 @pytest.mark.skipif(
-    __import__(
-        "blackroad_feature_store_spark.sources.testdata",
-        fromlist=["is_generated_testdata"],
-    ).is_generated_testdata(),
+    is_generated_testdata(),
     reason="PQ-recall dial values is pinned on the driver fixtures' specific "
     "random realization (recall@5 over 10 queries moves in 0.02 "
     "steps); on a generated root the ordering can legitimately "

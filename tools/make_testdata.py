@@ -24,8 +24,9 @@ copies (the catalog's max(id)+1 convention), so none are baked in.
 SPAN-level repetition is different: the driver corpus carries
 verbatim >=30-token boilerplate spans (~5%% of its 30-gram windows
 are duplicated at sf0.001) that the ExactSubstr/winnowing family
-detects — this generator plants the same structure (four fixed
-boilerplate sequences injected into ~8%% of documents).
+detects — this generator plants the same structure (boilerplate
+sequences injected into ~8%% of documents; span count scales with the
+corpus so each span lands in ~10 documents at any SF).
 
 Deterministic: one numpy PCG64 stream seeded per (table, sf).
 """
@@ -55,7 +56,12 @@ VOCAB = (
 ).split()
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
-# rows per table at sf=1 (nation/region fixed-size)
+# rows per table at sf=1 (nation/region fixed-size). documents and
+# embeddings scale SUB-linearly in the driver fixtures (measured:
+# docs 500/500/5000 and embeddings 500/500/2000 at sf0.001/0.01/0.1
+# = 50k*sf and 20k*sf, floored at 500) — text/vector operators are
+# per-row expensive, so their tables stay smaller than the
+# relational ones at every SF.
 BASE = {
     "customer": 150_000,
     "supplier": 10_000,
@@ -63,16 +69,26 @@ BASE = {
     "orders": 1_500_000,
     "lineitem": 6_000_000,
     "events": 1_000_000,
-    "documents": 500_000,
-    "embeddings": 500_000,
+    "documents": 50_000,
+    "embeddings": 20_000,
 }
+MIN_ROWS = {"documents": 500, "embeddings": 500}
 
 US = 1_000_000  # microseconds per second
 
 
 def _rng(table: str, sf: float) -> np.random.Generator:
+    # hashlib, NOT hash(): Python salts str hashes per process
+    # (PYTHONHASHSEED), which would quietly break the determinism
+    # this module promises — every CI run would synthesize different
+    # data and a flaking statistical gate would be irreproducible.
+    import hashlib
+
+    digest = hashlib.sha256(
+        f"{table}|{round(sf, 6)}|42".encode()
+    ).digest()
     return np.random.default_rng(
-        abs(hash((table, round(sf, 6), 42))) % (2**63)
+        int.from_bytes(digest[:8], "little")
     )
 
 
@@ -87,7 +103,10 @@ def _ts_us(epoch_seconds: np.ndarray) -> pa.Array:
 
 
 def generate_sf(out_root: str, sf: float) -> None:
-    n = {k: max(int(v * sf), 5) for k, v in BASE.items()}
+    n = {
+        k: max(int(v * sf), MIN_ROWS.get(k, 5))
+        for k, v in BASE.items()
+    }
     out = os.path.join(out_root, f"sf{sf:g}")
     os.makedirs(out, exist_ok=True)
 
@@ -157,11 +176,15 @@ def generate_sf(out_root: str, sf: float) -> None:
     g = _rng("lineitem", sf)
     # ~4 lines per order: draw order ids then number lines within
     lkeys = np.sort(g.integers(0, n["orders"], n["lineitem"]))
-    linenum = np.ones(n["lineitem"], dtype="int64")
+    # vectorized within-order line numbering: position minus the
+    # start offset of each run of equal order keys
     same = np.concatenate([[False], lkeys[1:] == lkeys[:-1]])
-    for i in range(1, n["lineitem"]):
-        if same[i]:
-            linenum[i] = linenum[i - 1] + 1
+    starts = np.flatnonzero(~same)
+    run_lens = np.diff(np.append(starts, n["lineitem"]))
+    linenum = (
+        np.arange(n["lineitem"]) - np.repeat(starts, run_lens) + 1
+    )
+    lpart = g.integers(0, n["part"], n["lineitem"])
     # ship = the line's order date + 1..120 days (the TPC-H shape):
     # independent uniform ship dates would make any predicate of the
     # form "most of this pair's quantity shipped within one calendar
@@ -170,10 +193,15 @@ def generate_sf(out_root: str, sf: float) -> None:
     ship = odate[lkeys] + g.integers(1, 121, n["lineitem"]) * 86_400
     _write(out, "lineitem", pa.table({
         "l_orderkey": pa.array(lkeys, pa.int64()),
-        "l_partkey": pa.array(
-            g.integers(0, n["part"], n["lineitem"]), pa.int64()),
+        "l_partkey": pa.array(lpart, pa.int64()),
+        # each part is supplied by a fixed 4-supplier affinity set
+        # (TPC-H's partsupp shape): without it, (part, supplier)
+        # pairs almost never recur in a uniform draw and any
+        # pair-level predicate (tpch_q20's total_qty >= 60 with most
+        # shipped in one year) is satisfied by luck, not structure.
         "l_suppkey": pa.array(
-            g.integers(0, n["supplier"], n["lineitem"]), pa.int64()),
+            (lpart * 13 + g.integers(0, 4, n["lineitem"]))
+            % n["supplier"], pa.int64()),
         "l_linenumber": pa.array(linenum, pa.int32()),
         "l_quantity": g.integers(1, 51, n["lineitem"]).astype("float64"),
         "l_extendedprice": np.round(
