@@ -87,8 +87,12 @@ def bpe_train(
         .limit(max_words)
         .localCheckpoint()
     )
+    # octet_length, not length: the bound promises BYTES, and a
+    # multi-byte UTF-8 dictionary (CJK, emoji) packs up to 4 bytes per
+    # character — a char-count guard would under-protect the driver by
+    # up to 4x (ADVICE r14 low).
     dict_bytes = capped.agg(
-        F.coalesce(F.sum(F.length("word")), F.lit(0))
+        F.coalesce(F.sum(F.octet_length("word")), F.lit(0))
     ).first()[0]
     if dict_bytes > max_driver_bytes:
         raise ValueError(

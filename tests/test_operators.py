@@ -3563,6 +3563,38 @@ def test_bpe_train_driver_byte_guard_raises(spark):
     )
 
 
+def test_bpe_driver_byte_guard_counts_bytes_not_chars(
+    spark, monkeypatch
+):
+    """ADVICE r14 low pin: max_driver_bytes must bound BYTES
+    (octet_length), not characters — a multi-byte UTF-8 dictionary
+    packs up to 4 bytes/char, so a char-count guard under-protects
+    the driver by up to 4x. word_counts strips to [a-z], so the only
+    way multi-byte words reach the guard today is a future tokenizer
+    widening — this pin injects such a dictionary directly and fails
+    if the guard regresses to character counting."""
+    import pytest as _pytest
+
+    from blackroad_feature_store_spark.operators import bpe as _bpe
+
+    # one word: 100 chars, 200 UTF-8 bytes ("ü" is 2 bytes)
+    wide = spark.createDataFrame(
+        [("ü" * 100, 2)], ["word", "freq"]
+    )
+    monkeypatch.setattr(_bpe, "word_counts", lambda df, text_col: wide)
+    df = spark.createDataFrame([(1, "ignored")], ["doc_id", "text"])
+    # bound sits between the char count (100) and the byte count
+    # (200): a char guard would pass silently, the byte guard raises
+    with _pytest.raises(ValueError, match="max_driver_bytes"):
+        _bpe.bpe_train(
+            df, num_merges=1, min_freq=1, max_driver_bytes=150
+        )
+    # and the same dictionary trains under an honest byte budget
+    assert _bpe.bpe_train(
+        df, num_merges=1, min_freq=1, max_driver_bytes=250
+    )
+
+
 def test_cosine_topk_auto_matches_measured_crossover():
     """VERDICT r13 ask #6 pin: `cosine_topk_auto`'s exact-strategy
     pick must match the measured sf-crossover table committed at
