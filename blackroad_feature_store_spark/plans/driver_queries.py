@@ -3006,9 +3006,9 @@ def stream_exec_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         )
         # ProcessingTimeTimeout keeps no-data batches coming forever,
         # so awaitTermination would hang; bounded drain, see
-        # drain_and_stop. expected_rows (parquet-footer count, no
-        # scan) short-circuits the ~1s wait for the trailing no-data
-        # batch (VERDICT r13 ask #5).
+        # drain_and_stop. expected_rows (one cheap count job over the
+        # staged batch) short-circuits the ~1s wait for the trailing
+        # no-data batch (VERDICT r13 ask #5).
         drain_and_stop(q_, expected_rows=batch.count())
     return spark.table(sink).where("closed").select(
         "user_id",

@@ -186,12 +186,22 @@ def drain_and_stop(query, timeout: int = 120,
 
     deadline = _time.time() + timeout
     seen_data = False
+    # Cumulative input rows keyed by batchId, accumulated ACROSS poll
+    # iterations: query.recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100)
+    # entries, so a drain spanning more batches would undercount if
+    # summed from one snapshot and silently lose the expected_rows
+    # short-circuit (ADVICE r14 low — perf-only, the zero-input
+    # fallback still ends the drain). A batch's numInputRows is fixed
+    # once reported, so keying by batchId both dedupes re-reads and
+    # survives the ring buffer evicting old entries.
+    rows_by_batch: dict[int, int] = {}
     while _time.time() < deadline:
-        drained = 0
         for p in query.recentProgress:
             if p["numInputRows"] > 0:
                 seen_data = True
-            drained += p["numInputRows"]
+            rows_by_batch[p["batchId"]] = p["numInputRows"]
+        drained = sum(rows_by_batch.values())
         if expected_rows is not None and drained >= expected_rows:
             break
         last = query.lastProgress

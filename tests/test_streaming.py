@@ -2171,3 +2171,62 @@ def test_unique_gate_reads_legacy_key_only_compacted_fold(spark, tmp_path):
     process_unique_gate_batch(mk([4, 5]), 3, store, "k")
     r2 = merge_expectations(spark, store).collect()[0]
     assert r2["total"] == 9 and r2["violations"] == 4
+
+
+def test_drain_and_stop_expected_rows_survives_progress_ring_buffer():
+    """ADVICE r14 low pin: query.recentProgress is a ring buffer
+    capped at spark.sql.streaming.numRecentProgressUpdates (default
+    100) entries — a drain spanning more batches must accumulate
+    numInputRows ACROSS poll snapshots keyed by batchId, or the
+    expected_rows short-circuit silently undercounts and the drain
+    falls back to the slow zero-input signal. Fake query: the first
+    poll shows batches 0-99, later polls 50-149 (old entries
+    evicted); only cross-snapshot accumulation reaches 150 rows."""
+    import time as _time
+
+    from blackroad_feature_store_spark.streaming.stateful import (
+        drain_and_stop,
+    )
+
+    class _FakeQuery:
+        def __init__(self):
+            self.polls = 0
+            self.stopped = False
+
+        @property
+        def recentProgress(self):
+            self.polls += 1
+            if self.polls == 1:
+                return [
+                    {"batchId": i, "numInputRows": 1} for i in range(100)
+                ]
+            return [
+                {"batchId": i, "numInputRows": 1} for i in range(50, 150)
+            ]
+
+        @property
+        def lastProgress(self):
+            # never reports a zero-input batch: the fallback signal
+            # stays dark, so only the expected_rows fast path can end
+            # the drain before the timeout
+            return {"batchId": 150, "numInputRows": 1}
+
+        @property
+        def isActive(self):
+            return True
+
+        def stop(self):
+            self.stopped = True
+
+        def awaitTermination(self, timeout=None):
+            return True
+
+    q = _FakeQuery()
+    t0 = _time.time()
+    drain_and_stop(q, timeout=10, expected_rows=150)
+    elapsed = _time.time() - t0
+    assert q.stopped
+    # a snapshot-sum implementation never sees >100 rows and only
+    # returns via the 10s timeout; the cumulative one needs 2 polls
+    assert elapsed < 5, f"expected_rows short-circuit lost ({elapsed:.1f}s)"
+    assert q.polls <= 5
