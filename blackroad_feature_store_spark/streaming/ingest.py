@@ -252,9 +252,15 @@ def fold_exact_substr_partials(
     Returns ``None`` when no partial qualifies (first batch). The
     index rows carry no L; the caller owns the contract that every
     partial under one ``idx_store`` was built at ONE L (mixing Ls
-    would fold apples into oranges silently — keep stores per-L)."""
+    would fold apples into oranges silently — keep stores per-L).
+    ``idx_store`` must be a plain OS path (local or locally mounted):
+    partials are discovered with os-level glob, which is blind to
+    hdfs://-style URIs — :func:`_require_local_path` raises on those
+    instead of silently returning an empty history."""
     import glob as _g
     import os as _os
+
+    _require_local_path(idx_store, "idx_store")
 
     from blackroad_feature_store_spark.operators.exactsubstr import (
         fold_exact_substr_index,
@@ -273,35 +279,98 @@ def fold_exact_substr_partials(
     return hist
 
 
-def _max_keep_id_from_footers(
-    idx_store: str, before_batch_id: int
-) -> int | None:
-    """Max ``keep_id`` across history partials (batch id <
-    ``before_batch_id``) read from parquet FOOTER column statistics —
-    metadata only, no Spark job. Returns None when no partial
-    qualifies or a footer lacks the stat (falls back to None for that
-    file, erring permissive: the check is a tripwire, not the
-    correctness mechanism — the pytest/soak pins are)."""
+def _footer_col_max(path: str, col: str) -> int | None:
+    """Max of ``col`` over every parquet file under ``path``, read from
+    FOOTER column statistics only — metadata reads, no Spark job.
+    LOCAL-FILESYSTEM ONLY: paths are resolved with ``glob``/pyarrow, so
+    on HDFS/S3 this finds nothing and returns None (callers must treat
+    None as "fast path unavailable", not "no history")."""
     import glob as _g
     import os as _os
 
     import pyarrow.parquet as _pq
 
     hi: int | None = None
-    for p in _g.glob(_os.path.join(idx_store, "batch_id=*")):
-        if int(p.rsplit("=", 1)[1]) >= before_batch_id:
+    for f in _g.glob(_os.path.join(path, "*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
             continue
-        for f in _g.glob(_os.path.join(p, "*.parquet")):
-            md = _pq.ParquetFile(f).metadata
-            try:
-                idx = md.schema.names.index("keep_id")
-            except ValueError:
-                continue
-            for rg in range(md.num_row_groups):
-                stats = md.row_group(rg).column(idx).statistics
-                if stats is not None and stats.has_min_max:
-                    m = stats.max
-                    hi = m if hi is None or m > hi else hi
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is not None and stats.has_min_max:
+                m = stats.max
+                hi = m if hi is None or m > hi else hi
+    return hi
+
+
+def _sidecar_dir(idx_store: str) -> str:
+    # underscore prefix = Hadoop-hidden: a whole-store
+    # spark.read.parquet(idx_store) and fold_exact_substr_partials'
+    # batch_id=* glob both skip it, so the sidecar never pollutes a
+    # fold; it is only read through this explicit path.
+    return f"{idx_store}/_maxid"
+
+
+def _require_local_path(path: str, what: str) -> None:
+    """The per-batch partial stores are discovered with os-level
+    ``glob`` (fold + gate + sidecar footers), so a scheme'd URI
+    (hdfs://, s3a://, even file://) would glob NOTHING and silently
+    behave like an empty store — history skipped, gate dark (ADVICE
+    r14 low). Fail loudly instead: these helpers take plain OS paths
+    (a locally mounted filesystem is fine)."""
+    import re as _re
+
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        raise ValueError(
+            f"{what} must be a plain OS path (local or locally "
+            f"mounted filesystem), got URI {path!r}: partial "
+            "discovery uses os-level glob, which would silently see "
+            "an empty store on a remote filesystem"
+        )
+
+
+def _history_max_ingested_id(
+    idx_store: str, before_batch_id: int
+) -> int | None:
+    """The largest doc id EVER INGESTED into history partials with
+    batch id < ``before_batch_id`` — the monotone-arrival gate bound.
+
+    Keeper ids cannot provide this (ADVICE r14 low): a keeper is the
+    per-window MINIMUM doc id, so the max keeper can sit well below
+    the true max ingested id and an out-of-order batch landing in
+    that gap would pass a keeper-based gate silently. Each batch
+    therefore persists its true ``max(doc_id)`` in a one-row sidecar
+    (``idx_store/_maxid/b=N``), and the gate reads those, in order:
+
+    1. Sidecar parquet footers — metadata only, no Spark job.
+    2. Per-batch keeper-id footer max for LEGACY partials that predate
+       the sidecar (weaker: per-window minima — kept only so upgraded
+       stores retain the old tripwire's strength for old batches).
+
+    Local filesystem only, like the partial layout itself — enforced
+    upstream by :func:`_require_local_path`."""
+    import glob as _g
+    import os as _os
+
+    hi: int | None = None
+    covered: set[int] = set()
+    for p in _g.glob(_os.path.join(_sidecar_dir(idx_store), "b=*")):
+        bid = int(p.rsplit("=", 1)[1])
+        if bid >= before_batch_id:
+            continue
+        m = _footer_col_max(p, "max_ingested_id")
+        if m is not None:
+            covered.add(bid)
+            hi = m if hi is None or m > hi else hi
+    for p in _g.glob(_os.path.join(idx_store, "batch_id=*")):
+        bid = int(p.rsplit("=", 1)[1])
+        if bid >= before_batch_id or bid in covered:
+            continue
+        m = _footer_col_max(p, "keep_id")
+        if m is not None:
+            hi = m if hi is None or m > hi else hi
     return hi
 
 
@@ -328,19 +397,40 @@ def exact_substr_ingest_batch(
     * History folds ONLY partials with batch id < ``batch_id``
       (:func:`fold_exact_substr_partials`) — a replayed batch never
       sees its own delta as history.
-    * Monotone-id arrival: every id in the batch must exceed every
-      history keeper id (the moment-of-ingest exactness precondition
-      of ``exact_substr_batch_rewrite``). A source that delivers
-      batches out of id order (e.g. FileStreamSource breaking mtime
-      ties arbitrarily) raises here instead of silently certifying a
-      diverged rewrite.
+    * Monotone-id arrival: every id in the batch must exceed every id
+      EVER INGESTED by an earlier batch (the moment-of-ingest
+      exactness precondition of ``exact_substr_batch_rewrite``). Each
+      batch persists its true ``max(doc_id)`` in a one-row sidecar
+      (``idx_store/_maxid/b=N``, overwrite — replay-idempotent like
+      the delta itself), and the gate reads those back
+      (:func:`_history_max_ingested_id`): keeper ids alone cannot
+      carry the gate, because keepers are per-window MINIMA — a batch
+      whose ids fall between the max keeper and the true max ingested
+      id would pass a keeper-only check silently (ADVICE r14 low). A
+      source that delivers batches out of id order (e.g.
+      FileStreamSource breaking mtime ties arbitrarily) raises here
+      instead of silently certifying a diverged rewrite.
+
+    ``idx_store``/``out_store`` must be plain OS paths (local or
+    locally mounted filesystem): partial discovery, the gate's footer
+    reads, and the sidecar all go through os-level glob/pyarrow, which
+    are blind to hdfs://-style URIs — a scheme'd path raises
+    ``ValueError`` up front rather than silently treating history as
+    empty (ADVICE r14 low).
     """
     from blackroad_feature_store_spark.operators.exactsubstr import (
         exact_substr_batch_rewrite,
         exact_substr_index,
     )
 
+    _require_local_path(idx_store, "idx_store")
+    _require_local_path(out_store, "out_store")
     sp = batch_df.sparkSession
+    # One scalar agg gives both ends of the batch's id range: the min
+    # feeds the arrival gate, the max becomes the batch's sidecar.
+    lo, batch_max = batch_df.agg(
+        F.min(id_col), F.max(id_col)
+    ).first()
     hist = fold_exact_substr_partials(
         sp, idx_store, before_batch_id=int(batch_id)
     )
@@ -352,21 +442,17 @@ def exact_substr_ingest_batch(
             text_col=text_col,
         )
     else:
-        # Monotone-id arrival check from parquet FOOTER statistics:
-        # the max keeper id over history partials is the max of each
-        # file's keep_id column stat — pure metadata, no Spark job
-        # (an agg over `hist` would re-fold the whole history as a
-        # second action on the same lineage, doubling the fold cost
-        # per batch). Folds are per-batch keeper minima, but every
-        # keeper id is some ingested doc's id, and the contract is
-        # batch ids > ALL history ids — file-level max is exactly
-        # the right bound.
-        hi = _max_keep_id_from_footers(idx_store, int(batch_id))
-        lo = batch_df.agg(F.min(id_col)).first()[0]
+        # Monotone-id arrival check against the TRUE max ingested id
+        # (sidecar footers — pure metadata on a local FS, Spark-side
+        # fallback elsewhere; see _history_max_ingested_id). An agg
+        # over `hist` is deliberately the last resort: it would
+        # re-fold the whole history as a second action on the same
+        # lineage, doubling the fold cost per batch.
+        hi = _history_max_ingested_id(idx_store, int(batch_id))
         if hi is not None and lo is not None and lo <= hi:
             raise AssertionError(
                 f"monotone-id arrival violated in batch {batch_id}: "
-                f"batch min {id_col}={lo} <= max history keeper id "
+                f"batch min {id_col}={lo} <= max history ingested id "
                 f"{hi} — the source delivered batches out of id "
                 f"order, so moment-of-ingest semantics do not hold"
             )
@@ -384,3 +470,29 @@ def exact_substr_ingest_batch(
     delta.write.mode("overwrite").parquet(
         f"{idx_store}/batch_id={int(batch_id)}"
     )
+    if batch_max is not None:
+        # Sidecar LAST: it only ever describes a fully-landed delta
+        # (foreachBatch commits the checkpoint after this returns, so
+        # a crash anywhere above replays the whole batch and
+        # overwrites all three writes deterministically). Written with
+        # pyarrow, not a Spark job: the store is guaranteed local by
+        # _require_local_path, and a one-row metadata write should not
+        # cost a scheduler round-trip per micro-batch.
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        d = f"{_sidecar_dir(idx_store)}/b={int(batch_id)}"
+        _os.makedirs(d, exist_ok=True)
+        _pq.write_table(
+            _pa.table(
+                {
+                    "batch_id": _pa.array([int(batch_id)], _pa.int64()),
+                    "max_ingested_id": _pa.array(
+                        [int(batch_max)], _pa.int64()
+                    ),
+                }
+            ),
+            _os.path.join(d, "sidecar.parquet"),
+        )

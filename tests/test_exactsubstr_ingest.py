@@ -145,6 +145,68 @@ def test_out_of_order_batches_raise(spark, base):
         )
 
 
+def test_out_of_order_batch_in_keeper_gap_raises(spark, base):
+    """ADVICE r14 (low) pin: keeper ids are per-window MINIMA, so a
+    keeper-based gate understates the true max ingested id. Batch 0
+    ingests docs 1 and 50 with IDENTICAL text — every window's keeper
+    is doc 1, so max keeper = 1 while the true max ingested id is 50.
+    An out-of-order batch carrying doc 30 sits in that gap: the old
+    keeper-footer gate passed it silently; the sidecar gate (true
+    per-batch max(doc_id)) must raise."""
+    dup = "a b c d e f g"
+    exact_substr_ingest_batch(
+        _df(spark, [(1, dup), (50, dup)]),
+        0,
+        f"{base}/idx",
+        f"{base}/out",
+        L=L,
+    )
+    # sanity: the keeper-gap premise holds (all keepers are doc 1)
+    hist = fold_exact_substr_partials(spark, f"{base}/idx")
+    assert hist.agg(F.max("keep_id")).first()[0] == 1
+    with pytest.raises(AssertionError, match="monotone-id arrival"):
+        exact_substr_ingest_batch(
+            _df(spark, [(30, "h i j k l m")]),
+            1,
+            f"{base}/idx",
+            f"{base}/out",
+            L=L,
+        )
+
+
+def test_legacy_store_without_sidecar_keeps_keeper_gate(spark, base):
+    """Upgraded stores: partials written before the sidecar existed
+    still gate at the old keeper-footer strength — deleting the
+    sidecar must not disarm the tripwire entirely."""
+    import shutil as _sh
+
+    exact_substr_ingest_batch(
+        _df(spark, BATCH1), 0, f"{base}/idx", f"{base}/out", L=L
+    )
+    _sh.rmtree(f"{base}/idx/_maxid")
+    with pytest.raises(AssertionError, match="monotone-id arrival"):
+        exact_substr_ingest_batch(
+            _df(spark, BATCH0), 1, f"{base}/idx", f"{base}/out", L=L
+        )
+
+
+def test_scheme_uri_store_raises_up_front(spark, base):
+    """ADVICE r14 (low) pin: partial discovery is os-level glob, blind
+    to hdfs://-style URIs — a scheme'd store path must raise loudly
+    instead of silently treating history as empty (which would skip
+    both the fold and the gate)."""
+    with pytest.raises(ValueError, match="plain OS path"):
+        exact_substr_ingest_batch(
+            _df(spark, BATCH0),
+            0,
+            "hdfs://nn:8020/idx",
+            f"{base}/out",
+            L=L,
+        )
+    with pytest.raises(ValueError, match="plain OS path"):
+        fold_exact_substr_partials(spark, "s3a://bucket/idx")
+
+
 def test_history_fold_excludes_current_and_later_batches(spark, base):
     """fold_exact_substr_partials(before_batch_id=N) folds exactly the
     partials with id < N — including numerically (not lexically)
