@@ -935,13 +935,22 @@ def store_registry_ops(spark: SparkSession, sf: str) -> DataFrame:
     return feats.unionByName(groups).unionByName(checks_df)
 
 
-@q("core_uuid_shape")  # F4 — rows-only: uuid() can't hash-match an oracle
+@q(
+    "core_uuid_shape",
+    oracle="SELECT count(*) AS n_valid, count(*) AS n_distinct "
+    "FROM customer",
+)
 def core_uuid_shape(spark: SparkSession, sf: str) -> DataFrame:
     """F4: UUID generation (reference ``str(uuid.uuid4())`` for ids,
-    feature_store.py:114,133,151). Non-deterministic by nature, so this
-    is a rows-only driver entry: every generated id must match the
-    RFC-4122 v4 shape and be unique — both enforced IN the query, so a
-    wrong implementation changes the row count.
+    feature_store.py:114,133,151). The VALUES are non-deterministic,
+    but the shape checks fold to deterministic counts (VERDICT r14
+    ask #4): if every generated id matches the RFC-4122 v4 regex and
+    all are distinct, both outputs equal ``count(customer)`` — which
+    is exactly what the DuckDB oracle computes, so this row is
+    hash-checked like any other. A malformed uuid drops ``n_valid``
+    below the oracle's count; a collision makes ``n_distinct`` lag
+    ``n_valid`` and the final filter empties the result — either way
+    a loud mismatch, not a rows-only wave-through.
     """
     n = (
         load(spark, sf, "customer")
@@ -962,21 +971,26 @@ def core_uuid_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("core_current_ts_shape")  # F3 — rows-only: wall clock can't hash-match
+@q(
+    "core_current_ts_shape",
+    oracle="SELECT true AS iso_shape_ok, true AS utc_within_driver_hour",
+)
 def core_current_ts_shape(spark: SparkSession, sf: str) -> DataFrame:
     """F3: current UTC timestamp, ISO-formatted (reference
     ``datetime.utcnow().isoformat()``, feature_store.py:80-84,351).
-    Rows-only entry: the value is wall-clock, but its SHAPE is checked
-    in-query — ISO-8601 with microseconds, UTC session zone, and within
-    a sane bound of the driver's own clock — so the single output row
-    vanishes if the implementation breaks.
+    The VALUE is wall-clock, but each shape check folds to a
+    deterministic boolean (VERDICT r14 ask #4): ISO-8601 with
+    microseconds, and UTC-session-zone epoch within an hour of the
+    driver's own clock. The DuckDB oracle is ``true, true`` — a
+    breakage flips a column to ``false`` and fails the value hash
+    loudly instead of hiding behind a rows-only row-count.
     """
     from datetime import datetime, timezone
 
     # Keep the datetime tz-aware: .timestamp() on a NAIVE datetime is
     # interpreted as LOCAL time, so on a non-UTC driver the epoch bound
-    # would be off by the zone offset and the row would spuriously
-    # vanish.
+    # would be off by the zone offset and the check would spuriously
+    # read false.
     py_now = datetime.now(timezone.utc)
     one = spark.range(1).select(
         F.date_format(
@@ -984,17 +998,17 @@ def core_current_ts_shape(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("iso"),
         F.current_timestamp().alias("ts"),
     )
-    return one.where(
-        F.col("iso").rlike(
-            r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}$"
-        )
-        & (
+    return one.select(
+        F.col("iso")
+        .rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}$")
+        .alias("iso_shape_ok"),
+        (
             F.abs(
                 F.unix_micros("ts") - F.lit(int(py_now.timestamp() * 1e6))
             )
             < F.lit(3_600_000_000)  # within an hour of the driver clock
-        )
-    ).select("iso")
+        ).alias("utc_within_driver_hour"),
+    )
 
 
 # ---------------------------------------------------------------------------
