@@ -221,20 +221,106 @@ HEADLINE = [
 ]
 
 
-def calibration_is_unstable(
-    calibration: dict, calibration_end: dict
+def calibration_is_unstable(*snapshots: dict) -> bool:
+    """True when EITHER fixed-work probe disagrees with itself by more
+    than 25% (max/min) across the interleaved start/mid/end snapshots
+    — equivalent to the r13 end/start-in-[0.8,1.25] rule, generalized
+    to any number of snapshots (VERDICT r14 ask #1). Both probes gate
+    (ADVICE r13 low: a contention burst confined to the streaming
+    probe window skews every stream-query vs_pin ratio without moving
+    spark_fixed). Probes missing or zero in a snapshot contribute
+    nothing. Note the RATIOS no longer depend on any single window —
+    they divide by the per-probe MEDIAN (probe_median) — so this flag
+    now means "one probe window was bursty; the median absorbed it",
+    a reliability note rather than a ratio-invalidating verdict."""
+    for k in ("spark_fixed", "stream_fixed"):
+        vals = [s[k] for s in snapshots if s.get(k, 0) > 0]
+        if len(vals) >= 2 and max(vals) / min(vals) > 1.25:
+            return True
+    return False
+
+
+def probe_median(*snapshots: dict) -> dict:
+    """Per-probe median across the interleaved calibration snapshots —
+    the machine-state estimator every ratio divides by (VERDICT r14
+    ask #1: a single start-of-run probe is defeated by this host's
+    minute-scale turbo/throttle cycling; the median of start/mid/end
+    readings is robust to one bursty window). Probes missing or zero
+    in a snapshot are excluded from that probe's median."""
+    out = {}
+    keys = {k for s in snapshots for k in s}
+    for k in keys:
+        vals = sorted(s[k] for s in snapshots if s.get(k, 0) > 0)
+        if vals:
+            mid = len(vals) // 2
+            med = (
+                vals[mid]
+                if len(vals) % 2
+                else (vals[mid - 1] + vals[mid]) / 2
+            )
+            out[k] = round(med, 3)
+    return out
+
+
+REP_POLICY = 2  # artifact marker: which sampling policy produced it
+
+
+def _is_committed_clean(repo: str, rel: str) -> bool:
+    """True when ``rel`` is git-tracked with no uncommitted changes —
+    i.e. overwriting it would shadow a committed artifact. False on
+    any git failure (no repo, no git): then the plain path is used."""
+    import subprocess
+
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "--error-unmatch", rel],
+            cwd=repo,
+            capture_output=True,
+            timeout=10,
+        )
+        if tracked.returncode != 0:
+            return False
+        status = subprocess.run(
+            ["git", "status", "--porcelain", "--", rel],
+            cwd=repo,
+            capture_output=True,
+            timeout=10,
+        )
+        return status.returncode == 0 and not status.stdout.strip()
+    except Exception:  # noqa: BLE001 — no git: write the plain path
+        return False
+
+# retry-on-outlier bounds (VERDICT r14 ask #3): a sample landing past
+# OUTLIER_RATIO x its machine-adjusted pin triggers immediate extra
+# samples (up to MAX_SAMPLES total) BEFORE the row is written — a
+# throttle burst gets re-measured in-run instead of certified.
+OUTLIER_RATIO = 2.0
+MAX_SAMPLES = 5
+
+
+def plan_extra_samples(first_sample_sec: float, reps: int) -> int:
+    """How many samples to take AFTER the first. Multi-second queries
+    (>= 1 s) are floored at 3 total samples unconditionally — env
+    knobs may raise but never lower that (rep_policy=2); sub-second
+    queries take the configured reps."""
+    if first_sample_sec >= 1.0:
+        return max(reps - 1, 2)
+    return max(reps - 1, 0)
+
+
+def outlier_needs_resample(
+    samples: list, pin_expect: float | None
 ) -> bool:
-    """True when EITHER fixed-work probe's end/start drift leaves
-    [0.8, 1.25] (ADVICE r13 low: a contention burst confined to the
-    streaming probe window skews every stream-query vs_pin ratio
-    without moving spark_fixed — so stream_fixed drift gates too).
-    Probes missing or zero on either side contribute no drift."""
-    drifts = [
-        calibration_end[k] / calibration[k]
-        for k in ("spark_fixed", "stream_fixed")
-        if calibration.get(k, 0) > 0 and calibration_end.get(k, 0) > 0
-    ]
-    return any(not (0.8 <= d <= 1.25) for d in drifts)
+    """True while the query's BEST sample still exceeds OUTLIER_RATIO
+    x its machine-adjusted pin and the sample budget (MAX_SAMPLES)
+    remains — i.e. every sample so far looks like a burst, so take
+    another rather than certify it."""
+    if pin_expect is None or pin_expect <= 0:
+        return False
+    return (
+        len(samples) < MAX_SAMPLES
+        and min(samples) > OUTLIER_RATIO * pin_expect
+    )
 
 
 def main() -> None:
@@ -257,15 +343,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Short queries re-run REPS times, keeping the MINIMUM: a 0.5 s
-    # query's measurement is dominated by scheduler jitter, and one
-    # noisy sample would trip a 2x regression wire that the plan can't
-    # actually cause. Mid-size (3-8 s) queries get one extra sample —
-    # observed run-to-run swings there are +-40% under contention.
-    # Long queries run once: jitter is proportionally irrelevant and
-    # repetition would double total bench time.
-    rep_threshold = float(os.environ.get("SPARK_GRAFT_REP_THRESHOLD", "3.0"))
-    slow_threshold = float(os.environ.get("SPARK_GRAFT_SLOW_THRESHOLD", "8.0"))
+    # Every query re-runs, keeping the MINIMUM: a 0.5 s query's
+    # measurement is dominated by scheduler jitter, and one noisy
+    # sample would trip a 2x regression wire the plan can't actually
+    # cause. REP POLICY (rep_policy=2, VERDICT r14 ask #3): any query
+    # whose first sample is >= 1 s gets AT LEAST 3 samples regardless
+    # of env knobs — the driver's r14 run certified a 17.36 s reading
+    # for pipeline_split_leakage from ONE sample taken mid-throttle
+    # (quiet twin: 1.04 s); no single-sample multi-second row may
+    # appear in BENCH_FULL.json again. Sub-second queries keep the
+    # configurable SPARK_GRAFT_REPS (default 3).
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 
     # ---- machine-state calibration (VERDICT r8 "What's wrong #1") ----
@@ -382,6 +469,53 @@ def main() -> None:
             pass
         cal_ref = calibration
 
+    # ---- calibrated pins, loaded BEFORE the query loop ----
+    # (VERDICT r9 item 1 for the ratios; hoisted in r15 so the
+    # retry-on-outlier policy can compare samples against their
+    # machine-adjusted pins while the loop runs.)
+    pin_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_r10.json"
+    )
+    supp_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_SUPP.json"
+    )
+    pin = None
+    pins: dict[str, tuple[float, dict]] = {}
+    if os.path.exists(pin_path) and sf == 0.1:
+        with open(pin_path) as f:
+            pin = json.load(f)
+        # name -> (pinned seconds, calibration of the run that pinned
+        # it). The immutable r10 pin is authoritative; queries born
+        # after it carry a SUPPLEMENTARY pin recorded at registration
+        # (tools/pin_new_queries.py, VERDICT r12 item 2) with its own
+        # calibration, so every catalog query gets a calibrated vs_pin
+        # and the plan_changed wire is armed from birth.
+        pins = {
+            name: (t, pin.get("calibration", {}))
+            for name, t in pin["queries"].items()
+        }
+        if os.path.exists(supp_path):
+            with open(supp_path) as f:
+                supp = json.load(f)
+            for name, e in supp.get("entries", {}).items():
+                if name not in pins and e.get("t", 0) > 0:
+                    pins[name] = (e["t"], e.get("calibration", {}))
+
+    def _factor_with(name: str, pin_calib: dict, cal: dict) -> float:
+        """Machine-drift factor between `cal` and the pin's own
+        calibration, picking the probe family that dominates the
+        query's fixed costs (stream checkpointing vs batch)."""
+        key = (
+            "stream_fixed" if name.startswith("stream") else "spark_fixed"
+        )
+        ref = pin_calib.get(key, 0)
+        if ref > 0 and cal.get(key, 0) > 0:
+            return round(cal[key] / ref, 3)
+        ref = pin.get("calibration", {}).get(key, 0) if pin else 0
+        if ref > 0 and cal.get(key, 0) > 0:
+            return round(cal[key] / ref, 3)
+        return 1.0
+
     def run_once(name: str) -> float:
         # Time construction + execution: iterative operators (e.g.
         # dedup_clusters) do real work eagerly while building.
@@ -392,37 +526,58 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    # Mid-run calibration snapshot: with probes ONLY at the ends, a
+    # turbo/throttle cycle spanning the middle of the ~15 min query
+    # loop is invisible; the median of start/mid/end is the factor
+    # estimator (VERDICT r14 ask #1).
+    mid_at = len(HEADLINE) // 2
+    calibration_mid = None
+    for i, name in enumerate(HEADLINE):
+        if i == mid_at:
+            calibration_mid = {
+                "spark_fixed": round(
+                    min(_spark_probe() for _ in range(2)), 3
+                ),
+                "stream_fixed": round(_stream_probe(), 3),
+            }
         t = run_once(name)
-        if t < rep_threshold:
-            extra = max(0, reps - 1)
-        elif t < slow_threshold:
-            extra = 1
-        else:
-            extra = 0
-        ss = [t] + ([run_once(name) for _ in range(extra)] if extra else [])
+        ss = [t] + [
+            run_once(name) for _ in range(plan_extra_samples(t, reps))
+        ]
+        # retry-on-outlier: if even the BEST sample sits past 2x the
+        # machine-adjusted pin, the whole burst is suspect — keep
+        # sampling (bounded by MAX_SAMPLES) before writing the row.
+        # Uses the start-of-run calibration (the only one available
+        # mid-loop); the final ratios use the start/mid/end median.
+        pin_t, pin_calib = pins.get(name, (0, {}))
+        pin_expect = (
+            pin_t * _factor_with(name, pin_calib, calibration)
+            if pin_t > 0
+            else None
+        )
+        while outlier_needs_resample(ss, pin_expect):
+            ss.append(run_once(name))
         timings[name] = round(min(ss), 3)
         samples[name] = [round(x, 3) for x in ss]
 
     # ---- end-of-run calibration re-probe (round 13) ----
-    # The fixed-work probes run ONCE at bench start; a turbo burst or
-    # contention spike during that window writes an unrepresentative
-    # machine_factor that then skews EVERY normalized ratio (observed
-    # same-session spark_fixed readings of 1.12-3.20 while the query
-    # loop ran at normal speed — ~116 phantom vs_pin flags in one
-    # artifact). Re-probing after the query loop does not change any
-    # ratio arithmetic (pin comparability requires the start-min
-    # estimator), but records whether the calibration window matched
-    # the run it claims to describe: calibration_unstable=true tells a
-    # reader to trust plan_changed/dispersion, not the ratios.
     calibration_end = {
         "spark_fixed": round(min(_spark_probe() for _ in range(2)), 3),
         "stream_fixed": round(_stream_probe(), 3),
     }
     shutil.rmtree(_probe_dir, ignore_errors=True)
-    calibration_unstable = calibration_is_unstable(
-        calibration, calibration_end
-    )
+    snapshots = [calibration] + (
+        [calibration_mid] if calibration_mid else []
+    ) + [calibration_end]
+    # Every ratio below divides by the per-probe MEDIAN of the
+    # interleaved snapshots — robust to one bursty probe window, which
+    # is exactly how this host misbehaves (minute-scale turbo/throttle
+    # cycling defeated the start-only estimator in r13/r14; VERDICT
+    # r14 ask #1). cpu_spin only exists in the start snapshot and is
+    # informational.
+    calibration_used = probe_median(*snapshots)
+    calibration_used["cpu_spin"] = calibration.get("cpu_spin", 0)
+    calibration_unstable = calibration_is_unstable(*snapshots)
 
     total = round(sum(timings.values()), 3)
     # Dispersion summary (VERDICT r11 missing #1): per-query spread =
@@ -450,8 +605,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "rep_policy": REP_POLICY,
         "calibration": calibration,
+        "calibration_mid": calibration_mid,
         "calibration_end": calibration_end,
+        "calibration_used": calibration_used,
         "calibration_unstable": calibration_unstable,
     }
     if dispersion:
@@ -459,7 +617,7 @@ def main() -> None:
     machine_factor = None
     if cal_ref.get("spark_fixed", 0) > 0:
         machine_factor = round(
-            calibration["spark_fixed"] / cal_ref["spark_fixed"], 3
+            calibration_used["spark_fixed"] / cal_ref["spark_fixed"], 3
         )
         out["machine_factor"] = machine_factor
     baseline_path = os.path.join(
@@ -484,42 +642,20 @@ def main() -> None:
                 name: round(r / machine_factor, 2)
                 for name, r in raw.items()
             }
-    # ---- calibrated pin (VERDICT r9 item 1) ----
+    # ---- calibrated pin ratios (VERDICT r9 item 1) ----
     # The r2 pin predates the calibration harness, so machine drift
     # since r2 is invisible to machine_factor (which normalizes to the
     # r9 CAL_REF, not to r2's unknown machine state). BASELINE_r10.json
     # re-pins every query TOGETHER WITH the calibration probes measured
     # at pin time; "vs_pin" divides each raw ratio by the pin-relative
-    # machine factor, so a future judge reads plan regressions directly
-    # at any machine state. Policy in BASELINE.md.
-    pin_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BASELINE_r10.json"
-    )
-    supp_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BASELINE_SUPP.json"
-    )
-    if os.path.exists(pin_path) and sf == 0.1:
-        with open(pin_path) as f:
-            pin = json.load(f)
-        # name -> (pinned seconds, calibration of the run that pinned
-        # it). The immutable r10 pin is authoritative; queries born
-        # after it carry a SUPPLEMENTARY pin recorded at registration
-        # (tools/pin_new_queries.py, VERDICT r12 item 2) with its own
-        # calibration, so every catalog query gets a calibrated vs_pin
-        # and the plan_changed wire is armed from birth.
-        pins: dict[str, tuple[float, dict]] = {
-            name: (t, pin.get("calibration", {}))
-            for name, t in pin["queries"].items()
-        }
-        if os.path.exists(supp_path):
-            with open(supp_path) as f:
-                supp = json.load(f)
-            for name, e in supp.get("entries", {}).items():
-                if name not in pins and e.get("t", 0) > 0:
-                    pins[name] = (e["t"], e.get("calibration", {}))
+    # machine factor — computed against the start/mid/end MEDIAN
+    # (calibration_used) — so a future judge reads plan regressions
+    # directly at any machine state. Policy in BASELINE.md; pins were
+    # loaded before the query loop.
+    if pin is not None:
         pin_cal = pin.get("calibration", {}).get("spark_fixed", 0)
         pin_factor = (
-            round(calibration["spark_fixed"] / pin_cal, 3)
+            round(calibration_used["spark_fixed"] / pin_cal, 3)
             if pin_cal > 0
             else 1.0
         )
@@ -530,26 +666,18 @@ def main() -> None:
         # the streaming probe instead.
         pin_stream = pin.get("calibration", {}).get("stream_fixed", 0)
         stream_factor = (
-            round(calibration["stream_fixed"] / pin_stream, 3)
+            round(calibration_used["stream_fixed"] / pin_stream, 3)
             if pin_stream > 0
             else pin_factor
         )
         out["stream_factor"] = stream_factor
 
-        def _factor(name: str, pin_calib: dict) -> float:
-            key = (
-                "stream_fixed"
-                if name.startswith("stream")
-                else "spark_fixed"
-            )
-            ref = pin_calib.get(key, 0)
-            if ref > 0:
-                return round(calibration[key] / ref, 3)
-            return stream_factor if name.startswith("stream") else pin_factor
-
         out["vs_pin"] = {
             name: round(
-                t / pins[name][0] / _factor(name, pins[name][1]), 2
+                t
+                / pins[name][0]
+                / _factor_with(name, pins[name][1], calibration_used),
+                2,
             )
             for name, t in timings.items()
             if pins.get(name, (0, {}))[0] > 0
@@ -595,9 +723,24 @@ def main() -> None:
     # grew past ~30 queries. Persist the full result into the repo (the
     # round-end commit picks it up) and print the compact line for the
     # driver; separators trim ~10% so more of the line survives the tail.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    #
+    # Artifact routing (VERDICT r14 ask #8): the round's authoritative
+    # close artifact is BENCH_FULL.json, written by the stability-gated
+    # close run (tools/round_close.py --bench sets SPARK_GRAFT_CLOSE=1).
+    # Any OTHER run that would overwrite a committed-clean close
+    # artifact — the driver's post-close run, ad-hoc iteration — lands
+    # in BENCH_POSTCLOSE.json instead, clearly labeled, so the close
+    # artifact is never left shadowed by uncommitted dirt at handoff.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    if os.environ.get("SPARK_GRAFT_CLOSE") != "1" and _is_committed_clean(
+        here, "BENCH_FULL.json"
+    ):
+        full_path = os.path.join(here, "BENCH_POSTCLOSE.json")
+        out["postclose"] = (
+            "post-close run (driver or ad-hoc): the committed "
+            "BENCH_FULL.json close artifact remains authoritative"
+        )
     try:
         with open(full_path, "w") as f:
             # the committed artifact carries every rep sample so a
