@@ -387,6 +387,78 @@ def fold_exact_substr_index(
     )
 
 
+def fold_exact_substr_counts(
+    index: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """The KEEPERLESS fold monoid — counts only, ``(__h, __h2, n)``.
+    Same additivity contract as :func:`fold_exact_substr_index` minus
+    the keeper witness: sufficient for every consumer that matches on
+    counts (:func:`exact_substr_batch_rewrite`,
+    :func:`exact_substr_spans_from_index`), because under monotone-id
+    arrival the keeper of any window ever seen in history is FIXED in
+    history — the rewrite never reads keeper values, only "was this
+    window seen, how often". Inputs may carry extra columns (a full
+    witness index folds fine); the output never has them."""
+    cols = ["__h", "__h2", "n"]
+    return (
+        index.select(cols)
+        .unionByName(delta.select(cols))
+        .groupBy("__h", "__h2")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def exact_substr_rewrite_tier(index: DataFrame) -> DataFrame:
+    """The PERSISTED-FOOTPRINT projection of a maintained index for
+    the ingest-rewrite path: ``(__h, __h2, n)`` — the keeper witness
+    dropped (VERDICT r14 ask #5).
+
+    Exact cross-batch contract:
+
+    * ``n == 1`` rows MUST be retained. A history singleton witnesses
+      a duplicate the moment ONE more occurrence arrives (history
+      ``n=1`` + batch ``n=1`` reaches ``min_count=2``); pruning
+      singletons from ingest history silently loses every
+      first-repeat detection. Only the keeper COLUMNS are redundant
+      here: monotone-id arrival fixes the keeper of any
+      previously-seen window in history (the batch occurrence can
+      never outrank it), and a batch-internal keeper is computed from
+      the batch itself — so the rewrite consumes counts only.
+    * This tier folds with :func:`fold_exact_substr_counts` and stays
+      exact for :func:`exact_substr_batch_rewrite` and
+      :func:`exact_substr_spans_from_index`; it does NOT answer
+      keeper/canonical-occurrence queries — keep the full index where
+      those are needed.
+
+    Raw-row footprint: 24 B/window vs 40 B with the witness; see
+    ``tools/probe_scale.py --exactsubstr-footprint`` for measured
+    parquet bytes/position."""
+    return index.select("__h", "__h2", "n")
+
+
+def exact_substr_dup_tier(
+    index: DataFrame, min_count: int = 2
+) -> DataFrame:
+    """The singleton-PRUNED index tier: only rows with
+    ``n >= min_count`` (VERDICT r14 ask #5 — "drop count==1 hash
+    rows", with the contract made exact):
+
+    * EXACT for retrospective span/detect queries over a corpus the
+      index already covers (:func:`exact_substr_spans_from_index`
+      consumes nothing below ``min_count`` — its candidate filter is
+      ``n >= min_count``, so pruned == full, row-for-row; certified
+      by the ``dedup_exact_substr_pruned`` catalog twin).
+    * NOT valid as cross-batch INGEST history: a pruned singleton
+      can no longer witness a first repeat arriving in a later batch
+      (see :func:`exact_substr_rewrite_tier`, which is the
+      footprint-reduced tier that IS ingest-safe).
+
+    Natural text is hapax-dominated, so this tier is typically a
+    small fraction of the full index — the right artifact to ship to
+    a detect-only consumer."""
+    return index.where(F.col("n") >= min_count)
+
+
 def exact_substr_spans_from_index(
     df: DataFrame,
     index: DataFrame,

@@ -227,3 +227,169 @@ def test_history_fold_excludes_current_and_later_batches(spark, base):
     n_h2 = h2.agg(F.sum("n")).first()[0]
     full = fold_exact_substr_partials(spark, idx)  # no bound: all 3
     assert full.agg(F.sum("n")).first()[0] > n_h2
+
+
+# ---------------------------------------------------------------------------
+# Compaction (VERDICT r14 ask #5)
+# ---------------------------------------------------------------------------
+
+BATCH2 = [(100, "a b c x a b c"), (101, "q w e r t y u")]
+BATCH3 = [(200, "p q r s t"), (201, "a b c d e f g h")]
+ALL4 = [BATCH0, BATCH1, BATCH2, BATCH3]
+
+
+def _run_compacting(spark, base, witness, replay=()):
+    from blackroad_feature_store_spark.streaming.ingest import (
+        exact_substr_ingest_batch as ing,
+    )
+
+    idx, out = f"{base}/idx", f"{base}/out"
+    for bid, docs in enumerate(ALL4):
+        for _ in range(2 if bid in replay else 1):
+            ing(
+                _df(spark, docs), bid, idx, out, L=L,
+                compact_every=2, compact_witness=witness,
+            )
+    return idx, out
+
+
+@pytest.mark.parametrize("witness", [True, False])
+def test_compacted_ingest_output_matches_uncompacted(
+    spark, base, witness
+):
+    """VERDICT r14 ask #5 pin: folding per-batch partials into a
+    compacted snapshot (with or without the keeper witness) must not
+    change a single rewritten byte — the rewrite consumes counts
+    only, and counts fold identically through the snapshot."""
+    plain_base = tempfile.mkdtemp(prefix="xs_ingest_plain_")
+    try:
+        _, plain_out = _run(spark, ALL4, plain_base)
+        want = _out_rows(spark, plain_out)
+        idx, out = _run_compacting(spark, base, witness)
+        assert _out_rows(spark, out) == want
+        # compaction actually happened: a floor marker exists and
+        # the folded-away partials are retired
+        from blackroad_feature_store_spark.streaming.stats import (
+            _compaction_floor,
+        )
+
+        assert _compaction_floor(idx) >= 1
+        assert not glob.glob(f"{idx}/batch_id=0")
+    finally:
+        shutil.rmtree(plain_base, ignore_errors=True)
+
+
+def test_compacted_fold_equals_recompute_with_witness(spark, base):
+    """fold == from-scratch rebuild THROUGH the compacted snapshot:
+    counts AND keeper witnesses survive compaction bit-for-bit."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_index,
+    )
+
+    idx, _ = _run_compacting(spark, base, witness=True)
+    folded = fold_exact_substr_partials(spark, idx)
+    docs = [d for b in ALL4 for d in b]
+    want = exact_substr_index(_df(spark, docs), L=L)
+    cols = ["__h", "__h2", "n", "keep_id", "keep_start"]
+    assert sorted(map(tuple, folded.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+def test_compacted_fold_equals_recompute_keeperless(spark, base):
+    """The keeperless rewrite tier folds to exactly the recomputed
+    index's counts — singletons included (they must survive: a
+    history singleton witnesses a duplicate the moment a second
+    occurrence arrives)."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_index,
+        exact_substr_rewrite_tier,
+    )
+
+    idx, _ = _run_compacting(spark, base, witness=False)
+    folded = fold_exact_substr_partials(spark, idx)
+    assert "keep_id" not in folded.columns
+    docs = [d for b in ALL4 for d in b]
+    want = exact_substr_rewrite_tier(
+        exact_substr_index(_df(spark, docs), L=L)
+    )
+    cols = ["__h", "__h2", "n"]
+    got_rows = sorted(map(tuple, folded.select(cols).collect()))
+    want_rows = sorted(map(tuple, want.select(cols).collect()))
+    assert got_rows == want_rows
+    assert any(r[2] == 1 for r in got_rows), "singletons were pruned"
+
+
+@pytest.mark.parametrize("witness", [True, False])
+def test_replay_after_crash_with_compaction_is_idempotent(
+    spark, base, witness
+):
+    """Crash-replay of the batch DURING which compaction ran (batch 2
+    compacts batches 0-1, then the process dies before its checkpoint
+    commits): the replay folds compacted(0,1) as history — floor 1 <
+    batch 2 — and rewrites identically."""
+    plain_base = tempfile.mkdtemp(prefix="xs_ingest_plain_")
+    try:
+        _, plain_out = _run(spark, ALL4, plain_base)
+        want = _out_rows(spark, plain_out)
+        _, out = _run_compacting(spark, base, witness, replay={2})
+        assert _out_rows(spark, out) == want
+    finally:
+        shutil.rmtree(plain_base, ignore_errors=True)
+
+
+def test_fold_raises_when_floor_overlaps_replay_bound(spark, base):
+    """The committed-batches-only contract is enforced, not just
+    documented: compacting THROUGH the newest batch and then asking
+    for a replay history below the floor raises instead of silently
+    folding the batch's own delta into its history."""
+    from blackroad_feature_store_spark.streaming.ingest import (
+        compact_exact_substr_partials,
+    )
+
+    idx, out = f"{base}/idx", f"{base}/out"
+    for bid, docs in enumerate([BATCH0, BATCH1]):
+        exact_substr_ingest_batch(_df(spark, docs), bid, idx, out, L=L)
+    compact_exact_substr_partials(spark, idx, 1)  # floor = 1
+    with pytest.raises(AssertionError, match="compaction floor"):
+        fold_exact_substr_partials(spark, idx, before_batch_id=1)
+
+
+def test_compaction_witness_mode_is_sticky(spark, base):
+    from blackroad_feature_store_spark.streaming.ingest import (
+        compact_exact_substr_partials,
+    )
+
+    idx, out = f"{base}/idx", f"{base}/out"
+    for bid, docs in enumerate(ALL4):
+        exact_substr_ingest_batch(_df(spark, docs), bid, idx, out, L=L)
+    compact_exact_substr_partials(spark, idx, 1, witness=False)
+    with pytest.raises(ValueError, match="sticky"):
+        compact_exact_substr_partials(spark, idx, 2, witness=True)
+
+
+def test_arrival_gate_survives_compaction(spark, base):
+    """The monotone-arrival gate stays armed after partials are
+    retired: sidecars are never retired (exact bound), and a LEGACY
+    store compacted without sidecars still trips on the compacted
+    snapshot's keeper footers."""
+    import shutil as _sh
+
+    from blackroad_feature_store_spark.streaming.ingest import (
+        compact_exact_substr_partials,
+    )
+
+    idx, out = f"{base}/idx", f"{base}/out"
+    for bid, docs in enumerate([BATCH0, BATCH1]):
+        exact_substr_ingest_batch(_df(spark, docs), bid, idx, out, L=L)
+    compact_exact_substr_partials(spark, idx, 0)  # retire batch 0
+    with pytest.raises(AssertionError, match="monotone-id arrival"):
+        exact_substr_ingest_batch(
+            _df(spark, [(0, "z z z q q q")]), 2, idx, out, L=L
+        )
+    # legacy: no sidecars at all, gate falls to compacted keeper max
+    _sh.rmtree(f"{idx}/_maxid")
+    with pytest.raises(AssertionError, match="monotone-id arrival"):
+        exact_substr_ingest_batch(
+            _df(spark, [(0, "z z z q q q")]), 2, idx, out, L=L
+        )
