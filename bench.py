@@ -218,6 +218,9 @@ HEADLINE = [
     "stream_exec_exact_substr_rewrite",
     # -- r14 additions --
     "link_blocked_pairs_capped",
+    # -- r15 additions --
+    "dedup_exact_substr_pruned",
+    "stream_exec_exact_substr_compacted",
 ]
 
 

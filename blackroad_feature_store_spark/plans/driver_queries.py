@@ -7694,6 +7694,45 @@ def dedup_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# same plain-string oracle as dedup_exact_substr: the PRUNED index must
+# answer the span query identically, so the twins share one truth
+_SQL_XS_SPANS = ORACLE["dedup_exact_substr"]
+
+
+@q("dedup_exact_substr_pruned", _SQL_XS_SPANS)
+def dedup_exact_substr_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr detect from the SINGLETON-PRUNED index tier
+    (VERDICT r14 ask #5: `operators/exactsubstr.py::
+    exact_substr_dup_tier` — only rows with ``n >= min_count``
+    persist). Natural text is hapax-dominated, so the pruned tier is
+    a small fraction of the full maintained index (measured by
+    ``tools/probe_scale.py --exactsubstr-footprint``); it is EXACT
+    for retrospective span/detect queries over a corpus the index
+    covers, because `exact_substr_spans_from_index`'s candidate
+    filter consumes nothing below ``min_count`` — and it is NOT valid
+    as cross-batch ingest history (a pruned singleton could no longer
+    witness a first repeat arriving later; that path keeps the
+    keeperless rewrite tier instead). The oracle is the same
+    independent plain-string formulation as `dedup_exact_substr`, so
+    pruned == full == string-truth, certified end-to-end."""
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_dup_tier,
+        exact_substr_index,
+        exact_substr_spans_from_index,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    pruned = exact_substr_dup_tier(
+        exact_substr_index(docs, L=30), min_count=2
+    )
+    return exact_substr_spans_from_index(docs, pruned, L=30).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "span_tokens",
+    )
+
+
 @q(
     "pipeline_exact_substr_removal",
     """
@@ -8032,6 +8071,126 @@ def stream_exec_exact_substr_rewrite(
     # no longer re-proves it with a full rebuild + double exceptAll
     # per run (VERDICT r13 ask #5); the two-scope oracle below still
     # certifies each batch's rewritten OUTPUT end-to-end.
+    return spark.read.parquet(out_store).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_tokens",
+        "n_removed",
+    )
+
+
+# quartile boundaries both engines compute identically from max(doc_id)
+_SQL_DOC_Q1 = "(SELECT (max(doc_id) + 1) // 4 FROM documents)"
+_SQL_DOC_Q3 = "(SELECT (3 * (max(doc_id) + 1)) // 4 FROM documents)"
+
+# moment-of-ingest over four quartile batches: batch k's verdict is the
+# one-shot removal over everything ingested by then, emitted for batch
+# k's documents only (built outside the decorator — nested multi-line
+# f-string expressions need 3.12, CI runs 3.11)
+_SQL_XS_COMPACTED = " UNION ALL ".join(
+    f"SELECT * FROM ({_sql_removal_scoped(corpus, out)})"
+    for corpus, out in [
+        (f"doc_id < {_SQL_DOC_Q1}", "1=1"),
+        (f"doc_id < {_SQL_DOC_MID}", f"s.doc_id >= {_SQL_DOC_Q1}"),
+        (f"doc_id < {_SQL_DOC_Q3}", f"s.doc_id >= {_SQL_DOC_MID}"),
+        ("1=1", f"s.doc_id >= {_SQL_DOC_Q3}"),
+    ]
+)
+
+
+@q("stream_exec_exact_substr_compacted", _SQL_XS_COMPACTED)
+def stream_exec_exact_substr_compacted(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """ExactSubstr removal at ingest WITH store compaction and the
+    keeperless rewrite tier (VERDICT r14 ask #5 — the 100 TB
+    footprint/fold-cost path): four real micro-batches arrive in id
+    order (quartiles of doc_id); every second batch folds all
+    committed partials into ONE ``compacted/floor=K`` snapshot
+    holding only ``(__h, __h2, n)`` — the keeper witness dropped
+    (monotone arrival fixes keepers in history; the rewrite consumes
+    counts only) and singletons RETAINED (a history singleton
+    witnesses a duplicate the moment a second occurrence arrives) —
+    so batch 2 rewrites against the snapshot alone and batch 3
+    against snapshot + one partial: the per-ingest fold is O(1 +
+    recent), not O(batches ever). Moment-of-ingest semantics are
+    unchanged, which is exactly what the oracle replays: four scoped
+    one-shot removals in plain string semantics, no hash index, no
+    batching, no compaction machinery. Crash-replay through a
+    compaction and the fold==recompute invariants are pytest-pinned
+    (tests/test_exactsubstr_ingest.py)."""
+    from blackroad_feature_store_spark.streaming.ingest import (
+        exact_substr_ingest_batch,
+    )
+    from blackroad_feature_store_spark.streaming.stats import (
+        _compaction_floor,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    hi = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    bounds = [hi // 4, hi // 2, (3 * hi) // 4]
+    base = tempfile.mkdtemp(prefix="stream_xscmp_")
+    src = f"{base}/src"
+    # id order = arrival order: one file per quartile, mtimes forced
+    # strictly increasing so FileStreamSource cannot flip batches
+    # (ADVICE r13 low; the in-batch monotone gate still backstops).
+    import os as _os
+
+    edges = [None, *bounds, None]
+    prev_files: set[str] = set()
+    mtime = None
+    for k in range(4):
+        part = docs
+        if edges[k] is not None:
+            part = part.where(F.col("doc_id") >= edges[k])
+        if edges[k + 1] is not None:
+            part = part.where(F.col("doc_id") < edges[k + 1])
+        part.coalesce(1).write.mode(
+            "append" if k else "overwrite"
+        ).parquet(src)
+        new = set(_os.listdir(src)) - prev_files
+        if mtime is not None:
+            for f in new:
+                _os.utime(_os.path.join(src, f), (mtime, mtime))
+        cur = max(
+            _os.path.getmtime(_os.path.join(src, f))
+            for f in set(_os.listdir(src))
+        )
+        mtime = cur + 2.0
+        prev_files = set(_os.listdir(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    idx_store = f"{base}/idx"
+    out_store = f"{base}/out"
+    q_ = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: exact_substr_ingest_batch(
+                batch_df,
+                batch_id,
+                idx_store,
+                out_store,
+                L=30,
+                compact_every=2,
+                compact_witness=False,
+            )
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    import glob as _glob
+
+    # compaction engaged mid-stream: snapshot floor >= 1 and the
+    # folded-away partials are retired — this certifies the query
+    # exercised the compacted path, not the plain one
+    assert _compaction_floor(idx_store) >= 1, "compaction never ran"
+    assert len(_glob.glob(f"{idx_store}/batch_id=*")) <= 2
     return spark.read.parquet(out_store).select(
         "doc_id",
         F.md5("text").alias("text_md5"),

@@ -240,16 +240,95 @@ TAGS = {
 }
 
 
+def exactsubstr_footprint(spark) -> None:
+    """Measured persisted-index footprint per tier (VERDICT r14 ask
+    #5): windows, parquet bytes, and bytes/window-position for the
+    full maintained index (__h,__h2,n,keep_id,keep_start), the
+    keeperless rewrite tier (__h,__h2,n — ingest-exact, singletons
+    retained) and the singleton-pruned dup tier (n >= 2 —
+    detect-only), against the corpus's own text bytes, at every scale
+    dir present. L=50 (the production headline parameter)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from blackroad_feature_store_spark.operators.exactsubstr import (
+        exact_substr_dup_tier,
+        exact_substr_index,
+        exact_substr_rewrite_tier,
+    )
+    from blackroad_feature_store_spark.sources.testdata import load
+
+    def _dir_bytes(p: str) -> int:
+        total = 0
+        for root, _, files in os.walk(p):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    for label, d in SCALES:
+        if not os.path.isdir(d):
+            continue
+        docs = load(spark, d, "documents").select("doc_id", "text")
+        text_bytes = int(
+            docs.agg(F.sum(F.octet_length("text"))).first()[0]
+        )
+        base = tempfile.mkdtemp(prefix="xsfoot_")
+        try:
+            idx = exact_substr_index(docs, L=50).localCheckpoint()
+            n_windows = int(idx.agg(F.sum("n")).first()[0])
+            n_rows = idx.count()
+            idx.write.parquet(f"{base}/full")
+            exact_substr_rewrite_tier(idx).write.parquet(
+                f"{base}/rewrite"
+            )
+            dup = exact_substr_dup_tier(idx).localCheckpoint()
+            dup_rows = dup.count()
+            dup.write.parquet(f"{base}/dup")
+            full_b = _dir_bytes(f"{base}/full")
+            rw_b = _dir_bytes(f"{base}/rewrite")
+            dup_b = _dir_bytes(f"{base}/dup")
+            print(
+                f"{label}: corpus {text_bytes / 1e6:.1f} MB text, "
+                f"{n_windows} windows ({n_rows} distinct) | "
+                f"full {full_b / 1e6:.1f} MB = "
+                f"{full_b / max(n_windows, 1):.1f} B/pos "
+                f"({full_b / text_bytes:.2f}x text) | "
+                f"rewrite-tier {rw_b / 1e6:.1f} MB = "
+                f"{rw_b / max(n_windows, 1):.1f} B/pos "
+                f"({rw_b / text_bytes:.2f}x text) | "
+                f"dup-tier {dup_b / 1e6:.2f} MB, "
+                f"{dup_rows} rows "
+                f"({100.0 * dup_rows / max(n_rows, 1):.1f}% of full)",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("names", nargs="+")
+    ap.add_argument(
+        "--exactsubstr-footprint",
+        action="store_true",
+        help="measure persisted ExactSubstr index bytes per tier "
+        "instead of timing queries",
+    )
+    ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
     from blackroad_feature_store_spark.session import get_spark
 
     spark = get_spark(app_name="probe-scale")
+    if args.exactsubstr_footprint:
+        exactsubstr_footprint(spark)
+        return
+    if not args.names:
+        ap.error("query names required (or --exactsubstr-footprint)")
     queries = entrymod.queries()
     # warmup (same shape as bench.py)
     spark.range(1_000_000).selectExpr("id % 7 AS k").groupBy(
