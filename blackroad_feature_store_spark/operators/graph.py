@@ -46,6 +46,54 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank"]
 
 
+def _pagerank_driver(
+    spark, ew: DataFrame, iterations: int, scale: int
+) -> DataFrame:
+    """The bounded-collect iteration path: ``ew`` is the REDUCED
+    (src, dst, w) edge list, already validated and known to be at most
+    ``max_driver_edges`` rows. Replays the distributed recurrence in
+    exact Python integers — same per-edge integer share
+    ``p = (w * scale) div out_w``, same floor-divided contribution
+    ``(rank * p) div scale`` and damping ``base + (85 * sum) div 100``
+    (every quantity non-negative, so Python's floor ``//`` and
+    Spark's truncating ``div`` agree) — so the output is bit-identical
+    on either path, in any fold order, because the arithmetic is
+    exact."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = ew.collect()  # bounded by max_driver_edges upstream
+    node_type = ew.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("node", node_type),
+            StructField("rank", LongType()),
+        ]
+    )
+    node_set = {r["src"] for r in rows} | {r["dst"] for r in rows}
+    n = len(node_set)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    out_w: dict = {}
+    for r in rows:
+        out_w[r["src"]] = out_w.get(r["src"], 0) + int(r["w"])
+    shares = [
+        (r["src"], r["dst"], (int(r["w"]) * scale) // out_w[r["src"]])
+        for r in rows
+    ]
+    base = (15 * scale) // (100 * n)
+    rank = dict.fromkeys(node_set, scale // n)
+    for _ in range(iterations):
+        contrib = dict.fromkeys(node_set, 0)
+        for src, dst, p in shares:
+            contrib[dst] += (rank[src] * p) // scale
+        rank = {
+            v: base + (85 * contrib[v]) // 100 for v in node_set
+        }
+    return spark.createDataFrame(
+        [(v, rank[v]) for v in sorted(node_set)], schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -54,6 +102,7 @@ def pagerank(
     weight_col: str | None = None,
     iterations: int = 3,
     scale: int = 1_000_000_000,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank (damping 0.85) in exact integer fixed-point.
 
@@ -68,6 +117,24 @@ def pagerank(
     deterministic truncation and dangling leakage). An EMPTY edge set
     returns an empty (node, rank) frame rather than dividing by a
     zero node count.
+
+    Small reduced graphs iterate ON THE DRIVER (VERDICT r14 ask #2):
+    the module's own scale doctrine — the 100 TB cost is the
+    fact-to-graph reduction, which stays distributed; the REDUCED
+    graph is usually tiny (nations, domains) — means a distributed
+    iteration pays ~4 scheduler round-trips + localCheckpoint
+    barriers per round to move a few hundred rows, and that fixed
+    cost is exactly what drifted 1.9x against the r11 pin on this
+    host. When the reduced edge count (known exactly from the
+    validation aggregate, no extra job) is <= ``max_driver_edges``,
+    the edge list is collected once (bounded by the same arithmetic
+    the BPE/cluster paths use for driver bounds) and the iteration
+    runs in exact Python integers — the SAME floor-divided
+    fixed-point recurrence, bit-identical output (pinned by
+    ``test_graph.py::test_pagerank_driver_path_matches_distributed``)
+    — in microseconds instead of seconds. Larger graphs take the
+    distributed edges ⨝ ranks path unchanged; set
+    ``max_driver_edges=0`` to force it.
     """
     w = (
         F.col(weight_col).cast("long")
@@ -127,6 +194,10 @@ def pagerank(
         F.min("__wmin").alias("mn"),
         F.max("__frac").alias("fx"),
         F.max("__nullw").alias("nw"),
+        # the reduced-edge count rides the validation aggregate —
+        # deciding the driver-vs-distributed iteration path costs no
+        # extra job
+        F.count(F.lit(1)).alias("ne"),
     ).first()
     if bad["nw"]:
         raise ValueError(
@@ -148,6 +219,10 @@ def pagerank(
             "weights produce NULL or negative routing shares"
         )
     ew = ew.select("src", "dst", "w")
+    if int(bad["ne"]) <= max_driver_edges:
+        return _pagerank_driver(
+            edges.sparkSession, ew, iterations, scale
+        )
     nodes = (
         ew.select(F.col("src").alias("node"))
         .unionByName(ew.select(F.col("dst").alias("node")))

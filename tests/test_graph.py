@@ -154,3 +154,49 @@ def test_null_weights_raise(spark):
     # (an uncastable STRING weight needs no check of ours: under the
     # session's ANSI default the cast itself throws loudly; non-ANSI
     # sessions fall into the same NULL-weight raise above)
+
+
+def test_pagerank_driver_path_matches_distributed(spark):
+    """VERDICT r14 ask #2 pin: small reduced graphs iterate on the
+    driver (bounded collect of the reduced edge list); the exact
+    integer fixed-point recurrence must make the two paths
+    bit-identical — max_driver_edges=0 forces the distributed
+    iteration on the same input."""
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 3),
+            (2, 3, 1),
+            (3, 1, 2),
+            (1, 3, 5),
+            (4, 1, 1),  # 4 is dangling-in (no inbound)
+            (2, 5, 7),  # 5 is dangling-out (no outbound)
+        ],
+        ["src", "dst", "w"],
+    )
+    fast = pagerank(edges, weight_col="w", iterations=4)
+    slow = pagerank(
+        edges, weight_col="w", iterations=4, max_driver_edges=0
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+    assert fast.schema == slow.schema
+    # validation still fires BEFORE the fast path collects
+    import pytest as _pytest
+
+    badw = spark.createDataFrame([(1, 2, 0.9)], ["src", "dst", "w"])
+    with _pytest.raises(ValueError, match="fractional"):
+        pagerank(badw, weight_col="w")
+
+
+def test_pagerank_driver_path_string_nodes(spark):
+    """The driver path preserves the node column's type (domains are
+    strings in the authority-ranking use)."""
+    edges = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "a.com"), ("c.com", "a.com")],
+        ["src", "dst"],
+    )
+    out = pagerank(edges)
+    assert dict(out.dtypes)["node"] == "string"
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    assert ranks["a.com"] > ranks["c.com"]  # c has no inbound
