@@ -10173,63 +10173,61 @@ _GATE_PRIORITY: list[str] = [
     # -- divergence canary: literal-valued probe of every construct
     # the oracle layer has ever disagreed on --
     "core_oracle_canary",
-    # -- r14 new capability --
-    "link_blocked_pairs_capped",        # skew-capped linkage twin
-    # -- r14 changed execution paths --
-    "stream_exec_exact_substr_rewrite",  # ingest helper + replay fix
-    "stream_exec_exact_substr_index",   # __h2 re-seed + cert trim
-    "stream_exec_ivf_maintained",       # cert trim
-    # -- VERDICT r13 ask #2: the ENTIRE remaining judge-unchecked
-    # cohort (last driver gate r9/r10, no judge replica on record) —
-    # with r13's window this completes at-least-once coverage of
-    # every judge-unchecked query across r13+r14 --
-    "core_bucketed_join",               # the r13 displacee, first
-    "core_current_ts_shape",
-    "core_events_hourly",
-    "core_gapfill_interp",
-    "core_gapfill_locf",
-    "core_percentiles",
-    "core_pivot",
-    "core_range_join",
-    "core_running_total",
-    "core_sessionize",
-    "core_uuid_shape",
-    "mm_asset_metadata",
-    "pipeline_balanced_sample",
-    "pipeline_blocklist",
-    "pipeline_chunks",
-    "pipeline_data_expectations",
-    "pipeline_dup_spans",
-    "pipeline_gopher_rules",
-    "pipeline_normalize_text",
-    "pipeline_pack_sequences",
-    "pipeline_sentence_dedup",
-    "pipeline_span_removal",
-    "pipeline_train_split",
-    "pipeline_weighted_sample",
-    "sim_cosine_topk_ivf",
-    "sim_cosine_topk_ivfpq",
-    "sim_hard_negatives",
-    "store_changes_deletes",
-    "stream_exec_neardup",
-    "text_bm25_search",
-    "text_hash_embedding_profile",
-    "text_pii_redaction",
-    "text_quality_profile",
-    "text_stats_by_source",
-    "text_top_tokens",
-    "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
-    "tpch_q9_product_profit",
-    # -- ballast: oldest rows of the r12-judge-replica-covered set
-    # (r9 dedup family + sources — already judge-checked once, so
-    # they take the slots AFTER the never-checked cohort above; the
-    # four left out — source_xml_roundtrip and the three stats
-    # sketches — carry the same r12 replica coverage) --
-    "dedup_jaccard",
-    "dedup_semantic",
-    "dedup_simhash",
-    "source_text_roundtrip",
+    # -- r15 new capability (VERDICT r14 ask #5) --
+    "dedup_exact_substr_pruned",          # singleton-pruned dup tier
+    "stream_exec_exact_substr_compacted",  # compaction + rewrite tier
+    # -- r15 changed execution paths --
+    "core_uuid_shape",                  # promoted to hash-checked
+    "core_current_ts_shape",            # promoted to hash-checked
+    "stream_exec_exact_substr_index",   # sidecar gate in ingest
+    "stream_exec_exact_substr_rewrite",  # sidecar gate in ingest
+    "graph_pagerank_trade",             # driver-side iteration path
+    # -- VERDICT r14 ask #7: freshness sweep — the r9/r10-gated
+    # cohort (oldest driver-gate rows in the catalog, incl. the four
+    # whose only recent coverage was the r12 judge replica:
+    # source_xml_roundtrip + the three stats sketches) --
+    "dedup_clusters",
+    "dedup_minhash_pairs",
+    "source_xml_roundtrip",
+    "stats_histogram_quantiles",
+    "stats_hll_distinct",
+    "core_dim_join_ordered",
+    "core_group_stats",
+    "core_json_values",
+    "core_point_lookup",
+    "core_scan_filter_project",
+    "core_string_fns",
+    "core_window_funcs",
+    "stats_cms_heavy_hitters",
+    "tpch_q1_pricing",
+    # -- oldest r11-gated rows (alphabetical; the 10 that don't fit —
+    # the stream_exec r11 family, text_lang_*, and rows-only-by-design
+    # mm_image_features — rotate to r16) --
+    "core_approx_quantiles",
+    "core_asof_prev_order",
+    "core_date_arith",
+    "core_global_top1",
+    "core_lookup_composite",
+    "core_rollup",
+    "core_router_triggers",
+    "core_salted_hot_keys",
+    "core_semi_anti",
+    "core_set_ops",
+    "dedup_winnow_pairs",
+    "drift_psi",
+    "mm_frame_samples",
+    "pipeline_decontaminate",
+    "pipeline_decontaminate_winnow",
+    "pipeline_epoch_shuffle",
+    "pipeline_mixture_weights",
+    "pipeline_nb_source_classify",
+    "sim_cosine_topk",
+    "sim_cosine_topk_auto",
+    "sim_cosine_topk_auto_approx",
+    "sim_cosine_topk_gemm",
+    "sim_cosine_topk_lsh",
+    "store_registry_ops",
+    "stream_exec_decontaminate",
 ]
 
 
