@@ -213,3 +213,81 @@ if _HAVE_HYPOTHESIS:
             f"index-path spans diverged (L={L}, min_count={min_count},"
             f" n_batches={n_batches}): docs={docs!r}"
         )
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        _case(),
+        st.integers(min_value=2, max_value=4),
+        st.integers(min_value=1, max_value=2),
+        st.booleans(),
+    )
+    def test_compacted_ingest_matches_plain_ingest(
+        spark, case, n_batches, compact_every, witness
+    ):
+        """Compaction fuzz (VERDICT r14 ask #5): random corpora split
+        into id-ordered batches, random compaction cadence, both
+        witness tiers — the compacted ingest's rewritten output must
+        equal the uncompacted ingest's bit-for-bit (which the seeded
+        suite already pins against the one-shot scoped removal)."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        from blackroad_feature_store_spark.streaming.ingest import (
+            exact_substr_ingest_batch as ing,
+        )
+
+        docs, L, min_count = case
+        # id-ordered contiguous batch split (monotone-arrival contract)
+        docs = sorted(docs)
+        cuts = sorted(
+            {len(docs) * k // n_batches for k in range(1, n_batches)}
+        )
+        batches = [
+            docs[a:b]
+            for a, b in zip([0, *cuts], [*cuts, len(docs)])
+            if docs[a:b]
+        ]
+        a_base = _tf.mkdtemp(prefix="xs_prop_plain_")
+        b_base = _tf.mkdtemp(prefix="xs_prop_cmp_")
+        try:
+            for kwargs, base in (
+                ({}, a_base),
+                (
+                    {
+                        "compact_every": compact_every,
+                        "compact_witness": witness,
+                    },
+                    b_base,
+                ),
+            ):
+                for bid, b in enumerate(batches):
+                    ing(
+                        spark.createDataFrame(
+                            b, "doc_id long, text string"
+                        ),
+                        bid,
+                        f"{base}/idx",
+                        f"{base}/out",
+                        L=L,
+                        min_count=min_count,
+                        **kwargs,
+                    )
+            read = lambda p: {  # noqa: E731
+                (r.doc_id, r.text, r.n_tokens, r.n_removed)
+                for r in spark.read.parquet(f"{p}/out").collect()
+            }
+            assert read(b_base) == read(a_base), (
+                f"compacted ingest diverged (L={L}, "
+                f"min_count={min_count}, every={compact_every}, "
+                f"witness={witness}): batches={batches!r}"
+            )
+        finally:
+            _sh.rmtree(a_base, ignore_errors=True)
+            _sh.rmtree(b_base, ignore_errors=True)
