@@ -92,6 +92,27 @@ def test_bench_calibration_unstable_gates_on_both_probes():
     assert not bench.calibration_is_unstable(
         {"spark_fixed": 1.5}, {"spark_fixed": 1.5}
     )
+    # 3 snapshots: a lone bursty window is ABSORBED (the median is
+    # corroborated by the other two — r15: the burst never entered
+    # the ratio arithmetic, so the run is a valid close artifact)
+    assert not bench.calibration_is_unstable(
+        {"spark_fixed": 1.53, "stream_fixed": 0.28},
+        {"spark_fixed": 1.52, "stream_fixed": 0.25},
+        {"spark_fixed": 2.17, "stream_fixed": 0.29},
+    )
+    # 3 snapshots: monotone drift leaves the median uncorroborated
+    assert bench.calibration_is_unstable(
+        {"spark_fixed": 1.2},
+        {"spark_fixed": 1.6},
+        {"spark_fixed": 2.1},
+    )
+    # 3 snapshots: a lone stream-probe outlier is absorbed too, but
+    # stream drift with an uncorroborated median still gates
+    assert bench.calibration_is_unstable(
+        {"spark_fixed": 1.5, "stream_fixed": 0.20},
+        {"spark_fixed": 1.5, "stream_fixed": 0.30},
+        {"spark_fixed": 1.5, "stream_fixed": 0.45},
+    )
 
 
 def _load_bench():
