@@ -657,6 +657,19 @@ def main() -> None:
             calibration_used["spark_fixed"] / cal_ref["spark_fixed"], 3
         )
         out["machine_factor"] = machine_factor
+    # The Python-lane drift indicator (r15): cpu_spin can drift
+    # independently of spark_fixed on this host (observed 0.173 vs the
+    # 0.147 reference while spark_fixed sat at parity — Python ~18%
+    # slower relative to the JVM than at pin time). vs_pin divides by
+    # the JVM probes, so pandas-UDF / Arrow-lane rows
+    # (pipeline_normalize_text, the mm_* family, core_pit_join_pandas)
+    # read high by roughly this factor with plan_changed=false when it
+    # exceeds 1 — a reader checks python_factor before calling those
+    # rows regressions.
+    if cal_ref.get("cpu_spin", 0) > 0 and calibration.get("cpu_spin", 0) > 0:
+        out["python_factor"] = round(
+            calibration["cpu_spin"] / cal_ref["cpu_spin"], 3
+        )
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_r2.json"
     )
