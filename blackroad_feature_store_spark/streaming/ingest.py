@@ -600,7 +600,7 @@ def exact_substr_ingest_batch(
     — only checkpoint-committed batches, so replay bounds stay
     honest), bounding the per-ingest history fold at O(K) partials;
     ``compact_witness=False`` compacts to the keeperless rewrite tier
-    (exact for this rewrite; 40%% smaller raw rows — VERDICT r14 ask
+    (exact for this rewrite; 40% smaller raw rows — VERDICT r14 ask
     #5).
     """
     from blackroad_feature_store_spark.operators.exactsubstr import (

@@ -155,8 +155,10 @@ def main() -> int:
         exact_substr_batch_rewrite,
         exact_substr_index,
         exact_substr_removal,
+        exact_substr_rewrite_tier,
         exact_substr_spans,
         exact_substr_spans_from_index,
+        fold_exact_substr_counts,
         fold_exact_substr_index,
     )
     from blackroad_feature_store_spark.session import get_spark
@@ -256,9 +258,16 @@ def main() -> int:
             rng.sample(range(1, len(docs)), min(n_ing - 1, len(docs) - 1))
         ) if len(docs) > 1 else []
         bounds = [0] + cuts + [len(docs)]
+        # half the cases maintain the KEEPERLESS rewrite tier
+        # (__h,__h2,n — r15, VERDICT r14 ask #5): the rewrite must be
+        # exact without the keeper witness under every planted keeper
+        # race above, folding through fold_exact_substr_counts.
+        keeperless = rng.random() < 0.5
         hist = exact_substr_index(
             spark.createDataFrame([], "doc_id long, text string"), L=L
         )
+        if keeperless:
+            hist = exact_substr_rewrite_tier(hist)
         seen: list = []
         ok = True
         for lo, hi in zip(bounds, bounds[1:]):
@@ -279,13 +288,19 @@ def main() -> int:
             if got_b != want_b:
                 print(
                     f"INGEST REWRITE DIVERGED case={case_no} L={L} "
-                    f"min_count={min_count} batches={bounds}\n"
+                    f"min_count={min_count} batches={bounds} "
+                    f"keeperless={keeperless}\n"
                     f"docs={docs!r}\nbatch=[{lo}:{hi}]\n"
                     f"got={got_b}\nwant={want_b}"
                 )
                 ok = False
                 break
-            hist = fold_exact_substr_index(hist, delta)
+            if keeperless:
+                hist = fold_exact_substr_counts(
+                    hist, exact_substr_rewrite_tier(delta)
+                )
+            else:
+                hist = fold_exact_substr_index(hist, delta)
         if not ok:
             return 1
 
