@@ -39,6 +39,19 @@ WATCHED = [
     "mm_asset_metadata",
     # a TPC-H classic: scan+agg shape, broad coverage for one plan
     "tpch_q1_pricing",
+    # r15 widening (the guard runs in CI now, so watch one
+    # representative of each major plan family; all verified
+    # construction-only, value-independent on a generated root, and
+    # ~2 s each to fingerprint):
+    "tpch_q9_product_profit",     # multi-join aggregation
+    "dedup_minhash_pairs",        # explode + banded self-join
+    "link_blocked_pairs_capped",  # window-truncation blocking
+    "core_range_join",            # range-condition join
+    "core_salted_join",           # salted skew pattern
+    "sim_cosine_topk_gemm",       # column-algebra GEMM
+    "pipeline_pack_sequences",    # sequence packing
+    "drift_psi",                  # binned distribution compare
+    "core_sessionize",            # gaps-and-islands windows
 ]
 
 
