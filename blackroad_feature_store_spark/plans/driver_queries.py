@@ -3896,7 +3896,8 @@ _SQL_LINK_MATCHES_SORTED = _SQL_LINK_MATCHES.replace(
                                x -> x <> '')), ' '), 1, 12)
         FROM recs),""",
 )
-assert _SQL_LINK_MATCHES_SORTED != _SQL_LINK_MATCHES
+if _SQL_LINK_MATCHES_SORTED == _SQL_LINK_MATCHES:
+    raise AssertionError("sorted-neighborhood SQL rewrite did not apply")
 
 
 # The same match pipeline under the PRODUCTION-DEFAULT skew cap
@@ -3918,7 +3919,8 @@ _SQL_LINK_MATCHES_CAPPED = _SQL_LINK_MATCHES.replace(
         WHERE rn <= 4),
     cand AS (""",
 ).replace("FROM keys a JOIN keys b", "FROM capped a JOIN capped b")
-assert "capped a" in _SQL_LINK_MATCHES_CAPPED
+if "capped a" not in _SQL_LINK_MATCHES_CAPPED:
+    raise AssertionError("skew-cap SQL rewrite did not apply")
 
 
 def _link_records_frame(spark: SparkSession, sf: str) -> DataFrame:
@@ -7897,7 +7899,8 @@ def stream_exec_exact_substr_index(
     import glob as _glob
 
     parts = sorted(_glob.glob(f"{store}/batch_id=*"))
-    assert len(parts) >= 2, "expected >= 2 real micro-batches"
+    if len(parts) < 2:  # not a bare assert: must survive python -O
+        raise AssertionError("expected >= 2 real micro-batches")
     maintained = spark.read.parquet(parts[0])
     for p in parts[1:]:
         maintained = fold_exact_substr_index(
@@ -8064,7 +8067,8 @@ def stream_exec_exact_substr_rewrite(
     import glob as _glob
 
     parts = sorted(_glob.glob(f"{idx_store}/batch_id=*"))
-    assert len(parts) >= 2, "expected >= 2 real micro-batches"
+    if len(parts) < 2:  # not a bare assert: must survive python -O
+        raise AssertionError("expected >= 2 real micro-batches")
     # fold == from-scratch-rebuild is pytest-pinned
     # (test_index_fold_equals_recompute, tests/test_exactsubstr_ingest
     # .py, tools/soak_fuzz.py's per-case ingest replay), so the query
@@ -8189,8 +8193,18 @@ def stream_exec_exact_substr_compacted(
     # compaction engaged mid-stream: snapshot floor >= 1 and the
     # folded-away partials are retired — this certifies the query
     # exercised the compacted path, not the plain one
-    assert _compaction_floor(idx_store) >= 1, "compaction never ran"
-    assert len(_glob.glob(f"{idx_store}/batch_id=*")) <= 2
+    # Explicit raises, not bare asserts: this certification must
+    # survive `python -O` (ADVICE r15 — asserts compile out under
+    # PYTHONOPTIMIZE and the query would silently pass even if
+    # compaction never engaged).
+    if _compaction_floor(idx_store) < 1:
+        raise AssertionError("compaction never ran")
+    n_live = len(_glob.glob(f"{idx_store}/batch_id=*"))
+    if n_live > 2:
+        raise AssertionError(
+            f"compaction did not retire folded partials: {n_live} "
+            "live batch partials remain (expected <= 2)"
+        )
     return spark.read.parquet(out_store).select(
         "doc_id",
         F.md5("text").alias("text_md5"),
@@ -10234,10 +10248,14 @@ _GATE_PRIORITY: list[str] = [
 def _reorder_for_gate() -> None:
     global QUERIES
     missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
-    assert not missing, f"_GATE_PRIORITY names not in catalog: {missing}"
+    if missing:
+        raise AssertionError(
+            f"_GATE_PRIORITY names not in catalog: {missing}"
+        )
     ordered = {n: QUERIES[n] for n in _GATE_PRIORITY if n in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
-    assert len(ordered) == len(QUERIES)
+    if len(ordered) != len(QUERIES):
+        raise AssertionError("gate reorder dropped catalog queries")
     QUERIES = ordered
 
 

@@ -47,6 +47,27 @@ def test_entry_smoke(spark):
     assert df.columns  # stable schema
 
 
+def test_no_bare_asserts_in_catalog_module():
+    """ADVICE r15: runtime certifications in the query catalog (e.g.
+    the compacted-path "compaction engaged" gate) must be explicit
+    raises, not ``assert`` statements — asserts compile out under
+    ``python -O`` and the certification would silently pass. Pin the
+    whole module assert-free so the class of defect cannot return."""
+    import ast
+    import inspect
+
+    from blackroad_feature_store_spark.plans import driver_queries
+
+    tree = ast.parse(inspect.getsource(driver_queries))
+    offenders = [
+        node.lineno for node in ast.walk(tree) if isinstance(node, ast.Assert)
+    ]
+    assert not offenders, (
+        f"bare assert statements in driver_queries.py at lines "
+        f"{offenders}; use explicit raises (survive python -O)"
+    )
+
+
 def test_every_query_has_an_oracle_or_is_declared():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
