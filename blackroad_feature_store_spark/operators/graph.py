@@ -76,6 +76,18 @@ def _pagerank_driver(
     out_w: dict = {}
     for r in rows:
         out_w[r["src"]] = out_w.get(r["src"], 0) + int(r["w"])
+    # Same guard, same bound as the distributed path's raise_error:
+    # Python would compute w * scale exactly where BIGINT overflows,
+    # silently breaking the bit-identical two-path contract on
+    # extreme weights (ADVICE r15).
+    bound = (2**63 - 1) // scale
+    for src_, ow in out_w.items():
+        if ow > bound:
+            raise ValueError(
+                f"pagerank: node out-weight {ow} * scale {scale} "
+                f"exceeds BIGINT range (out_w must be <= {bound}); "
+                "pre-scale weights down first"
+            )
     shares = [
         (r["src"], r["dst"], (int(r["w"]) * scale) // out_w[r["src"]])
         for r in rows
@@ -103,6 +115,7 @@ def pagerank(
     iterations: int = 3,
     scale: int = 1_000_000_000,
     max_driver_edges: int = 1_000_000,
+    max_driver_bytes: int = 64 * 2**20,
 ) -> DataFrame:
     """Weighted PageRank (damping 0.85) in exact integer fixed-point.
 
@@ -126,15 +139,29 @@ def pagerank(
     barriers per round to move a few hundred rows, and that fixed
     cost is exactly what drifted 1.9x against the r11 pin on this
     host. When the reduced edge count (known exactly from the
-    validation aggregate, no extra job) is <= ``max_driver_edges``,
-    the edge list is collected once (bounded by the same arithmetic
-    the BPE/cluster paths use for driver bounds) and the iteration
+    validation aggregate, no extra job) is <= ``max_driver_edges``
+    AND the reduced node-id text mass is <= ``max_driver_bytes``
+    (``sum(octet_length(src) + octet_length(dst))`` rides the same
+    aggregate — a BYTE bound like ``bpe_train``'s, not only a row
+    count, so a million long-string-id edges cannot blow driver heap;
+    ADVICE r15), the edge list is collected once and the iteration
     runs in exact Python integers — the SAME floor-divided
     fixed-point recurrence, bit-identical output (pinned by
     ``test_graph.py::test_pagerank_driver_path_matches_distributed``)
-    — in microseconds instead of seconds. Larger graphs take the
-    distributed edges ⨝ ranks path unchanged; set
+    — in microseconds instead of seconds. Graphs over either bound
+    take the distributed edges ⨝ ranks path unchanged; set
     ``max_driver_edges=0`` to force it.
+
+    WEIGHT-MAGNITUDE PRECONDITION (ADVICE r15): a node's summed
+    out-weight must satisfy ``out_w * scale < 2**63``. The driver
+    path computes ``w * scale`` in arbitrary-precision Python ints,
+    so without a shared guard it would silently succeed exactly where
+    the distributed path's BIGINT multiply overflows — the
+    bit-identical contract would break only on extreme inputs the
+    test matrix doesn't reach. Both paths therefore RAISE on the same
+    bound: the driver path checks each ``out_w`` before iterating,
+    the distributed path guards the share expression with
+    ``raise_error`` inside the same projection (no extra job).
     """
     w = (
         F.col(weight_col).cast("long")
@@ -198,6 +225,16 @@ def pagerank(
         # deciding the driver-vs-distributed iteration path costs no
         # extra job
         F.count(F.lit(1)).alias("ne"),
+        # node-id BYTE mass of the reduced edge list — the driver
+        # path's collect bound (ADVICE r15: a row-count bound alone
+        # lets 1M long-string-id edges eat driver heap)
+        F.coalesce(
+            F.sum(
+                F.octet_length(F.col("src").cast("string"))
+                + F.octet_length(F.col("dst").cast("string"))
+            ),
+            F.lit(0),
+        ).alias("nb"),
     ).first()
     if bad["nw"]:
         raise ValueError(
@@ -219,7 +256,10 @@ def pagerank(
             "weights produce NULL or negative routing shares"
         )
     ew = ew.select("src", "dst", "w")
-    if int(bad["ne"]) <= max_driver_edges:
+    if (
+        int(bad["ne"]) <= max_driver_edges
+        and int(bad["nb"]) <= max_driver_bytes
+    ):
         return _pagerank_driver(
             edges.sparkSession, ew, iterations, scale
         )
@@ -230,12 +270,24 @@ def pagerank(
         .localCheckpoint()
     )
     outw = ew.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # out_w * scale must fit BIGINT or the per-edge share multiply
+    # (w <= out_w) overflows; guard INSIDE the projection (zero extra
+    # jobs) with the same bound the driver path enforces, so the two
+    # paths fail identically instead of diverging (ADVICE r15).
+    ow_bound = (2**63 - 1) // scale
     shares = (
         ew.join(outw, "src")
         .select(
             "src",
             "dst",
-            F.expr(f"(w * CAST({scale} AS BIGINT)) div out_w").alias("p"),
+            F.expr(
+                f"CASE WHEN out_w > {ow_bound} THEN "
+                f"CAST(raise_error(concat('pagerank: node out-weight ',"
+                f" out_w, ' * scale {scale} exceeds BIGINT range "
+                f"(out_w must be <= {ow_bound}); pre-scale weights "
+                f"down first')) AS BIGINT) "
+                f"ELSE (w * CAST({scale} AS BIGINT)) div out_w END"
+            ).alias("p"),
         )
         .localCheckpoint()
     )

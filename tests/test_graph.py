@@ -2,6 +2,8 @@
 replay, partition independence, near-mass-conservation, and ranking
 sanity (the hub outranks spokes)."""
 
+import pytest
+
 from blackroad_feature_store_spark.operators.graph import pagerank
 
 SCALE = 1_000_000_000
@@ -200,3 +202,55 @@ def test_pagerank_driver_path_string_nodes(spark):
     assert dict(out.dtypes)["node"] == "string"
     ranks = {r["node"]: r["rank"] for r in out.collect()}
     assert ranks["a.com"] > ranks["c.com"]  # c has no inbound
+
+
+def test_pagerank_byte_bound_falls_back_to_distributed(spark, monkeypatch):
+    """ADVICE r15 pin: the driver-iteration dispatch is BYTE-bounded,
+    not only row-count-bounded — long string node ids whose text mass
+    exceeds ``max_driver_bytes`` must take the distributed path even
+    when the edge count is tiny. Detected by breaking the driver path:
+    if the byte bound routes correctly, the poisoned helper is never
+    reached."""
+    import blackroad_feature_store_spark.operators.graph as graphmod
+
+    edges = spark.createDataFrame(
+        [("x" * 200, "y" * 200), ("y" * 200, "x" * 200)],
+        ["src", "dst"],
+    )
+
+    def _boom(*a, **k):  # pragma: no cover - reached only on a bug
+        raise AssertionError("driver path taken despite byte bound")
+
+    monkeypatch.setattr(graphmod, "_pagerank_driver", _boom)
+    out = pagerank(edges, iterations=2, max_driver_bytes=100)
+    assert out.count() == 2
+    # and the same input under the default bound DOES use the driver
+    # path (the monkeypatched poison fires)
+    with pytest.raises(AssertionError, match="driver path taken"):
+        pagerank(edges, iterations=2)
+
+
+def test_pagerank_out_weight_overflow_raises_on_both_paths(spark):
+    """ADVICE r15 pin: out_w * scale > 2**63 raises on BOTH paths —
+    without the guard the driver path computes it exactly in Python
+    while the distributed BIGINT multiply overflows, breaking the
+    bit-identical contract precisely on extreme weights."""
+    bound = (2**63 - 1) // 1_000_000_000
+    df = spark.createDataFrame(
+        [(1, 2, bound + 1)], "src bigint, dst bigint, w bigint"
+    )
+    with pytest.raises(ValueError, match="exceeds BIGINT range"):
+        pagerank(df, weight_col="w", iterations=1)
+    with pytest.raises(Exception, match="exceeds BIGINT range"):
+        pagerank(
+            df, weight_col="w", iterations=1, max_driver_edges=0
+        ).collect()
+    # just-under-the-bound weights pass on both paths, bit-identical
+    ok = spark.createDataFrame(
+        [(1, 2, bound), (2, 1, 1)], "src bigint, dst bigint, w bigint"
+    )
+    fast = pagerank(ok, weight_col="w", iterations=2)
+    slow = pagerank(ok, weight_col="w", iterations=2, max_driver_edges=0)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
