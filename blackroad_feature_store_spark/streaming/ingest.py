@@ -405,6 +405,34 @@ def compact_exact_substr_partials(
     if not to_fold_ids:
         return
     upto = to_fold_ids[-1]
+    # Legacy pre-sidecar batches (ADVICE r15): retiring a partial
+    # destroys its keep_id footers, and a KEEPERLESS (witness=False)
+    # snapshot carries no keep_id either — the monotone-arrival
+    # tripwire would go silently dark for every such batch. Before
+    # retiring, synthesize the missing ``_maxid`` sidecar from the
+    # partial's keep_id footer max (keeper ids are genuinely ingested
+    # ids, so this is a conservative lower bound — exactly the legacy
+    # gate's strength, never a false trip). Done in BOTH witness
+    # modes so the invariant "every retired batch is sidecar-covered"
+    # holds uniformly; a partial with no readable keep_id stats warns
+    # loudly instead of silently weakening the gate.
+    import warnings as _warnings
+
+    for b in to_fold_ids:
+        if _os.path.isdir(_os.path.join(_sidecar_dir(idx_store), f"b={b}")):
+            continue
+        keep_max = _footer_col_max(parts[b], "keep_id")
+        if keep_max is not None:
+            _write_maxid_sidecar(idx_store, b, int(keep_max))
+        else:
+            _warnings.warn(
+                f"compact_exact_substr_partials: batch {b} has no "
+                "_maxid sidecar and no readable keep_id footer stats; "
+                "after retirement the monotone-arrival gate cannot "
+                "bound this batch's ingested ids",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     fold = fold_exact_substr_index if witness else fold_exact_substr_counts
     hist: DataFrame | None = None
     if floor >= 0:
@@ -466,6 +494,33 @@ def _sidecar_dir(idx_store: str) -> str:
     # batch_id=* glob both skip it, so the sidecar never pollutes a
     # fold; it is only read through this explicit path.
     return f"{idx_store}/_maxid"
+
+
+def _write_maxid_sidecar(
+    idx_store: str, batch_id: int, max_ingested_id: int
+) -> None:
+    """One-row arrival-gate sidecar (``idx_store/_maxid/b=N``),
+    overwrite — replay-idempotent. Written with pyarrow, not a Spark
+    job: the store is guaranteed local and a one-row metadata write
+    should not cost a scheduler round-trip."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    d = f"{_sidecar_dir(idx_store)}/b={int(batch_id)}"
+    _os.makedirs(d, exist_ok=True)
+    _pq.write_table(
+        _pa.table(
+            {
+                "batch_id": _pa.array([int(batch_id)], _pa.int64()),
+                "max_ingested_id": _pa.array(
+                    [int(max_ingested_id)], _pa.int64()
+                ),
+            }
+        ),
+        _os.path.join(d, "sidecar.parquet"),
+    )
 
 
 def _require_local_path(path: str, what: str) -> None:
@@ -532,8 +587,10 @@ def _history_max_ingested_id(
     # history ids, so including them can only strengthen the gate,
     # never falsely trip a legitimately monotone batch). Keeperless
     # (witness=False) snapshots contribute nothing here — their
-    # batches are expected to be sidecar-covered (the sidecar landed
-    # before compaction ever could).
+    # batches are sidecar-covered BY CONSTRUCTION: ingest writes the
+    # sidecar per batch, and compact_exact_substr_partials
+    # synthesizes one from keep_id footers before retiring any legacy
+    # pre-sidecar batch (ADVICE r15; warns if neither exists).
     from blackroad_feature_store_spark.streaming.stats import (
         _compaction_floor,
     )
@@ -663,24 +720,7 @@ def exact_substr_ingest_batch(
         # pyarrow, not a Spark job: the store is guaranteed local by
         # _require_local_path, and a one-row metadata write should not
         # cost a scheduler round-trip per micro-batch.
-        import os as _os
-
-        import pyarrow as _pa
-        import pyarrow.parquet as _pq
-
-        d = f"{_sidecar_dir(idx_store)}/b={int(batch_id)}"
-        _os.makedirs(d, exist_ok=True)
-        _pq.write_table(
-            _pa.table(
-                {
-                    "batch_id": _pa.array([int(batch_id)], _pa.int64()),
-                    "max_ingested_id": _pa.array(
-                        [int(batch_max)], _pa.int64()
-                    ),
-                }
-            ),
-            _os.path.join(d, "sidecar.parquet"),
-        )
+        _write_maxid_sidecar(idx_store, int(batch_id), int(batch_max))
     if (
         compact_every
         and int(batch_id) > 0

@@ -393,3 +393,54 @@ def test_arrival_gate_survives_compaction(spark, base):
         exact_substr_ingest_batch(
             _df(spark, [(0, "z z z q q q")]), 2, idx, out, L=L
         )
+
+
+def test_keeperless_compaction_synthesizes_legacy_sidecars(spark, base):
+    """ADVICE r15 pin: compacting a LEGACY pre-sidecar store to the
+    keeperless tier (witness=False) previously left the
+    monotone-arrival tripwire silently dark — keeper footers retired,
+    no sidecars, and a keeperless snapshot carries no keep_id. The
+    compaction must synthesize the missing ``_maxid`` sidecars from
+    the partials' keep_id footer maxima BEFORE retiring them, keeping
+    the gate at exactly the legacy keeper strength."""
+    import shutil as _sh
+
+    from blackroad_feature_store_spark.streaming.ingest import (
+        _history_max_ingested_id,
+        compact_exact_substr_partials,
+    )
+
+    idx, out = f"{base}/idx", f"{base}/out"
+    for bid, docs in enumerate([BATCH0, BATCH1]):
+        exact_substr_ingest_batch(_df(spark, docs), bid, idx, out, L=L)
+    _sh.rmtree(f"{idx}/_maxid")  # simulate a pre-sidecar store
+    compact_exact_substr_partials(spark, idx, 1, witness=False)
+    # both retired batches are sidecar-covered again
+    assert {p.rsplit("=", 1)[1] for p in glob.glob(f"{idx}/_maxid/b=*")} == {
+        "0",
+        "1",
+    }
+    bound = _history_max_ingested_id(idx, 2)
+    assert bound is not None and bound >= 3  # keeper ids of batch 1
+    # and the gate actually trips on an out-of-order arrival
+    with pytest.raises(AssertionError, match="monotone-id arrival"):
+        exact_substr_ingest_batch(
+            _df(spark, [(0, "z z z q q q")]), 2, idx, out, L=L
+        )
+
+
+def test_keeperless_compaction_warns_when_no_bound_exists(spark, base):
+    """A to-fold partial with neither a sidecar nor readable keep_id
+    footer stats cannot be bounded after retirement — that must warn
+    loudly, never silently disarm the gate (ADVICE r15)."""
+    from blackroad_feature_store_spark.streaming.ingest import (
+        compact_exact_substr_partials,
+    )
+
+    idx = f"{base}/idx"
+    # a hand-written keeperless partial: no keep_id column at all
+    spark.createDataFrame(
+        [(11, 22, 2)], "__h long, __h2 long, n long"
+    ).write.parquet(f"{idx}/batch_id=0")
+    with pytest.warns(RuntimeWarning, match="no readable keep_id"):
+        compact_exact_substr_partials(spark, idx, 0, witness=False)
