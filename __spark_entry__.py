@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle for each query; keys absent here (the
-    mapInPandas fake-decode stub) get the driver's rows-only check."""
+    """DuckDB-runnable oracle for each query. Since r15 this covers
+    EVERY key in ``queries()`` — no query takes the driver's weaker
+    rows-only check (``mm_image_features`` certifies its
+    deterministic fake-decode kernel against a hash-checked oracle;
+    real header decodes are pytest-pinned in ``test_codecs.py``)."""
     return dict(_dq.ORACLE)
