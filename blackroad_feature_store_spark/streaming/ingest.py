@@ -253,10 +253,10 @@ def fold_exact_substr_partials(
     index rows carry no L; the caller owns the contract that every
     partial under one ``idx_store`` was built at ONE L (mixing Ls
     would fold apples into oranges silently — keep stores per-L).
-    ``idx_store`` must be a plain OS path (local or locally mounted):
-    partials are discovered with os-level glob, which is blind to
-    hdfs://-style URIs — :func:`_require_local_path` raises on those
-    instead of silently returning an empty history.
+    ``idx_store`` may be a plain OS path (os-level glob discovery,
+    zero JVM calls) or a scheme'd URI (``hdfs://``, ``s3a://``,
+    ``file://``… — discovery through the Hadoop FileSystem API; see
+    ``streaming/fsio.py``; VERDICT r15 ask #5).
 
     Compaction-aware (VERDICT r14 ask #5): when the store carries a
     compaction floor (:func:`compact_exact_substr_partials`), the
@@ -272,20 +272,14 @@ def fold_exact_substr_partials(
     compaction) makes the returned history keeperless too — exact for
     the rewrite/spans consumers, see
     :func:`~blackroad_feature_store_spark.operators.exactsubstr.exact_substr_rewrite_tier`."""
-    import glob as _g
-    import os as _os
-
-    _require_local_path(idx_store, "idx_store")
-
     from blackroad_feature_store_spark.operators.exactsubstr import (
         fold_exact_substr_counts,
         fold_exact_substr_index,
     )
-    from blackroad_feature_store_spark.streaming.stats import (
-        _compaction_floor,
-    )
+    from blackroad_feature_store_spark.streaming.fsio import store_fs
 
-    floor = _compaction_floor(idx_store)
+    fs = store_fs(idx_store, spark)
+    floor, _ = _floor_and_witness(fs, idx_store)
     if (
         before_batch_id is not None
         and floor >= 0
@@ -301,20 +295,17 @@ def fold_exact_substr_partials(
     hist: DataFrame | None = None
     if floor >= 0:
         hist = spark.read.parquet(
-            _os.path.join(idx_store, "compacted", f"floor={floor}")
+            f"{idx_store}/compacted/floor={floor}"
         )
     keeperless = hist is not None and "keep_id" not in hist.columns
     fold = fold_exact_substr_counts if keeperless else fold_exact_substr_index
-    for p in sorted(
-        _g.glob(_os.path.join(idx_store, "batch_id=*")),
-        key=lambda s: int(s.rsplit("=", 1)[1]),
-    ):
-        pid = int(p.rsplit("=", 1)[1])
+    parts = fs.child_ids(idx_store, "batch_id")
+    for pid in sorted(parts):
         if pid <= floor:
             continue  # already inside the compacted snapshot
         if before_batch_id is not None and pid >= before_batch_id:
             continue
-        part = spark.read.parquet(p)
+        part = spark.read.parquet(parts[pid])
         if keeperless:
             part = part.select("__h", "__h2", "n")
         hist = part if hist is None else fold(hist, part)
@@ -364,29 +355,22 @@ def compact_exact_substr_partials(
 
     The ``_maxid`` arrival-gate sidecars are NEVER retired: they are
     a few bytes per batch and the monotone-arrival gate reads them
-    independently of the fold."""
-    import glob as _g
-    import json as _json
-    import os as _os
-    import shutil as _sh
+    independently of the fold.
 
+    ``idx_store`` may be a plain OS path or a scheme'd URI — on a
+    remote filesystem the marker flip uses
+    ``FileContext.rename(OVERWRITE)`` (atomic on HDFS) and retirement
+    goes through the Hadoop FS API (``streaming/fsio.py``)."""
     from blackroad_feature_store_spark.operators.exactsubstr import (
         fold_exact_substr_counts,
         fold_exact_substr_index,
     )
-    from blackroad_feature_store_spark.streaming.stats import (
-        _MARKER,
-        _compaction_floor,
-    )
+    from blackroad_feature_store_spark.streaming.fsio import store_fs
+    from blackroad_feature_store_spark.streaming.stats import _MARKER
 
-    _require_local_path(idx_store, "idx_store")
-    floor = _compaction_floor(idx_store)
+    fs = store_fs(idx_store, spark)
+    floor, prev_witness = _floor_and_witness(fs, idx_store)
     if floor >= 0:
-        try:
-            with open(_os.path.join(idx_store, _MARKER)) as f:
-                prev_witness = bool(_json.load(f).get("witness", True))
-        except (OSError, ValueError):
-            prev_witness = True
         if prev_witness != witness:
             raise ValueError(
                 f"compact_exact_substr_partials: store was compacted "
@@ -395,10 +379,7 @@ def compact_exact_substr_partials(
                 "would carry keeper witnesses for only part of "
                 "history, silently wrong for keeper queries)"
             )
-    parts = {
-        int(p.rsplit("=", 1)[1]): p
-        for p in _g.glob(_os.path.join(idx_store, "batch_id=*"))
-    }
+    parts = fs.child_ids(idx_store, "batch_id")
     to_fold_ids = sorted(
         b for b in parts if floor < b <= int(upto_batch_id)
     )
@@ -419,11 +400,13 @@ def compact_exact_substr_partials(
     import warnings as _warnings
 
     for b in to_fold_ids:
-        if _os.path.isdir(_os.path.join(_sidecar_dir(idx_store), f"b={b}")):
+        if fs.exists(f"{_sidecar_dir(idx_store)}/b={b}"):
             continue
-        keep_max = _footer_col_max(parts[b], "keep_id")
+        keep_max = fs.col_max(parts[b], "keep_id")
         if keep_max is not None:
-            _write_maxid_sidecar(idx_store, b, int(keep_max))
+            fs.write_sidecar(
+                f"{_sidecar_dir(idx_store)}/b={b}", b, int(keep_max)
+            )
         else:
             _warnings.warn(
                 f"compact_exact_substr_partials: batch {b} has no "
@@ -436,113 +419,51 @@ def compact_exact_substr_partials(
     fold = fold_exact_substr_index if witness else fold_exact_substr_counts
     hist: DataFrame | None = None
     if floor >= 0:
-        hist = spark.read.parquet(
-            _os.path.join(idx_store, "compacted", f"floor={floor}")
-        )
+        hist = spark.read.parquet(f"{idx_store}/compacted/floor={floor}")
     for b in to_fold_ids:
         part = spark.read.parquet(parts[b])
         if not witness:
             part = part.select("__h", "__h2", "n")
         hist = part if hist is None else fold(hist, part)
     hist.write.mode("overwrite").parquet(
-        _os.path.join(idx_store, "compacted", f"floor={upto}")
+        f"{idx_store}/compacted/floor={upto}"
     )
     # the commit point: marker carries the floor AND the tier choice
-    tmp = _os.path.join(idx_store, _MARKER + ".tmp")
-    with open(tmp, "w") as f:
-        _json.dump({"floor": int(upto), "witness": bool(witness)}, f)
-    _os.replace(tmp, _os.path.join(idx_store, _MARKER))
+    fs.write_json_atomic(
+        f"{idx_store}/{_MARKER}",
+        {"floor": int(upto), "witness": bool(witness)},
+    )
     # -- best-effort cleanup; correctness never depends on it --
     for b in to_fold_ids:
-        _sh.rmtree(parts[b], ignore_errors=True)
+        fs.delete(parts[b])
     if floor >= 0:
-        _sh.rmtree(
-            _os.path.join(idx_store, "compacted", f"floor={floor}"),
-            ignore_errors=True,
-        )
+        fs.delete(f"{idx_store}/compacted/floor={floor}")
 
 
-def _footer_col_max(path: str, col: str) -> int | None:
-    """Max of ``col`` over every parquet file under ``path``, read from
-    FOOTER column statistics only — metadata reads, no Spark job.
-    LOCAL-FILESYSTEM ONLY: paths are resolved with ``glob``/pyarrow, so
-    on HDFS/S3 this finds nothing and returns None (callers must treat
-    None as "fast path unavailable", not "no history")."""
-    import glob as _g
-    import os as _os
+def _floor_and_witness(fs, idx_store: str) -> tuple[int, bool]:
+    """(compaction floor, sticky witness mode) from the store's
+    ``_compaction.json`` marker; (-1, True) when absent/corrupt —
+    the same semantics as ``streaming/stats.py::_compaction_floor``
+    but routed through the store's filesystem (local or Hadoop)."""
+    from blackroad_feature_store_spark.streaming.stats import _MARKER
 
-    import pyarrow.parquet as _pq
-
-    hi: int | None = None
-    for f in _g.glob(_os.path.join(path, "*.parquet")):
-        md = _pq.ParquetFile(f).metadata
-        try:
-            idx = md.schema.names.index(col)
-        except ValueError:
-            continue
-        for rg in range(md.num_row_groups):
-            stats = md.row_group(rg).column(idx).statistics
-            if stats is not None and stats.has_min_max:
-                m = stats.max
-                hi = m if hi is None or m > hi else hi
-    return hi
+    m = fs.read_json(f"{idx_store}/{_MARKER}")
+    try:
+        return int(m["floor"]), bool(m.get("witness", True))
+    except (TypeError, ValueError, KeyError):
+        return -1, True
 
 
 def _sidecar_dir(idx_store: str) -> str:
     # underscore prefix = Hadoop-hidden: a whole-store
     # spark.read.parquet(idx_store) and fold_exact_substr_partials'
-    # batch_id=* glob both skip it, so the sidecar never pollutes a
-    # fold; it is only read through this explicit path.
+    # batch_id=* discovery both skip it, so the sidecar never pollutes
+    # a fold; it is only read through this explicit path.
     return f"{idx_store}/_maxid"
 
 
-def _write_maxid_sidecar(
-    idx_store: str, batch_id: int, max_ingested_id: int
-) -> None:
-    """One-row arrival-gate sidecar (``idx_store/_maxid/b=N``),
-    overwrite — replay-idempotent. Written with pyarrow, not a Spark
-    job: the store is guaranteed local and a one-row metadata write
-    should not cost a scheduler round-trip."""
-    import os as _os
-
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq
-
-    d = f"{_sidecar_dir(idx_store)}/b={int(batch_id)}"
-    _os.makedirs(d, exist_ok=True)
-    _pq.write_table(
-        _pa.table(
-            {
-                "batch_id": _pa.array([int(batch_id)], _pa.int64()),
-                "max_ingested_id": _pa.array(
-                    [int(max_ingested_id)], _pa.int64()
-                ),
-            }
-        ),
-        _os.path.join(d, "sidecar.parquet"),
-    )
-
-
-def _require_local_path(path: str, what: str) -> None:
-    """The per-batch partial stores are discovered with os-level
-    ``glob`` (fold + gate + sidecar footers), so a scheme'd URI
-    (hdfs://, s3a://, even file://) would glob NOTHING and silently
-    behave like an empty store — history skipped, gate dark (ADVICE
-    r14 low). Fail loudly instead: these helpers take plain OS paths
-    (a locally mounted filesystem is fine)."""
-    import re as _re
-
-    if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
-        raise ValueError(
-            f"{what} must be a plain OS path (local or locally "
-            f"mounted filesystem), got URI {path!r}: partial "
-            "discovery uses os-level glob, which would silently see "
-            "an empty store on a remote filesystem"
-        )
-
-
 def _history_max_ingested_id(
-    idx_store: str, before_batch_id: int
+    idx_store: str, before_batch_id: int, spark=None
 ) -> int | None:
     """The largest doc id EVER INGESTED into history partials with
     batch id < ``before_batch_id`` — the monotone-arrival gate bound.
@@ -554,31 +475,24 @@ def _history_max_ingested_id(
     therefore persists its true ``max(doc_id)`` in a one-row sidecar
     (``idx_store/_maxid/b=N``), and the gate reads those, in order:
 
-    1. Sidecar parquet footers — metadata only, no Spark job.
-    2. Per-batch keeper-id footer max for LEGACY partials that predate
+    1. The sidecars — parquet footer statistics on a local store
+       (metadata only, no Spark job); ONE distributed read over the
+       one-row-per-batch sidecar dataset on a remote store (one job
+       per gate check, independent of batch count).
+    2. Per-batch keeper-id maxima for LEGACY partials that predate
        the sidecar (weaker: per-window minima — kept only so upgraded
        stores retain the old tripwire's strength for old batches).
+    """
+    from blackroad_feature_store_spark.streaming.fsio import store_fs
 
-    Local filesystem only, like the partial layout itself — enforced
-    upstream by :func:`_require_local_path`."""
-    import glob as _g
-    import os as _os
-
-    hi: int | None = None
-    covered: set[int] = set()
-    for p in _g.glob(_os.path.join(_sidecar_dir(idx_store), "b=*")):
-        bid = int(p.rsplit("=", 1)[1])
-        if bid >= before_batch_id:
-            continue
-        m = _footer_col_max(p, "max_ingested_id")
-        if m is not None:
-            covered.add(bid)
-            hi = m if hi is None or m > hi else hi
-    for p in _g.glob(_os.path.join(idx_store, "batch_id=*")):
-        bid = int(p.rsplit("=", 1)[1])
+    fs = store_fs(idx_store, spark)
+    hi, covered = fs.sidecar_scan(
+        _sidecar_dir(idx_store), int(before_batch_id)
+    )
+    for bid, p in fs.child_ids(idx_store, "batch_id").items():
         if bid >= before_batch_id or bid in covered:
             continue
-        m = _footer_col_max(p, "keep_id")
+        m = fs.col_max(p, "keep_id")
         if m is not None:
             hi = m if hi is None or m > hi else hi
     # Legacy stores compacted before any sidecar existed: the retired
@@ -591,16 +505,9 @@ def _history_max_ingested_id(
     # sidecar per batch, and compact_exact_substr_partials
     # synthesizes one from keep_id footers before retiring any legacy
     # pre-sidecar batch (ADVICE r15; warns if neither exists).
-    from blackroad_feature_store_spark.streaming.stats import (
-        _compaction_floor,
-    )
-
-    floor = _compaction_floor(idx_store)
+    floor, _ = _floor_and_witness(fs, idx_store)
     if floor >= 0 and floor < before_batch_id:
-        m = _footer_col_max(
-            _os.path.join(idx_store, "compacted", f"floor={floor}"),
-            "keep_id",
-        )
+        m = fs.col_max(f"{idx_store}/compacted/floor={floor}", "keep_id")
         if m is not None:
             hi = m if hi is None or m > hi else hi
     return hi
@@ -645,12 +552,16 @@ def exact_substr_ingest_batch(
       FileStreamSource breaking mtime ties arbitrarily) raises here
       instead of silently certifying a diverged rewrite.
 
-    ``idx_store``/``out_store`` must be plain OS paths (local or
-    locally mounted filesystem): partial discovery, the gate's footer
-    reads, and the sidecar all go through os-level glob/pyarrow, which
-    are blind to hdfs://-style URIs — a scheme'd path raises
-    ``ValueError`` up front rather than silently treating history as
-    empty (ADVICE r14 low).
+    ``idx_store``/``out_store`` may be plain OS paths (discovery via
+    os-level glob, footer-statistics gate reads, pyarrow sidecars —
+    ZERO Spark jobs for store metadata) or scheme'd URIs
+    (``hdfs://``, ``s3a://``, ``file://``, ``viewfs://``… — VERDICT
+    r15 ask #5): discovery and the marker go through the Hadoop
+    FileSystem API, the sidecar is pyarrow bytes pushed through one
+    Hadoop stream (still no job), and the gate costs ONE distributed
+    read over the one-row-per-batch sidecar dataset per micro-batch
+    (``streaming/fsio.py``). An UNREACHABLE filesystem raises at the
+    first operation — never the old silent empty-store behavior.
 
     ``compact_every=K`` folds the store every K batches
     (:func:`compact_exact_substr_partials` with ``upto = batch_id-1``
@@ -665,9 +576,10 @@ def exact_substr_ingest_batch(
         exact_substr_index,
     )
 
-    _require_local_path(idx_store, "idx_store")
-    _require_local_path(out_store, "out_store")
+    from blackroad_feature_store_spark.streaming.fsio import store_fs
+
     sp = batch_df.sparkSession
+    fs = store_fs(idx_store, sp)
     # One scalar agg gives both ends of the batch's id range: the min
     # feeds the arrival gate, the max becomes the batch's sidecar.
     lo, batch_max = batch_df.agg(
@@ -690,7 +602,7 @@ def exact_substr_ingest_batch(
         # over `hist` is deliberately the last resort: it would
         # re-fold the whole history as a second action on the same
         # lineage, doubling the fold cost per batch.
-        hi = _history_max_ingested_id(idx_store, int(batch_id))
+        hi = _history_max_ingested_id(idx_store, int(batch_id), sp)
         if hi is not None and lo is not None and lo <= hi:
             raise AssertionError(
                 f"monotone-id arrival violated in batch {batch_id}: "
@@ -716,11 +628,13 @@ def exact_substr_ingest_batch(
         # Sidecar LAST: it only ever describes a fully-landed delta
         # (foreachBatch commits the checkpoint after this returns, so
         # a crash anywhere above replays the whole batch and
-        # overwrites all three writes deterministically). Written with
-        # pyarrow, not a Spark job: the store is guaranteed local by
-        # _require_local_path, and a one-row metadata write should not
-        # cost a scheduler round-trip per micro-batch.
-        _write_maxid_sidecar(idx_store, int(batch_id), int(batch_max))
+        # overwrites all three writes deterministically). Never a
+        # Spark job: pyarrow locally, one Hadoop stream remotely.
+        fs.write_sidecar(
+            f"{_sidecar_dir(idx_store)}/b={int(batch_id)}",
+            int(batch_id),
+            int(batch_max),
+        )
     if (
         compact_every
         and int(batch_id) > 0

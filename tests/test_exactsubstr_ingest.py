@@ -190,21 +190,105 @@ def test_legacy_store_without_sidecar_keeps_keeper_gate(spark, base):
         )
 
 
-def test_scheme_uri_store_raises_up_front(spark, base):
-    """ADVICE r14 (low) pin: partial discovery is os-level glob, blind
-    to hdfs://-style URIs — a scheme'd store path must raise loudly
-    instead of silently treating history as empty (which would skip
-    both the fold and the gate)."""
-    with pytest.raises(ValueError, match="plain OS path"):
+def test_scheme_uri_store_works_end_to_end(spark, base):
+    """VERDICT r15 ask #5: scheme'd store URIs are a real capability
+    now (Hadoop FileSystem API — ``streaming/fsio.py``), replacing the
+    r14 up-front raise. A ``file://``-scheme store must behave
+    byte-identically to a plain-path store — and is invisible to
+    os-level glob, proving no discovery path fell back to the local
+    fast path silently."""
+    import glob as _g
+
+    uri = f"file://{base}/scheme"
+    for bid, docs in enumerate([BATCH0, BATCH1]):
         exact_substr_ingest_batch(
-            _df(spark, BATCH0),
-            0,
-            "hdfs://nn:8020/idx",
-            f"{base}/out",
-            L=L,
+            _df(spark, docs), bid, f"{uri}/idx", f"{uri}/out", L=L
         )
-    with pytest.raises(ValueError, match="plain OS path"):
-        fold_exact_substr_partials(spark, "s3a://bucket/idx")
+    got = _out_rows(spark, f"{uri}/out")
+    _, plain_out = _run(spark, [BATCH0, BATCH1], f"{base}/plain")
+    assert got == _out_rows(spark, plain_out)
+    # the store really landed under the URI (and glob can't see URIs)
+    assert _g.glob(f"{base}/scheme/idx/batch_id=*")
+    assert not _g.glob(f"{uri}/idx/batch_id=*")
+    # gate: sidecars written through the Hadoop stream, read back via
+    # the one-job distributed scan — out-of-order arrival still raises
+    with pytest.raises(AssertionError, match="monotone-id arrival"):
+        exact_substr_ingest_batch(
+            _df(spark, BATCH0), 2, f"{uri}/idx", f"{uri}/out", L=L
+        )
+
+
+def test_scheme_uri_crash_replay_and_compaction(spark, base):
+    """The replay-safety and compaction contracts hold on a scheme'd
+    store: a crash-replayed batch overwrites its own partial (history
+    never double-counts), in-stream compaction folds + retires through
+    the Hadoop FS API with the marker flipped by an atomic OVERWRITE
+    rename, and the post-compaction gate stays armed."""
+    from blackroad_feature_store_spark.streaming.ingest import (
+        compact_exact_substr_partials,
+    )
+
+    uri = f"file://{base}/crash"
+    idx, out = f"{uri}/idx", f"{uri}/out"
+    exact_substr_ingest_batch(_df(spark, BATCH0), 0, idx, out, L=L)
+    # crash model: batch 1 lands, checkpoint never commits, replayed
+    exact_substr_ingest_batch(_df(spark, BATCH1), 1, idx, out, L=L)
+    exact_substr_ingest_batch(_df(spark, BATCH1), 1, idx, out, L=L)
+    want = {
+        (r.doc_id, r.text, r.n_tokens, r.n_removed)
+        for r in exact_substr_removal(
+            _df(spark, BATCH0 + BATCH1), L=L
+        ).collect()
+        if r.doc_id in {3, 4}
+    }
+    got = {
+        t for t in _out_rows(spark, out) if t[0] in {3, 4}
+    }
+    assert got == want
+    compact_exact_substr_partials(spark, idx, 0)  # retire batch 0
+    import glob as _g
+
+    assert not _g.glob(f"{base}/crash/idx/batch_id=0")  # retired
+    assert _g.glob(f"{base}/crash/idx/compacted/floor=0/*")
+    # floor marker readable through the store FS, gate still armed
+    with pytest.raises(AssertionError, match="monotone-id arrival"):
+        exact_substr_ingest_batch(
+            _df(spark, [(0, "z z z q q q")]), 2, idx, out, L=L
+        )
+
+
+def test_mocked_remote_viewfs_store(spark, base):
+    """A genuinely non-local scheme (``viewfs://`` mounted over a temp
+    dir — Hadoop's client-side mount table) drives every store
+    operation through the generic Hadoop path: discovery, sidecar
+    stream write, one-job gate scan, compaction fold/retire, and the
+    FileContext OVERWRITE marker flip."""
+    from blackroad_feature_store_spark.streaming.ingest import (
+        compact_exact_substr_partials,
+        fold_exact_substr_partials,
+    )
+
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.xsmock.link./store", f"file://{base}/real"
+    )
+    uri = "viewfs://xsmock/store"
+    idx, out = f"{uri}/idx", f"{uri}/out"
+    for bid, docs in enumerate([BATCH0, BATCH1]):
+        exact_substr_ingest_batch(_df(spark, docs), bid, idx, out, L=L)
+    got = _out_rows(spark, out)
+    _, plain_out = _run(spark, [BATCH0, BATCH1], f"{base}/plain2")
+    assert got == _out_rows(spark, plain_out)
+    compact_exact_substr_partials(spark, idx, 0, witness=False)
+    import glob as _g
+
+    assert not _g.glob(f"{base}/real/idx/batch_id=0")
+    # post-compaction history fold reads snapshot + live partial
+    hist = fold_exact_substr_partials(spark, idx, before_batch_id=2)
+    assert hist is not None and "keep_id" not in hist.columns
+    with pytest.raises(AssertionError, match="monotone-id arrival"):
+        exact_substr_ingest_batch(
+            _df(spark, [(0, "z z z q q q")]), 2, idx, out, L=L
+        )
 
 
 def test_history_fold_excludes_current_and_later_batches(spark, base):
