@@ -10187,61 +10187,62 @@ _GATE_PRIORITY: list[str] = [
     # -- divergence canary: literal-valued probe of every construct
     # the oracle layer has ever disagreed on --
     "core_oracle_canary",
-    # -- r15 new capability (VERDICT r14 ask #5) --
-    "dedup_exact_substr_pruned",          # singleton-pruned dup tier
-    "stream_exec_exact_substr_compacted",  # compaction + rewrite tier
-    # -- r15 changed execution paths --
-    "core_uuid_shape",                  # promoted to hash-checked
-    "core_current_ts_shape",            # promoted to hash-checked
-    "stream_exec_exact_substr_index",   # sidecar gate in ingest
-    "stream_exec_exact_substr_rewrite",  # sidecar gate in ingest
-    "graph_pagerank_trade",             # driver-side iteration path
-    # -- VERDICT r14 ask #7: freshness sweep — the r9/r10-gated
-    # cohort (oldest driver-gate rows in the catalog, incl. the four
-    # whose only recent coverage was the r12 judge replica:
-    # source_xml_roundtrip + the three stats sketches) --
-    "dedup_clusters",
-    "dedup_minhash_pairs",
-    "source_xml_roundtrip",
-    "stats_histogram_quantiles",
-    "stats_hll_distinct",
-    "core_dim_join_ordered",
-    "core_group_stats",
-    "core_json_values",
-    "core_point_lookup",
-    "core_scan_filter_project",
-    "core_string_fns",
-    "core_window_funcs",
-    "stats_cms_heavy_hitters",
-    "tpch_q1_pricing",
-    # -- oldest r11-gated rows (alphabetical; the 10 that don't fit —
-    # the stream_exec r11 family, text_lang_*, and rows-only-by-design
-    # mm_image_features — rotate to r16) --
-    "core_approx_quantiles",
-    "core_asof_prev_order",
-    "core_date_arith",
-    "core_global_top1",
-    "core_lookup_composite",
-    "core_rollup",
-    "core_router_triggers",
-    "core_salted_hot_keys",
-    "core_semi_anti",
-    "core_set_ops",
-    "dedup_winnow_pairs",
-    "drift_psi",
-    "mm_frame_samples",
-    "pipeline_decontaminate",
-    "pipeline_decontaminate_winnow",
-    "pipeline_epoch_shuffle",
-    "pipeline_mixture_weights",
-    "pipeline_nb_source_classify",
-    "sim_cosine_topk",
-    "sim_cosine_topk_auto",
-    "sim_cosine_topk_auto_approx",
-    "sim_cosine_topk_gemm",
-    "sim_cosine_topk_lsh",
-    "store_registry_ops",
-    "stream_exec_decontaminate",
+    # -- r16 changed execution paths: the scheme'd-URI store FS
+    # (streaming/fsio.py) under the whole exactsubstr ingest family,
+    # and the byte-bounded/overflow-guarded pagerank dispatch --
+    "stream_exec_exact_substr_compacted",
+    "stream_exec_exact_substr_index",
+    "stream_exec_exact_substr_rewrite",
+    "stream_exec_exact_substr_gate",
+    "graph_pagerank_trade",
+    # -- VERDICT r15 ask #4: the final stale-gate rotation — the 10
+    # remaining r11-gated rows, plus mm_image_features (its r11 gate
+    # row was rows-only; the hash-checked fake-decode oracle has
+    # never held a driver-gate slot). After this round every catalog
+    # query's latest gate row is r12+ --
+    "mm_image_features",
+    "stream_exec_dedup",
+    "stream_exec_drift_monitor",
+    "stream_exec_expectations",
+    "stream_exec_hll_distinct",
+    "stream_exec_incremental_stats",
+    "stream_exec_quantile_monitor",
+    "stream_exec_windowed",
+    "stream_windowed_counts",
+    "text_lang_confusion",
+    "text_lang_id",
+    # -- oldest-green ballast: the 30 alphabetically-first of the 37
+    # r12-gated rows (the remaining 7 tpch rows rotate to r17) --
+    "core_asof_sql_join",
+    "core_histogram",
+    "core_json_props",
+    "core_rolling_range",
+    "core_salted_join",
+    "core_sliding_windows",
+    "dedup_semantic_kmeans",
+    "ml_kmeans_clusters",
+    "pipeline_dedup_report",
+    "pipeline_domain_cap",
+    "pipeline_paragraph_dedup",
+    "pipeline_token_budget_select",
+    "sim_cosine_topk_ivf_kmeans",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "store_bitemporal",
+    "store_changes_feed",
+    "store_mv_incremental",
+    "store_time_travel",
+    "stream_exec_cluster_drift",
+    "stream_exec_enrich",
+    "stream_exec_kmeans_update",
+    "stream_exec_sessionize",
+    "text_outlier_docs",
+    "text_tfidf_top_terms",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_modes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
 ]
 
 
