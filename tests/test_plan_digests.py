@@ -52,6 +52,16 @@ WATCHED = [
     "pipeline_pack_sequences",    # sequence packing
     "drift_psi",                  # binned distribution compare
     "core_sessionize",            # gaps-and-islands windows
+    # r16 widening (VERDICT r15 ask #6): previously realization-
+    # sensitive via data-derived literals, now canonicalized by
+    # targeted QUERY_SUBS / the uuid-seed normalization in
+    # tools/plan_digests.py (verified digest-stable across data
+    # realizations); stats_hll_distinct and stream_exec_ivf_maintained
+    # stay unwatched — documented in plan_digests.py: their variance
+    # IS the signal (join-strategy flip / executed-batch lineage)
+    "core_uuid_shape",
+    "pipeline_token_budget_select",
+    "text_bm25_search",
 ]
 
 
