@@ -224,6 +224,59 @@ HEADLINE = [
 ]
 
 
+# ---- per-query execution lanes (VERDICT r15 ask #9) ----
+# Each lane's vs_pin divides by ITS OWN fixed-work probe, so a drift
+# confined to one runtime (the container's Python lane has drifted
+# 17-31% independently of the JVM; the stream probe independently of
+# both) stops painting flag walls across the other lanes:
+#   stream  -> stream_fixed   (checkpoint + start/drain/stop machinery)
+#   pandas  -> cpu_spin       (Arrow/pandas kernels: CPython speed)
+#   jvm     -> spark_fixed    (codegen'd DataFrame plans)
+#   iterative -> spark_fixed  (driver-looped multi-job queries; tagged
+#                              for readers, no dedicated probe)
+# The pandas set is curated from the operators each query reaches
+# (mapInPandas / applyInPandas / pandas_udf kernels); everything the
+# query does outside the kernel still rides the JVM, so this is the
+# dominant-cost probe, same doctrine as the stream lane.
+_PANDAS_LANE = {
+    "core_pit_join_pandas",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "dedup_semantic",
+    "dedup_semantic_kmeans",
+    "mm_audio_features",
+    "mm_dhash_pairs",
+    "mm_frame_samples",
+    "mm_image_features",
+    "pipeline_normalize_text",
+    "sim_cosine_topk_auto_approx",
+    "sim_cosine_topk_gemm",
+}
+_ITERATIVE_LANE = {
+    "graph_pagerank_trade",
+    "dedup_clusters",
+    "dedup_canonical",
+    "ml_kmeans_clusters",
+    "sim_cosine_topk_ivf_kmeans",
+}
+_LANE_PROBE = {
+    "stream": "stream_fixed",
+    "pandas": "cpu_spin",
+    "jvm": "spark_fixed",
+    "iterative": "spark_fixed",
+}
+
+
+def lane_of(name: str) -> str:
+    if name.startswith("stream"):
+        return "stream"
+    if name in _PANDAS_LANE:
+        return "pandas"
+    if name in _ITERATIVE_LANE:
+        return "iterative"
+    return "jvm"
+
+
 def calibration_is_unstable(*snapshots: dict) -> bool:
     """True when a probe family's MEDIAN cannot be trusted (VERDICT
     r14 ask #1). The ratios divide by the per-probe median of the
@@ -245,10 +298,12 @@ def calibration_is_unstable(*snapshots: dict) -> bool:
     * With exactly 2 snapshots (no mid probe): the original pairwise
       rule, max/min > 1.25.
 
-    Both probe families gate (ADVICE r13 low: a burst confined to the
-    streaming probe window skews every stream vs_pin without moving
-    spark_fixed). Probes missing or zero contribute nothing."""
-    for k in ("spark_fixed", "stream_fixed"):
+    All three probe families gate (ADVICE r13 low: a burst confined
+    to one probe's window skews that whole lane's vs_pin without
+    moving the others — stream since r13, cpu_spin since the pandas
+    lane started dividing by it, VERDICT r15 ask #9). Probes missing
+    or zero contribute nothing."""
+    for k in ("spark_fixed", "stream_fixed", "cpu_spin"):
         vals = sorted(s[k] for s in snapshots if s.get(k, 0) > 0)
         if len(vals) == 2 and vals[1] / vals[0] > 1.25:
             return True
@@ -359,6 +414,20 @@ def main() -> None:
 
     spark = get_spark(app_name="spark-graft-bench")
     queries = entrymod.queries()
+
+    # Subset mode (round 16): SPARK_GRAFT_ONLY="a,b,c" times only the
+    # named queries under the FULL probe instrumentation (start/mid/end
+    # calibration, rep floors, retry-on-outlier) — the sanctioned way
+    # to take same-epoch multi-run minima for pin-quality re-pins and
+    # quiet best-of-N drift attribution (BASELINE.md). A subset run
+    # NEVER writes a repo artifact: stdout JSON only.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    subset = None
+    if only_env:
+        subset = [n for n in only_env.split(",") if n.strip()]
+        unknown = [n for n in subset if n not in queries]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY unknown queries: {unknown}")
 
     # JVM/codegen warmup OUTSIDE the timed loop: one small aggregation
     # and one parquet scan, so the first headline query measures its
@@ -531,10 +600,9 @@ def main() -> None:
     def _factor_with(name: str, pin_calib: dict, cal: dict) -> float:
         """Machine-drift factor between `cal` and the pin's own
         calibration, picking the probe family that dominates the
-        query's fixed costs (stream checkpointing vs batch)."""
-        key = (
-            "stream_fixed" if name.startswith("stream") else "spark_fixed"
-        )
+        query's lane (stream checkpointing / CPython kernels / JVM
+        batch — VERDICT r15 ask #9)."""
+        key = _LANE_PROBE[lane_of(name)]
         ref = pin_calib.get(key, 0)
         if ref > 0 and cal.get(key, 0) > 0:
             return round(cal[key] / ref, 3)
@@ -557,7 +625,8 @@ def main() -> None:
     # turbo/throttle cycle spanning the middle of the ~15 min query
     # loop is invisible; the median of start/mid/end is the factor
     # estimator (VERDICT r14 ask #1).
-    mid_at = len(HEADLINE) // 2
+    run_list = subset if subset is not None else HEADLINE
+    mid_at = len(run_list) // 2
     calibration_mid = None
     def _reprobe() -> dict:
         # Settle before re-probing: the preceding query may have been
@@ -569,6 +638,7 @@ def main() -> None:
         # any remaining short burst.
         time.sleep(3)
         return {
+            "cpu_spin": round(min(_cpu_spin() for _ in range(3)), 3),
             "spark_fixed": round(
                 min(_spark_probe() for _ in range(3)), 3
             ),
@@ -577,7 +647,7 @@ def main() -> None:
             ),
         }
 
-    for i, name in enumerate(HEADLINE):
+    for i, name in enumerate(run_list):
         if i == mid_at:
             calibration_mid = _reprobe()
         t = run_once(name)
@@ -610,10 +680,9 @@ def main() -> None:
     # interleaved snapshots — robust to one bursty probe window, which
     # is exactly how this host misbehaves (minute-scale turbo/throttle
     # cycling defeated the start-only estimator in r13/r14; VERDICT
-    # r14 ask #1). cpu_spin only exists in the start snapshot and is
-    # informational.
+    # r14 ask #1). cpu_spin is probed in every snapshot since r16 —
+    # the pandas lane divides by its median (VERDICT r15 ask #9).
     calibration_used = probe_median(*snapshots)
-    calibration_used["cpu_spin"] = calibration.get("cpu_spin", 0)
     calibration_unstable = calibration_is_unstable(*snapshots)
 
     total = round(sum(timings.values()), 3)
@@ -721,6 +790,25 @@ def main() -> None:
             else pin_factor
         )
         out["stream_factor"] = stream_factor
+        # ---- per-lane tags + factors (VERDICT r15 ask #9) ----
+        # `lanes` labels every timed query; `lane_factors` is the
+        # r10-pin-relative drift of each lane's own probe, so a reader
+        # can see at a glance "the pandas lane is 1.2x slower than at
+        # pin time" instead of inferring it from a wall of same-lane
+        # flags. Per-query vs_pin already divides by the right lane
+        # probe via _factor_with.
+        out["lanes"] = {n: lane_of(n) for n in timings}
+        pin_cpu = pin.get("calibration", {}).get("cpu_spin", 0)
+        out["lane_factors"] = {
+            "jvm": pin_factor,
+            "iterative": pin_factor,
+            "stream": stream_factor,
+            "pandas": (
+                round(calibration_used["cpu_spin"] / pin_cpu, 3)
+                if pin_cpu > 0 and calibration_used.get("cpu_spin", 0) > 0
+                else pin_factor
+            ),
+        }
 
         out["vs_pin"] = {
             name: round(
@@ -760,7 +848,7 @@ def main() -> None:
             for n in flagged:
                 want = committed.get(n, {}).get("digest")
                 try:
-                    got = _pd.plan_fingerprint(queries[n](spark, sf_dir))[
+                    got = _pd.plan_fingerprint(queries[n](spark, sf_dir), n)[
                         "digest"
                     ]
                 except Exception as exc:  # noqa: BLE001 — forensics only
@@ -782,6 +870,12 @@ def main() -> None:
     # in BENCH_POSTCLOSE.json instead, clearly labeled, so the close
     # artifact is never left shadowed by uncommitted dirt at handoff.
     here = os.path.dirname(os.path.abspath(__file__))
+    if subset is not None:
+        # subset runs are measurement probes, never round artifacts
+        out["subset"] = subset
+        out["query_samples"] = samples
+        print(json.dumps(out, separators=(",", ":")))
+        return
     full_path = os.path.join(here, "BENCH_FULL.json")
     if os.environ.get("SPARK_GRAFT_CLOSE") != "1" and _is_committed_clean(
         here, "BENCH_FULL.json"

@@ -214,3 +214,64 @@ def test_bench_probe_median_is_robust_to_one_bursty_window():
         {"spark_fixed": 1.5}, {"spark_fixed": 0.0}, {"spark_fixed": 1.7}
     )
     assert med2["spark_fixed"] == 1.6
+
+
+def test_bench_lane_tags_and_lane_probe_division():
+    """VERDICT r15 ask #9 pin: every query gets a lane tag, each lane's
+    vs_pin factor divides by its OWN probe (pandas -> cpu_spin,
+    stream -> stream_fixed, jvm/iterative -> spark_fixed), and the
+    curated pandas set names only real Arrow-kernel queries."""
+    import bench
+
+    assert bench.lane_of("stream_exec_expectations") == "stream"
+    assert bench.lane_of("stream_windowed_counts") == "stream"
+    assert bench.lane_of("mm_image_features") == "pandas"
+    assert bench.lane_of("pipeline_normalize_text") == "pandas"
+    assert bench.lane_of("graph_pagerank_trade") == "iterative"
+    assert bench.lane_of("tpch_q1_pricing") == "jvm"
+    assert bench._LANE_PROBE[bench.lane_of("mm_image_features")] == "cpu_spin"
+    assert (
+        bench._LANE_PROBE[bench.lane_of("stream_exec_dedup")]
+        == "stream_fixed"
+    )
+    # every curated lane name exists in the catalog (no typo rot)
+    for n in bench._PANDAS_LANE | bench._ITERATIVE_LANE:
+        assert n in entrymod.queries(), n
+    # the committed close artifact, once regenerated, must carry the
+    # tags; a pre-r16 artifact is allowed until then
+    import json as _json
+    import os as _os
+
+    art = _os.path.join(_os.path.dirname(bench.__file__), "BENCH_FULL.json")
+    if _os.path.exists(art):
+        with open(art) as f:
+            data = _json.load(f)
+        if "lanes" in data:
+            assert set(data["lanes"].values()) <= {
+                "jvm",
+                "pandas",
+                "stream",
+                "iterative",
+            }
+            assert set(data.get("lane_factors", {})) == {
+                "jvm",
+                "pandas",
+                "stream",
+                "iterative",
+            }
+
+
+def test_bench_cpu_spin_probed_in_every_snapshot():
+    """The pandas lane divides by the cpu_spin MEDIAN, so cpu_spin
+    must be re-probed mid/end like the other probes (a start-only
+    reading is defeated by this host's turbo cycling), and it must
+    gate calibration_unstable."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    reprobe = src[src.index("def _reprobe") : src.index("for i, name")]
+    assert "cpu_spin" in reprobe
+    src_unstable = inspect.getsource(bench.calibration_is_unstable)
+    assert '"cpu_spin"' in src_unstable

@@ -50,8 +50,21 @@ def main() -> None:
     ap.add_argument("--extra", nargs="*", default=[],
                     help="additional same-epoch bench artifacts; pin = "
                          "per-query/per-probe min across all runs")
+    ap.add_argument("--repin", nargs="*", default=[],
+                    help="existing supplementary entries to REPLACE — "
+                         "pin-QUALITY corrections only (BASELINE.md "
+                         "round-16 rule: a multi-second stream pin "
+                         "taken from one epoch never saw a "
+                         "representative machine state); requires "
+                         "--extra with >= 2 additional same-epoch runs "
+                         "so the new pin is a multi-run minimum")
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
+    if args.repin and len(args.extra) < 2:
+        raise SystemExit(
+            "--repin requires --extra with >= 2 additional same-epoch "
+            "runs (multi-run minima rule, BASELINE.md)"
+        )
 
     with open(args.bench) as f:
         bench = json.load(f)
@@ -94,14 +107,24 @@ def main() -> None:
 
     added = []
     for name, t in bench["queries"].items():
-        if name in r10 or name in supp["entries"] or t <= 0:
+        if name in r10 or t <= 0:
             continue
-        supp["entries"][name] = {
+        if name in supp["entries"] and name not in args.repin:
+            continue
+        entry = {
             "t": t,
             "calibration": bench.get("calibration", {}),
             "pinned_round": args.round,
             "pinned_commit": commit,
         }
+        if name in args.repin and name in supp["entries"]:
+            entry["repinned_from"] = {
+                "t": supp["entries"][name]["t"],
+                "round": supp["entries"][name].get("pinned_round"),
+                "reason": "pin-quality correction: multi-run minima "
+                          "(BASELINE.md r16 rule)",
+            }
+        supp["entries"][name] = entry
         added.append(name)
 
     if args.dry_run:
