@@ -513,11 +513,75 @@ def main() -> None:
         q.awaitTermination()
         return time.time() - t0
 
+    # Stateful-drain fixed-work probe (round 16, MEASURE-ONLY): the
+    # r16 forensics showed the applyInPandasWithState drains' fixed
+    # cost (state-store setup/commit + Python workers per partition
+    # per micro-batch) swinging ~1.7x intraday while all three
+    # existing probes sat in their normal bands — the pass-through
+    # stream probe shares none of that machinery, so stream-lane
+    # vs_pin cannot see this drift (PLANS_r16 Evidence). This probe
+    # drains the same fixed 1000-row source through a trivial
+    # per-key count in applyInPandasWithState at the catalog's 8
+    # state partitions. It is emitted in the artifact for the record
+    # but participates in NO ratio, NO stability gate, and NO
+    # CAL_REF backfill — per the BASELINE.md multi-run rule a
+    # reference may only be pinned from >= 3 same-epoch runs, and
+    # the r11 stream_fixed backfill (corrected this round) is the
+    # cautionary tale for shortcuts.
+    def _stateful_probe() -> float:
+        try:
+            import pandas as _pd
+            from pyspark.sql.streaming.state import GroupStateTimeout
+        except ImportError:
+            return 0.0
+
+        def _count(key, pdfs, state):
+            n = state.get[0] if state.exists else 0
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            yield _pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        ckpt = tempfile.mkdtemp(prefix="ckpt-st-", dir=_probe_dir)
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        t0 = time.time()
+        try:
+            q = (
+                spark.readStream.schema(_probe_schema)
+                .parquet(_probe_src)
+                .groupBy("k")
+                .applyInPandasWithState(
+                    _count,
+                    outputStructType="k int, n long",
+                    stateStructType="n long",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        return time.time() - t0
+
+    stateful_readings: list[float] = []
+
+    def _stateful_snapshot() -> None:
+        stateful_readings.append(
+            round(min(_stateful_probe() for _ in range(2)), 3)
+        )
+
     calibration = {
         "cpu_spin": round(min(_cpu_spin() for _ in range(3)), 3),
         "spark_fixed": round(min(_spark_probe() for _ in range(3)), 3),
         "stream_fixed": round(min(_stream_probe() for _ in range(3)), 3),
     }
+    _stateful_snapshot()
     cal_ref_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "CAL_REF.json"
     )
@@ -647,9 +711,14 @@ def main() -> None:
             ),
         }
 
+    def _reprobe_with_stateful() -> dict:
+        snap = _reprobe()
+        _stateful_snapshot()
+        return snap
+
     for i, name in enumerate(run_list):
         if i == mid_at:
-            calibration_mid = _reprobe()
+            calibration_mid = _reprobe_with_stateful()
         t = run_once(name)
         ss = [t] + [
             run_once(name) for _ in range(plan_extra_samples(t, reps))
@@ -671,7 +740,7 @@ def main() -> None:
         samples[name] = [round(x, 3) for x in ss]
 
     # ---- end-of-run calibration re-probe (round 13) ----
-    calibration_end = _reprobe()
+    calibration_end = _reprobe_with_stateful()
     shutil.rmtree(_probe_dir, ignore_errors=True)
     snapshots = [calibration] + (
         [calibration_mid] if calibration_mid else []
@@ -718,6 +787,20 @@ def main() -> None:
         "calibration_used": calibration_used,
         "calibration_unstable": calibration_unstable,
     }
+    # Measure-only (round 16): recorded for the r17 multi-run pin
+    # decision; used in no ratio, no gate, no CAL_REF backfill.
+    if any(v > 0 for v in stateful_readings):
+        vals = sorted(v for v in stateful_readings if v > 0)
+        mid = len(vals) // 2
+        out["stateful_fixed"] = {
+            "snapshots": stateful_readings,
+            "median": round(
+                vals[mid]
+                if len(vals) % 2
+                else (vals[mid - 1] + vals[mid]) / 2,
+                3,
+            ),
+        }
     if dispersion:
         out["dispersion"] = dispersion
     machine_factor = None

@@ -197,6 +197,31 @@ def test_bench_artifact_has_no_single_sample_multi_second_rows():
     assert not offenders, offenders
 
 
+def test_bench_stateful_probe_is_measure_only():
+    """Round-16 pin: the stateful-drain probe is RECORDED in the
+    artifact (snapshots + median, for the r17 multi-run pin decision)
+    but participates in no ratio arithmetic — it must not appear in
+    calibration_used (the factor source), in lane_factors, or in
+    CAL_REF.json (the r11 stream_fixed backfill, corrected r16, is
+    the cautionary tale for a self-pinned reference)."""
+    import json as _json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    path = os.path.join(root, "BENCH_FULL.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed bench artifact")
+    with open(path) as f:
+        art = _json.load(f)
+    if "stateful_fixed" not in art:
+        pytest.skip("artifact predates the stateful probe")
+    sf = art["stateful_fixed"]
+    assert sf["snapshots"] and sf["median"] > 0
+    assert "stateful_fixed" not in art.get("calibration_used", {})
+    assert "stateful" not in art.get("lane_factors", {})
+    with open(os.path.join(root, "CAL_REF.json")) as f:
+        assert "stateful_fixed" not in _json.load(f)
+
+
 def test_bench_probe_median_is_robust_to_one_bursty_window():
     """VERDICT r14 ask #1 pin: the factor estimator is the per-probe
     MEDIAN of the interleaved start/mid/end snapshots, so one bursty
