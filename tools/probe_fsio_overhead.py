@@ -47,14 +47,25 @@ def main() -> None:
     spark = get_spark(app_name="probe-fsio")
     docs = load(spark, args.sf, "documents").select("doc_id", "text")
     n = docs.count()
-    per = (n + args.batches - 1) // args.batches
+    # Split on doc_id QUANTILES, not absolute ranges — scaled shards
+    # (make_scaled_testdata) offset ids per replica, so an absolute
+    # range split degenerates to one fat batch. Quantile cuts keep
+    # every id in batch i below every id in batch i+1, which the
+    # ingest gate's monotone-arrival contract requires.
+    cuts = docs.approxQuantile(
+        "doc_id",
+        [i / args.batches for i in range(1, args.batches)],
+        0.0,
+    )
+    bounds = [float("-inf")] + cuts + [float("inf")]
     batches = [
         docs.where(
-            (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
+            (F.col("doc_id") > bounds[i]) & (F.col("doc_id") <= bounds[i + 1])
         ).localCheckpoint()
         for i in range(args.batches)
     ]
-    print(f"{n} docs -> {args.batches} batches", file=sys.stderr)
+    sizes = [b.count() for b in batches]
+    print(f"{n} docs -> batches {sizes}", file=sys.stderr)
 
     def run_side(store: str) -> list[float]:
         ts = []
