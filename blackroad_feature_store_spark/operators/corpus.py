@@ -940,9 +940,13 @@ def bigram_logprob(
         F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "),
         lambda x: x != "",
     )
-    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
-        "__nt", F.size("__t")
-    )
+    # spread BEFORE tokenization: the regex tokenize + bigram explode
+    # is re-evaluated by each consumer of `bi` (both count models and
+    # the scoring join) and otherwise inherits single-task parallelism
+    # from a single-row-group scan (r16; no-op on a wide scan).
+    base = spread(df, id_col).select(
+        F.col(id_col), toks.alias("__t")
+    ).withColumn("__nt", F.size("__t"))
     bi = base.where(F.col("__nt") >= 2).select(
         id_col,
         F.explode(
@@ -997,16 +1001,19 @@ def _bigram_stream(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, w1, w2) bigram stream over lowercase alpha tokens — the
-    shared tokenization of bigram_logprob and dsir_select."""
+    shared tokenization of bigram_logprob and dsir_select. ``spread``
+    fans the tokenize + explode out of a single-row-group scan (r16):
+    dsir_select re-evaluates this stream once per count model and once
+    for scoring, so single-task tokenization multiplies."""
     toks = F.filter(
         F.split(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "
         ),
         lambda x: x != "",
     )
-    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
-        "__nt", F.size("__t")
-    )
+    base = spread(df, id_col).select(
+        F.col(id_col), toks.alias("__t")
+    ).withColumn("__nt", F.size("__t"))
     return base.where(F.col("__nt") >= 2).select(
         id_col,
         F.explode(

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from blackroad_feature_store_spark.operators.util import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i·b_i as a sequential double left-fold (portable order)."""
@@ -347,6 +349,21 @@ def ivf_assign(
     scoring never re-evaluates it per candidate pair, and
     ``keep_sim_col`` to keep the winning centroid cosine (rounded to
     6 — semantic_dedup ranks cluster members by it).
+
+    r16 plan shape (guide §2.3/§2.4): the winner is picked by a
+    ``min(struct(-sim, cid, payload...))`` aggregation instead of a
+    ``row_number() == 1`` window. The window shuffled the k×-inflated
+    (row × centroid) scored rows and sorted them per id; the partial
+    (map-side) aggregation collapses each vector back to ONE row
+    BEFORE the exchange, so the shuffle carries |corpus| rows at any
+    scale and there is no sort at all. Struct comparison is
+    lexicographic, ``(-sim, cid)`` is a total order over a vector's
+    candidate centroids (cid unique), and ``-(-sim)`` is bit-exact
+    for doubles — the winner (and every emitted value) is identical
+    to the window's, row for row. ``spread`` fans the dot products
+    out of a single-row-group scan (no-op on a wide scan); keyed on
+    ``id_col`` so the aggregation reuses the partitioning instead of
+    adding a second exchange.
     """
     c = F.broadcast(
         centroids.select(
@@ -355,7 +372,8 @@ def ivf_assign(
         ).withColumn("__cnorm", norm(F.col("__cvec")))
     )
     scored = (
-        df.withColumn("__vnorm", norm(F.col(vec_col)))
+        spread(df, id_col)
+        .withColumn("__vnorm", norm(F.col(vec_col)))
         .crossJoin(c)
         .withColumn(
             "__sim",
@@ -366,16 +384,30 @@ def ivf_assign(
             ),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__sim").desc(), F.col("__cid").asc()
+    payload = [
+        F.col(c_).alias(c_) for c_ in df.columns if c_ != id_col
+    ]
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("__sim")).alias("__negsim"),
+                F.col("__cid").alias("__cid"),
+                F.col("__vnorm").alias("__vnorm"),
+                *payload,
+            )
+        ).alias("__w")
     )
+    sel = [
+        F.col(id_col) if c_ == id_col else F.col(f"__w.{c_}").alias(c_)
+        for c_ in df.columns
+    ]
     extra = (
-        [F.col("__vnorm").alias(keep_norm_col)] if keep_norm_col else []
-    ) + ([F.col("__sim").alias(keep_sim_col)] if keep_sim_col else [])
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(*df.columns, F.col("__cid").alias("centroid_id"), *extra)
+        [F.col("__w.__vnorm").alias(keep_norm_col)] if keep_norm_col else []
+    ) + (
+        [(-F.col("__w.__negsim")).alias(keep_sim_col)] if keep_sim_col else []
+    )
+    return best.select(
+        *sel, F.col("__w.__cid").alias("centroid_id"), *extra
     )
 
 
@@ -717,8 +749,11 @@ def pq_encode(
     vector, no shuffle wider than (id, subspace)."""
     m, sub_d = _meta if _meta is not None else _pq_meta(codebooks)
     _check_pq_dim(df, vec_col, m, sub_d, "corpus vector")
+    # spread: the m·k fused-codegen distance rows per vector are the
+    # dominant encode cost and otherwise run single-task on a
+    # single-row-group scan (r16; no-op on a wide scan).
     sub = _pq_subvectors(
-        df.select(
+        spread(df, id_col).select(
             F.col(id_col),
             (
                 _unit(vec_col)

@@ -5732,10 +5732,16 @@ def core_salted_join(spark: SparkSession, sf: str) -> DataFrame:
 def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition metric: fraction of repeated word
     bigrams per document (high → boilerplate / degenerate text, a
-    standard pre-training quality filter). Pure narrow projection —
-    the bigram array, its distinct size, and the ratio are all
-    computed per row with zero shuffle at any scale."""
-    docs = load(spark, sf, "documents")
+    standard pre-training quality filter). The bigram array, its
+    distinct size, and the ratio are all computed per row; ``spread``
+    fans the compute-heavy projection out when the scan is a single
+    row group (r16: the whole query ran as ONE task at sf0.1 —
+    3.5 s → 0.35 s measured; the guard makes it a no-op on a
+    genuinely wide scan, where the projection is already parallel
+    and shuffle-free)."""
+    docs = spread(
+        load(spark, sf, "documents").select("doc_id", "text"), "doc_id"
+    )
     g = word_shingles(F.col("text"), 2)
     nd = F.size(F.array_distinct(g))
     n = F.size(g)
@@ -6648,7 +6654,12 @@ def dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     pairs = minhash_candidate_pairs(docs, num_bands=8, shingle_size=3)
     clusters = duplicate_clusters(pairs)
-    quality = text_profile(docs).select("doc_id", "quality")
+    # spread: the quality-profile projection is per-row-expensive and
+    # ran as ONE task on the single-row-group sf scan (r16 profile:
+    # a 1.6 s single-task job; no-op on a wide scan).
+    quality = text_profile(
+        spread(docs.select("doc_id", "text"), "doc_id")
+    ).select("doc_id", "quality")
     m = clusters.join(quality, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality"), F.col("doc_id")

@@ -446,6 +446,85 @@ def test_ivf_assign_and_topk(vectors, spark):
     assert [r["neighbor_id"] for r in rows] == [2, 5]
 
 
+def test_ivf_assign_agg_matches_window_formulation(spark):
+    """r16: ivf_assign picks its winner with min(struct(-sim, cid,
+    payload)) partial aggregation instead of a row_number() window
+    (shuffles |corpus| rows, not |corpus|·k scored rows). Pin the
+    exact contract the window gave: max cosine wins, SIM TIES break
+    to the LOWEST centroid id, payload columns and the keep_norm /
+    keep_sim extras come through bit-identical, and the plan carries
+    no Window node."""
+    from pyspark.sql.window import Window as W
+
+    from blackroad_feature_store_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        norm,
+    )
+
+    # centroids 1 and 2 are IDENTICAL → every vector's cosine ties
+    # between them and must resolve to cid 1; centroid 0 is distinct.
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.0, 1.0]),
+        ],
+        "centroid_id long, embedding array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, "a", [3.0, 4.0]),
+            (2, "b", [1.0, 0.1]),
+            (3, "c", [-1.0, 0.0]),
+            (4, "d", [0.0, -2.0]),
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    got = ivf_assign(
+        vecs, cents, keep_norm_col="__n", keep_sim_col="__s"
+    )
+    # reference: the pre-r16 window formulation, inlined
+    c = F.broadcast(
+        cents.select(
+            F.col("centroid_id").alias("__cid"),
+            F.col("embedding").alias("__cvec"),
+        ).withColumn("__cnorm", norm(F.col("__cvec")))
+    )
+    scored = (
+        vecs.withColumn("__vnorm", norm(F.col("embedding")))
+        .crossJoin(c)
+        .withColumn(
+            "__sim",
+            F.round(
+                dot(F.col("embedding"), F.col("__cvec"))
+                / (F.col("__vnorm") * F.col("__cnorm")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    want = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            *vecs.columns,
+            F.col("__cid").alias("centroid_id"),
+            F.col("__vnorm").alias("__n"),
+            F.col("__sim").alias("__s"),
+        )
+    )
+    assert got.columns == want.columns
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, want.collect()))
+    assert g == e
+    by_id = {r[0]: r for r in g}
+    assert by_id[1][3] == 1 and by_id[4][3] == 0  # tie → lowest cid
+    assert "Window" not in got._jdf.queryExecution().executedPlan().toString()
+
+
 # -- duplicate clustering (connected components) -------------------------------
 
 
