@@ -423,8 +423,14 @@ def kmeans_fit_predict(
         # iterations=0 has no defined output (no assignment exists);
         # the loop below would otherwise fall through to assign=None.
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # spread BEFORE the checkpoint (r16): localCheckpoint freezes the
+    # input partitioning, so a single-row-group scan would pin every
+    # Lloyd round's corpus pass (assign dots, update join + explode)
+    # to ONE task for the whole fit; no-op on a wide scan.
+    from blackroad_feature_store_spark.operators.util import spread
+
     q = quantize_vectors(
-        df, id_col=id_col, vec_col=vec_col, scale=scale
+        spread(df, id_col), id_col=id_col, vec_col=vec_col, scale=scale
     ).localCheckpoint()
     cents = (
         q.orderBy("id")

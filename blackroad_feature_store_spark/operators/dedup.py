@@ -171,9 +171,17 @@ def minhash_candidate_pairs(
     ``rows_per_band`` sets the S-curve sharpness (see
     :func:`minhash_signatures`).
     """
+    # localCheckpoint: the signature table feeds BOTH sides of the
+    # bucket self-join (plus the bucket-size pre-aggregation on the
+    # capped path) as canonically distinct subtrees, so without
+    # materialization the full shingle->hash->minhash pipeline runs
+    # once PER CONSUMER — 2x here, 4x with max_bucket (r16, verified
+    # in the committed plan ops). The table is num_bands rows per
+    # document of (id, band, sig) — the compact form a production
+    # dedup persists before pairing anyway.
     sigs = minhash_signatures(
         df, id_col, text_col, num_bands, shingle_size, rows_per_band
-    )
+    ).localCheckpoint()
     if max_bucket is not None:
         bucket_sizes = sigs.groupBy("band", "sig").agg(
             F.count(F.lit(1)).alias("bs")
@@ -425,7 +433,14 @@ def ngram_jaccard(
     candidates to keep the pair set linear in the corpus.
     """
     # spread: the shingle-set projection is per-row-expensive and a
-    # small file arrives as one scan partition (see minhash_signatures)
+    # small file arrives as one scan partition (see minhash_signatures).
+    # r16 note — measured and deliberately NOT restructured: pruning
+    # docs to pair-candidate ids (semi-join) and/or localCheckpointing
+    # docs_arr both LOST to this shape in interleaved A/B (1.4s vs
+    # 2.1-3.8s at sf0.1): the two docs_arr branches evaluate
+    # concurrently inside one job on an idle cluster, while pruning
+    # re-evaluates the pair subtree per branch and a checkpoint
+    # serializes the critical path.
     docs_arr = spread(df, id_col).select(
         F.col(id_col),
         F.array_distinct(

@@ -3378,9 +3378,16 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     filter early (cheap narrow projection), dedup on the survivors,
     aggregate last."""
     docs = load(spark, sf, "documents")
+    # localCheckpoint: the profile subtree feeds FOUR plan branches
+    # (both union arms, each consumed again by the keep-aggregation
+    # and the semi-join) — without materialization Catalyst evaluates
+    # the regex-heavy profile once per branch (r16 measured: 4x the
+    # 64-task profile stage). The materialized frame is one compact
+    # row per document — exactly what a production pipeline persists
+    # between the profile and dedup stages.
     prof = text_profile(spread(docs, "doc_id")).select(
         "doc_id", "fingerprint", "source", "quality"
-    )
+    ).localCheckpoint()
     u = prof.unionByName(
         prof.withColumn("doc_id", F.col("doc_id") + _doc_id_shift(docs))
     )
