@@ -115,6 +115,63 @@ def _stream_state_parts(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _write_ordered_batches(
+    docs: DataFrame, src: str, bounds: list[int]
+) -> None:
+    """Write ``docs`` as len(bounds)+1 id-ordered batch files for a
+    FileStreamSource (one file per batch, strictly increasing mtimes
+    so arrival order == id order, the monotone-arrival contract of
+    the ExactSubstr ingest family).
+
+    r16: ONE corpus scan instead of one filtered scan per batch — the
+    batch id is an explicit boundary expression (exact membership, no
+    range sampling), the write is partitioned by it, and each
+    partition directory's single part-file is renamed into the flat
+    ``src`` layout the old per-batch writers produced. An empty batch
+    (impossible for dense ids but cheap to honor) gets an empty
+    parquet file so batch numbering and compaction points are
+    byte-compatible with the sequential writer."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    b = F.lit(0)
+    for i, edge in enumerate(bounds):
+        b = F.when(F.col("doc_id") >= F.lit(edge), i + 1).otherwise(b)
+    tmp = src + "_tmp"
+    (
+        docs.withColumn("__b", b)
+        .repartition("__b")
+        .write.partitionBy("__b")
+        .parquet(tmp)
+    )
+    _os.makedirs(src, exist_ok=True)
+    n_batches = len(bounds) + 1
+    now = _os.path.getmtime(tmp)
+    for k in range(n_batches):
+        dst = _os.path.join(src, f"{k:05d}.parquet")
+        parts = _glob.glob(_os.path.join(tmp, f"__b={k}", "part-*"))
+        if parts:
+            if len(parts) != 1:  # one task per key by construction
+                raise AssertionError(
+                    f"batch {k}: expected one part file, got {parts}"
+                )
+            _os.rename(parts[0], dst)
+        else:
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                _pa.table(
+                    {"doc_id": _pa.array([], "int64"),
+                     "text": _pa.array([], "string")}
+                ),
+                dst,
+            )
+        _os.utime(dst, (now + 2.0 * (k + 1), now + 2.0 * (k + 1)))
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+
 @q(
     "core_scan_filter_project",
     """
@@ -8037,23 +8094,12 @@ def stream_exec_exact_substr_rewrite(
     mid = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) // 2
     base = tempfile.mkdtemp(prefix="stream_xsrw_")
     src = f"{base}/src"
-    # id order = arrival order: modification-time ordering of the two
-    # files gives the lower-id half to batch 0. FileStreamSource
-    # breaks mtime TIES arbitrarily, so force the second half's files
-    # strictly later (ADVICE r13 low) — and the in-batch monotone
-    # assert below fails loudly if order still flips.
-    import os as _os
-
-    docs.where(F.col("doc_id") < mid).coalesce(1).write.parquet(src)
-    first_files = set(_os.listdir(src))
-    docs.where(F.col("doc_id") >= mid).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    bump = max(
-        _os.path.getmtime(_os.path.join(src, f)) for f in first_files
-    ) + 2.0
-    for f in set(_os.listdir(src)) - first_files:
-        _os.utime(_os.path.join(src, f), (bump, bump))
+    # id order = arrival order: one file per half with strictly
+    # increasing mtimes (FileStreamSource breaks mtime TIES
+    # arbitrarily — ADVICE r13 low; the in-batch monotone assert
+    # below fails loudly if order still flips). One corpus scan
+    # writes both batch files (r16; was one filtered scan per half).
+    _write_ordered_batches(docs, src, [mid])
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -8156,30 +8202,9 @@ def stream_exec_exact_substr_compacted(
     # id order = arrival order: one file per quartile, mtimes forced
     # strictly increasing so FileStreamSource cannot flip batches
     # (ADVICE r13 low; the in-batch monotone gate still backstops).
-    import os as _os
-
-    edges = [None, *bounds, None]
-    prev_files: set[str] = set()
-    mtime = None
-    for k in range(4):
-        part = docs
-        if edges[k] is not None:
-            part = part.where(F.col("doc_id") >= edges[k])
-        if edges[k + 1] is not None:
-            part = part.where(F.col("doc_id") < edges[k + 1])
-        part.coalesce(1).write.mode(
-            "append" if k else "overwrite"
-        ).parquet(src)
-        new = set(_os.listdir(src)) - prev_files
-        if mtime is not None:
-            for f in new:
-                _os.utime(_os.path.join(src, f), (mtime, mtime))
-        cur = max(
-            _os.path.getmtime(_os.path.join(src, f))
-            for f in set(_os.listdir(src))
-        )
-        mtime = cur + 2.0
-        prev_files = set(_os.listdir(src))
+    # One corpus scan writes all four batch files (r16; was one
+    # filtered scan per quartile).
+    _write_ordered_batches(docs, src, bounds)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")

@@ -49,6 +49,17 @@ def write_bucketed(
     spark = df.sparkSession
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # The shuffle the docstring promises: cluster rows by the bucket
+    # key into exactly num_buckets partitions BEFORE the write. A
+    # bucketBy write alone never shuffles — each input task splits its
+    # own rows into per-bucket files, so (a) a single-partition input
+    # serializes the whole sort+write into one task (r16: the 600k-row
+    # lineitem write ran single-task) and (b) a wide input writes
+    # tasks x buckets files, which breaks the one-file-per-bucket
+    # condition Spark needs to trust sortBy and stream the merge join.
+    # After the repartition: num_buckets parallel writers, exactly one
+    # sorted file per bucket at any scale.
+    df = df.repartition(num_buckets, *bucket_cols)
     w = (
         df.write.format("parquet")
         .mode(mode)
