@@ -859,7 +859,11 @@ def store_roundtrip_asof(spark: SparkSession, sf: str) -> DataFrame:
     fs.register_feature("status", "customer", "str")
     g = fs.create_group("orders_g", ["totalprice", "status"], "c_custkey")
 
-    orders = load(spark, sf, "orders")
+    # spread: the uuid + JSON-encode record projection is per-row
+    # expensive and otherwise runs as ONE task on the single-row-group
+    # orders scan (r16); keyed on the entity key so the store write
+    # lands entity-clustered files. No-op on a wide scan.
+    orders = spread(load(spark, sf, "orders"), "o_custkey")
     enc = lambda c: F.regexp_extract(  # noqa: E731 — JSON-cell encoder
         F.to_json(F.struct(F.col(c).alias("v")), {"ignoreNullFields": "false"}),
         r'^\{"v":(.*)\}$',
@@ -3227,7 +3231,11 @@ def stream_exec_enrich(spark: SparkSession, sf: str) -> DataFrame:
     g = fs.create_group("orders_enrich", ["totalprice", "status"],
                         "c_custkey")
 
-    orders = load(spark, sf, "orders")
+    # spread: the uuid + JSON-encode record projection is per-row
+    # expensive and otherwise runs as ONE task on the single-row-group
+    # orders scan (r16); keyed on the entity key so the store write
+    # lands entity-clustered files. No-op on a wide scan.
+    orders = spread(load(spark, sf, "orders"), "o_custkey")
     enc = lambda c: F.regexp_extract(  # noqa: E731 — JSON-cell encoder
         F.to_json(F.struct(F.col(c).alias("v")), {"ignoreNullFields": "false"}),
         r'^\{"v":(.*)\}$',
