@@ -959,6 +959,12 @@ def bigram_logprob(
             )
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    # r16 note — measured and deliberately left alone: materializing
+    # c12 and deriving c1 from it (c(w1) = Σ_w2 c(w1,w2)) read 1.16
+    # in interleaved A/B here — this operator has no eager action, so
+    # its three token-stream passes run concurrently inside one job
+    # and a checkpoint only serializes them. The same derivation DOES
+    # pay in dsir_select, whose per-model v = c1.count() is eager.
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
     c1 = c1.withColumn(
@@ -1063,8 +1069,14 @@ def dsir_select(
     target_bi = _bigram_stream(target, id_col, text_col)
 
     def model(bi):
-        c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-        c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        # One tokenize pass per model (r16): the bigram table is
+        # materialized (vocab-sized) and the unigram table derived
+        # from it exactly (c(w1) = Σ_w2 c(w1,w2)); the vocabulary
+        # scalar then counts cached rows instead of re-tokenizing.
+        c12 = bi.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        ).localCheckpoint()
+        c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
         v = c1.count()
         return c12, c1, v
 
