@@ -4333,9 +4333,13 @@ def pipeline_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
         global_prefix_sum,
     )
 
+    # localCheckpoint (r16): the profile feeds an EAGER budget scalar
+    # plus global_prefix_sum's range-sampling and data passes — three
+    # evaluations of the bpe-count/quality projection without it; the
+    # materialized frame is three narrow columns per document.
     prof = text_profile(spread(load(spark, sf, "documents"), "doc_id")).select(
         "doc_id", "n_tokens", "quality"
-    )
+    ).localCheckpoint()
     total = prof.agg(F.sum("n_tokens").cast("long")).collect()[0][0]
     budget = int(total) // 2
     sel = global_prefix_sum(

@@ -449,8 +449,13 @@ def process_decontamination_batch(
             [(int(f),) for f in fingerprints], "fingerprint long"
         )
     )
+    from blackroad_feature_store_spark.operators.util import spread
+
+    # spread (r16): the winnow selection is a per-row-expensive
+    # codegen projection and a micro-batch arrives on 1-2 scan
+    # partitions; no-op when the batch is already wide.
     doc_fps = winnow_fingerprints(
-        batch_df.select(F.col(id_col), F.col(text_col)),
+        spread(batch_df.select(F.col(id_col), F.col(text_col)), id_col),
         id_col=id_col, text_col=text_col, k=k, window=window,
     )
     hits = (
@@ -594,8 +599,15 @@ def process_exact_substr_batch(
     g_df = F.broadcast(
         spark.createDataFrame([(g,) for g in grams], "gram string")
     )
+    from blackroad_feature_store_spark.operators.util import spread
+
+    # spread (r16): the stride-1 window explode is per-row-expensive
+    # and a micro-batch arrives on 1-2 scan partitions; no-op when
+    # the batch is already wide.
     base = _tokenized(
-        batch_df.select(F.col(id_col), F.col(text_col)), id_col, text_col
+        spread(batch_df.select(F.col(id_col), F.col(text_col)), id_col),
+        id_col,
+        text_col,
     )
     doc_grams = base.where(F.col("__nt") >= L).select(
         F.col(id_col),
