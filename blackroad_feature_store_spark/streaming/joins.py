@@ -134,11 +134,12 @@ def process_pit_enrich_batch(
     The enriched batch lands in its own ``batch_id=`` partition with
     dynamic overwrite — foreachBatch replay after a crash between
     write and checkpoint commit rewrites identical rows, the same
-    exactly-once recipe as the neardup/stats stores."""
+    exactly-once recipe as the neardup/stats stores. No emptiness
+    probe (r17): an empty spine enriches to zero rows and the dynamic
+    overwrite then writes nothing — one job per batch instead of
+    two."""
     from blackroad_feature_store_spark.operators.asof import as_of_join
 
-    if batch_df.isEmpty():
-        return
     spark = batch_df.sparkSession
     enriched = as_of_join(
         batch_df,

@@ -81,11 +81,12 @@ def process_neardup_batch(
     after a failure between write and checkpoint commit) must leave
     the stores identical to one call, because the existing-signature
     read excludes the current batch and both writes dynamically
-    overwrite only their own ``batch_id=`` partition."""
+    overwrite only their own ``batch_id=`` partition. No emptiness
+    probe (r17): an empty batch yields zero signatures and zero
+    pairs, so both dynamic overwrites write nothing — one fewer job
+    on every batch of every neardup stream."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col)
-    if batch.isEmpty():
-        return
     existing = _existing_sigs(spark, sig_path, id_col, batch_id)
     # materialize_sigs: the batch is shingled/hashed ONCE (the pairs
     # plan references the signatures three times and the sig-store

@@ -103,10 +103,12 @@ def process_expectations_batch(
     """One micro-batch: evaluate every check on THIS batch only and
     land (check, target, total, violations) in the batch's own
     partition — same replay-idempotent dynamic overwrite as every
-    store in `streaming/stats.py`."""
+    store in `streaming/stats.py`. No emptiness probe (r17 — VERDICT
+    r16 ask #1: one job per batch instead of two): an empty batch
+    lands all-zero partials (total=0, violations=0 — the aggregates
+    coalesce, see ``check_expectations``), which fold to exactly the
+    verdict the old skip produced."""
     _validate_streaming_checks(checks)
-    if batch_df.isEmpty():
-        return
     _land_partial(
         check_expectations(batch_df, checks).drop("passed"),
         batch_id,
@@ -157,14 +159,24 @@ def process_unique_gate_batch(
     state: the `streaming/dedup.py::duplicate_counts` form invokes
     the Python worker once per key, which measures ~10x slower than
     this plan already at 10^5 keys/batch and degrades linearly in
-    key cardinality."""
-    if batch_df.isEmpty():
-        return
+    key cardinality.
+
+    Per-batch job shape (r17 — VERDICT r16 ask #1): the batch's key
+    counts and the anti-join feed BOTH writes (the partial and the
+    seen-store extension), so both are lazily localCheckpointed — the
+    partial's write materializes them once and the seen-store write
+    reads the persisted blocks instead of re-scanning the batch and
+    re-running the anti-join. The old up-front ``isEmpty`` probe is
+    gone too: an empty batch lands an all-zero partial (``total``
+    coalesces to 0 over zero rows) and zero seen keys (dynamic
+    overwrite of nothing), folding to exactly the verdict the skip
+    produced — two jobs per batch total, down from four."""
     spark = batch_df.sparkSession
     counts = (
         batch_df.select(F.col(key_col).cast("string").alias("key"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
     )
     seen = _live_seen_keys(
         spark, os.path.join(out_path, "seen"), below_batch=batch_id
@@ -173,9 +185,13 @@ def process_unique_gate_batch(
         counts.join(seen, "key", "left_anti")
         if seen is not None
         else counts
-    )
+    ).localCheckpoint(eager=False)
     partial = (
-        counts.agg(F.sum("__n").cast("long").alias("total"))
+        counts.agg(
+            F.coalesce(F.sum("__n"), F.lit(0))
+            .cast("long")
+            .alias("total")
+        )
         .crossJoin(
             new_keys.agg(
                 F.count(F.lit(1)).cast("long").alias("__first_seen")
@@ -436,9 +452,10 @@ def process_decontamination_batch(
     violations=|docs sharing >= min_shared fingerprints|). Additive
     across batches because each doc arrives whole and its verdict
     depends only on itself and the static eval set — the same
-    mergeability class as ``foreign_key``."""
-    if batch_df.isEmpty():
-        return
+    mergeability class as ``foreign_key``. No emptiness probe (r17):
+    an empty batch lands an all-zero partial (counts never go NULL),
+    which folds to exactly the verdict the old skip produced — one
+    job per batch instead of two."""
     from blackroad_feature_store_spark.operators.dedup import (
         winnow_fingerprints,
     )
@@ -587,9 +604,11 @@ def process_exact_substr_batch(
     target=text_col, total=|batch docs|, violations=|docs sharing >=
     min_shared distinct eval windows|). Additive across batches for
     the same reason as the winnow gate: each document arrives whole
-    and its verdict depends only on itself and the static eval set."""
-    if batch_df.isEmpty():
-        return
+    and its verdict depends only on itself and the static eval set.
+    No emptiness probe (r17): an empty batch lands an all-zero
+    partial (counts never go NULL), which folds to exactly the
+    verdict the old skip produced — one job per batch instead of
+    two."""
     from blackroad_feature_store_spark.operators.exactsubstr import (
         _tokenized,
         _window_expr,
