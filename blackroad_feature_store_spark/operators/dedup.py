@@ -178,7 +178,12 @@ def minhash_candidate_pairs(
     # once PER CONSUMER — 2x here, 4x with max_bucket (r16, verified
     # in the committed plan ops). The table is num_bands rows per
     # document of (id, band, sig) — the compact form a production
-    # dedup persists before pairing anyway.
+    # dedup persists before pairing anyway. NOTE (ADVICE r16): the
+    # checkpoint is EAGER by design — merely CONSTRUCTING the pairs
+    # frame runs the signature job, and the checkpointed blocks are
+    # not recoverable on executor loss. Callers composing lazy plans
+    # who need construction-time laziness should call
+    # minhash_signatures themselves and persist explicitly.
     sigs = minhash_signatures(
         df, id_col, text_col, num_bands, shingle_size, rows_per_band
     ).localCheckpoint()

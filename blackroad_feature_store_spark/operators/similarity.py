@@ -351,19 +351,31 @@ def ivf_assign(
     6 — semantic_dedup ranks cluster members by it).
 
     r16 plan shape (guide §2.3/§2.4): the winner is picked by a
-    ``min(struct(-sim, cid, payload...))`` aggregation instead of a
-    ``row_number() == 1`` window. The window shuffled the k×-inflated
-    (row × centroid) scored rows and sorted them per id; the partial
-    (map-side) aggregation collapses each vector back to ONE row
-    BEFORE the exchange, so the shuffle carries |corpus| rows at any
-    scale and there is no sort at all. Struct comparison is
-    lexicographic, ``(-sim, cid)`` is a total order over a vector's
-    candidate centroids (cid unique), and ``-(-sim)`` is bit-exact
-    for doubles — the winner (and every emitted value) is identical
-    to the window's, row for row. ``spread`` fans the dot products
-    out of a single-row-group scan (no-op on a wide scan); keyed on
+    ``min_by`` partial aggregation instead of a ``row_number() == 1``
+    window. The window shuffled the k×-inflated (row × centroid)
+    scored rows and sorted them per id; the partial (map-side)
+    aggregation collapses each vector back to ONE row BEFORE the
+    exchange, so the shuffle carries |corpus| rows at any scale and
+    there is no sort at all. ``spread`` fans the dot products out of
+    a single-row-group scan (no-op on a wide scan); keyed on
     ``id_col`` so the aggregation reuses the partitioning instead of
     adding a second exchange.
+
+    r17 (ADVICE r16): the ordering key is ``(__negsim, __cid)`` ONLY
+    — payload columns ride in the ``min_by`` VALUE struct, which is
+    never compared, so non-orderable payload types (maps) assign fine
+    where the r16 ``min(struct(..., payload))`` raised. ``__negsim``
+    pins the degenerate-similarity ordering to exactly the window's:
+    a NaN cosine (zero-norm vector or centroid — IEEE 0/0) sorted
+    FIRST under ``sim DESC`` (NaN is the largest double), so it maps
+    to -Infinity here and still wins; a NULL cosine sorted LAST under
+    DESC, so it coalesces to +Infinity and still loses. Cosines are
+    in [-1, 1], so neither sentinel collides with a real score, and
+    ``keep_sim_col`` re-emits the RAW ``__sim`` carried in the value
+    struct — NaN stays NaN, exactly what the window emitted.
+    ``(__negsim, __cid)`` stays a total order over a vector's
+    candidate centroids (cid unique), so ``min_by``'s
+    tie-nondeterminism never engages.
     """
     c = F.broadcast(
         centroids.select(
@@ -387,14 +399,22 @@ def ivf_assign(
     payload = [
         F.col(c_).alias(c_) for c_ in df.columns if c_ != id_col
     ]
+    ord_key = F.struct(
+        F.coalesce(
+            F.nanvl(-F.col("__sim"), F.lit(float("-inf"))),
+            F.lit(float("inf")),
+        ).alias("__negsim"),
+        F.col("__cid").alias("__cid"),
+    )
     best = scored.groupBy(id_col).agg(
-        F.min(
+        F.min_by(
             F.struct(
-                (-F.col("__sim")).alias("__negsim"),
                 F.col("__cid").alias("__cid"),
                 F.col("__vnorm").alias("__vnorm"),
+                F.col("__sim").alias("__sim"),
                 *payload,
-            )
+            ),
+            ord_key,
         ).alias("__w")
     )
     sel = [
@@ -404,7 +424,7 @@ def ivf_assign(
     extra = (
         [F.col("__w.__vnorm").alias(keep_norm_col)] if keep_norm_col else []
     ) + (
-        [(-F.col("__w.__negsim")).alias(keep_sim_col)] if keep_sim_col else []
+        [F.col("__w.__sim").alias(keep_sim_col)] if keep_sim_col else []
     )
     return best.select(
         *sel, F.col("__w.__cid").alias("centroid_id"), *extra

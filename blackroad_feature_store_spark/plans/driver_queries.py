@@ -129,12 +129,22 @@ def _write_ordered_batches(
     partition directory's single part-file is renamed into the flat
     ``src`` layout the old per-batch writers produced. An empty batch
     (impossible for dense ids but cheap to honor) gets an empty
-    parquet file so batch numbering and compaction points are
-    byte-compatible with the sequential writer."""
+    parquet file — built from ``docs``' OWN schema, so a caller with
+    different columns still produces schema-consistent batch files —
+    so batch numbering and compaction points are byte-compatible with
+    the sequential writer. ``bounds`` must be ascending (the boundary
+    chain below assigns batch ids by the LAST edge a doc id clears;
+    unsorted bounds would silently misnumber batches — ADVICE r16),
+    enforced here."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
+    if list(bounds) != sorted(bounds):
+        raise ValueError(
+            f"_write_ordered_batches: bounds must be ascending, got "
+            f"{bounds}"
+        )
     b = F.lit(0)
     for i, edge in enumerate(bounds):
         b = F.when(F.col("doc_id") >= F.lit(edge), i + 1).otherwise(b)
@@ -158,16 +168,20 @@ def _write_ordered_batches(
                 )
             _os.rename(parts[0], dst)
         else:
-            import pyarrow as _pa
-            import pyarrow.parquet as _pq
-
-            _pq.write_table(
-                _pa.table(
-                    {"doc_id": _pa.array([], "int64"),
-                     "text": _pa.array([], "string")}
-                ),
-                dst,
+            # empty batch file from docs' own schema (minus the
+            # internal __b partition column), not a hardcoded
+            # (doc_id, text) shape
+            (
+                docs.sparkSession.createDataFrame([], docs.schema)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp + "_empty")
             )
+            empty = _glob.glob(
+                _os.path.join(tmp + "_empty", "part-*")
+            )
+            _os.rename(empty[0], dst)
+            _shutil.rmtree(tmp + "_empty", ignore_errors=True)
         _os.utime(dst, (now + 2.0 * (k + 1), now + 2.0 * (k + 1)))
     _shutil.rmtree(tmp, ignore_errors=True)
 

@@ -58,7 +58,17 @@ def write_bucketed(
     # tasks x buckets files, which breaks the one-file-per-bucket
     # condition Spark needs to trust sortBy and stream the merge join.
     # After the repartition: num_buckets parallel writers, exactly one
-    # sorted file per bucket at any scale.
+    # sorted file per bucket at any scale. One-file-per-bucket relies
+    # on repartition's HashPartitioning using the same Murmur3 hash as
+    # Spark's bucket-id assignment (HashPartitioning.partitionIdExpression
+    # = pmod(murmur3, n) — true across all current Spark releases and
+    # asserted post-write by the catalog's in-query shuffle-free-join
+    # certification, which would see a multi-file bucket as a
+    # reintroduced exchange; ADVICE r16). An input already
+    # hash-partitioned by the bucket key pays this shuffle again —
+    # accepted: Catalyst's outputPartitioning is not visible here, and
+    # a redundant repartition of key-clustered rows is cheap next to a
+    # silently serialized single-task bucketed write.
     df = df.repartition(num_buckets, *bucket_cols)
     w = (
         df.write.format("parquet")

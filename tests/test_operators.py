@@ -525,6 +525,111 @@ def test_ivf_assign_agg_matches_window_formulation(spark):
     assert "Window" not in got._jdf.queryExecution().executedPlan().toString()
 
 
+def test_ivf_assign_zero_norm_matches_window_formulation(spark):
+    """r17 (ADVICE r16 medium): degenerate cosines must order exactly
+    as the window formulation ordered them. Under the session default
+    (ANSI) a zero-norm input raises loudly in BOTH formulations
+    (DIVIDE_BY_ZERO), so the divergence risk lives in non-ANSI
+    sessions: there a zero-norm vector or centroid yields sim = NULL,
+    which the window's ``sim DESC`` sorted LAST (never wins) but a
+    bare ``min(struct(-sim, ...))`` sorts FIRST (always wins) — the
+    r17 key coalesces NULL → +inf to restore the window's ordering,
+    and maps a NaN cosine (NaN vector components) → -inf because NaN
+    is the LARGEST double under DESC and therefore WON the window.
+    Also pins the r17 min_by value/key split: a MapType payload
+    column (non-orderable — the r16 min(struct(..., payload)) raised
+    on it) must come through untouched, and keep_sim_col must re-emit
+    the RAW degenerate sim (NULL/NaN), not an ordering sentinel."""
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    from blackroad_feature_store_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        norm,
+    )
+
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 0.0]),  # zero-norm centroid: sim NULL for all
+            (2, [0.0, 1.0]),
+        ],
+        "centroid_id long, embedding array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, {"k": "a"}, [3.0, 4.0]),
+            (2, {"k": "b"}, [0.0, 0.0]),  # zero-norm vector: all NULL
+            (3, {"k": "c"}, [-1.0, 0.5]),
+            (4, {"k": "d"}, [float("nan"), 1.0]),  # all sims NaN
+        ],
+        "vec_id long, meta map<string,string>, embedding array<float>",
+    )
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = ivf_assign(vecs, cents, keep_sim_col="__s")
+        # reference: the pre-r16 window formulation, inlined
+        c = F.broadcast(
+            cents.select(
+                F.col("centroid_id").alias("__cid"),
+                F.col("embedding").alias("__cvec"),
+            ).withColumn("__cnorm", norm(F.col("__cvec")))
+        )
+        scored = (
+            vecs.withColumn("__vnorm", norm(F.col("embedding")))
+            .crossJoin(c)
+            .withColumn(
+                "__sim",
+                F.round(
+                    dot(F.col("embedding"), F.col("__cvec"))
+                    / (F.col("__vnorm") * F.col("__cnorm")),
+                    6,
+                ),
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("__sim").desc(), F.col("__cid").asc()
+        )
+        want = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                *vecs.columns,
+                F.col("__cid").alias("centroid_id"),
+                F.col("__sim").alias("__s"),
+            )
+        )
+        g = {r["vec_id"]: r for r in got.collect()}
+        e = {r["vec_id"]: r for r in want.collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+    assert set(g) == set(e)
+
+    def _same(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        return a == b or (math.isnan(a) and math.isnan(b))
+
+    for vid in e:
+        assert g[vid]["centroid_id"] == e[vid]["centroid_id"], vid
+        assert g[vid]["meta"] == e[vid]["meta"], vid
+        assert _same(g[vid]["__s"], e[vid]["__s"]), (
+            vid, g[vid]["__s"], e[vid]["__s"],
+        )
+    # the ordering contract, stated directly: NULL loses (the
+    # zero-norm centroid never wins a real vector; the zero-norm
+    # vector's all-NULL tie breaks to the lowest cid with a raw NULL
+    # sim), NaN wins (it was the largest double under the window's
+    # DESC), ties of NaN break to the lowest cid
+    assert g[1]["centroid_id"] == 2
+    assert g[2]["centroid_id"] == 0 and g[2]["__s"] is None
+    assert g[3]["centroid_id"] == 2
+    assert g[4]["centroid_id"] == 0 and math.isnan(g[4]["__s"])
+
+
 # -- duplicate clustering (connected components) -------------------------------
 
 
