@@ -852,13 +852,17 @@ def incremental_candidate_pairs(
     fourth action, so without materialization the batch is shingled
     and hashed up to 4x. The streaming ingest path wants True; leave
     False when the caller will only evaluate one action over the
-    result (keeps the plan fully lazy/unchanged).
+    result (keeps the plan fully lazy/unchanged). The checkpoint is
+    LAZY (r17): construction stays job-free and the caller's FIRST
+    action over either returned frame computes + persists the
+    signatures once — one job per batch fewer than the eager form,
+    same single evaluation.
     """
     new_sigs = minhash_signatures(
         new_docs, id_col, text_col, num_bands, shingle_size, rows_per_band
     )
     if materialize_sigs:
-        new_sigs = new_sigs.localCheckpoint()
+        new_sigs = new_sigs.localCheckpoint(eager=False)
     n = new_sigs.alias("n")
     e = existing_sigs.alias("e")
     vs_existing = (

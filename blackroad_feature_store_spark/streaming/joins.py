@@ -140,7 +140,10 @@ def process_pit_enrich_batch(
     two."""
     from blackroad_feature_store_spark.operators.asof import as_of_join
 
-    spark = batch_df.sparkSession
+    from blackroad_feature_store_spark.streaming.stats import (
+        _write_batch_partition,
+    )
+
     enriched = as_of_join(
         batch_df,
         records,
@@ -151,16 +154,7 @@ def process_pit_enrich_batch(
         how="left",
         tolerance=tolerance,
     )
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        enriched.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).partitionBy("batch_id").parquet(out_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _write_batch_partition(enriched, batch_id, out_path)
 
 
 def start_pit_enrich_stream(

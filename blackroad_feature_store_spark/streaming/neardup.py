@@ -100,21 +100,14 @@ def process_neardup_batch(
         shingle_size=shingle_size,
         materialize_sigs=True,
     )
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    from blackroad_feature_store_spark.streaming.stats import (
+        _write_batch_partition,
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        new_sigs.withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("overwrite").partitionBy("batch_id").parquet(sig_path)
-        pairs.withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("overwrite").partitionBy("batch_id").parquet(
-            pairs_path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # sig write FIRST: it materializes the lazily-checkpointed batch
+    # signatures, so the pairs write reads persisted blocks
+    _write_batch_partition(new_sigs, batch_id, sig_path)
+    _write_batch_partition(pairs, batch_id, pairs_path)
 
 
 def start_neardup_stream(

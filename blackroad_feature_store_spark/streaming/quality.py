@@ -67,21 +67,20 @@ def _validate_streaming_checks(checks: list[dict[str, Any]]) -> None:
 def _overwrite_batch_partition(
     df: DataFrame, batch_id: int, path: str
 ) -> None:
-    """Write ``df`` into ``path``'s batch_id partition — dynamic
-    partition OVERWRITE, so a foreachBatch replay of the same
+    """Write ``df`` into ``path``'s batch_id partition by overwriting
+    that DIRECTORY directly — a foreachBatch replay of the same
     batch_id replaces rather than double-counts (the store-wide
-    idempotence contract of `streaming/stats.py`)."""
-    spark = df.sparkSession
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    idempotence contract of `streaming/stats.py`), every other
+    batch's partition is untouched, and readers see the identical
+    partition-discovered layout. r17: was a dynamic partition
+    overwrite, which paid a staging commit + partition resolution +
+    two conf round-trips per batch for a target partition that is
+    known statically."""
+    from blackroad_feature_store_spark.streaming.stats import (
+        _write_batch_partition,
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).partitionBy("batch_id").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    _write_batch_partition(df, batch_id, path)
 
 
 def _land_partial(
