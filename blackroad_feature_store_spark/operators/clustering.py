@@ -150,7 +150,11 @@ def _score(qn2: Column, cn2: Column, dot_: Column) -> Column:
     )
 
 
-def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Nearest-centroid assignment by max cosine (ties to the smaller
     centroid id). ``vectors`` is quantize_vectors output; ``centroids``
     carries (cid, cv, cn2). Centroids are broadcast — assignment is a
@@ -162,17 +166,27 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     between minutes and hours once k reaches the ~sqrt(n) production
     range. ``struct(score, -cid)`` makes the max prefer the smaller
     centroid id on exact ties, identical to the oracle's
-    (score DESC, cid) row_number ordering."""
+    (score DESC, cid) row_number ordering.
+
+    ``carry`` names extra ``vectors`` columns to keep on the output
+    (r17): each is per-id constant by construction (the crossJoin
+    replicates the vector row), so ``any_value`` re-emits it exactly
+    and the caller skips the assign→vectors re-join — which would
+    otherwise re-evaluate the whole vector-building subtree a second
+    time (the ingest-maintenance paths re-quantized every batch for
+    the join side) plus pay the join's exchange."""
     c = F.broadcast(centroids.select("cid", "cv", "cn2"))
     scored = vectors.crossJoin(c).select(
         "id",
+        *carry,
         "cid",
         _score(F.col("n2"), F.col("cn2"), _idot(F.col("qv"), F.col("cv"))).alias(
             "__s"
         ),
     )
     return scored.groupBy("id").agg(
-        F.expr("max_by(cid, struct(__s, -cid))").alias("cid")
+        F.expr("max_by(cid, struct(__s, -cid))").alias("cid"),
+        *[F.any_value(F.col(c_)).alias(c_) for c_ in carry],
     )
 
 

@@ -685,7 +685,11 @@ def exact_substr_batch_rewrite(
             "__bkeep",
             F.when(F.col("__bn") >= 2, F.col("__occs")).alias("__occs"),
         )
-        .localCheckpoint()
+        # lazy (r17): the caller's FIRST action (the rewrite write in
+        # the ingest path) computes + persists the table; the second
+        # (the delta write) reads persisted blocks — one job per
+        # batch fewer than the eager form, same single evaluation.
+        .localCheckpoint(eager=False)
     )
     hist = history_index.select(
         "__h", "__h2", F.col("n").alias("__hn")

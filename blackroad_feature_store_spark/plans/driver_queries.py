@@ -4565,10 +4565,12 @@ def stream_exec_kmeans_update(spark: SparkSession, sf: str) -> DataFrame:
     store = f"{base}/upd"
 
     def _update_partials(batch_df: DataFrame, batch_id: int) -> None:
-        q_vecs = quantize_vectors(batch_df)
+        # carry=("qv",): the assign→q_vecs re-join re-evaluated the
+        # whole batch quantize subtree a second time per batch (r17)
         comps = (
-            kmeans_assign(q_vecs, cents)
-            .join(q_vecs.select("id", "qv"), "id")
+            kmeans_assign(
+                quantize_vectors(batch_df), cents, carry=("qv",)
+            )
             .select(
                 F.col("cid").alias("cluster_id"),
                 F.posexplode("qv").alias("pos0", "v"),
@@ -4757,10 +4759,12 @@ def stream_exec_ivf_maintained(spark: SparkSession, sf: str) -> DataFrame:
     store = f"{base}/upd"
 
     def _update_partials(batch_df: DataFrame, batch_id: int) -> None:
-        q_vecs = quantize_vectors(batch_df)
+        # carry=("qv",): the assign→q_vecs re-join re-evaluated the
+        # whole batch quantize subtree a second time per batch (r17)
         comps = (
-            kmeans_assign(q_vecs, cents)
-            .join(q_vecs.select("id", "qv"), "id")
+            kmeans_assign(
+                quantize_vectors(batch_df), cents, carry=("qv",)
+            )
             .select(
                 F.col("cid").alias("cluster_id"),
                 F.posexplode("qv").alias("pos0", "v"),
